@@ -1,0 +1,96 @@
+"""Deterministic hashing / shingling helpers for the dedup + ANN operators.
+
+Everything here is seed-stable across runs and cluster layouts: hashes are
+``xxhash64``/``crc32`` of column values (JVM-side, codegen'd), never Python
+``hash()`` or RNG state. That keeps MinHash signatures and LSH bucket
+assignments reproducible — a requirement for the driver's hash-compare and
+for incremental re-runs over 100 TB (re-hashing a partition yields identical
+buckets, so dedup is restartable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — canonical form for near-dup hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column as ``array<string>``.
+
+    Built-ins only: split → sliding window via transform over an index
+    sequence → array_distinct. Stays inside whole-stage codegen.
+    """
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+    )
+    return F.array_distinct(
+        F.when(n >= k, F.transform(idx, shingle)).otherwise(F.array(words[0]))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(shingle, i).
+
+    xxhash64 accepts a seed column, so the i-th hash family is just a
+    different seed — no a*x+b mod p bookkeeping, and it's all JVM-side.
+    Returns ``array<bigint>`` of length ``num_hashes``.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature to one bucket key.
+
+    Returns ``array<struct<band:int, key:bigint>>`` — explode and group by
+    (band, key) to get candidate buckets. Docs sharing any band bucket are
+    candidate pairs (standard MinHash-LSH banding).
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(signature, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    F.lit(b),
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def rolling_hash(col: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Column:
+    """Polynomial rolling hash over the characters of a string column.
+
+    ``h = (h * base + ascii(char)) % mod`` folded left-to-right with
+    ``F.aggregate`` — exact 64-bit integer arithmetic (base * mod < 2^63,
+    no overflow), fully JVM-side, and expressible in ANSI SQL for the
+    DuckDB oracle (``list_reduce`` twin). Used for document fingerprinting.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

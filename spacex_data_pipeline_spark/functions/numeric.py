@@ -1,0 +1,64 @@
+"""Oracle-stable numeric helpers.
+
+Floating-point SUMs are order-dependent, and Spark's shuffle order is
+nondeterministic — a plain ``SUM(double)`` can differ in the last bits from
+DuckDB's sum of the same rows. Every aggregate the driver hash-compares
+therefore goes through exact decimal arithmetic and is cast back to DOUBLE
+only once at the end (one deterministic rounding):
+
+    Spark :  SUM(CAST(x AS DECIMAL(18,4)))  -> CAST(... AS DOUBLE)
+    DuckDB:  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+
+The reference's one ratio aggregate (``round(100.0 * successes /
+nullif(count(*),0), 2)``, dbt/models/marts/fct_spacex_launches_by_year.sql:8)
+gets the same treatment via :func:`pct_rate`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+DEC_FACTOR = "decimal(8,4)"
+
+
+def dec(col: Column | str) -> Column:
+    """Exact fixed-point view of a double column (4 fractional digits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dec_factor(col: Column) -> Column:
+    """Small-range factor (e.g. ``1 - discount``) as DECIMAL(8,4).
+
+    CRITICAL for oracle parity: a *single* double op (one subtract, one
+    add) is IEEE-deterministic across engines, but *chained* double
+    products can differ by 1 ulp (contraction/codegen differences), which
+    flips the decimal cast at boundary rows. So: compute each factor with
+    one double op, snap it to decimal, and keep all multiplication in
+    exact decimal arithmetic.
+    """
+    return col.cast(DEC_FACTOR)
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent sum of a double column, emitted as DOUBLE."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-sum average: decimal sum cast to double, divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
+
+
+def nullif(col: Column, value: Column) -> Column:
+    """``NULLIF(col, value)`` (fct_spacex_launches_by_year.sql:8)."""
+    return F.when(col == value, F.lit(None)).otherwise(col)
+
+
+def pct_rate(numer: Column, denom: Column, scale: int = 2) -> Column:
+    """``round(100.0 * numer / nullif(denom, 0), scale)`` — the reference's
+    success-rate expression with its divide-by-zero guard."""
+    return F.round(F.lit(100.0) * numer / nullif(denom, F.lit(0)), scale)

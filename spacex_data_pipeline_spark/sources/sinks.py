@@ -1,0 +1,68 @@
+"""Warehouse sinks — the reference's ``to_sql`` load step, Spark-native.
+
+Reference behaviors reproduced (SURVEY.md §2.1 S3-S5):
+- append  — ``df.to_sql(..., if_exists="append")`` (spacex_api_dag.py:48-49)
+- overwrite — ``if_exists="replace"`` (README.md:80)
+- schema DDL — ``create schema if not exists raw`` (spacex_api_dag.py:25-27)
+
+Plus the fix the reference needs: its daily append of a full snapshot
+duplicates rows across runs (SURVEY.md §2.4). :func:`write_snapshot` makes
+ingest idempotent via deterministic overwrite; :func:`dedup_on_read` keeps
+the latest row per key for readers of an append-only table.
+
+At scale: parquet, partitioned by a low-cardinality time column, so that
+per-partition overwrite (``partitionOverwriteMode=dynamic``) replaces only
+the affected partitions of a 100 TB table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def ensure_database(spark: SparkSession, name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append").format("parquet")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite").format("parquet")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def write_snapshot(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Idempotent full-snapshot load (replaces the reference's dup-prone
+    daily append): dynamic partition overwrite when partitioned."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def dedup_on_read(df: DataFrame, key: str, order_col: str = "load_ts") -> DataFrame:
+    """Latest-row-per-key view over an append-only table.
+
+    ``row_number() OVER (PARTITION BY key ORDER BY order_col DESC) = 1`` —
+    the standard snapshot-vs-append dedup (SURVEY.md §2.5). The window
+    shuffles by ``key`` only; at scale pre-bucket the table on ``key`` to
+    make this shuffle-free.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

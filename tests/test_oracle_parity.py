@@ -1,0 +1,94 @@
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+For every registry entry with an oracle: run the PySpark query and the
+DuckDB SQL on the same sf0.01 parquet, then compare row count, sorted
+column names, and the exact multiset of canonicalized row values — the
+same strictness as the driver's order-insensitive value hash, but with
+a readable diff on failure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from spacex_data_pipeline_spark import catalog
+from spacex_data_pipeline_spark.queries import REGISTRY
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return repr(v)  # exact — driver hashes values, no tolerance
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(cols, rows) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ducks(sf_oracle):
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_oracle}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+ORACLE_CASES = sorted(name for name, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY_CASES = sorted(name for name, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(name, spark, sf_oracle, ducks):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_oracle)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = ducks.execute(q.oracle)
+    duck_cols = [d[0].lower() for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s = _canon_rows(spark_cols, spark_rows)
+    d = _canon_rows(duck_cols, duck_rows)
+    if s != d:
+        diff = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_queries_run(name, spark, sf_oracle):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_oracle)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
