@@ -1,0 +1,255 @@
+"""Deduplication operators (driver north-star extension; SURVEY.md §2.5).
+
+Not in the reference (its append pipeline *creates* duplicates —
+spacex_api_dag.py:49; our dedup-on-read fix lives in sources/sinks.py).
+These are the training-data-pipeline dedup family, each designed for the
+100 TB posture:
+
+- exact: hash-groupBy on content — one shuffle on a 64-bit content hash,
+  never on the full text.
+- MinHash + LSH banding: shingle → signature → band buckets → bucket join.
+  Candidate generation is linear in corpus size (docs × bands rows); the
+  quadratic blowup is confined to per-bucket pair expansion.
+- SimHash: 64-bit fingerprints via bit-vote hash aggregation; near-dup =
+  small Hamming distance, candidates via band-equality on fingerprint
+  blocks (pigeonhole: distance ≤ 3 ⇒ some 16-bit block equal).
+- n-gram Jaccard: exact set similarity on word shingles via explode +
+  equi-join on shingle — the verifiable ground truth for the approximate
+  methods (has a DuckDB oracle).
+- embedding cosine: exact near-dup pairs above a cosine threshold; the
+  scale path is the LSH bucketing in operators/similarity.py.
+
+All hashing is xxhash64 (JVM-side, seed-stable) — signatures and buckets
+are reproducible across runs, cluster layouts, and restarts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_keys, minhash_signature, normalize_text, word_shingles
+
+
+def exact_dedup_first(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content value.
+
+    groupBy(content) would shuffle whole documents; grouping on the content
+    itself is still fine for correctness, but at 100 TB shuffle the 8-byte
+    xxhash64 instead and keep one representative via min(id). Hash
+    collisions (~2^-64) are acceptable for dedup; use the two-level
+    (hash, then verify) variant when they are not.
+    """
+    return (
+        df.groupBy(F.xxhash64(F.col(content_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+
+
+def exact_dedup_rows(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Full surviving rows (not just ids): window row_number over the
+    content hash, ordered by id — one shuffle, deterministic survivor."""
+    w = Window.partitionBy(F.xxhash64(F.col(content_col))).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingle_docs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word-k-shingles per doc."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingle sets, via shared-shingle equi-join.
+
+    inter(a,b) = # shared shingles (equi-join on shingle + group by pair);
+    |A∪B| = |A| + |B| - inter. Only pairs sharing ≥1 shingle ever
+    materialize — the all-pairs O(n²) never happens. Skew note: a stopword
+    shingle shared by every doc would quadratically explode its bucket; at
+    scale, drop shingles with document-frequency above a cap first
+    (df-capping is standard for shared-shingle joins).
+    """
+    sh = shingle_docs(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates with estimated Jaccard.
+
+    shingle → 64-hash MinHash signature → 32 bands × 2 rows → explode band
+    keys → self-join per bucket (id_a < id_b) → distinct pairs → estimate
+    J(a,b) = fraction of agreeing signature positions. 32×2 banding makes
+    the candidate-capture curve steep around J ≈ (1/32)^(1/2) ≈ 0.18.
+
+    Scale: docs×bands rows shuffle once on (band, key); per-bucket pair
+    expansion is the only superlinear step and is bounded by bucket size
+    (salt or cap hot buckets at extreme scale).
+    """
+    sigs = docs.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(F.col(text_col), k), num_hashes).alias("sig"),
+    )
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per doc via bit-vote hash aggregation.
+
+    explode shingles → xxhash64 → for each bit, vote +1/-1 → groupBy(doc)
+    with 64 conditional sums (one hash-agg pass, map-side partials) →
+    assemble fingerprint. Returns (id, simhash BIGINT, four 16-bit blocks
+    for banded Hamming search).
+    """
+    h = F.xxhash64(F.col("shingle"))
+    sh = shingle_docs(docs, id_col, text_col, k).withColumn("h", h)
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(63):  # bit 63 left clear: keeps fingerprints non-negative
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    out = votes.select(F.col(id_col), fp.alias("simhash"))
+    for blk in range(4):
+        out = out.withColumn(
+            f"block{blk}",
+            F.shiftrightunsigned(F.col("simhash"), blk * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidates via block
+    equality (pigeonhole over 4 blocks ⇒ catches distance ≤ 3 exactly;
+    larger distances probabilistically)."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    pairs = None
+    for blk in range(4):
+        a = fps.select(
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(f"block{blk}").alias("bk")
+        )
+        b = fps.select(
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(f"block{blk}").alias("bk")
+        )
+        p = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")).drop("bk")
+        pairs = p if pairs is None else pairs.union(p)
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Brute force (self-join) — correct baseline and fine to ~10^4 vectors;
+    beyond that use similarity.ann_lsh_topk's hyperplane bucketing to cut
+    the pair space. Cosine is computed left-to-right in double (matches the
+    oracle's list_reduce exactly, bit-for-bit).
+    """
+    from .similarity import cosine_sim
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

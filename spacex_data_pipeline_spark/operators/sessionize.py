@@ -1,0 +1,54 @@
+"""Gap-based sessionization — the canonical custom stateful operator.
+
+The reference has no streaming/stateful surface (SURVEY.md §2.4); a
+training-data / clickstream pipeline needs sessionization. Batch form is a
+pure composition of window functions (lag → gap flag → running sum), which
+keeps it SQL-expressible (DuckDB oracle) and shuffle-minimal: ONE shuffle
+on user_id serves both windows and the final per-session aggregation —
+Catalyst reuses the partitioning.
+
+The streaming twin (applyInPandasWithState with a session-gap timeout)
+lives in streaming/sessions.py; this batch form is its replay/backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids per user (new session when the gap from the
+    previous event exceeds ``gap_minutes``) and aggregate per session."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_s),
+        1,
+    ).otherwise(0)
+    sessions = events.withColumn("__new", is_new).withColumn(
+        "session_id",
+        F.sum("__new").over(
+            Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            dsum("value", "total_value"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("bigint"))
+    )

@@ -1,0 +1,158 @@
+"""Embedding similarity search (driver north-star extension; SURVEY.md §2.5).
+
+Two tiers, as a production pipeline would ship them:
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (few) query
+  vectors against the corpus, rank per query. The correctness baseline;
+  linear in corpus size per query, no shuffle of the corpus at all (the
+  window partitions by query id, and there are only |queries| groups).
+- :func:`ann_lsh_topk` — approximate: random-hyperplane (sign) LSH. Each
+  vector gets a B-bit bucket from the signs of dot products with B fixed
+  pseudo-random hyperplanes; search only compares vectors sharing the
+  query's bucket (plus Hamming-adjacent probes). At 100 TB the bucket id
+  becomes the partition/cluster key, so a query touches one partition.
+
+Cosine is evaluated with ``zip_with``/``aggregate`` built-ins, folding
+left-to-right in DOUBLE — bit-identical to the DuckDB oracle's
+``list_reduce`` twin, which is what makes the exact variant hash-checkable.
+The hyperplane matrix is derived from md5, not an RNG — deterministic
+across runs/restarts (a requirement for incremental index maintenance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_ltr(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product (deterministic, oracle-matching)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_ltr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot_ltr(a, b) / (norm_ltr(a) * norm_ltr(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self-contained: the
+    queries are rows of the corpus — no driver-side collect).
+
+    Plan: corpus ⨉ broadcast(queries) → cosine → per-query row_number.
+    The broadcast side is |query_ids| rows, so the 'cross join' is really
+    a map-side expansion by a constant factor.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — no RNG state, reproducible on
+    any executor at any time."""
+    return [
+        1.0 if hashlib.md5(f"{plane}:{i}".encode()).digest()[0] & 1 else -1.0
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Sign-LSH bucket id: bit b = [dot(vec, plane_b) >= 0]."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
+        bit = F.when(dot_ltr(vec, plane) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 5,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share (or are 1 bit away from) the
+    query's sign-LSH bucket; exact cosine + rank within candidates only.
+
+    Multi-probe: the query also probes every bucket within Hamming
+    distance ``multiprobe_bits`` of its own — the standard recall lever
+    that avoids building multiple hash tables. With 5 planes + 1-bit
+    probes a query touches 6/32 ≈ 19% of a *uniform* corpus; clustered
+    real-world embeddings concentrate much harder, and at 100 TB the
+    bucket is the storage partition key, so each probe is one partition
+    scan instead of a full pass."""
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+    )
+    probes = [F.col("bucket0")] + [
+        F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        if multiprobe_bits >= 1
+    ]
+    q = (
+        bucketed.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed("bucket", "bucket0")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(F.array(*probes)).alias("bucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), F.col("bucket")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

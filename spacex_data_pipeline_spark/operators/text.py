@@ -1,0 +1,146 @@
+"""Text-analysis operators (driver north-star extension; SURVEY.md §2.5).
+
+Per-document feature extraction for a training-data pipeline: token
+counting, quality scoring, language identification, fingerprinting. All of
+it is built-in column expressions (codegen'd, zero Python in the hot path)
+— a deliberate contrast with the typical pandas implementation; at 100 TB
+these run as narrow map stages with no shuffle at all.
+
+Oracle notes: token definitions are chosen so Spark regex (Java) and
+DuckDB regex (RE2) agree: character classes and ``+`` quantifiers only, no
+lookaround. Ratios do exactly one double division (IEEE-deterministic
+cross-engine); see functions/numeric.py for why chained double products
+are avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import normalize_text, rolling_hash
+
+# BPE-ish pretokenizer: letter runs, digit runs, single other-symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Tiny marker lexicons for the n-gram/marker language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "for"),
+    "es": ("el", "la", "los", "las", "que", "con"),
+    "de": ("der", "die", "das", "und", "mit", "ist"),
+    "fr": ("le", "la", "les", "des", "est", "avec"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (empty text → empty array)."""
+    t = normalize_text(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE pretokenizer regex — the cheap
+    stand-in for exact BPE at corpus-scan time."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(col), F.lit(1))
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc stats: chars, whitespace tokens, BPE-ish tokens, average
+    word length, punctuation ratio, stopword ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(t).cast("int").alias("n_chars"),
+        n_tok.cast("int").alias("n_tokens"),
+        bpe_token_count(t).cast("int").alias("n_bpe_tokens"),
+        (word_chars.cast("double") / F.greatest(n_tok, F.lit(1))).alias("avg_word_len"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length credit + lexical diversity,
+    penalized by punctuation excess. Components are each one division;
+    the blend is a left-assoc add chain (deterministic cross-engine)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    length_credit = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    punct_penalty = punct_ratio(t)
+    score = length_credit * F.lit(0.4) + diversity * F.lit(0.4) + (F.lit(1.0) - punct_penalty) * F.lit(0.2)
+    return docs.select(
+        F.col(id_col),
+        F.round(length_credit, 6).alias("length_credit"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with a CJK fast path.
+
+    Scores each language by marker-token hits; ties break by fixed language
+    order (en > es > de > fr). Documents containing CJK codepoints are
+    'zh' outright. A real pipeline swaps in fastText/CLD3 via a Pandas
+    UDF; the heuristic IS the 100 TB prefilter."""
+    toks = tokens(F.col(text_col))
+
+    def marker_hits(markers: tuple[str, ...]):
+        # single-arg lambda: a default arg would make PySpark treat it as
+        # the (value, index) two-arg higher-order-function form
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+    best = F.greatest(*scores.values())
+    guess = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .when(scores["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col),
+        *[s.cast("int").alias(f"score_{lang}") for lang, s in scores.items()],
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Two content fingerprints: md5 (exact-dup key) and a 31-base
+    polynomial rolling hash mod 2^31-1 (cheap shift-friendly key; the
+    building block for Rabin-Karp-style chunking)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.md5(t).alias("md5_hex"),
+        rolling_hash(t).alias("rhash"),
+    )

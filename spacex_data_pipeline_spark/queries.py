@@ -664,3 +664,374 @@ def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C. LLM-data-pipeline extensions (SURVEY.md §2.5; driver north star):
+#    dedup, similarity search, text analysis, multimodal, sessionization.
+# ---------------------------------------------------------------------------
+
+# Left-to-right double cosine, exactly mirroring operators/similarity.dot_ltr:
+# list_reduce folds ((e1+e2)+e3)... and Spark's aggregate folds ((0+e1)+e2)...
+# — identical bits since 0.0+x == x.
+_COS_SQL = """list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+ / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+  * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    tags=("extension", "dedup"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving doc_id per distinct text. Shuffles the
+    8-byte xxhash64 of the content, never the text itself."""
+    from .operators.dedup import exact_dedup_first
+
+    return exact_dedup_first(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+    tags=("extension", "dedup", "window"),
+)
+def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-append dedup shape (sinks.dedup_on_read): newest row per
+    key via row_number — the fix for the reference's duplicating daily
+    append (spacex_api_dag.py:49)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+    FROM pairs JOIN sizes na ON na.doc_id = doc_a
+               JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2
+    """,
+    tags=("extension", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2) via
+    shared-shingle equi-join — ground truth for the MinHash variant."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("extension", "dedup", "no-oracle"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(32×2) candidate pairs with estimated Jaccard —
+    the sub-quadratic scale path (no oracle: signature-dependent)."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register("dedup_simhash", oracle=None, tags=("extension", "dedup", "no-oracle"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 16 over 64-bit bit-vote
+    fingerprints), candidates via 16-bit block banding."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.35
+    """,
+    tags=("extension", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: exact pairwise cosine ≥ 0.35 (fixture cosines
+    top out ~0.51). Left-to-right double fold matches the oracle
+    bit-for-bit, so the threshold cut is engine-stable."""
+    from .operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="c.embedding")} AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+    tags=("extension", "similarity"),
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for query vectors 0-4:
+    corpus × broadcast(5 queries) → windowed rank. The exactness baseline
+    for the ANN variant."""
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@register("similarity_ann_lsh", oracle=None, tags=("extension", "similarity", "no-oracle"))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k (8 deterministic md5-derived hyperplanes →
+    ≤256 buckets; search only the query's bucket)."""
+    from .operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "text_stats_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT)    AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           CAST(list_reduce(list_prepend(0, list_transform(toks, w -> length(w))), (a, b) -> a + b) AS DOUBLE)
+             / greatest(len(toks), 1) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+             / greatest(len(toks), 1) AS stopword_ratio
+    FROM t
+    """,
+    tags=("extension", "text"),
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics — all built-in expressions, no Python."""
+    from .operators.text import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lc,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dv,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+      FROM t)
+    SELECT doc_id,
+           round(lc, 6) AS length_credit,
+           round(dv, 6) AS diversity,
+           round(lc * 0.4 + dv * 0.4 + (1.0 - pr) * 0.2, 6) AS quality
+    FROM c
+    """,
+    tags=("extension", "text"),
+)
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length credit + lexical diversity −
+    punctuation excess)."""
+    from .operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+             len(list_filter(toks, x -> list_contains(['the','and','of','is','with','for'], x))) AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','con'], x))) AS score_es,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','mit','ist'], x))) AS score_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','des','est','avec'], x))) AS score_fr
+      FROM t)
+    SELECT doc_id,
+           CAST(score_en AS INT) AS score_en,
+           CAST(score_es AS INT) AS score_es,
+           CAST(score_de AS INT) AS score_de,
+           CAST(score_fr AS INT) AS score_fr,
+           CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+                WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    """,
+    tags=("extension", "text"),
+)
+def text_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with CJK fast path and fixed
+    tie-break order."""
+    from .operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)
+def text_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + polynomial rolling hash (mod 2^31-1)."""
+    from .operators.text import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS modality,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           md5(text) AS checksum_md5
+    FROM documents
+    """,
+    tags=("extension", "multimodal"),
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column + typed metadata (modality, byte_len,
+    checksum) — metadata computed once at ingest; payload never read by
+    metadata-only queries."""
+    from .operators.multimodal import documents_as_media
+
+    return documents_as_media(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "modality", "byte_len", "checksum_md5"
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen, md5(text) AS checksum_md5
+               FROM documents)
+    SELECT doc_id,
+           CAST(blen % 640 + 1 AS INT) AS width,
+           CAST(blen % 480 + 1 AS INT) AS height,
+           CAST((blen % 640 + 1) * (blen % 480 + 1) AS BIGINT) AS n_pixels,
+           checksum_md5
+    FROM m
+    """,
+    tags=("extension", "multimodal", "pandas-udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas 'decode' over binary payloads — the real
+    plumbing (schema, batch iterator, partition shape) with a
+    deterministic fake decode the oracle can verify."""
+    from .operators.multimodal import decode_image_meta, documents_as_media
+
+    return decode_image_meta(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("extension", "sessionize", "window"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag → flag → running sum →
+    per-session rollup; one shuffle on user_id serves all three."""
+    from .operators.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("extension", "streaming-batch-twin"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup — the batch twin of the Structured Streaming
+    windowed aggregation in streaming/rollup.py (same grouping, same
+    results on a replay)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
