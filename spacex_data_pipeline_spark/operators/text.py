@@ -63,23 +63,34 @@ def punct_ratio(col: Column) -> Column:
     return n_punct.cast("double") / F.greatest(F.length(col), F.lit(1))
 
 
+def _with_tokens(docs: DataFrame, id_col: str, text_col: str, extra: list[str] | None = None) -> DataFrame:
+    """Project the token array ONCE before deriving features — an inline
+    ``tokens(col)`` would be re-expanded (regex chain and all) into every
+    expression that references it (see hashing.shingles_from_words)."""
+    return docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("__toks"),
+        *(extra or []),
+    )
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc stats: chars, whitespace tokens, BPE-ish tokens, average
     word length, punctuation ratio, stopword ratio."""
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     word_chars = F.aggregate(
         F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
     )
-    return docs.select(
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return _with_tokens(docs, id_col, text_col).select(
         F.col(id_col),
         F.length(t).cast("int").alias("n_chars"),
         n_tok.cast("int").alias("n_tokens"),
         bpe_token_count(t).cast("int").alias("n_bpe_tokens"),
         (word_chars.cast("double") / F.greatest(n_tok, F.lit(1))).alias("avg_word_len"),
         punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
     )
 
 
@@ -88,13 +99,13 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     penalized by punctuation excess. Components are each one division;
     the blend is a left-assoc add chain (deterministic cross-engine)."""
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__toks")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     length_credit = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
     diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
     punct_penalty = punct_ratio(t)
     score = length_credit * F.lit(0.4) + diversity * F.lit(0.4) + (F.lit(1.0) - punct_penalty) * F.lit(0.2)
-    return docs.select(
+    return _with_tokens(docs, id_col, text_col).select(
         F.col(id_col),
         F.round(length_credit, 6).alias("length_credit"),
         F.round(diversity, 6).alias("diversity"),
@@ -109,7 +120,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     order (en > es > de > fr). Documents containing CJK codepoints are
     'zh' outright. A real pipeline swaps in fastText/CLD3 via a Pandas
     UDF; the heuristic IS the 100 TB prefilter."""
-    toks = tokens(F.col(text_col))
+    toks = F.col("__toks")
 
     def marker_hits(markers: tuple[str, ...]):
         # single-arg lambda: a default arg would make PySpark treat it as
@@ -127,7 +138,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .when(scores["de"] == best, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
-    return docs.select(
+    return _with_tokens(docs, id_col, text_col).select(
         F.col(id_col),
         *[s.cast("int").alias(f"score_{lang}") for lang, s in scores.items()],
         guess.alias("lang_guess"),

@@ -1,0 +1,54 @@
+"""Streaming windowed rollups — watermarked tumbling + session windows.
+
+These are the streaming twins of the batch queries ``events_hourly_rollup``
+and ``sessionize_events`` (same grouping semantics; a replay of the stream
+reproduces the batch result — tested in tests/test_streaming.py).
+
+Late data: the watermark bounds state. At 100 TB-scale streams the
+watermark IS the memory ceiling — without it, windowed state grows without
+bound. 2 hours here; production tunes it to the source's real lateness.
+
+Session windows use the BUILT-IN ``F.session_window`` (gap-merging state
+store handled by Spark) rather than a hand-rolled applyInPandasWithState —
+Spark-first: custom stateful Python only when built-ins can't express the
+semantics, and gap sessionization is expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts/sums per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_rollup_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user via the built-in session_window
+    state store (merges windows as events arrive; watermark evicts)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,94 @@
+"""Streaming/batch parity: a replay of the stream reproduces the batch
+result (the property that makes the streaming layer a drop-in incremental
+upgrade of the reference's daily full-refresh — SURVEY.md §3.1 redesign)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacex_data_pipeline_spark import catalog
+from spacex_data_pipeline_spark.operators.sessionize import sessionize
+from spacex_data_pipeline_spark.streaming.ingest import (
+    run_available_now,
+    stream_events_from_files,
+)
+from spacex_data_pipeline_spark.streaming.rollup import (
+    hourly_rollup_stream,
+    session_rollup_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def landed_events(spark, sf_oracle, tmp_path_factory):
+    """Re-land the events table as clean microsecond parquet — the shape a
+    streaming file source would actually receive (the raw fixture's
+    nanos-timestamp encoding is a batch-catalog concern)."""
+    path = str(tmp_path_factory.mktemp("landed") / "events")
+    catalog.table(spark, sf_oracle, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_hourly_matches_batch(spark, sf_oracle, landed_events, tmp_path):
+    stream = stream_events_from_files(spark, landed_events)
+    assert stream.isStreaming
+    run_available_now(
+        hourly_rollup_stream(stream),
+        str(tmp_path / "ckpt_hourly"),
+        "hourly_out",
+        output_mode="complete",
+    )
+    got = {
+        (r.hour_start, r.event_type): (r.n, r.total_value)
+        for r in spark.table("hourly_out").collect()
+    }
+    batch = catalog.table(spark, sf_oracle, "events")
+    from spacex_data_pipeline_spark.functions.numeric import dsum
+
+    want = {
+        (r.hour_start, r.event_type): (r.n, r.total_value)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_sessions_match_batch_sessionize(spark, sf_oracle, landed_events, tmp_path):
+    """Built-in session_window grouping == hand-rolled lag/cumsum batch
+    sessionization: same (user, session_start, n_events) triples."""
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        session_rollup_stream(stream, gap="30 minutes"),
+        str(tmp_path / "ckpt_sess"),
+        "sessions_out",
+        output_mode="complete",
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("sessions_out").collect()
+    }
+    batch = sessionize(catalog.table(spark, sf_oracle, "events"), gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start, r.n_events) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_incremental_catchup(spark, sf_oracle, landed_events, tmp_path):
+    """availableNow with a persistent checkpoint: a second run over the same
+    files processes nothing new (exactly-once file tracking)."""
+    ckpt = str(tmp_path / "ckpt_inc")
+    stream = stream_events_from_files(spark, landed_events)
+    counted = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    run_available_now(counted, ckpt, "inc_out", output_mode="complete")
+    n_first = spark.table("inc_out").collect()[0]["n"]
+    assert n_first == catalog.table(spark, sf_oracle, "events").count()
+    # re-run with same checkpoint: no new files -> count unchanged
+    stream2 = stream_events_from_files(spark, landed_events)
+    counted2 = stream2.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    run_available_now(counted2, ckpt, "inc_out2", output_mode="complete")
+    rows = spark.table("inc_out2").collect()
+    assert rows == [] or rows[0]["n"] == n_first
