@@ -1035,3 +1035,353 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B2. Relational surface, second ring: outer/cross joins, subqueries,
+#     HAVING, predicates, offset, analytic lag/lead, exact stddev, SQL API.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_join_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join", "outer"),
+)
+def left_join_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER fact join preserving dimension rows; COUNT(col) ignores
+    the null-extended rows, empty-group SUM coalesces to 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "full_outer_year_activity",
+    oracle="""
+    WITH y95 AS (SELECT o_custkey, COUNT(*) AS n95 FROM orders
+                 WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+         y96 AS (SELECT o_custkey, COUNT(*) AS n96 FROM orders
+                 WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+    SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
+           COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
+    FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+    """,
+    tags=("join", "outer", "full"),
+)
+def full_outer_year_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two yearly activity sets — customers active in
+    either year, zero-filled."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n95"))
+    )
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n96"))
+    )
+    j = y95.alias("a").join(y96.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full")
+    return j.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n95"), F.lit(0)).alias("n95"),
+        F.coalesce(F.col("n96"), F.lit(0)).alias("n96"),
+    )
+
+
+@register(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join", "cross"),
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (dimension scaffolding pattern — build the
+    full grid, then left-join facts so empty cells survive)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "subquery_above_nation_avg",
+    oracle="""
+    WITH nation_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+      FROM customer GROUP BY c_nationkey)
+    SELECT c_custkey, c_name, c_acctbal, avg_bal
+    FROM customer JOIN nation_avg USING (c_nationkey)
+    WHERE c_acctbal > avg_bal
+    """,
+    tags=("subquery", "agg"),
+)
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (customers above their nation's mean
+    balance), decorrelated into an aggregate + broadcast join — exactly what
+    Catalyst's subquery decorrelation produces, written plainly."""
+    c = _t(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(davg("c_acctbal", "avg_bal"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal", "avg_bal")
+    )
+
+
+@register(
+    "having_active_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    tags=("agg", "having"),
+)
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "string_predicates_part",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '^[A-Z]+')
+      AND p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    """,
+    tags=("filter", "string"),
+)
+def string_predicates_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / RLIKE / BETWEEN / IN predicate stack; the LIKE and BETWEEN
+    push to the parquet scan, the regexp evaluates post-scan."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%")
+        & F.col("p_type").rlike("^[A-Z]+")
+        & F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "order_nulls_and_offset",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np
+    FROM orders
+    ORDER BY status_np NULLS FIRST, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+    tags=("sort", "offset", "nulls"),
+)
+def order_nulls_and_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST ordering + LIMIT/OFFSET pagination (unique tiebreaker
+    keeps the page deterministic)."""
+    from .functions.numeric import nullif as nullif_col
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            nullif_col(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        )
+        .orderBy(F.col("status_np").asc_nulls_first(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "window_lag_lead_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value analytic functions over one customer-ordered
+    window — all three share a single shuffle + sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+    )
+
+
+@register(
+    "stddev_exact_by_flag",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           s1 / n AS mean_qty,
+           sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS stddev_qty
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def stddev_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev via exact decimal moments (built-in stddev's float
+    accumulation is shuffle-order-dependent — unacceptable for an
+    oracle-checked result; decimal S1/S2 make it deterministic). The
+    per-row square is a single double op → decimal, per the parity rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("s1"),
+        F.sum(dec(q * q)).cast("double").alias("s2"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_qty"),
+        F.sqrt((F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")) / (F.col("n") - 1)).alias(
+            "stddev_qty"
+        ),
+    )
+
+
+@register(
+    "sql_api_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("sql-api", "join", "topk", "tpch"),
+)
+def sql_api_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape driven through the SQL API (spark.sql over registered
+    views) — same Catalyst plan as the DataFrame form; registered here to
+    exercise the parser/analyzer entry point (SURVEY.md §3.3: the reference's
+    ad-hoc psql surface)."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "union_all_order_events",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS entity_id, 'order' AS kind,
+           o_orderdate AS ts2
+    FROM orders WHERE year(o_orderdate) = 2001
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS entity_id, 'event' AS kind, ts AS ts2
+    FROM events WHERE day(ts) = 15
+    """,
+    tags=("setop", "union-all"),
+)
+def union_all_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogeneous sources aligned to a common schema —
+    the no-dedup concatenation (contrast setop_union_customers)."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2001)
+    e = _t(spark, sf_dir, "events").filter(F.dayofmonth("ts") == 15)
+    a = o.select(
+        F.col("o_orderkey").cast("bigint").alias("entity_id"),
+        F.lit("order").alias("kind"),
+        F.col("o_orderdate").alias("ts2"),
+    )
+    b = e.select(
+        F.col("event_id").cast("bigint").alias("entity_id"),
+        F.lit("event").alias("kind"),
+        F.col("ts").alias("ts2"),
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "coalesce_case_scalar",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_clean,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           greatest(s_acctbal, 0.0) AS bal_floor,
+           least(CAST(s_nationkey AS INT), 10) AS nk_cap
+    FROM supplier
+    """,
+    tags=("scalar", "conditional"),
+)
+def coalesce_case_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE/NULLIF/CASE/greatest/least — the reference's entire scalar
+    conditional vocabulary (fct_spacex_launches_by_year.sql:6-8) and then
+    some, in one projection."""
+    from .functions.numeric import nullif as nullif_col
+
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(nullif_col(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_clean"
+        ),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("s_nationkey").cast("int"), F.lit(10)).alias("nk_cap"),
+    )

@@ -114,3 +114,33 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"year", "launches", "successes", "failures", "success_rate_pct"} <= set(df.columns)
+
+
+def test_full_pipeline_end_to_end(spark, tmp_path):
+    """README.md:5 flow in one call: API fixture → raw → staging view →
+    mart table; snapshot mode is idempotent across re-runs."""
+    from spacex_data_pipeline_spark.plans.warehouse import Warehouse, run_spacex_pipeline
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    mart1 = run_spacex_pipeline(spark, wh, fetch=lambda: PAYLOAD, load_ts=BATCH_TS)
+    rows1 = {r["year"]: r for r in mart1.collect()}
+    assert rows1[2020]["success_rate_pct"] == 66.67
+    # re-run same snapshot: no duplication (unlike the reference's append)
+    mart2 = run_spacex_pipeline(
+        spark, wh, fetch=lambda: PAYLOAD, load_ts=BATCH_TS + dt.timedelta(days=1)
+    )
+    assert {r["year"]: r["launches"] for r in mart2.collect()} == {
+        y: r["launches"] for y, r in rows1.items()
+    }
+    # the staging view is queryable by name (dbt ref() equivalent)
+    assert spark.table("stg_spacex_launches").count() == len(PAYLOAD)
+    # append mode reproduces the reference's duplication
+    wh2 = Warehouse(str(tmp_path / "wh2"))
+    run_spacex_pipeline(spark, wh2, fetch=lambda: PAYLOAD, load_ts=BATCH_TS, mode="append")
+    mart3 = run_spacex_pipeline(
+        spark, wh2, fetch=lambda: PAYLOAD,
+        load_ts=BATCH_TS + dt.timedelta(days=1), mode="append",
+    )
+    assert {r["year"]: r["launches"] for r in mart3.collect()} == {
+        y: 2 * r["launches"] for y, r in rows1.items()
+    }
