@@ -1,0 +1,92 @@
+"""Physical-plan assertions — the 100 TB posture, locked as tests.
+
+Correctness tests prove the operators compute the right answer at sf0.01;
+these prove the PLANS are the ones we'd want on a 1000-executor cluster:
+filters and projections reach the parquet scan, dimension joins broadcast,
+top-k never globally sorts, and no operator silently drops into
+row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spacex_data_pipeline_spark.queries import REGISTRY
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(sf_oracle):
+    return sf_oracle
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf):
+    plan = plan_of(REGISTRY["filter_pushdown_lineitem"].fn(spark, sf))
+    assert "LessThan(l_quantity,5.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # narrow ReadSchema: only the 4 projected columns + filter column
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_tax" not in read
+    assert read.count(":") <= 6
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, sf))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read  # not needed by Q1
+
+
+def test_star_join_broadcasts_dimensions(spark, sf):
+    plan = plan_of(REGISTRY["q5_nation_revenue"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, customer(+dims)
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_broadcasts_filtered_customer_and_pushes_segment(spark, sf):
+    plan = plan_of(REGISTRY["q3_unshipped_revenue"].fn(spark, sf))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf):
+    plan = plan_of(REGISTRY["top_years_desc"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_stay_semi(spark, sf):
+    assert "LeftSemi" in plan_of(REGISTRY["semi_customers_with_open_orders"].fn(spark, sf))
+    assert "LeftAnti" in plan_of(REGISTRY["anti_customers_without_orders"].fn(spark, sf))
+
+
+def test_no_rowwise_python_udf_anywhere(spark, sf):
+    """Global invariant: no operator may compile to BatchEvalPython
+    (row-at-a-time Python UDF). Arrow-batched mapInPandas/pandas_udf nodes
+    are the sanctioned Python path (multimodal decode only)."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        plan = plan_of(q.fn(spark, sf), "extended")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-wise Python UDFs in: {offenders}"
+
+
+def test_python_confined_to_multimodal(spark, sf):
+    """Every query except the multimodal decode stub must be pure JVM
+    (no Python evaluation nodes at all)."""
+    for name, q in REGISTRY.items():
+        if name == "multimodal_decode":
+            continue
+        plan = plan_of(q.fn(spark, sf), "extended")
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_broadcast_query_vectors_in_similarity(spark, sf):
+    plan = plan_of(REGISTRY["similarity_topk_cosine"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
