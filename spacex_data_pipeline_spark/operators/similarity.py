@@ -156,3 +156,47 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def zscore_mean_per_label(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label z-score of each vector's mean element value via grouped
+    applyInPandas — the grouped-map UDF surface (Arrow batch per group,
+    pandas in/out).
+
+    The statistic is the element mean, not the L2 norm: the fixture's
+    embeddings are unit-normalized, so norms are constant to within
+    float32 quantization and z-scoring them would just amplify noise.
+
+    Deterministic: each group sorts by id before the sequential pandas
+    reduction, so results are stable across shuffle orders. No SQL oracle
+    (pandas' sequential float accumulation order is not expressible in
+    engine-neutral SQL) — covered by the rows-only check + invariant tests.
+    At scale: one shuffle on the label key; group size bounds executor
+    memory, so pre-split giant labels (salting) if labels are skewed.
+    """
+    import pandas as pd
+
+    elem_mean = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size(F.col(vec_col))
+    stats = embeddings.select(
+        F.col(id_col), F.col(label_col), elem_mean.alias("elem_mean")
+    )
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mu = pdf["elem_mean"].mean()
+        sd = pdf["elem_mean"].std(ddof=1)
+        pdf["z"] = 0.0 if sd == 0 or pd.isna(sd) else (pdf["elem_mean"] - mu) / sd
+        return pdf
+
+    return stats.groupBy(label_col).applyInPandas(
+        z, schema="vec_id bigint, label int, elem_mean double, z double"
+    )

@@ -1385,3 +1385,76 @@ def coalesce_case_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor"),
         F.least(F.col("s_nationkey").cast("int"), F.lit(10)).alias("nk_cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C2. Array/nested surface + grouped-map UDF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_token_table",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents)
+    SELECT doc_id, CAST(i.i - 1 AS INT) AS pos, toks[i.i] AS token
+    FROM t, unnest(range(1, len(toks) + 1)) AS i(i)
+    """,
+    tags=("array", "explode"),
+)
+def explode_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: documents → one row per (doc, position, token) — the
+    normalized token table that downstream n-gram / TF jobs consume. A
+    narrow explode, no shuffle."""
+    from .functions.hashing import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__toks")
+    )
+    return toks.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+@register(
+    "array_functions_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+           sqrt(list_reduce(list_transform(range(1, 65),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("array",),
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column functions over the embedding vector: size, indexing,
+    element min/max, L2 norm (left-to-right fold — engine-stable)."""
+    from .operators.similarity import norm_ltr
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(v).cast("int").alias("dim"),
+        F.element_at(v, 1).cast("double").alias("first_val"),
+        F.array_min(v).cast("double").alias("min_val"),
+        F.array_max(v).cast("double").alias("max_val"),
+        norm_ltr(v).alias("l2_norm"),
+    )
+
+
+@register("applyinpandas_zscore", oracle=None, tags=("pandas-udf", "grouped-map", "no-oracle"))
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF: per-label z-score of each vector's mean
+    element value (deterministic via in-group sort; rows-only check)."""
+    from .operators.similarity import zscore_mean_per_label
+
+    return zscore_mean_per_label(_t(spark, sf_dir, "embeddings"))

@@ -115,3 +115,22 @@ def test_sessionize_invariants(spark, sf_oracle):
         F.count(F.lit(1)).alias("n"),
     )
     assert per_user.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_zscore_grouped_map(spark, sf_oracle):
+    import statistics
+
+    from spacex_data_pipeline_spark.operators.similarity import zscore_mean_per_label
+
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    rows = zscore_mean_per_label(emb).collect()
+    assert len(rows) == emb.count()
+    per: dict[int, list[float]] = {}
+    for r in rows:
+        per.setdefault(r.label, []).append(r.z)
+    for zs in per.values():
+        assert abs(statistics.mean(zs)) < 1e-12
+        assert abs(statistics.stdev(zs) - 1) < 1e-9
+    # deterministic across shuffles
+    again = zscore_mean_per_label(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -77,14 +77,17 @@ def test_no_rowwise_python_udf_anywhere(spark, sf):
     assert not offenders, f"row-wise Python UDFs in: {offenders}"
 
 
-def test_python_confined_to_multimodal(spark, sf):
-    """Every query except the multimodal decode stub must be pure JVM
-    (no Python evaluation nodes at all)."""
+SANCTIONED_PYTHON = {"multimodal_decode", "applyinpandas_zscore"}  # Arrow-batched
+
+
+def test_python_confined_to_sanctioned_ops(spark, sf):
+    """Every query except the declared Arrow-batched ops must be pure JVM
+    (no Python evaluation nodes of any kind)."""
     for name, q in REGISTRY.items():
-        if name == "multimodal_decode":
+        if name in SANCTIONED_PYTHON:
             continue
         plan = plan_of(q.fn(spark, sf), "extended")
-        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
 
 
 def test_broadcast_query_vectors_in_similarity(spark, sf):
