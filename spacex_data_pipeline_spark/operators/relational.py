@@ -81,3 +81,32 @@ def pivot_counts(
     """Pivot with an explicit value list — never the two-pass inferring
     variant (which scans once just to learn the domain)."""
     return df.groupBy(group).pivot(pivot_col, list(values)).count()
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side's key into
+    ``salt`` sub-keys and replicate the right side across all salt values,
+    so one hot key spreads over ``salt`` reducers instead of one straggler.
+
+    AQE's skew-join split handles post-hoc skew automatically; explicit
+    salting is the a-priori tool when a key is KNOWN hot (e.g. the empty
+    document, a null-ish default id) and you want deterministic layout.
+    Cost: right side inflates ×salt — use for dimension-sized right sides.
+    """
+    l_salted = left.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_salted.join(
+        r_salted,
+        (l_salted[left_key] == r_salted[right_key]) & (l_salted["__salt"] == r_salted["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the reference-mart semantics —
+SURVEY.md §5 item 3: the invariants must hold for ANY payload, not just
+the golden fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spacex_data_pipeline_spark.operators.marts import fct_spacex_launches_by_year
+from spacex_data_pipeline_spark.operators.staging import stg_spacex_launches
+from spacex_data_pipeline_spark.sources import rest_api
+
+launch = st.fixed_dictionaries(
+    {
+        "id": st.uuids().map(str),
+        "name": st.text(min_size=1, max_size=12),
+        "date_utc": st.one_of(
+            st.datetimes(
+                min_value=dt.datetime(2006, 1, 1), max_value=dt.datetime(2030, 1, 1)
+            ).map(lambda d: d.isoformat() + "Z"),
+            st.just("garbage-date"),
+        ),
+        "success": st.one_of(st.booleans(), st.none()),
+        "rocket": st.text(min_size=1, max_size=8),
+        "details": st.one_of(st.text(max_size=20), st.none()),
+        "flight_number": st.one_of(st.integers(min_value=0, max_value=10**6), st.none()),
+        "upcoming": st.one_of(st.booleans(), st.none()),
+    }
+)
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis can't take a pytest fixture inside @given; reuse the
+    # session-scoped one via a lazy import of the conftest factory
+    global _spark
+    if _spark is None:
+        from spacex_data_pipeline_spark.session import build_session
+
+        _spark = build_session(app_name="property-tests")
+    return _spark
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(payload=st.lists(launch, min_size=0, max_size=25))
+def test_mart_invariants_hold_for_any_payload(payload):
+    spark = _get_spark()
+    raw = rest_api.normalize(spark, payload, load_ts=dt.datetime(2024, 1, 1))
+    stg = stg_spacex_launches(raw)
+    fct = fct_spacex_launches_by_year(stg)
+    rows = fct.collect()
+
+    # total conservation: every raw row lands in exactly one year group
+    assert sum(r["launches"] for r in rows) == len(payload)
+    for r in rows:
+        # the reference's CASE semantics: null success counts as failure
+        assert r["successes"] + r["failures"] == r["launches"]
+        assert r["launches"] >= 1
+        if r["success_rate_pct"] is not None:
+            assert 0.0 <= r["success_rate_pct"] <= 100.0
+    # per-group recheck against a Python reference model
+    expect: dict = {}
+    for rec in payload:
+        try:
+            y = dt.datetime.fromisoformat(rec["date_utc"].rstrip("Z")).year
+        except ValueError:
+            y = None
+        s, f = expect.get(y, (0, 0))
+        expect[y] = (s + (rec["success"] is True), f + (rec["success"] is not True))
+    got = {r["year"]: (r["successes"], r["failures"]) for r in rows}
+    assert got == expect

@@ -1,0 +1,72 @@
+"""Scale-pattern correctness: salting and bucketing change the PLAN, never
+the RESULT — and the plan change is the one we want."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacex_data_pipeline_spark import catalog
+from spacex_data_pipeline_spark.operators.relational import salted_join
+from tests.test_plans import plan_of
+
+
+def test_salted_join_matches_plain_join(spark, sf_oracle):
+    li = catalog.table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_quantity")
+    o = catalog.table(spark, sf_oracle, "orders").select("o_orderkey", "o_orderstatus")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", "o_orderkey", salt=4)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_oracle):
+    # default warehouse dir (./spark-warehouse, gitignored) — the
+    # warehouse.dir conf is static and can't be pointed at a tmpdir
+    li = catalog.table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = catalog.table(spark, sf_oracle, "orders").select("o_orderkey", "o_custkey")
+    for df, name, key in ((li, "li_bucketed", "l_orderkey"), (o, "o_bucketed", "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    yield "li_bucketed", "o_bucketed"
+    for name in ("li_bucketed", "o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle, bucketed_tables):
+    """Co-located join: both sides bucketed on the join key with the same
+    bucket count ⇒ SortMergeJoin with NO Exchange on either side — the
+    pre-partitioning pattern that removes the fact⋈fact shuffle at 100 TB."""
+    li_b, o_b = bucketed_tables
+    # disable broadcast so the planner must consider the bucketed layout
+    # (at real scale neither fact side broadcasts anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(li_b).join(
+            spark.table(o_b), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        # no shuffle before the join on either input — buckets ARE the
+        # partitioning
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        # and it still computes the right thing
+        li = catalog.table(spark, sf_oracle, "lineitem")
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
