@@ -67,6 +67,34 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
     )
 
 
+def shingle_hash_docs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle-hash) pairs with NO string construction: the k word
+    columns feed ``xxhash64`` directly (multi-arg), skipping concat and
+    array_distinct entirely. Duplicates are kept — min/bit-vote aggregation
+    downstream is multiset-safe for min (min(set) == min(multiset)).
+    The fast path for MinHash; n-gram Jaccard keeps string shingles because
+    its oracle joins on shingle text.
+
+    Contract: docs with fewer than k words produce NO shingles and are
+    invisible to MinHash candidacy — sub-k-word near-dup detection is
+    degenerate anyway; exact_dedup_* catches identical tiny docs."""
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    w = F.col("__words")
+    pos = toks.filter(F.size(w) >= k).select(
+        F.col(id_col),
+        w,
+        F.explode(F.sequence(F.lit(1), F.size(w) - (k - 1))).alias("__i"),
+    )
+    return pos.select(
+        F.col(id_col),
+        F.xxhash64(
+            *[F.element_at(F.col("__words"), F.col("__i") + j) for j in range(k)]
+        ).alias("h"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -136,12 +164,19 @@ def minhash_lsh_candidates(
     # partials, flat codegen) — ~20× faster than a per-row nested
     # array-transform expression tree, and the shape that scales: the
     # shuffle carries 64 longs per doc, never the shingles.
-    sh = shingle_docs(docs, id_col, text_col, k)
+    #
+    # Shingles are hashed straight from the word columns (no string
+    # building); the i-th hash family re-hashes only the resulting 8-byte
+    # long (seeded xxhash64) — variable-length string hashing per family
+    # would cost num_hashes full text passes per shingle. (Affine a*h+b
+    # mixing would be cheaper still, but wrapping long multiply throws
+    # under Spark 4's ANSI mode.)
+    sh = shingle_hash_docs(docs, id_col, text_col, k)
     sigs = (
         sh.groupBy(id_col)
         .agg(
             *[
-                F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
                 for i in range(num_hashes)
             ]
         )
