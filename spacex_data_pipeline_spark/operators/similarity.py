@@ -200,3 +200,86 @@ def zscore_mean_per_label(
     return stats.groupBy(label_col).applyInPandas(
         z, schema="vec_id bigint, label int, elem_mean double, z double"
     )
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: assign every vector to its nearest 'centroid' cell.
+
+    Centroids are the first ``n_centroids`` vectors by id — deterministic
+    and RNG-free; a production build would k-means them, but the
+    partition/probe mechanics (the part that matters for the engine) are
+    identical. Assignment = corpus × broadcast(centroids) → per-vector
+    argmax dot — the standard O(N·C) IVF build, one pass, no corpus
+    shuffle. Returns (assigned, centroids).
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("cell"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot_ltr(F.col(vec_col), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the query's ``n_probe``
+    nearest cells. The partition-pruned ANN shape: at 100 TB the cell id is
+    the storage partition key and a query reads n_probe partitions, not the
+    corpus. Recall rises with n_probe (== exact when n_probe = n_centroids).
+    """
+    from pyspark.sql import Window
+
+    assigned, cents = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcells = q.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot_ltr(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.withColumn("cosine", cosine_sim(F.col("qv"), F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

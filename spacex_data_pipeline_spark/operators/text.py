@@ -155,3 +155,47 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.md5(t).alias("md5_hex"),
         rolling_hash(t).alias("rhash"),
     )
+
+
+def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-level term statistics: per-(doc, term) frequency and per-term
+    document frequency — the exact-integer core of TF-IDF (the float IDF
+    weighting lives in :func:`tfidf_top_terms`; ln() is libm-dependent and
+    engines disagree in the last ulp, so the oracle-checked surface stays
+    integral).
+
+    Two hash aggregations, both on (term[, doc]) keys; the token explode is
+    a narrow map. At 100 TB the df aggregate is the only corpus-wide
+    shuffle and it moves (term, count) pairs — vocabulary-sized, not
+    corpus-sized, after map-side partial aggregation.
+    """
+    toks = _with_tokens(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("__toks").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_, "term").select(id_col, "term", "tf", "df")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-n characteristic terms per doc by tf·idf (idf = ln(N/df)),
+    deterministic tie-break on the term string. Float idf ⇒ no SQL oracle
+    (rows-only check); the integer substrate is oracle-checked via
+    ``text_term_frequencies``."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # scalar, computed once driver-side
+    scored = term_frequencies(docs, id_col, text_col).withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1458,3 +1458,42 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import zscore_mean_per_label
 
     return zscore_mean_per_label(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_term_frequencies",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df
+    FROM tf JOIN df USING (term)
+    """,
+    tags=("extension", "text", "tfidf"),
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer TF/DF substrate of TF-IDF over the corpus."""
+    from .operators.text import term_frequencies
+
+    return term_frequencies(_t(spark, sf_dir, "documents"))
+
+
+@register("text_tfidf_top_terms", oracle=None, tags=("extension", "text", "tfidf", "no-oracle"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by tf·ln(N/df) (float idf —
+    rows-only check; integers checked via text_term_frequencies)."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register("similarity_ivf_topk", oracle=None, tags=("extension", "similarity", "no-oracle"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic cells, 4-of-16 probes) — the
+    partition-pruned ANN shape; equals exact search when probing all cells
+    (proven in tests/test_extensions.py)."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)

@@ -55,3 +55,19 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_available_now_to_parquet(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
+    """Drain to a parquet sink with a RESUMABLE checkpoint — unlike the
+    memory sink, this supports stop/restart across runs: re-invoking with
+    the same checkpoint processes only newly-arrived files and appends only
+    their results (the incremental daily-load loop). Append mode only."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -134,3 +134,24 @@ def test_zscore_grouped_map(spark, sf_oracle):
     # deterministic across shuffles
     again = zscore_mean_per_label(emb).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_recall_and_probe_monotonicity(spark, sf_oracle):
+    """IVF with n_probe = n_centroids must equal exact brute force; fewer
+    probes trade recall for partition pruning."""
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    full_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=8).collect()
+    }
+    assert full_probe == exact  # probing every cell == exact search
+    partial = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & partial) / len(exact) >= 0.3

@@ -92,3 +92,32 @@ def test_incremental_catchup(spark, sf_oracle, landed_events, tmp_path):
     run_available_now(counted2, ckpt, "inc_out2", output_mode="complete")
     rows = spark.table("inc_out2").collect()
     assert rows == [] or rows[0]["n"] == n_first
+
+
+def test_stateful_first_seen_matches_batch(spark, sf_oracle, landed_events, tmp_path):
+    """applyInPandasWithState first-seen dedup == batch row_number-first
+    per (user, event_type)."""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark.streaming.stateful import first_seen_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        first_seen_stream(stream),
+        str(tmp_path / "ckpt_fs"),
+        "first_seen_out",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_type, r.first_ts, r.event_id)
+        for r in spark.table("first_seen_out").collect()
+    }
+    batch = catalog.table(spark, sf_oracle, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_type, r.ts, r.event_id)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
