@@ -1497,3 +1497,114 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# B3. Analytic completeness: range frames, distribution functions,
+#     collected aggregates, date arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame_events",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-hour event count per user —
+    the sliding-window analytic the rows-frame can't express (counts by
+    VALUE distance, not row distance)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@register(
+    "window_distribution_stats",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT)  AS price_quartile,
+           percent_rank() OVER w          AS pct_rank,
+           cume_dist() OVER w             AS cdist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global price ordering
+    (unique tiebreak ⇒ deterministic tiles; the ratios are single integer
+    divisions — engine-stable)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "array_agg_nations_per_region",
+    oracle="""
+    SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "collect"),
+)
+def array_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collected-list aggregate, SORTED for determinism — collect_list
+    order is shuffle-dependent, so the raw form must never be
+    hash-compared (or relied on anywhere)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "date_arithmetic_orders",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY                                   AS due_ts,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)      AS review_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)               AS month_end
+    FROM orders
+    """,
+    tags=("scalar", "dates", "interval"),
+)
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: +30 days, day-diff from an epoch, add_months
+    (month-end clamping matches DuckDB's interval-month addition),
+    last_day."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("review_date"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+    )
