@@ -1608,3 +1608,30 @@ def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(F.to_date("o_orderdate"), 3).alias("review_date"),
         F.last_day(F.to_date("o_orderdate")).alias("month_end"),
     )
+
+
+@register(
+    "map_functions_events",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT)                        AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)         AS k_val,
+           array_to_string(json_keys(props), ',')                    AS keys_csv
+    FROM events
+    """,
+    tags=("map", "json", "scalar"),
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props payload into a real
+    ``map<string,bigint>`` and operate with map functions (map_keys,
+    element_at) — the nested-type vocabulary the reference flattens away
+    (SURVEY.md §1.1)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    keys = F.map_keys(m)
+    return ev.select(
+        "event_id",
+        F.size(keys).cast("int").alias("n_keys"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.array_join(F.array_sort(keys), ",").alias("keys_csv"),
+    )
