@@ -36,7 +36,10 @@ def shingles_from_words(words: Column, k: int) -> Column:
         " ", *[F.element_at(words, i + j + 1) for j in range(k)]
     )
     return F.array_distinct(
-        F.when(n >= k, F.transform(idx, shingle)).otherwise(F.slice(words, 1, 1))
+        F.when(n >= k, F.transform(idx, shingle)).otherwise(
+            F.array().cast("array<string>")  # <k words -> NO shingles (matches
+            # the SQL oracle and shingle_hash_docs; see its contract note)
+        )
     )
 
 

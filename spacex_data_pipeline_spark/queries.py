@@ -179,8 +179,8 @@ def top_years_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)       AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)  AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)      AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount)      AS avg_disc,
@@ -204,8 +204,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,4)").cast("double").alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -219,7 +219,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_unshipped_revenue",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -244,6 +244,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(dec("l_extendedprice") * dec_factor(1 - F.col("l_discount")))
+        .cast("decimal(38,4)")
         .cast("double")
         .alias("revenue")
     )
@@ -258,7 +259,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
     FROM region JOIN nation   ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders   ON o_custkey  = c_custkey
@@ -1288,7 +1289,7 @@ def stddev_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_api_returned_revenue",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
     FROM customer
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN orders   ON o_custkey = c_custkey
@@ -1309,7 +1310,7 @@ def sql_api_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey, c_name, n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
         FROM customer
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN orders   ON o_custkey = c_custkey
@@ -1509,7 +1510,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame_events",
     oracle="""
     SELECT event_id, user_id, ts,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
     FROM events
     """,
