@@ -199,3 +199,34 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def chunk_documents(docs: DataFrame, size: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixed-size word-window chunking via a Python UDTF — the
+    table-function surface (one input row → N output rows with their own
+    schema), completing the scalar/grouped/table UDF triple. Chunking into
+    training-window-sized pieces is the canonical LLM-pipeline use.
+
+    The UDTF class is built inside this function so cloudpickle ships it
+    by value (module-level classes pickle by reference and break on
+    workers — see streaming/stateful.py). Row-at-a-time Python is the
+    UDTF contract; for bulk chunking prefer the pure-column equivalent
+    (explode over a sequence) — this operator exists to exercise and
+    document the UDTF path.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=f"{id_col} bigint, chunk_idx int, chunk string, n_words int")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            words = (text or "").split()
+            for i in range(0, max(len(words), 1), size):
+                piece = words[i : i + size]
+                yield doc_id, i // size, " ".join(piece), len(piece)
+
+    spark = docs.sparkSession
+    spark.udtf.register("__chunk_doc", ChunkDoc)
+    docs.select(id_col, text_col).createOrReplaceTempView("__chunk_src")
+    return spark.sql(
+        f"SELECT c.* FROM __chunk_src, LATERAL __chunk_doc({id_col}, {text_col}) AS c"
+    )

@@ -1636,3 +1636,27 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("k")).alias("k_val"),
         F.array_join(F.array_sort(keys), ",").alias("keys_csv"),
     )
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents),
+    c AS (
+      SELECT doc_id, ws, CAST(t.i AS INT) AS chunk_idx
+      FROM w, unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS t(i))
+    SELECT doc_id, chunk_idx,
+           array_to_string(ws[chunk_idx*16 + 1 : least((chunk_idx+1)*16, len(ws))], ' ') AS chunk,
+           CAST(least((chunk_idx+1)*16, len(ws)) - chunk_idx*16 AS INT) AS n_words
+    FROM c
+    """,
+    tags=("udtf", "text", "chunking"),
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF document chunking (16-word windows) — oracle-checked
+    against pure-SQL list slicing."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), size=16)
