@@ -186,13 +186,15 @@ def minhash_lsh_candidates(
         )
     )
     rows_per_band = num_hashes // bands
+    # Band rows carry ONLY (id, band, key) — the 64-long signature never
+    # rides through the docs×bands self-join shuffle (512 B/row saved);
+    # signatures re-attach to the (few) deduped candidate pairs afterward.
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -202,10 +204,13 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pair_ids.join(
+        sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     est = F.aggregate(
         F.zip_with(
