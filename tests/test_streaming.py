@@ -121,3 +121,30 @@ def test_stateful_first_seen_matches_batch(spark, sf_oracle, landed_events, tmp_
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_across_redelivered_files(spark, sf_oracle, tmp_path):
+    """Re-delivering the same events in a second file (the reference's
+    append-duplication failure mode, streamed) yields each event_id exactly
+    once through dropDuplicates state."""
+    import os
+
+    from spacex_data_pipeline_spark.streaming.dedup import dedup_stream_exact
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+
+    landed = str(tmp_path / "dup_events")
+    os.makedirs(landed)
+    ev = catalog.table(spark, sf_oracle, "events").limit(2000)
+    ev.coalesce(1).write.mode("append").parquet(landed)      # delivery 1
+    ev.coalesce(1).write.mode("append").parquet(landed)      # re-delivery
+
+    out = str(tmp_path / "dedup_out")
+    stream = stream_events_from_files(spark, landed)
+    run_available_now_to_parquet(
+        dedup_stream_exact(stream), str(tmp_path / "ck_dd"), out
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    assert got.select("event_id").distinct().count() == 2000
