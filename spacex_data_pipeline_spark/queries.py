@@ -1660,3 +1660,51 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import chunk_documents
 
     return chunk_documents(_t(spark, sf_dir, "documents"), size=16)
+
+
+@register(
+    "pipeline_training_data_prep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, lang, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS diversity
+      FROM t),
+    kept AS (SELECT * FROM scored WHERE n_tokens >= 30 AND diversity >= 0.3),
+    dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text)
+    SELECT k.doc_id, k.lang, k.n_tokens, round(k.diversity, 6) AS diversity
+    FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+    """,
+    tags=("extension", "pipeline", "composition"),
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow — quality gate → exact dedup →
+    survivor stats — one registry entry proving the operators COMPOSE
+    (each stage is the same code as its standalone query). At 100 TB:
+    the quality gate is a narrow map (pushes into the scan), dedup
+    shuffles an 8-byte hash, and the final join is survivor-sized."""
+    from .functions.hashing import normalize_text
+    from .operators.dedup import exact_dedup_first
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.split(normalize_text(F.col("text")), " ").alias("__toks"),
+    )
+    scored = toks.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.size("__toks").cast("int").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("__toks")).cast("double")
+            / F.greatest(F.size("__toks"), F.lit(1))
+        ).alias("diversity"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 30) & (F.col("diversity") >= 0.3))
+    survivors = exact_dedup_first(kept, "text", "doc_id")
+    return kept.join(survivors, "doc_id").select(
+        "doc_id", "lang", "n_tokens", F.round("diversity", 6).alias("diversity")
+    )
