@@ -42,6 +42,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects. Read nanos as LONG and truncate to microseconds with
         # integer `div` (ns epoch values exceed 2^53 — double math would
         # corrupt them). DuckDB truncates ns->us identically.
+        #
+        # The nanosAsLong conf is session-wide and is set at session build
+        # time (session.build_session). For externally-built sessions we
+        # set it here too — and deliberately do NOT restore it afterward:
+        # the parquet scan is lazy, and flipping the conf back before
+        # execution makes the deferred read fail (verified). The session
+        # therefore reads ALL nanos-timestamp parquet as LONG; this module
+        # is the single place that converts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn(

@@ -99,7 +99,18 @@ def salted_join(
     salting is the a-priori tool when a key is KNOWN hot (e.g. the empty
     document, a null-ish default id) and you want deterministic layout.
     Cost: right side inflates ×salt — use for dimension-sized right sides.
+
+    Only left-preserving join types are supported: the right side is
+    replicated ×salt, so 'right'/'full'/'right_semi' would emit each
+    unmatched right row once per salt value (null-extended duplicates).
+    For a right-skewed join, swap the sides and call with 'left'.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}, got {how!r}: "
+            "the ×salt right-side replication would duplicate unmatched right rows"
+        )
     l_salted = left.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

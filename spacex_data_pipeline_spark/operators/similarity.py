@@ -124,13 +124,20 @@ def ann_lsh_topk(
     real-world embeddings concentrate much harder, and at 100 TB the
     bucket is the storage partition key, so each probe is one partition
     scan instead of a full pass."""
+    import itertools
+
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
     )
-    probes = [F.col("bucket0")] + [
-        F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
-        if multiprobe_bits >= 1
-    ]
+    # All bucket ids within Hamming distance `multiprobe_bits` of the
+    # query's own bucket: XOR with every bit mask of popcount 1..d.
+    probes = [F.col("bucket0")]
+    for d in range(1, min(multiprobe_bits, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), d):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(F.col("bucket0").bitwiseXOR(F.lit(mask)))
     q = (
         bucketed.filter(F.col(id_col).isin(query_ids))
         .withColumnRenamed("bucket", "bucket0")
@@ -172,13 +179,18 @@ def zscore_mean_per_label(
     embeddings are unit-normalized, so norms are constant to within
     float32 quantization and z-scoring them would just amplify noise.
 
-    Deterministic: each group sorts by id before the sequential pandas
-    reduction, so results are stable across shuffle orders. No SQL oracle
-    (pandas' sequential float accumulation order is not expressible in
-    engine-neutral SQL) — covered by the rows-only check + invariant tests.
+    Deterministic AND oracle-checkable: each group sorts by id and then
+    accumulates with an explicit left-to-right loop (not pandas
+    .mean()/.std(), whose pairwise summation no SQL engine replicates).
+    Every step is a correctly-rounded IEEE double op in a fixed order, so
+    DuckDB's ``list_reduce`` over ``list(x ORDER BY id)`` reproduces the
+    result bit-for-bit — which is what upgrades this query from a
+    rows-only check to a full hash oracle.
     At scale: one shuffle on the label key; group size bounds executor
     memory, so pre-split giant labels (salting) if labels are skewed.
     """
+    import math
+
     import pandas as pd
 
     elem_mean = F.aggregate(
@@ -192,9 +204,20 @@ def zscore_mean_per_label(
 
     def z(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        mu = pdf["elem_mean"].mean()
-        sd = pdf["elem_mean"].std(ddof=1)
-        pdf["z"] = 0.0 if sd == 0 or pd.isna(sd) else (pdf["elem_mean"] - mu) / sd
+        vals = [float(v) for v in pdf["elem_mean"]]
+        n = len(vals)
+        s = 0.0
+        for v in vals:  # left-to-right, matches list_reduce
+            s += v
+        mu = s / n
+        sd = 0.0
+        if n > 1:
+            ss = 0.0
+            for v in vals:
+                d = (v - mu) * (v - mu)
+                ss += d
+            sd = math.sqrt(ss / (n - 1))
+        pdf["z"] = [0.0 if sd == 0.0 else (v - mu) / sd for v in vals]
         return pdf
 
     return stats.groupBy(label_col).applyInPandas(
@@ -219,11 +242,16 @@ def ivf_assign_cells(
     """
     from pyspark.sql import Window
 
+    # Cell ids must be DETERMINISTIC (rank by id), not
+    # monotonically_increasing_id: the latter depends on partition layout,
+    # which would make assignment tie-breaks (ORDER BY aff DESC, cell)
+    # unstable across runs/engines. The window runs on n_centroids rows —
+    # single-partition by construction, cost-free.
     cents = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
         .select(
-            F.monotonically_increasing_id().alias("cell"),
+            (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int").alias("cell"),
             F.col(vec_col).alias("cv"),
         )
     )

@@ -292,7 +292,16 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        # per-factor decimal snap (q1/q3 pattern): the double product
+        # l_extendedprice*(1-l_discount) risks a 1-ulp cross-engine diff at
+        # decimal-cast boundary rows; snapping each factor keeps the
+        # multiplication exact (see functions/numeric.dec_factor).
+        .agg(
+            F.sum(dec("l_extendedprice") * dec_factor(1 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -637,33 +646,83 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts", oracle=None, tags=("agg", "approx", "no-oracle"))
+@register(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           COUNT(*) AS n,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count — the 100 TB-posture variant of
     COUNT(DISTINCT): no exact-distinct shuffle, fixed-size sketch per
-    partition. No oracle (sketch estimates are engine-specific);
-    driver records the rows-only check."""
-    return (
+    partition.
+
+    The HLL estimate itself is engine-specific (DuckDB cannot reproduce
+    Spark's sketch), so the hash-compared output is the DERIVED exact
+    fact (VERDICT r1 #2): the exact distinct count plus
+    ``approx_ok := |approx − exact| ≤ 0.05·exact`` — rsd=0.01 gives 5σ
+    headroom, and HLL++ is deterministic for fixed data, so the boolean
+    is stable. The exact count here exists only to power the check; the
+    production operator is the sketch alone."""
+    agg = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n"),
         )
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.lit(0.05) * F.col("exact_parts")
+        ).alias("approx_ok"),
+    )
 
 
-@register("approx_quantiles_lineitem", oracle=None, tags=("agg", "approx", "no-oracle"))
+@register(
+    "approx_quantiles_lineitem",
+    oracle="""
+    SELECT l_returnflag, TRUE AS median_ok, TRUE AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest-style sketch): mergeable across 1000
-    executors, bounded memory — the scale path for quantiles."""
-    return (
+    """percentile_approx (GK sketch, accuracy 10000): mergeable across
+    1000 executors, bounded memory — the scale path for quantiles.
+
+    The sketch values are engine-specific, so the hash-compared output is
+    the DERIVED rank-error fact (VERDICT r1 #2): the sketch guarantees
+    rank error ≤ n/accuracy, so the approximate median must lie within
+    the exact [p49, p51] value band (and the p95 within [p94, p96]) —
+    booleans the oracle asserts as TRUE. Deterministic: the sketch is a
+    pure function of the data."""
+    agg = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("am"),
+            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("ap"),
+            F.percentile("l_quantity", F.lit(0.49)).alias("qlo"),
+            F.percentile("l_quantity", F.lit(0.51)).alias("qhi"),
+            F.percentile("l_extendedprice", F.lit(0.94)).alias("plo"),
+            F.percentile("l_extendedprice", F.lit(0.96)).alias("phi"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        ((F.col("am") >= F.col("qlo")) & (F.col("am") <= F.col("qhi"))).alias("median_ok"),
+        ((F.col("ap") >= F.col("plo")) & (F.col("ap") <= F.col("phi"))).alias("p95_ok"),
     )
 
 
@@ -720,9 +779,10 @@ def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
+# Exact word-3-gram Jaccard pairs ≥ __T__, as a reusable oracle prefix
+# (CTE `jp`): ground truth for dedup_ngram_jaccard and for the derived
+# recall oracles of the signature-based methods (MinHash, SimHash).
+_JACCARD_PAIRS_SQL = """
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -734,13 +794,20 @@ def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
-    FROM pairs JOIN sizes na ON na.doc_id = doc_a
-               JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2
-    """,
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+      FROM pairs JOIN sizes na ON na.doc_id = doc_a
+                 JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= __T__)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.2")
+    + "SELECT doc_a, doc_b, jaccard FROM jp",
     tags=("extension", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,22 +818,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("extension", "dedup", "no-oracle"))
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8")
+    + "SELECT doc_a, doc_b, jaccard, TRUE AS recovered, TRUE AS est_close FROM jp",
+    tags=("extension", "dedup"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(32×2) candidate pairs with estimated Jaccard —
-    the sub-quadratic scale path (no oracle: signature-dependent)."""
-    from .operators.dedup import minhash_lsh_candidates
+    """MinHash(64) + LSH(32×2) banded candidates, driver-verified against
+    the exact n-gram-Jaccard ground truth (VERDICT r1 #2).
 
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), threshold=0.2)
+    The signature values are hash-seed-specific (DuckDB has no xxhash64),
+    so the hash-compared output is the DERIVED exact fact: every truth
+    pair with exact Jaccard ≥ 0.8 must be (a) RECOVERED by the banded
+    candidate generation and (b) estimated within 0.2 of its exact
+    Jaccard (64 hashes ⇒ σ ≈ 0.045 at J≈0.85; measured max error across
+    all three fixtures is 0.08). The truth side is computed in-engine by
+    the same ngram_jaccard_pairs the oracle replicates; recall/precision
+    at the candidate threshold are additionally locked by
+    tests/test_extensions.py. The production operator remains
+    minhash_lsh_candidates (benched standalone in bench.py)."""
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    cand = minhash_lsh_candidates(docs, threshold=0.2).withColumnRenamed(
+        "est_jaccard", "est"
+    )
+    return truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.col("est").isNotNull().alias("recovered"),
+        (F.col("est").isNotNull() & (F.abs(F.col("est") - F.col("jaccard")) <= 0.2)).alias(
+            "est_close"
+        ),
+    )
 
 
-@register("dedup_simhash", oracle=None, tags=("extension", "dedup", "no-oracle"))
+@register(
+    "dedup_simhash",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8")
+    + "SELECT doc_a, doc_b, jaccard, TRUE AS hamming_ok, TRUE AS pigeonhole_ok FROM jp",
+    tags=("extension", "dedup"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 16 over 64-bit bit-vote
-    fingerprints), candidates via 16-bit block banding."""
-    from .operators.dedup import simhash_near_pairs
+    """SimHash fingerprint locality, driver-verified against the exact
+    n-gram-Jaccard ground truth (VERDICT r1 #2).
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    Fingerprints are xxhash64-bit-vote aggregates DuckDB cannot
+    reproduce, so the hash-compared output is the DERIVED exact fact:
+    every truth pair with exact Jaccard ≥ 0.8 must (a) sit within
+    Hamming distance 16 of each other (measured max across fixtures: 12)
+    and (b) satisfy the pigeonhole guarantee — Hamming ≤ 3 implies the
+    4×16-bit block banding recovered the pair (mathematically certain;
+    asserting banded recovery beyond distance 3 would be probabilistic).
+    The production operator remains simhash_near_pairs."""
+    from .operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    fps = simhash_fingerprints(docs)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    banded = simhash_near_pairs(docs, max_hamming=16).select(
+        "doc_a", "doc_b", F.lit(True).alias("banded")
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        truth.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .join(banded, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (hamming <= 16).alias("hamming_ok"),
+            ((hamming > 3) | F.col("banded").isNotNull()).alias("pigeonhole_ok"),
+        )
+    )
 
 
 @register(
@@ -813,13 +947,70 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
-@register("similarity_ann_lsh", oracle=None, tags=("extension", "similarity", "no-oracle"))
+# The sign-LSH ANN result is fully deterministic — the hyperplanes are
+# md5-derived constants, and every dot product folds left-to-right in
+# double — so DuckDB can replicate the ENTIRE approximate search
+# bit-for-bit with the hyperplanes inlined as literals. No recall-boolean
+# dodge needed: this is a full hash oracle for an ANN query.
+_DOT_SQL = "list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+
+
+def _ann_lsh_oracle(query_ids=(0, 1, 2, 3, 4), k=10, n_planes=5) -> str:
+    from .operators.similarity import _hyperplane
+
+    def plane_lit(p: int) -> str:
+        vals = _hyperplane(p, 64)
+        # parenthesized: `lit::DOUBLE[][i]` does not parse in DuckDB
+        return "([" + ",".join("1.0" if v > 0 else "-1.0" for v in vals) + "]::DOUBLE[])"
+
+    bucket = "\n           + ".join(
+        f"(CASE WHEN {_DOT_SQL.format(a='embedding', b=plane_lit(p))} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probes = "[" + ",".join(str(m) for m in [0] + [1 << b for b in range(n_planes)]) + "]"
+    ids = ",".join(str(i) for i in query_ids)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+           {bucket} AS bucket
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, xor(bucket, t.m) AS bucket
+      FROM b, unnest({probes}) AS t(m)
+      WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="c.embedding")} AS cosine
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_ann_lsh", oracle=_ann_lsh_oracle(), tags=("extension", "similarity"))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN top-k (8 deterministic md5-derived hyperplanes →
-    ≤256 buckets; search only the query's bucket)."""
+    """Sign-LSH ANN top-k: 5 deterministic md5-derived hyperplanes → 32
+    buckets; search touches only the query's bucket plus its 5
+    1-bit-Hamming probe buckets. Hash-oracle-checked in full — the
+    deterministic hyperplanes make the approximate result reproducible
+    in SQL (oracle inlines them as literals)."""
     from .operators.similarity import ann_lsh_topk
 
     return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+# Empty-text-safe oracle tokenizer. Spark's tokens() maps empty/whitespace
+# text to an EMPTY array (operators/text.py), but DuckDB string_split('')
+# yields [''] (length 1) — the guard makes the oracle mirror Spark so a
+# blank document in any future fixture can't silently diverge the hash
+# (ADVICE r1; regression-tested in test_extensions.py with a blank doc).
+_TOKS_SQL = """CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+       THEN []::VARCHAR[]
+       ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END"""
 
 
 @register(
@@ -827,7 +1018,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, text,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+             __TOKS__ AS toks
       FROM documents)
     SELECT doc_id,
            CAST(length(text) AS INT) AS n_chars,
@@ -840,7 +1031,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
              / greatest(len(toks), 1) AS stopword_ratio
     FROM t
-    """,
+    """.replace("__TOKS__", _TOKS_SQL),
     tags=("extension", "text"),
 )
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,7 +1046,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, text,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+             __TOKS__ AS toks
       FROM documents),
     c AS (
       SELECT doc_id,
@@ -869,7 +1060,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(dv, 6) AS diversity,
            round(lc * 0.4 + dv * 0.4 + (1.0 - pr) * 0.2, 6) AS quality
     FROM c
-    """,
+    """.replace("__TOKS__", _TOKS_SQL),
     tags=("extension", "text"),
 )
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,7 +1076,7 @@ def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, text,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+             __TOKS__ AS toks
       FROM documents),
     s AS (
       SELECT doc_id, text,
@@ -906,7 +1097,7 @@ def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
                 ELSE 'fr' END AS lang_guess
     FROM s
-    """,
+    """.replace("__TOKS__", _TOKS_SQL),
     tags=("extension", "text"),
 )
 def text_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,10 +1643,41 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("applyinpandas_zscore", oracle=None, tags=("pandas-udf", "grouped-map", "no-oracle"))
+@register(
+    "applyinpandas_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                         (a, b) -> a + b) / len(embedding) AS elem_mean
+      FROM embeddings),
+    g AS (
+      SELECT label, list(elem_mean ORDER BY vec_id) AS vals, COUNT(*) AS n
+      FROM e GROUP BY label),
+    stats AS (
+      SELECT label, n,
+             list_reduce(list_prepend(0.0, vals), (a, b) -> a + b) / n AS mu
+      FROM g),
+    stats2 AS (
+      SELECT s.label, s.mu,
+             CASE WHEN s.n > 1 THEN
+               sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(g.vals, v -> (v - s.mu) * (v - s.mu))),
+                      (a, b) -> a + b) / (s.n - 1))
+             ELSE 0.0 END AS sd
+      FROM stats s JOIN g ON s.label = g.label)
+    SELECT e.vec_id, CAST(e.label AS INT) AS label, e.elem_mean,
+           CASE WHEN s.sd = 0.0 THEN 0.0 ELSE (e.elem_mean - s.mu) / s.sd END AS z
+    FROM e JOIN stats2 s ON e.label = s.label
+    """,
+    tags=("pandas-udf", "grouped-map"),
+)
 def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDF: per-label z-score of each vector's mean
-    element value (deterministic via in-group sort; rows-only check)."""
+    element value. Full hash oracle: the UDF accumulates with explicit
+    left-to-right IEEE double loops over id-sorted groups, which DuckDB
+    replicates exactly via list_reduce over list(x ORDER BY vec_id)
+    (see operators/similarity.zscore_mean_per_label)."""
     from .operators.similarity import zscore_mean_per_label
 
     return zscore_mean_per_label(_t(spark, sf_dir, "embeddings"))
@@ -1465,13 +1687,13 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_term_frequencies",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      SELECT doc_id, unnest(__TOKS__) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
     SELECT tf.doc_id, tf.term, tf.tf, df.df
     FROM tf JOIN df USING (term)
-    """,
+    """.replace("__TOKS__", _TOKS_SQL),
     tags=("extension", "text", "tfidf"),
 )
 def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,20 +1703,87 @@ def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(_t(spark, sf_dir, "documents"))
 
 
-@register("text_tfidf_top_terms", oracle=None, tags=("extension", "text", "tfidf", "no-oracle"))
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(__TOKS__) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (n.n_docs / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "tfidf"),
+)
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 characteristic terms per doc by tf·ln(N/df) (float idf —
-    rows-only check; integers checked via text_term_frequencies)."""
+    """Top-5 characteristic terms per doc by tf·(N/df) ratio idf — fully
+    hash-checkable (one IEEE divide + one multiply per score, bit-identical
+    cross-engine; see operators/text.tfidf_top_terms for why not ln)."""
     from .operators.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
-@register("similarity_ivf_topk", oracle=None, tags=("extension", "similarity", "no-oracle"))
+def _ivf_oracle(query_ids=(0, 1, 2, 3, 4), k=10, n_centroids=16, n_probe=4) -> str:
+    """Full SQL replica of the IVF search: centroids are the first
+    ``n_centroids`` vectors by id (cell = rank − 1), assignment is argmax
+    dot (ties → lowest cell), probing is top-``n_probe`` cells by query
+    affinity — all deterministic arithmetic DuckDB reproduces exactly."""
+    ids = ",".join(str(i) for i in query_ids)
+    return f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})),
+    aff AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.cv")} AS aff
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM aff) t
+      WHERE rn = 1),
+    qaff AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.cv")} AS aff
+      FROM embeddings e, cents c
+      WHERE e.vec_id IN ({ids})),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM qaff) t
+      WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="p.qv", b="a.embedding")} AS cosine
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_ivf_topk", oracle=_ivf_oracle(), tags=("extension", "similarity"))
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (deterministic cells, 4-of-16 probes) — the
     partition-pruned ANN shape; equals exact search when probing all cells
-    (proven in tests/test_extensions.py)."""
+    (proven in tests/test_extensions.py). Hash-oracle-checked in full:
+    deterministic centroid choice (first-16-by-id) makes the whole
+    index + search reproducible in SQL."""
     from .operators.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
@@ -1642,11 +1931,15 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_chunk_documents",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                  THEN []::VARCHAR[]
+                  ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') END AS ws
       FROM documents),
     c AS (
+      -- greatest(...,1): the UDTF emits one empty chunk for a blank doc
       SELECT doc_id, ws, CAST(t.i AS INT) AS chunk_idx
-      FROM w, unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS t(i))
+      FROM w, unnest(range(0, greatest(CAST(ceil(len(ws) / 16.0) AS BIGINT), 1))) AS t(i))
     SELECT doc_id, chunk_idx,
            array_to_string(ws[chunk_idx*16 + 1 : least((chunk_idx+1)*16, len(ws))], ' ') AS chunk,
            CAST(least((chunk_idx+1)*16, len(ws)) - chunk_idx*16 AS INT) AS n_words

@@ -42,6 +42,12 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as LONG
+        # everywhere, by construction. Set at build time, not per-read:
+        # restoring the conf after a lazy read breaks the deferred scan,
+        # and a session-wide flip mid-flight would silently change later
+        # reads (ADVICE r1). catalog.table owns the ns→us conversion.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
