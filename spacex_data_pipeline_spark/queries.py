@@ -738,6 +738,9 @@ _COS_SQL = """list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBL
  / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
   * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))"""
 
+# Bare LTR dot product (the _COS_SQL numerator) — mirrors similarity.dot_ltr.
+_DOT_SQL = "list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+
 
 @register(
     "dedup_exact_docs",
@@ -915,11 +918,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: exact pairwise cosine ≥ 0.35 (fixture cosines
-    top out ~0.51). Left-to-right double fold matches the oracle
-    bit-for-bit, so the threshold cut is engine-stable."""
-    from .operators.dedup import embedding_cosine_pairs
+    top out ~0.51), via the balanced block-pair equi-join — identical
+    output to brute force with NO CartesianProduct in the plan (asserted
+    in test_plans.py; see embedding_cosine_pairs_blocked for why exact
+    low-threshold all-pairs distributes rather than prunes). Left-to-right
+    double fold matches the oracle bit-for-bit, so the threshold cut is
+    engine-stable."""
+    from .operators.dedup import embedding_cosine_pairs_blocked
 
-    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_cosine_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, blocks=16
+    )
+
+
+@register(
+    "dedup_embedding_cosine_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    aff AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.cv")} AS aff
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM aff) t
+      WHERE rn = 1),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+    tags=("extension", "dedup", "similarity"),
+)
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-dedup (SemDeDup shape): exact cosine ≥ 0.35 only
+    WITHIN deterministic IVF cells — the sub-quadratic scale path for
+    embedding near-dup (candidate generation O(n·C), compute Σ|cell|²).
+    Approximate by design (cross-cell pairs skipped) yet fully
+    deterministic, so the oracle replicates the entire pipeline —
+    centroids, assignment, in-cell pairs — exactly in SQL."""
+    from .operators.dedup import embedding_cosine_pairs_ivf
+
+    return embedding_cosine_pairs_ivf(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=16
+    )
 
 
 @register(
@@ -952,9 +999,6 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double — so DuckDB can replicate the ENTIRE approximate search
 # bit-for-bit with the hyperplanes inlined as literals. No recall-boolean
 # dodge needed: this is a full hash oracle for an ANN query.
-_DOT_SQL = "list_reduce(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
-
-
 def _ann_lsh_oracle(query_ids=(0, 1, 2, 3, 4), k=10, n_planes=5) -> str:
     from .operators.similarity import _hyperplane
 
@@ -1941,7 +1985,8 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, ws, CAST(t.i AS INT) AS chunk_idx
       FROM w, unnest(range(0, greatest(CAST(ceil(len(ws) / 16.0) AS BIGINT), 1))) AS t(i))
     SELECT doc_id, chunk_idx,
-           array_to_string(ws[chunk_idx*16 + 1 : least((chunk_idx+1)*16, len(ws))], ' ') AS chunk,
+           -- coalesce: slicing an empty list yields NULL, the UDTF yields ''
+           coalesce(array_to_string(ws[chunk_idx*16 + 1 : least((chunk_idx+1)*16, len(ws))], ' '), '') AS chunk,
            CAST(least((chunk_idx+1)*16, len(ws)) - chunk_idx*16 AS INT) AS n_words
     FROM c
     """,

@@ -155,3 +155,91 @@ def test_ivf_recall_and_probe_monotonicity(spark, sf_oracle):
         for r in similarity.ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=3).collect()
     }
     assert len(exact & partial) / len(exact) >= 0.3
+
+
+def test_blocked_cosine_pairs_match_brute_force(spark, sf_oracle):
+    """The balanced block-pair join is a pure execution-strategy change:
+    its output must equal the crossJoin baseline exactly (same LTR cosine
+    bits, same pairs) at the registered threshold and a looser one."""
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    for t in (0.35, 0.25):
+        brute = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in dedup.embedding_cosine_pairs(emb, threshold=t).collect()
+        }
+        blocked = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in dedup.embedding_cosine_pairs_blocked(
+                emb, threshold=t, blocks=16
+            ).collect()
+        }
+        assert blocked == brute
+    # block count must not change results (task tiling only)
+    few = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_cosine_pairs_blocked(
+            emb, threshold=0.35, blocks=3
+        ).collect()
+    }
+    assert few == {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.35).collect()
+    }
+
+
+def test_ivf_dedup_pairs_subset_of_brute_force(spark, sf_oracle):
+    """Cluster-then-dedup never invents pairs: every in-cell pair it emits
+    must appear in the exact all-pairs result with the identical cosine."""
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.35).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs_ivf(emb, threshold=0.35).collect()
+    }
+    assert set(ivf) <= set(brute)
+    for pair, cos in ivf.items():
+        assert cos == brute[pair]  # bit-identical, not approx
+
+
+def test_text_oracles_handle_blank_docs(spark, tmp_path):
+    """Regression for the empty-text guard (ADVICE r1): a blank / 
+    whitespace-only document must not diverge Spark (tokens → []) from
+    the DuckDB oracle (string_split('') → ['']). Runs every text-family
+    registered query on a tiny fixture containing blank docs and compares
+    with the same strictness as the parity suite."""
+    import duckdb
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from tests.test_oracle_parity import _canon_rows
+
+    rows = [
+        (0, "", "en", "synthetic", 0),
+        (1, "   ", "en", "synthetic", 3),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "synthetic", 43),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "synthetic", 43),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    path = str(tmp_path / "documents.parquet")
+    sdf.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    for name in (
+        "text_stats_docs",
+        "text_quality_docs",
+        "text_langid_docs",
+        "text_term_frequencies",
+        "text_tfidf_top_terms",
+        "udtf_chunk_documents",
+    ):
+        q = REGISTRY[name]
+        res = q.fn(spark, str(tmp_path))
+        cols = [c.lower() for c in res.columns]
+        s = _canon_rows(cols, [tuple(r) for r in res.collect()])
+        rel = con.execute(q.oracle)
+        d = _canon_rows([x[0].lower() for x in rel.description], rel.fetchall())
+        assert s == d, f"{name} diverges on blank docs: {s[:3]} vs {d[:3]}"

@@ -70,3 +70,68 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle, bucketed_tables):
         assert j.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shingle_df_cap_bounds_boilerplate_blowup(spark):
+    """Adversarial stopword/boilerplate corpus: every doc shares one hot
+    phrase. Uncapped, the shared-shingle join materializes all C(n,2)
+    pairs; with a df cap the hot shingles drop out and the join
+    materializes nothing (the docs share nothing else)."""
+    from spacex_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to all users of this site"
+    rows = [
+        (i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0).count()
+    assert uncapped == 60 * 59 // 2  # every pair collides on boilerplate
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=10).count()
+    assert capped == 0  # hot shingles gone -> no candidate explosion
+
+
+def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """Near-identical boilerplate docs all land in the same LSH buckets;
+    the bucket cap drops those buckets whole before pair expansion."""
+    from spacex_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    boiler = " ".join(f"w{j}" for j in range(30))
+    rows = [(i, boiler) for i in range(40)]  # 40 identical docs
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = minhash_lsh_candidates(df, threshold=0.0).count()
+    assert uncapped == 40 * 39 // 2
+    capped = minhash_lsh_candidates(df, threshold=0.0, max_bucket_size=10).count()
+    assert capped == 0
+
+
+def test_skew_guards_are_noops_at_loose_caps(spark, sf_oracle):
+    """With caps no real bucket/shingle reaches, guarded and unguarded
+    runs must be identical on the fixture corpus — the guard changes the
+    blowup behavior, never the default results (oracle mode stays exact)."""
+    from spacex_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=10**6).collect()
+    }
+    assert guarded == base
+    mh_base = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_candidates(docs, threshold=0.2).collect()
+    }
+    mh_guarded = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_candidates(
+            docs, threshold=0.2, max_bucket_size=10**6
+        ).collect()
+    }
+    assert mh_guarded == mh_base
