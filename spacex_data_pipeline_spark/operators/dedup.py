@@ -122,22 +122,30 @@ def ngram_jaccard_pairs(
     near-dup dedup wants to ignore anyway. Default None = exact (the
     oracle-checked mode).
     """
-    sh = shingle_docs(docs, id_col, text_col, k)
+    # Join on the 8-byte xxhash64 of the shingle, not the ~30-byte string:
+    # Jaccard needs only the COUNT of shared shingles, so the key value is
+    # immaterial — long keys shrink the shuffle ~4× and compare in one
+    # instruction in the sort-merge. Collision risk at 64 bits is
+    # birthday(|distinct shingles|)²/2⁶⁵ ≈ 1e-9 at sf0.1 — far below any
+    # operational concern (and a collision would only nudge one `inter`).
+    sh = shingle_docs(docs, id_col, text_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .select("h")
         )
-        join_side = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        join_side = sh.join(F.broadcast(hot), "h", "left_anti")
     a, b = join_side.alias("a"), join_side.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
@@ -386,7 +394,24 @@ def embedding_cosine_pairs_blocked(
 
     The truly sub-quadratic path for HIGH thresholds / clustered data is
     :func:`embedding_cosine_pairs_ivf` (cluster-then-dedup à la SemDeDup).
+
+    Execution detail — why applyInPandas and not a column-expression
+    cosine on the joined pairs: Spark's higher-order functions
+    (aggregate/zip_with) are CodegenFallback — interpreted per row — so
+    n²/2 HOF cosines dominate wall time (measured 39 s for 12.5M pairs
+    at sf0.1). Instead each block-pair task computes its similarity tile
+    with one numpy/BLAS matmul (Arrow in, ~n²·d FLOPs at vector speed)
+    and emits only CANDIDATE id pairs at ``threshold − 1e-6``; the exact
+    left-to-right-fold cosine then re-scores just those few candidates,
+    so the emitted values (and the final threshold cut) are bit-identical
+    to brute force and to the DuckDB oracle. The 1e-6 margin dwarfs
+    float64-BLAS reordering error (~1e-14), so the OUTPUT is invariant
+    to the BLAS in use: borderline pairs always reach the exact filter,
+    which alone decides.
     """
+    import numpy as np
+    import pandas as pd
+
     from .similarity import cosine_sim
 
     b_ = blocks
@@ -405,22 +430,45 @@ def embedding_cosine_pairs_blocked(
     r = e.select("id", "v", "g", F.explode(tasks).alias("t")).select(
         "id", "v", "g", F.col("t.ti").alias("ti"), F.col("t.tj").alias("tj")
     )
-    a, b = r.alias("a"), r.alias("b")
-    # canonical-task predicate: a pair is emitted only inside the single
-    # task that equals its own (sorted) block combination — without it a
-    # same-block pair would surface in all B tasks containing the block.
-    canonical = (
-        (F.col("a.g") == F.col("ti")) & (F.col("b.g") == F.col("tj"))
-    ) | ((F.col("a.g") == F.col("tj")) & (F.col("b.g") == F.col("ti")))
+    margin = threshold - 1e-6
+
+    def tile_candidates(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # nested def: cloudpickle ships it by value (module-level functions
+        # pickle by reference and break off-repo workers)
+        ti, tj = key
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        a_rows = pdf[pdf["g"] == ti]
+        b_rows = pdf[pdf["g"] == tj]
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return empty
+        ma = np.vstack(a_rows["v"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b_rows["v"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ids_a = a_rows["id"].to_numpy()
+        ids_b = b_rows["id"].to_numpy()
+        mask = sims >= margin
+        if ti == tj:
+            mask &= np.less.outer(ids_a, ids_b)
+        ia, ib = np.nonzero(mask)
+        if len(ia) == 0:
+            return empty
+        lo = np.minimum(ids_a[ia], ids_b[ib])  # off-diagonal tasks see the
+        hi = np.maximum(ids_a[ia], ids_b[ib])  # pair in arbitrary order
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = r.groupBy("ti", "tj").applyInPandas(
+        tile_candidates, schema="id_a long, id_b long"
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        a.join(b, ["ti", "tj"])
-        .filter(canonical & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -83,6 +83,65 @@ def pivot_counts(
     return df.groupBy(group).pivot(pivot_col, list(values)).count()
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Distributed AS-OF join: for every left row, the most recent right
+    row of the same key with ``right_ts <= left_ts``. Equal-timestamp
+    ties resolve to the greatest payload tuple (struct compare, field
+    order) — pass a unique id as the first payload column to make the
+    match deterministic.
+
+    Spark has no asof operator; the naive formulation (range-condition
+    join + per-left max) explodes to |key-group|² rows. The scalable
+    shape is union + ordered window, one shuffle on the key:
+
+    - tag left (side=1) and right (side=0) rows and union them;
+    - per key, order by (ts, side, payload): every eligible right row
+      sorts strictly before the left row it can serve (same-ts right
+      rows sort first via side, equal-ts ties resolve inside the
+      payload struct);
+    - ``last(payload, ignorenulls)`` over the unbounded-preceding frame
+      fills each left row with its as-of match — payload rides in ONE
+      struct so all columns come from the SAME right row;
+    - keep side=1 rows.
+
+    Data moved is |left|+|right| rows exactly once — the same shuffle a
+    plain equi-join would pay — and the window is a single running
+    last-value, no range scan. At 100 TB both inputs arrive partitioned
+    by key; AQE handles hot keys.
+    """
+    pay = F.struct(*[F.col(c) for c in payload])
+    r = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        pay.alias("__p"),
+    )
+    l = (
+        left.withColumn("__k", F.col(left_on))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).drop("__k", "__ts", "__side", "__p")
+    for c in payload:
+        out = out.withColumn(f"asof_{c}", F.col("__asof").getField(c))
+    return out.drop("__asof")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -2046,3 +2046,90 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(survivors, "doc_id").select(
         "doc_id", "lang", "n_tokens", F.round("diversity", 6).alias("diversity")
     )
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH r AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT l.event_id, l.user_id, l.ts, max(r.p_ts) AS asof_p_ts
+      FROM events l LEFT JOIN r
+        ON r.user_id = l.user_id AND r.p_ts <= l.ts
+      GROUP BY 1, 2, 3)
+    SELECT m.event_id, m.user_id, m.ts, m.asof_p_ts,
+           max(r.p_id) AS asof_p_id
+    FROM m LEFT JOIN r
+      ON r.user_id = m.user_id AND r.p_ts = m.asof_p_ts
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("join", "asof", "extension"),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (purchase attribution): for every event, the user's most
+    recent purchase at or before it. Spark-side: union + ordered window,
+    one key shuffle, no range-join blowup (operators/relational.as_of_join).
+    The oracle states the SEMANTICS independently (max-ts-then-max-id via
+    relational algebra), so the window formulation is cross-checked
+    against a different algorithm, not a transliteration."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    out = relational.as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["p_ts", "p_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_p_ts"),
+        F.col("asof_p_id"),
+    )
+
+
+@register(
+    "data_quality_orders",
+    oracle="""
+    WITH t AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v1,
+             SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v2,
+             SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v3
+      FROM orders)
+    SELECT 'not_null:o_orderkey' AS check_name, n AS n_rows,
+           CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS passed FROM t
+    UNION ALL SELECT 'unique:o_orderkey', n, CAST(v1 AS BIGINT), v1 = 0 FROM t
+    UNION ALL SELECT 'accepted_values:o_orderstatus', n, CAST(v2 AS BIGINT), v2 = 0 FROM t
+    UNION ALL SELECT 'expect:positive_total', n, CAST(v3 AS BIGINT), v3 = 0 FROM t
+    """,
+    tags=("extension", "quality"),
+)
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt test surface (not_null / unique / accepted_values /
+    generic expect) over the orders table — ALL checks in ONE aggregate
+    pass (functions/checks.py): a 100 TB table is scanned once however
+    many checks it carries. The reference declares a dbt test directory
+    but ships no tests (dbt_project.yml:9); this is that surface, made
+    oracle-checkable."""
+    from .functions.checks import accepted_values, check_results, expect, not_null, unique
+
+    return check_results(
+        _t(spark, sf_dir, "orders"),
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            expect(F.col("o_totalprice") > 0, "positive_total"),
+        ],
+    )

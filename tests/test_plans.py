@@ -79,7 +79,16 @@ def test_no_rowwise_python_udf_anywhere(spark, sf):
     assert not offenders, f"row-wise Python UDFs in: {offenders}"
 
 
-SANCTIONED_PYTHON = {"multimodal_decode", "applyinpandas_zscore", "udtf_chunk_documents"}
+# Arrow-batched Python is sanctioned where JVM built-ins genuinely can't
+# win: binary decode, the grouped-map/UDTF API surfaces, and the BLAS
+# similarity tiles (HOF cosine is interpreted per row — measured 20×
+# slower than the numpy tile prefilter at sf0.1; dedup.py has the math).
+SANCTIONED_PYTHON = {
+    "multimodal_decode",
+    "applyinpandas_zscore",
+    "udtf_chunk_documents",
+    "dedup_embedding_cosine",
+}
 
 
 def test_python_confined_to_sanctioned_ops(spark, sf):
