@@ -2049,6 +2049,189 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corr_exact_by_flag",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)       AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)  AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(ROUND(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))), 0) AS DOUBLE) AS syy,
+             CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))), 0) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxy - (sx * sy) / n)
+             / (sqrt(sxx - (sx * sx) / n) * sqrt(syy - (sy * sy) / n)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def corr_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments (never the engine's
+    native corr(), whose internal float accumulation is engine- and
+    shuffle-order-specific). The five sums are exact decimals; the
+    formula is then a FIXED sequence of IEEE ops, identical cross-engine
+    (stddev_exact_by_flag precedent). syy/sxy are snapped to integer
+    before the double cast: their unscaled decimal values exceed 2⁵³ at
+    scale 4 (DuckDB's decimal→double is two-step and not correctly
+    rounded up there — memory rule; the snap costs ~1e-16 relative)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("decimal(38,0)").cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("decimal(38,0)").cast("double").alias("sxy"),
+    )
+    sx, sy, sxx, syy, sxy, n = (F.col(c) for c in ("sx", "sy", "sxx", "syy", "sxy", "n"))
+    corr = (sxy - (sx * sy) / n) / (
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n)
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube — exactly
+    the three aggregation levels, nothing more) via the DataFrame
+    groupingSets API, with grouping_id disambiguating the NULL rows.
+    One pass: Spark expands the sets map-side, so the fact scans once."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "mode_priority_per_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+    WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def mode_priority_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties to the
+    lexicographically smallest) — count + windowed argmax, never the
+    engine-native mode() whose tie-break is unspecified. Two hash aggs
+    with map-side partials; the window runs on group-count rows only."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@register(
+    "resample_user_daily_gapfill",
+    oracle="""
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    counts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT u.user_id, d.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM users u CROSS JOIN days d
+    LEFT JOIN counts c ON c.user_id = u.user_id AND c.day = d.day
+    """,
+    tags=("timeseries", "gapfill", "extension"),
+)
+def resample_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: one row per (user, day) over
+    the corpus span, zero-filled — the regularized grid ML feature
+    pipelines need. The day spine is a 1-row aggregate exploded through
+    `sequence` (no driver-side collect); the grid is users × broadcast
+    spine (dimension-sized expansion); counts shuffle once on
+    (user, day)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    counts = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "hopping_window_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS hop_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events, unnest([0, 1]) AS k(k)
+    GROUP BY 1, 2
+    """,
+    tags=("window", "hopping", "timeseries"),
+)
+def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows in batch: 10-minute windows every 5
+    minutes — each event lands in exactly two hops. Spark's `window()`
+    expands hops map-side then hash-aggregates; the streaming twin is the
+    same expression under a watermark. The oracle derives the hop starts
+    arithmetically (time_bucket − k·hop), a genuinely different
+    formulation of the same semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hop_start"), "event_type", "n")
+    )
+
+
+@register(
     "asof_join_last_purchase",
     oracle="""
     WITH r AS (
