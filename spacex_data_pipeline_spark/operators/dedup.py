@@ -334,6 +334,62 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → canonical dedup
+    groups: every node gets ``component`` = the minimum id reachable from
+    it. This is the step that turns pairwise candidates (MinHash/SimHash/
+    Jaccard output) into keep-one-per-group decisions in a real pipeline.
+
+    Iterative min-label propagation: each round joins labels across the
+    (symmetrized) edge list and takes the per-node min — the classic
+    distributed CC. Rounds needed = graph diameter; dup clusters are
+    near-cliques, so 2–3 rounds in practice (the large-star/small-star
+    variant halves rounds on pathological chains; not needed here).
+    Per-round lineage is truncated with ``localCheckpoint`` — without it
+    the plan doubles every iteration and the job DAG explodes. The
+    convergence check is one scalar count per round (driver-side scalars
+    are the sanctioned pattern for iterative fixpoints — the DATA never
+    visits the driver).
+    """
+    sym = edges.select(F.col(left).alias("src"), F.col(right).alias("dst")).union(
+        edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

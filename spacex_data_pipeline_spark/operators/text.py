@@ -215,6 +215,30 @@ def tfidf_top_terms(
     )
 
 
+# PII patterns, deliberately inside the RE2 ∩ Java regex subset (char
+# classes, bounded quantifiers, \b) so Spark and the DuckDB oracle agree.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrub — the standard pre-training redaction pass: emails,
+    phone numbers, IPv4 addresses replaced with typed placeholders, plus
+    per-category hit flags. A pure narrow map (chained regexp_replace,
+    codegen'd, no shuffle): at 100 TB this fuses into the ingest scan.
+    Patterns apply in declaration order to the progressively-redacted
+    text (an email never half-matches as a phone)."""
+    out = F.col(text_col)
+    flags = []
+    for name, pat, repl in PII_PATTERNS:
+        flags.append(F.col(text_col).rlike(pat).alias(f"has_{name}"))
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select(F.col(id_col), out.alias("redacted"), *flags)
+
+
 def chunk_documents(docs: DataFrame, size: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Fixed-size word-window chunking via a Python UDTF — the
     table-function surface (one input row → N output rows with their own

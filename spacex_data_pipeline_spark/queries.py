@@ -2049,6 +2049,65 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+           regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+           regexp_matches(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b') AS has_phone,
+           regexp_matches(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') AS has_ipv4
+    FROM documents
+    """,
+    tags=("extension", "text", "redaction"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4 → typed placeholders) + hit
+    flags — a pure narrow map that fuses into the scan; patterns stay in
+    the RE2 ∩ Java subset so the oracle applies the identical regexes."""
+    from .operators.text import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_components_docs",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jp),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
+    SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+    """,
+    tags=("extension", "dedup", "iterative"),
+)
+def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components over the
+    exact J≥0.8 pair graph — every document labeled with the min doc_id
+    of its duplicate cluster (singletons label themselves). Spark side is
+    iterative min-label propagation (operators/dedup.connected_components);
+    the oracle computes the same fixpoint by a genuinely different
+    algorithm (recursive-CTE transitive closure), so the iteration logic
+    is cross-checked, not transliterated."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+@register(
     "corr_exact_by_flag",
     oracle="""
     WITH s AS (

@@ -37,6 +37,18 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def hopping_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Hopping 10-min windows every 5 min per event_type — the streaming
+    twin of the batch ``hopping_window_event_counts`` query (each event
+    lands in exactly two hops; the watermark evicts closed hops)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("hop_start"), "event_type", "n")
+    )
+
+
 def session_rollup_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Gap-based session windows per user via the built-in session_window
     state store (merges windows as events arrive; watermark evicts)."""

@@ -220,6 +220,13 @@ def test_text_oracles_handle_blank_docs(spark, tmp_path):
         (1, "   ", "en", "synthetic", 3),
         (2, "the quick brown fox jumps over the lazy dog", "en", "synthetic", 43),
         (3, "the quick brown fox jumps over the lazy dog", "en", "synthetic", 43),
+        (
+            4,
+            "mail bob.smith+x@corp.example.co or call 415-555-0199 from 10.0.0.1 today",
+            "en",
+            "synthetic",
+            74,
+        ),
     ]
     sdf = spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -235,6 +242,7 @@ def test_text_oracles_handle_blank_docs(spark, tmp_path):
         "text_term_frequencies",
         "text_tfidf_top_terms",
         "udtf_chunk_documents",
+        "text_redact_pii",  # doc 4 plants an email + phone + IPv4
     ):
         q = REGISTRY[name]
         res = q.fn(spark, str(tmp_path))

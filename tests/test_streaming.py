@@ -14,6 +14,7 @@ from spacex_data_pipeline_spark.streaming.ingest import (
     stream_events_from_files,
 )
 from spacex_data_pipeline_spark.streaming.rollup import (
+    hopping_rollup_stream,
     hourly_rollup_stream,
     session_rollup_stream,
 )
@@ -52,6 +53,28 @@ def test_stream_hourly_matches_batch(spark, sf_oracle, landed_events, tmp_path):
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
         .collect()
+    }
+    assert got == want
+
+
+def test_stream_hopping_matches_batch(spark, sf_oracle, landed_events, tmp_path):
+    """Sliding-window streaming == the batch hopping query (which is
+    itself oracle-checked), closing the loop stream → batch → DuckDB."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        hopping_rollup_stream(stream),
+        str(tmp_path / "ckpt_hopping"),
+        "hopping_out",
+        output_mode="complete",
+    )
+    got = {
+        (r.hop_start, r.event_type): r.n for r in spark.table("hopping_out").collect()
+    }
+    want = {
+        (r.hop_start, r.event_type): r.n
+        for r in REGISTRY["hopping_window_event_counts"].fn(spark, sf_oracle).collect()
     }
     assert got == want
 
