@@ -135,3 +135,30 @@ def test_tfidf_is_one_lazy_plan(spark, sf):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert "tfidf" in df.columns
+
+
+def _shuffle_count(plan: str) -> int:
+    """Number of distinct shuffle Exchange nodes: formatted mode prints
+    each node once in the tree and once as a '(n) Exchange' detail header
+    — count only the headers (BroadcastExchange headers don't match)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.MULTILINE))
+
+
+def test_asof_join_is_one_shuffle_one_window(spark, sf):
+    """The as-of join must compile to union → ONE key exchange → ONE
+    running-last window — never a range-condition join (which would
+    explode per-key) or a second shuffle."""
+    plan = plan_of(REGISTRY["asof_join_last_purchase"].fn(spark, sf))
+    assert _shuffle_count(plan) == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_corr_prunes_to_three_columns_single_shuffle(spark, sf):
+    plan = plan_of(REGISTRY["corr_exact_by_flag"].fn(spark, sf))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_orderkey" not in read
+    assert _shuffle_count(plan) == 1
