@@ -215,6 +215,49 @@ def tfidf_top_terms(
     )
 
 
+def pack_token_bins(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins — the
+    step that turns a deduped corpus into training-sequence groups.
+
+    Greedy streaming packing in deterministic order, SHARD-PARALLEL: a
+    single global running sum would serialize the corpus through one
+    partition, so documents first hash into ``shards`` independent
+    streams (doc_id mod shards — deterministic, append-stable), and each
+    shard packs by running token count: bin = floor(cum_before / budget).
+    One shuffle on the shard key; the window is a running integer sum.
+    Oversized docs (> budget) get a bin of their own and overflow it —
+    callers chunk those first (chunk_documents). Exact integer
+    arithmetic end-to-end, so the assignment is oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    toks = _with_tokens(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+        F.size(F.col("__toks")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    # floor, not cast: a double→int CAST truncates in Spark but ROUNDS in
+    # DuckDB — floor division is the portable exact form (oracle uses //)
+    return toks.select(
+        F.col(id_col),
+        "shard",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_idx"),
+    )
+
+
 # PII patterns, deliberately inside the RE2 ∩ Java regex subset (char
 # classes, bounded quantifiers, \b) so Spark and the DuckDB oracle agree.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (

@@ -2049,6 +2049,118 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_documents_token_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(doc_id % 32 AS INT) AS shard,
+             CAST(len(__TOKS__) AS INT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_idx
+    FROM c
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "packing", "window"),
+)
+def pack_documents_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy token-budget (512) bin assignment in
+    deterministic doc order, shard-parallel (32 independent streams so no
+    global serialization). Exact integer arithmetic ⇒ the full assignment
+    is oracle-checked."""
+    from .operators.text import pack_token_bins
+
+    return pack_token_bins(_t(spark, sf_dir, "documents"), budget=512, shards=32)
+
+
+@register(
+    "sample_orders_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 's1'), 1, 8))::UBIGINT
+          % 10000 < 1000
+    """,
+    tags=("extension", "sampling"),
+)
+def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample keyed on md5(o_orderkey) — membership is a
+    pure function of the key (reproducible across runs, engines, cluster
+    layouts; stable under appends), unlike Spark's row-stream Bernoulli
+    sample. Narrow map, no shuffle; the ORACLE CHECKS MEMBERSHIP ITSELF."""
+    from .operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "orders"), "o_orderkey", rate=0.10, seed="s1"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'mix'), 1, 8))::UBIGINT
+             % 10000 AS bk
+      FROM orders)
+    SELECT o_orderkey, o_orderstatus FROM b
+    WHERE bk < CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 2000
+                                  WHEN 'P' THEN 10000 END
+    """,
+    tags=("extension", "sampling", "stratified"),
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates (F:5%, O:20%, P:100%) — the
+    mixture-weighting step of a training-data pipeline (downsample the
+    dominant source, keep all of the rare one), with membership itself
+    oracle-checked."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "o_orderstatus",
+        {"F": 0.05, "O": 0.20, "P": 1.0},
+        seed="mix",
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "split_documents_train_val_test",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::UBIGINT
+             % 10000 AS bk
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bk < 500 THEN 'val'
+                WHEN bk < 1000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+    tags=("extension", "sampling", "split"),
+)
+def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (5%/5%/90%) as a pure function of
+    doc_id: disjoint, exhaustive, and stable when the corpus grows — a
+    document can never migrate between splits (the leakage guarantee
+    evals depend on)."""
+    from .operators.sampling import split_assign
+
+    return split_assign(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        val_pct=0.05,
+        test_pct=0.05,
+    )
+
+
+@register(
     "text_redact_pii",
     oracle=r"""
     SELECT doc_id,

@@ -251,3 +251,34 @@ def test_text_oracles_handle_blank_docs(spark, tmp_path):
         rel = con.execute(q.oracle)
         d = _canon_rows([x[0].lower() for x in rel.description], rel.fetchall())
         assert s == d, f"{name} diverges on blank docs: {s[:3]} vs {d[:3]}"
+
+
+def test_sampling_determinism_and_append_stability(spark, sf_oracle):
+    """Sample membership must be a pure function of the key: invariant
+    under repartitioning (unlike Spark's native Bernoulli sample) and
+    stable under appends (a row's membership never flips as data grows)."""
+    from spacex_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents").select("doc_id")
+    n_docs = docs.count()
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s2 = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.1).collect()
+    }
+    assert s1 == s2  # layout-invariant
+    half = docs.filter(F.col("doc_id") < 250)
+    sh = {r.doc_id for r in deterministic_sample(half, "doc_id", 0.1).collect()}
+    assert sh == {d for d in s1 if d < 250}  # append-stable
+    assert 0.03 < len(s1) / n_docs < 0.25  # roughly the asked rate
+
+    sp = split_assign(docs, "doc_id", val_pct=0.05, test_pct=0.05)
+    counts = {
+        r["split"]: r["n"]
+        for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(counts.values()) == n_docs  # exhaustive + disjoint
+    assert counts.get("train", 0) > counts.get("val", 0)
