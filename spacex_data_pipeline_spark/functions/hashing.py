@@ -43,6 +43,21 @@ def shingles_from_words(words: Column, k: int) -> Column:
     )
 
 
+def shingle_hashes_from_words(words: Column, k: int) -> Column:
+    """Distinct xxhash64 k-shingle hashes from a MATERIALIZED token array —
+    the string-free twin of :func:`shingles_from_words` for consumers that
+    only ever join/count on the shingle (Jaccard): the k word columns feed
+    multi-arg xxhash64 directly, skipping concat_ws entirely, and
+    array_distinct dedups 8-byte longs instead of strings. Distinctness
+    stays LOCAL (per-row array), so no extra shuffle is introduced."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = lambda i: F.xxhash64(*[F.element_at(words, i + j + 1) for j in range(k)])  # noqa: E731
+    return F.array_distinct(
+        F.when(n >= k, F.transform(idx, sh)).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a raw text column — convenience form for
     small inputs/tests. Hot paths should project ``split(normalize_text)``

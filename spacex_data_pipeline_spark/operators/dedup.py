@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_keys, normalize_text, shingles_from_words
+from ..functions.hashing import (
+    band_keys,
+    normalize_text,
+    shingle_hashes_from_words,
+    shingles_from_words,
+)
 
 
 def exact_dedup_first(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -124,12 +129,18 @@ def ngram_jaccard_pairs(
     """
     # Join on the 8-byte xxhash64 of the shingle, not the ~30-byte string:
     # Jaccard needs only the COUNT of shared shingles, so the key value is
-    # immaterial — long keys shrink the shuffle ~4× and compare in one
-    # instruction in the sort-merge. Collision risk at 64 bits is
-    # birthday(|distinct shingles|)²/2⁶⁵ ≈ 1e-9 at sf0.1 — far below any
-    # operational concern (and a collision would only nudge one `inter`).
-    sh = shingle_docs(docs, id_col, text_col, k).select(
-        F.col(id_col), F.xxhash64("shingle").alias("h")
+    # immaterial — long keys shrink the shuffle ~4×, compare in one
+    # instruction in the sort-merge, and the shingle STRING is never even
+    # built (multi-arg xxhash64 straight from the word columns). Collision
+    # risk at 64 bits is birthday(|distinct shingles|)²/2⁶⁵ ≈ 1e-9 at
+    # sf0.1 — far below operational concern (a collision would only nudge
+    # one `inter`).
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
