@@ -2403,6 +2403,44 @@ def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_view_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+    tags=("join", "interval", "timeseries"),
+)
+def interval_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every purchase paired with the same user's
+    views from the preceding hour — the attribution join. Equi on
+    user_id (the shuffle key) + a time-range residual predicate, so this
+    is a hash/merge join with a post-filter, never a cartesian. The
+    streaming twin (streaming/joins.py) runs the same condition as a
+    watermarked stream-stream join and is replay-tested equal."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id", "view_id", "user_id")
+    )
+
+
+@register(
     "asof_join_last_purchase",
     oracle="""
     WITH r AS (

@@ -1,0 +1,54 @@
+"""Stream-stream joins — the remaining Structured Streaming join surface.
+
+The canonical attribution shape: join a purchase stream to the view
+stream of the same user within a trailing time interval. Both sides are
+watermarked so Spark can bound the join STATE: a view older than
+(watermark + interval) can never match a future purchase and is evicted —
+without the time bounds the state store grows without limit, which is the
+stream-stream-join scale failure mode. The batch twin
+(``interval_join_view_purchase`` in queries.py) is oracle-checked, and the
+streaming replay is proven equal to it in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def view_purchase_interval_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Purchases joined to same-user views from the preceding hour.
+
+    One watermarked source split into two sides; the join condition
+    carries BOTH the user equality (the shuffle key) and the event-time
+    interval (the state-eviction bound).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = user_id AND "
+            "v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+        "inner",
+    )
+    return joined.select("purchase_id", "view_id", "user_id")

@@ -79,6 +79,32 @@ def test_stream_hopping_matches_batch(spark, sf_oracle, landed_events, tmp_path)
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_oracle, landed_events, tmp_path):
+    """Watermarked stream-stream interval join replayed over the full
+    stream == the batch interval join (itself oracle-checked)."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.joins import (
+        view_purchase_interval_join_stream,
+    )
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        view_purchase_interval_join_stream(stream),
+        str(tmp_path / "ckpt_ssj"),
+        "ssj_out",
+        output_mode="append",
+    )
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.table("ssj_out").collect()
+    }
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in REGISTRY["interval_join_view_purchase"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want
+
+
 def test_stream_sessions_match_batch_sessionize(spark, sf_oracle, landed_events, tmp_path):
     """Built-in session_window grouping == hand-rolled lag/cumsum batch
     sessionization: same (user, session_start, n_events) triples."""
