@@ -2403,6 +2403,48 @@ def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_running_distinct_users",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, ts,
+           CAST(SUM(first_seen) OVER (ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_users_so_far
+    FROM f
+    """,
+    tags=("window", "distinct", "timeseries"),
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) over event time — not directly
+    expressible as a window aggregate in any SQL engine; the scalable
+    form is first-occurrence flagging (one shuffle on user) + a running
+    sum (one global time order). The global cumulative window is the
+    honest cost of a global running metric; per-key variants partition
+    it away."""
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(
+            "event_id",
+            "ts",
+            F.sum("first_seen").over(w_run).cast("long").alias("distinct_users_so_far"),
+        )
+    )
+
+
+@register(
     "interval_join_view_purchase",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
