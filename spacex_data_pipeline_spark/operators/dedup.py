@@ -425,7 +425,10 @@ def embedding_cosine_pairs(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
+        # explicit NaN guard: BOTH Spark and DuckDB order NaN above every
+        # number, so `NaN >= t` is TRUE in each — an undefined cosine
+        # (zero-norm side) must never count as a near-dup
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -510,9 +513,13 @@ def embedding_cosine_pairs_blocked(
             return empty
         ma = np.vstack(a_rows["v"].to_numpy()).astype(np.float64)
         mb = np.vstack(b_rows["v"].to_numpy()).astype(np.float64)
-        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
-        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-        sims = ma @ mb.T
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm rows become NaN rows; NaN >= margin is False, so
+            # they simply produce no candidates (matches the exact path,
+            # where cosine_sim pins zero-denominator to NaN)
+            ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            sims = ma @ mb.T
         ids_a = a_rows["id"].to_numpy()
         ids_b = b_rows["id"].to_numpy()
         mask = sims >= margin
@@ -534,7 +541,7 @@ def embedding_cosine_pairs_blocked(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cosine") >= threshold)
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -568,6 +575,6 @@ def embedding_cosine_pairs_ivf(
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("id_a", "id_b", "cosine")
     )

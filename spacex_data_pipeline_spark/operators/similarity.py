@@ -47,7 +47,12 @@ def norm_ltr(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot_ltr(a, b) / (norm_ltr(a) * norm_ltr(b))
+    """Cosine with the zero-vector edge pinned: a zero-norm side yields
+    NaN (exactly what DuckDB's 0/0 produces — hash-identical), instead of
+    letting Spark 4's ANSI mode throw DIVIDE_BY_ZERO. NaN is excluded by
+    any `>= threshold` cut in both engines."""
+    denom = norm_ltr(a) * norm_ltr(b)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(dot_ltr(a, b) / denom)
 
 
 def cosine_topk(

@@ -913,6 +913,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.35
+      AND NOT isnan({_COS_SQL.format(a="a.embedding", b="b.embedding")})
     """,
     tags=("extension", "dedup", "similarity"),
 )
@@ -951,7 +952,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine
       FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35 AND NOT isnan(cosine)
     """,
     tags=("extension", "dedup", "similarity"),
 )

@@ -282,3 +282,27 @@ def test_sampling_determinism_and_append_stability(spark, sf_oracle):
     }
     assert sum(counts.values()) == n_docs  # exhaustive + disjoint
     assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_zero_vector_cosine_edge(spark):
+    """A zero-norm embedding must neither crash (ANSI divide-by-zero) nor
+    leak into near-dup results via NaN's above-everything comparison
+    semantics (both Spark and DuckDB evaluate NaN >= t as TRUE — the
+    operators filter NaN explicitly). All three execution paths agree."""
+    rows = [(0, [0.0] * 64), (1, [1.0] + [0.0] * 63), (2, [1.0] + [0.0] * 63), (3, [0.5] + [0.0] * 63)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    want = [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)]
+    brute = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.9).collect()
+    )
+    tile = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in dedup.embedding_cosine_pairs_blocked(df, threshold=0.9, blocks=4).collect()
+    )
+    assert brute == tile == want
+    ivf = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs_ivf(df, threshold=0.9, n_centroids=2).collect()
+    )
+    assert ivf == [(1, 2), (1, 3), (2, 3)]
