@@ -243,6 +243,8 @@ def test_text_oracles_handle_blank_docs(spark, tmp_path):
         "text_tfidf_top_terms",
         "udtf_chunk_documents",
         "text_redact_pii",  # doc 4 plants an email + phone + IPv4
+        "pack_documents_token_bins",  # blank doc -> 0-token bin entry
+        "split_documents_train_val_test",
     ):
         q = REGISTRY[name]
         res = q.fn(spark, str(tmp_path))
