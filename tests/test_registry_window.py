@@ -1,0 +1,73 @@
+"""Driver-window rotation invariants (VERDICT r2 "next round" #1).
+
+The driver's correctness harness hash-checks exactly the FIRST 50 entries
+of ``queries()`` insertion order. These tests pin the window's
+composition so a refactor can't silently rotate an unverified entry out
+of driver sight, and assert the rotation leaves the registry itself
+intact (same 83 entries, same callables, every entry still covered by
+the local oracle replica in test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
+
+# Entries that had a green driver CORRECTNESS row in r01/r02 and are
+# rotated OUT of the r03 window — their only gate this round is the local
+# replica, which is exactly as strict (rows + schema + value multiset).
+PREVIOUSLY_DRIVER_GREEN = {
+    "fct_events_by_day",
+    "raw_count_orders",
+    "top_years_desc",
+    "semi_customers_with_open_orders",
+    "anti_customers_without_orders",
+    "window_top3_orders_per_customer",
+    "setop_union_customers",
+    "setop_intersect_customers",
+    "setop_except_customers",
+    "distinct_status_priority",
+    "rollup_orders",
+    "cube_lineitem_flags",
+    "pivot_priority_by_status",
+    "scalar_functions_part",
+    "scalar_dates_orders",
+    "filter_pushdown_lineitem",
+    "count_distinct_customers_by_status",
+    "median_quantity_by_flag",
+    "approx_distinct_parts",
+    "approx_quantiles_lineitem",
+    "dedup_latest_order_per_customer",
+    "text_stats_docs",
+    "text_quality_docs",
+    "text_langid_docs",
+    "text_fingerprints_docs",
+    "multimodal_media_meta",
+    "left_join_customer_order_stats",
+    "full_outer_year_activity",
+    "cross_join_region_status",
+    "subquery_above_nation_avg",
+    "having_active_customers",
+    "string_predicates_part",
+    "order_nulls_and_offset",
+}
+
+
+def test_window_is_the_first_50_entries():
+    assert len(DRIVER_WINDOW) == 50
+    assert list(queries())[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_covers_every_never_driver_checked_entry():
+    """Everything outside the window must have a prior driver-green row —
+    i.e. no entry may end the round with zero driver verification ever."""
+    outside = set(REGISTRY) - set(DRIVER_WINDOW)
+    assert outside == PREVIOUSLY_DRIVER_GREEN
+
+
+def test_rotation_preserves_the_registry():
+    assert len(REGISTRY) == 83
+    assert len(set(DRIVER_WINDOW)) == 50
+    # every windowed entry is oracle-backed (the driver records a full
+    # rows+schema+hash row for each, never the weaker rows-only check)
+    missing_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert not missing_oracle
