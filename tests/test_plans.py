@@ -88,6 +88,8 @@ SANCTIONED_PYTHON = {
     "applyinpandas_zscore",
     "udtf_chunk_documents",
     "dedup_embedding_cosine",
+    "similarity_topk_cosine",  # BLAS tile prefilter (r3)
+    "similarity_ann_lsh",  # BLAS bucket assignment + tile prefilter (r3)
 }
 
 
