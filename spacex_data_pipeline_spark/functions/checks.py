@@ -41,12 +41,27 @@ def not_null(col: str) -> Check:
 
 def unique(*cols: str) -> Check:
     """dbt ``unique`` (multi-column capable): rows beyond the first per
-    key. Counted as total − distinct keys in the same aggregate pass —
-    no extra groupBy job. NULL fields participate via the struct wrapper
-    (a struct of NULLs is still one distinct key)."""
+    key, counted as non-NULL-keyed rows − distinct non-NULL keys in the
+    same aggregate pass — no extra groupBy job.
+
+    NULL semantics follow dbt's unique test, which ignores NULL keys
+    entirely (its generated SQL groups over ``WHERE col IS NOT NULL``):
+    a key with ANY NULL field is excluded from BOTH the row count and
+    the distinct count — matching ``COUNT(col) − COUNT(DISTINCT col)``
+    in SQL, which is what the data_quality_orders oracle computes
+    (ADVICE r2: the previous struct wrapper counted NULL keys as one
+    distinct value and silently diverged from that oracle on any NULL).
+    NULL-key presence itself is the ``not_null`` check's job."""
+    key_ok = F.lit(True)
+    for c in cols:
+        key_ok = key_ok & F.col(c).isNotNull()
+    key = F.struct(*[F.col(c) for c in cols])
     return Check(
         "unique:" + ",".join(cols),
-        F.count(F.lit(1)) - F.countDistinct(F.struct(*[F.col(c) for c in cols])),
+        F.sum(F.when(key_ok, 1).otherwise(0))
+        # countDistinct skips NULL inputs, so the when() without otherwise
+        # drops NULL-keyed rows from the distinct side too
+        - F.countDistinct(F.when(key_ok, key)),
     )
 
 

@@ -2548,7 +2548,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT COUNT(*) AS n,
              SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
-             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v1,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v1,
              SUM(CASE WHEN o_orderstatus IS NOT NULL
                        AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v2,
              SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v3

@@ -308,3 +308,45 @@ def test_zero_vector_cosine_edge(spark):
         for r in dedup.embedding_cosine_pairs_ivf(df, threshold=0.9, n_centroids=2).collect()
     )
     assert ivf == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_unique_check_ignores_null_keys(spark):
+    """dbt ``unique`` semantics (ADVICE r2): NULL keys are excluded from
+    both sides of the total−distinct count, so the violation count equals
+    SQL's COUNT(col) − COUNT(DISTINCT col) — the exact expression the
+    data_quality_orders oracle uses. NULL presence is not_null's job."""
+    import duckdb
+
+    from spacex_data_pipeline_spark.functions.checks import (
+        check_results,
+        not_null,
+        unique,
+    )
+
+    rows = [(1,), (1,), (2,), (None,), (None,), (None,)]
+    df = spark.createDataFrame(rows, "k int")
+    got = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in check_results(df, [unique("k"), not_null("k")]).collect()
+    }
+    # 3 non-null rows, 2 distinct non-null keys -> 1 duplicate violation;
+    # the 3 NULLs do NOT count as duplicates of each other (the old
+    # struct-wrapper counting would have reported 3: NULLs collapsed
+    # into one distinct key)
+    assert got["unique:k"] == (1, False)
+    assert got["not_null:k"] == (3, False)
+
+    duck = duckdb.sql(
+        "SELECT COUNT(k) - COUNT(DISTINCT k) FROM (VALUES (1),(1),(2),"
+        "(NULL),(NULL),(NULL)) t(k)"
+    ).fetchone()[0]
+    assert got["unique:k"][0] == duck
+
+    # multi-column: a key with ANY null field is skipped entirely
+    rows2 = [(1, "a"), (1, "a"), (1, None), (1, None), (2, "b")]
+    df2 = spark.createDataFrame(rows2, "k int, s string")
+    got2 = {
+        r.check_name: r.n_violations
+        for r in check_results(df2, [unique("k", "s")]).collect()
+    }
+    assert got2["unique:k,s"] == 1  # only the (1,'a') dup counts
