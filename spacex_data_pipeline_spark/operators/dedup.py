@@ -369,10 +369,13 @@ def connected_components(
     are the sanctioned pattern for iterative fixpoints — the DATA never
     visits the driver).
     """
+    import warnings
+
     sym = edges.select(F.col(left).alias("src"), F.col(right).alias("dst")).union(
         edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.node)
@@ -398,6 +401,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # ADVICE r2: never return unconverged labels silently — a dup
+        # chain with diameter > max_iter would yield non-minimal
+        # components and hash-mismatch the transitive-closure oracle
+        # with no diagnostic pointing here.
+        warnings.warn(
+            f"connected_components did not converge after {max_iter} "
+            f"iterations ({changed} labels still changing); labels are "
+            "an under-merged upper bound — raise max_iter (rounds needed "
+            "= graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 

@@ -819,7 +819,16 @@ _JACCARD_PAIRS_SQL = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2) via
-    shared-shingle equi-join — ground truth for the MinHash variant."""
+    shared-shingle equi-join — ground truth for the MinHash variant.
+
+    Parity caveat (ADVICE r2): the Spark side joins on xxhash64(shingle)
+    longs while the oracle joins on shingle STRINGS, so the hash match
+    is probabilistic — a 64-bit shingle collision (birthday ≈ 1e-9 at
+    sf0.1, growing quadratically with distinct-shingle count) would
+    nudge one `inter` and break the oracle with no tolerance. Accepted:
+    at fixture scales the risk is negligible, and at 100 TB the 4×
+    smaller shuffle key is the right trade — the oracle exists to catch
+    logic bugs, not to re-litigate hash width."""
     from .operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)

@@ -135,3 +135,82 @@ def test_skew_guards_are_noops_at_loose_caps(spark, sf_oracle):
         ).collect()
     }
     assert mh_guarded == mh_base
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """A path graph of diameter d needs ~d rounds of min-label
+    propagation; with max_iter below that the operator must WARN rather
+    than silently return under-merged labels (ADVICE r2)."""
+    import warnings
+
+    from spacex_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(nodes, chain, max_iter=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert len({r.component for r in out}) > 1  # visibly under-merged
+
+    # and with enough rounds: converged, one component, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(nodes, chain, max_iter=n).collect()
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert {r.component for r in out} == {0}
+
+
+def test_caps_drop_only_hot_key_pairs(spark):
+    """Mixed corpus (genuine near-dups + boilerplate-linked docs): a df
+    cap may only REMOVE candidates, and every removed pair must owe at
+    least one shared shingle to the hot set — pairs connected purely by
+    non-hot shingles survive with their jaccard untouched or lowered,
+    never invented (VERDICT r2 'next round' #4 property)."""
+    from spacex_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_docs,
+    )
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = []
+    for i in range(30):  # boilerplate-linked: share ONLY the hot phrase
+        rows.append((i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}"))
+    # genuine near-dup pair with no boilerplate
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=10).collect()
+    }
+    # capped ⊆ uncapped, and no pair's jaccard ever increases
+    assert set(capped) <= set(uncapped)
+    assert all(capped[p] <= uncapped[p] for p in capped)
+    # the genuine pair survives exactly (it shares no hot shingle)
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # every dropped pair is hot-connected: both docs carry a hot shingle
+    sh = shingle_docs(df, "doc_id", "text")
+    from pyspark.sql import functions as SF
+
+    hot_docs = {
+        r.doc_id
+        for r in sh.join(
+            sh.groupBy("shingle").count().filter(SF.col("count") > 10),
+            "shingle",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    dropped = set(uncapped) - set(capped)
+    assert dropped  # the boilerplate pairs did get dropped
+    assert all(a in hot_docs and b in hot_docs for a, b in dropped)
