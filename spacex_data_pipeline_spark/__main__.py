@@ -76,9 +76,17 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
 
     sub.add_parser("list-queries", help="list registered query names")
 
+    pt = sub.add_parser(
+        "tables", help="list warehouse tables (the psql \\dt check twin)"
+    )
+    pt.add_argument("--warehouse", required=True, help="warehouse root directory")
+    pt.add_argument(
+        "--db", default=None, help="restrict to one namespace (e.g. raw, analytics)"
+    )
+
     args = p.parse_args(argv)
 
-    # list-queries needs no Spark session
+    # list-queries / tables need no Spark session
     if args.cmd == "list-queries":
         from .queries import REGISTRY
 
@@ -86,6 +94,34 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
             kind = "oracle" if q.oracle else "rows-only"
             print(f"{name}\t{kind}\t{','.join(q.tags)}")
         return 0
+
+    if args.cmd == "tables":
+        # The reference's sanity check is `\dt analytics.*` in psql
+        # (README.md:103); the warehouse here is path-based namespaces of
+        # parquet tables (plans/warehouse.py), so the listing is a
+        # directory walk — a metadata operation that must not need a JVM.
+        import os
+
+        root = args.warehouse
+        if not os.path.isdir(root):
+            print(f"no warehouse at {root!r}", file=sys.stderr)
+            return 2
+        found = False
+        for schema in sorted(os.listdir(root)):
+            if args.db is not None and schema != args.db:
+                continue
+            schema_dir = os.path.join(root, schema)
+            if not os.path.isdir(schema_dir):
+                continue
+            for table in sorted(os.listdir(schema_dir)):
+                tdir = os.path.join(schema_dir, table)
+                if os.path.isdir(tdir) and any(
+                    f == "_SUCCESS" or f.endswith(".parquet")
+                    for f in os.listdir(tdir)
+                ):
+                    print(f"{schema}.{table}")
+                    found = True
+        return 0 if found else 1
 
     from .session import build_session
 

@@ -60,3 +60,24 @@ def test_cli_query_and_listing(spark, sf_oracle, capsys):
     listing = capsys.readouterr().out
     assert "fct_orders_by_year" in listing and "oracle" in listing
     assert main(["query", "nope_not_a_query"], _spark=spark) == 2
+
+
+def test_cli_tables_lists_warehouse_after_build(spark, tmp_path, capsys):
+    """The `\\dt analytics.*` twin (reference README.md:103): after a
+    build, `tables` lists both namespaces; `--db` filters; an empty or
+    missing warehouse is a clean nonzero exit, not a traceback."""
+    inp = _payload_file(tmp_path)
+    wh = str(tmp_path / "wh")
+    assert main(["build", "--input", inp, "--warehouse", wh], _spark=spark) == 0
+    capsys.readouterr()
+
+    assert main(["tables", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "raw.spacex_launches" in out
+    assert "analytics.fct_spacex_launches_by_year" in out
+
+    assert main(["tables", "--warehouse", wh, "--db", "analytics"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["analytics.fct_spacex_launches_by_year"]
+
+    assert main(["tables", "--warehouse", str(tmp_path / "nope")]) == 2
