@@ -79,16 +79,24 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
 
 
 def real_decoder(payload: bytes) -> tuple[int, int]:
-    """Where a real image decode would go. The container has no imaging
-    libs — gated, not silently faked."""
+    """Real image decode — (width, height) via Pillow where it exists.
+
+    The build container ships no imaging libs, so the import gate raises
+    NotImplementedError there (honest, not silently faked) and the
+    Pillow-path test carries a skip marker; on a cluster image WITH
+    Pillow this decodes for real. Same mapInPandas plumbing either way —
+    swap this in for decode_image_meta's arithmetic in the batch loop."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "real image decode requires Pillow; this environment ships none — "
             "use decode_image_meta's deterministic fake for plumbing tests"
         ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload)).size here")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.size
 
 
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:

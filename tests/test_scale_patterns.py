@@ -214,3 +214,56 @@ def test_caps_drop_only_hot_key_pairs(spark):
     dropped = set(uncapped) - set(capped)
     assert dropped  # the boilerplate pairs did get dropped
     assert all(a in hot_docs and b in hot_docs for a, b in dropped)
+
+
+def test_hof_cosine_confined_to_sanctioned_call_sites():
+    """cosine_sim's aggregate/zip_with form is CodegenFallback —
+    interpreted per row — so it may only score SMALL candidate sets: the
+    exact re-score after a BLAS prefilter, bounded probe/cell scans, or
+    the clearly-labeled brute-force test baseline. AST-scan every call
+    site in the package against the allowlist so a future query can't
+    quietly reintroduce per-corpus HOF scoring (VERDICT r2 #7)."""
+    import ast
+    import pathlib
+
+    import spacex_data_pipeline_spark as pkg_mod
+
+    allow = {
+        # exact re-score of BLAS-tile candidates (bounded by tiles*k)
+        ("operators/similarity.py", "_exact_rescore_topk"),
+        # n_probe cells per query — bounded candidate scan
+        ("operators/similarity.py", "ivf_topk"),
+        # brute-force O(n^2) TEST BASELINE, never registered
+        ("operators/dedup.py", "embedding_cosine_pairs"),
+        # exact re-score of the BLAS tile prefilter's candidates
+        ("operators/dedup.py", "embedding_cosine_pairs_blocked"),
+        # in-cell scoring, bounded by cell size (SemDeDup shape)
+        ("operators/dedup.py", "embedding_cosine_pairs_ivf"),
+    }
+    pkg = pathlib.Path(pkg_mod.__file__).parent
+    found = set()
+
+    class Visitor(ast.NodeVisitor):
+        def __init__(self, rel):
+            self.rel = rel
+            self.stack = []
+
+        def visit_FunctionDef(self, node):
+            self.stack.append(node.name)
+            self.generic_visit(node)
+            self.stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef
+
+        def visit_Call(self, node):
+            fn = node.func
+            name = getattr(fn, "id", None) or getattr(fn, "attr", None)
+            if name == "cosine_sim":
+                found.add((self.rel, self.stack[-1] if self.stack else "<module>"))
+            self.generic_visit(node)
+
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        Visitor(rel).visit(ast.parse(py.read_text()))
+
+    assert found <= allow, f"unsanctioned HOF-cosine call sites: {found - allow}"
