@@ -570,27 +570,58 @@ def embedding_cosine_pairs_ivf(
     n_centroids: int = 16,
 ) -> DataFrame:
     """Cluster-then-dedup (SemDeDup shape): assign every vector to its
-    nearest IVF cell (O(n·C), one pass, deterministic centroids), then
-    compute exact cosine only WITHIN cells — the sub-quadratic embedding
-    near-dup path for 100 TB. Approximate by design (cross-cell pairs are
-    never compared), but fully deterministic, so the whole pipeline is
-    hash-oracle-checkable in SQL. At scale the cell id doubles as the
-    storage partition key: each task reads one cell, compute is
-    Σ|cell|² ≪ n² for any reasonable clustering.
+    nearest IVF cell (O(n·C), one BLAS map pass, deterministic
+    centroids), then exact cosine only WITHIN cells — the sub-quadratic
+    embedding near-dup path for 100 TB. Approximate by design (cross-cell
+    pairs are never compared), but fully deterministic, so the whole
+    pipeline is hash-oracle-checkable in SQL. At scale the cell id
+    doubles as the storage partition key: each task reads one cell,
+    compute is Σ|cell|² ≪ n² for any reasonable clustering.
+
+    In-cell scoring uses the same BLAS-tile-prefilter + exact-LTR-
+    re-score shape as :func:`embedding_cosine_pairs_blocked` (one
+    similarity matmul per cell, candidates at threshold − 1e-6, the
+    exact fold alone decides the emitted values) instead of the r2
+    per-pair interpreted HOF — Σ|cell|² interpreted cosines was the one
+    corpus-scale HOF path left after r2.
     """
+    import numpy as np
+    import pandas as pd
+
     from .similarity import cosine_sim, ivf_assign_cells
 
     assigned, _ = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
-    a = assigned.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    margin = threshold - 1e-6
+
+    def cell_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # nested def: cloudpickle ships it by value
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm rows → NaN sims → no candidates, matching the
+            # exact path's NaN exclusion
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ mat.T
+        mask = (sims >= margin) & np.less.outer(ids, ids)
+        ia, ib = np.nonzero(mask)
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        cell_tile, schema="id_a long, id_b long"
     )
-    b = assigned.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
         .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("id_a", "id_b", "cosine")
     )

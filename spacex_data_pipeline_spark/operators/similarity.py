@@ -372,10 +372,24 @@ def ivf_assign_cells(
     Centroids are the first ``n_centroids`` vectors by id — deterministic
     and RNG-free; a production build would k-means them, but the
     partition/probe mechanics (the part that matters for the engine) are
-    identical. Assignment = corpus × broadcast(centroids) → per-vector
-    argmax dot — the standard O(N·C) IVF build, one pass, no corpus
-    shuffle. Returns (assigned, centroids).
+    identical. Assignment is one MAP pass: the centroid set rides along
+    as a single packed broadcast row and each Arrow batch computes its
+    n×C affinity tile with one matmul — the standard O(N·C) IVF build
+    with NO shuffle at all (r2's formulation shuffled n×C rows through a
+    per-vector window, and its per-pair HOF dots were interpreted).
+
+    Exactness: the oracle replicates assignment as ROW_NUMBER over
+    (left-to-right aff DESC, cell). A BLAS winner ahead by > 1e-9 cannot
+    be flipped by BLAS-vs-LTR reorder error (~1e-13); rows whose top
+    cells land within 1e-9 of each other (exact duplicates of a
+    centroid-tie, zero vectors) are re-accumulated left-to-right and
+    decided on those exact values with the min-cell tie-break — so the
+    chosen cell is bit-identical to the window formulation and the SQL
+    oracle. Returns (assigned, centroids).
     """
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
     # Cell ids must be DETERMINISTIC (rank by id), not
@@ -391,14 +405,49 @@ def ivf_assign_cells(
             F.col(vec_col).alias("cv"),
         )
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "aff", dot_ltr(F.col(vec_col), F.col("cv"))
+    packed = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("__cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cell"))
+
+    def assign(batches):
+        # nested def: cloudpickle ships it by value
+        cmat = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cmat is None:
+                cent_rows = pdf["__cents"].iloc[0]
+                cmat = np.vstack(
+                    [np.asarray(c["cv"], dtype=np.float64) for c in cent_rows]
+                )  # sorted by cell: row index == cell id
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            affs = mat @ cmat.T  # (n, C)
+            best = affs.max(axis=1, keepdims=True)
+            cells = np.argmax(affs, axis=1)  # first max == min cell
+            near = np.nonzero((affs >= best - 1e-9).sum(axis=1) > 1)[0]
+            for r in near:  # exact LTR decision for near-ties only
+                cand = np.nonzero(affs[r] >= best[r, 0] - 1e-9)[0]
+                exact = []
+                for c in cand:
+                    acc = 0.0
+                    for j in range(mat.shape[1]):
+                        acc += mat[r, j] * cmat[c, j]
+                    exact.append(acc)
+                exact = np.asarray(exact)
+                cells[r] = cand[np.argmax(exact)]  # first max == min cell
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype(np.int32),
+                }
+            )
+
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(packed))
+        .mapInPandas(assign, schema=f"{id_col} long, {vec_col} {vec_type}, cell int")
     )
     return assigned, cents
 
@@ -416,6 +465,11 @@ def ivf_topk(
     nearest cells. The partition-pruned ANN shape: at 100 TB the cell id is
     the storage partition key and a query reads n_probe partitions, not the
     corpus. Recall rises with n_probe (== exact when n_probe = n_centroids).
+
+    Probe selection stays on the exact interpreted dot (|queries|×C rows
+    — trivially small); the in-cell candidate scoring — the
+    corpus-fraction hot path — goes through the BLAS batch tile + exact
+    re-score, so results remain bit-identical to the all-HOF form.
     """
     from pyspark.sql import Window
 
@@ -432,18 +486,14 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    cand = assigned.join(F.broadcast(probes), "cell").filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    scored = cand.withColumn("cosine", cosine_sim(F.col("qv"), F.col(vec_col)))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
+            "qv",
             F.col(id_col).alias("neighbor_id"),
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
+            F.col(vec_col).alias("nv"),
         )
     )
+    return _exact_rescore_topk(_batch_topk_candidates(pairs, k), k)

@@ -90,6 +90,8 @@ SANCTIONED_PYTHON = {
     "dedup_embedding_cosine",
     "similarity_topk_cosine",  # BLAS tile prefilter (r3)
     "similarity_ann_lsh",  # BLAS bucket assignment + tile prefilter (r3)
+    "similarity_ivf_topk",  # BLAS cell assignment + tile prefilter (r3)
+    "dedup_embedding_cosine_ivf",  # BLAS cell assignment + cell tiles (r3)
 }
 
 
@@ -164,3 +166,14 @@ def test_corr_prunes_to_three_columns_single_shuffle(spark, sf):
     assert "l_quantity" in read and "l_extendedprice" in read
     assert "l_shipdate" not in read and "l_orderkey" not in read
     assert _shuffle_count(plan) == 1
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf):
+    """The IVF build must be a pure map: packed broadcast centroids +
+    per-batch BLAS argmax — zero Exchange nodes (the r2 formulation
+    shuffled corpus×centroids rows through a per-vector window)."""
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.similarity import ivf_assign_cells
+
+    assigned, _ = ivf_assign_cells(catalog.table(spark, sf, "embeddings"))
+    assert _shuffle_count(plan_of(assigned)) == 0

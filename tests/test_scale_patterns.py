@@ -231,8 +231,6 @@ def test_hof_cosine_confined_to_sanctioned_call_sites():
     allow = {
         # exact re-score of BLAS-tile candidates (bounded by tiles*k)
         ("operators/similarity.py", "_exact_rescore_topk"),
-        # n_probe cells per query — bounded candidate scan
-        ("operators/similarity.py", "ivf_topk"),
         # brute-force O(n^2) TEST BASELINE, never registered
         ("operators/dedup.py", "embedding_cosine_pairs"),
         # exact re-score of the BLAS tile prefilter's candidates
