@@ -417,6 +417,46 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training doc that shares at
+    least one word-k-gram with the held-out benchmark/eval set — the
+    overlap-removal step every serious LLM training pipeline runs before
+    training (the GPT-3 paper's 13-gram filter is this op at k=13;
+    k defaults lower because the fixture docs are short).
+
+    Returns (id, contaminated BOOLEAN) for every train doc — a flag, not
+    a filtered table, so callers can audit WHAT would drop before
+    dropping it.
+
+    Scale shape: the benchmark is always tiny next to a 100 TB corpus,
+    so its distinct shingle set BROADCASTS; the train side is a narrow
+    tokenize→shingle map feeding a broadcast LEFT SEMI join — the corpus
+    itself never shuffles, and the only exchange is the distinct over
+    hit doc-ids (bounded by the contaminated subset). String shingles,
+    not hashes: the join is broadcast either way, so the 8-byte-key
+    shuffle saving doesn't apply and exact string equality keeps the
+    oracle parity non-probabilistic (contrast ngram_jaccard_pairs).
+    """
+    bsh = shingle_docs(benchmark, id_col, text_col, k).select("shingle").distinct()
+    tsh = shingle_docs(train, id_col, text_col, k)
+    hits = (
+        tsh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return train.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated"),
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -15,7 +15,7 @@ narrow maps (filter/CASE on a scan — no shuffle, fuses into pushdown).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -51,6 +51,36 @@ def stratified_sample(
             thresh
         )
     return df.filter(b < thresh)
+
+
+def shard_and_shuffle(
+    df: DataFrame, key: str, n_shards: int = 8, seed: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global permutation into training shards: every row
+    gets (shard, pos) such that reading shards sequentially visits the
+    corpus in a reproducible pseudo-random order — the global-shuffle
+    step before writing training shards, without ``ORDER BY rand()``'s
+    layout-dependence or a full global sort.
+
+    shard comes from the md5 bucket of the key; pos is the row's rank
+    within its shard under an INDEPENDENTLY seeded md5 (so within-shard
+    order is not correlated with the shard assignment), tie-broken by
+    key. Both are pure key functions: appends never re-deal existing
+    rows' shards, and a re-run on any cluster layout deals identically.
+
+    Scale: ONE shuffle, partitioned by shard (exactly the write layout),
+    each task ranks only its own shard — no global sort barrier. At the
+    extreme where one shard exceeds a task, split pos ranking into
+    (bucket, sub-rank) with a coarser md5 prefix.
+    """
+    pos_h = F.md5(F.concat(F.col(key).cast("string"), F.lit(seed + ":pos")))
+    w = Window.partitionBy("shard").orderBy("__pos_h", key)
+    return (
+        df.withColumn("shard", hash_bucket(F.col(key), seed, n_shards).cast("int"))
+        .withColumn("__pos_h", pos_h)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .drop("__pos_h")
+    )
 
 
 def split_assign(

@@ -2590,6 +2590,70 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+    tags=("extension", "dedup", "text"),
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the held-out
+    eval set; each remaining train doc is flagged if it shares any
+    word-5-gram with that set (operators/dedup.contamination_flags —
+    the overlap filter run before every serious LLM training job).
+    Benchmark shingles broadcast; the corpus never shuffles."""
+    from .operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_flags(train, bench, k=5)
+
+
+@register(
+    "shard_documents_for_training",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::UBIGINT
+                  % 8 AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR) || 'shuffle:pos') AS ph
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS INT) AS pos
+    FROM s
+    """,
+    tags=("extension", "sampling"),
+)
+def shard_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: (shard, pos)
+    are pure md5 functions of the key (independently seeded, so shard
+    assignment and within-shard order don't correlate) — reproducible on
+    any cluster layout, append-stable, no ORDER BY rand() and no global
+    sort; ONE shuffle partitioned exactly like the shard files a trainer
+    would read (operators/sampling.shard_and_shuffle)."""
+    from .operators.sampling import shard_and_shuffle
+
+    return shard_and_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", n_shards=8
+    ).select("doc_id", "shard", "pos")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -2641,7 +2705,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "interval_join_view_purchase",
     "asof_join_last_purchase",
     "data_quality_orders",
-    # -- 17 highest-risk green entries: changed this round or on the
+    # -- new this round (never driver-checked, so windowed immediately) --
+    "decontaminate_docs",
+    "shard_documents_for_training",
+    # -- 15 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -2658,8 +2725,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_events",
     "events_hourly_rollup",
     "window_running_customer_spend",
-    "fct_orders_by_year",
-    "stg_events_typed",
 )
 
 

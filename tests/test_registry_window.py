@@ -16,6 +16,10 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # rotated OUT of the r03 window — their only gate this round is the local
 # replica, which is exactly as strict (rows + schema + value multiset).
 PREVIOUSLY_DRIVER_GREEN = {
+    # fct_orders_by_year additionally re-runs every round as the driver's
+    # entry() smoke query
+    "fct_orders_by_year",
+    "stg_events_typed",
     "fct_events_by_day",
     "raw_count_orders",
     "top_years_desc",
@@ -65,7 +69,7 @@ def test_window_covers_every_never_driver_checked_entry():
 
 
 def test_rotation_preserves_the_registry():
-    assert len(REGISTRY) == 83
+    assert len(REGISTRY) == 85
     assert len(set(DRIVER_WINDOW)) == 50
     # every windowed entry is oracle-backed (the driver records a full
     # rows+schema+hash row for each, never the weaker rows-only check)
