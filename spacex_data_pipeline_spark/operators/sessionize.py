@@ -52,3 +52,54 @@ def sessionize(
         )
         .withColumn("session_id", F.col("session_id").cast("bigint"))
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each stage, where
+    stage i counts only events at/after the user's FIRST reach of stage
+    i-1 (the strict-ordering semantics product funnels mean — a click
+    before any view does not advance the funnel).
+
+    Plan: one filtered min-aggregation per stage, each joined to the
+    previous stage's reach times — all shuffles hash on the same user
+    key, each stage's event scan is type-filtered at the source
+    (predicate pushdown), and the per-stage counts are lazy 1-row
+    aggregates unioned into the result (no driver-side count actions).
+    At 100 TB this is |stages| co-partitioned passes over a
+    type-pruned fraction of the events table.
+    """
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    out = reached.agg(
+        F.lit(0).alias("stage_idx"),
+        F.lit(stages[0]).alias("stage"),
+        F.count(F.lit(1)).alias("users"),
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(reached, user_col)
+            .filter(F.col(ts_col) >= F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        out = out.unionByName(
+            nxt.agg(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+        reached = nxt
+    return out.select(
+        F.col("stage_idx").cast("int"), "stage", F.col("users").cast("long")
+    )

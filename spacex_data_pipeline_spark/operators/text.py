@@ -311,3 +311,63 @@ def chunk_documents(docs: DataFrame, size: int = 16, id_col: str = "doc_id", tex
     return spark.sql(
         f"SELECT c.* FROM __chunk_src, LATERAL __chunk_doc({id_col}, {text_col}) AS c"
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Repetition quality rule (the Gopher/MassiveText family): per doc,
+    the most frequent word n-gram and the fraction of the document's
+    characters it covers — the filter that catches looping/boilerplate
+    generations exact-dedup misses. Returns
+    (id, top_ngram, top_count, char_frac).
+
+    Counts are MULTISET n-gram counts (no array_distinct — repetition is
+    the signal). Ties break on the lexicographically smallest n-gram, so
+    the result is deterministic and SQL-replicable. One shuffle on
+    (id, ngram) for the count, one on id for the arg-max window; the
+    division is a single double op (cross-engine IEEE-identical), with
+    the denominator clamped so an empty doc yields 0.0, not a
+    divide-by-zero.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__len"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+    )
+    w_ = F.col("__words")
+    grams = toks.select(
+        F.col(id_col),
+        F.col("__len"),
+        F.explode(
+            F.when(
+                F.size(w_) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w_) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w_, i + j + 1) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy(id_col, "__len", "ngram").agg(
+        F.count(F.lit(1)).alias("top_count")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("top_count").desc(), F.col("ngram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return top.select(
+        F.col(id_col),
+        F.col("ngram").alias("top_ngram"),
+        F.col("top_count"),
+        (
+            (F.col("top_count") * F.length(F.col("ngram"))).cast("double")
+            / F.greatest(F.col("__len"), F.lit(1))
+        ).alias("char_frac"),
+    )

@@ -2654,6 +2654,77 @@ def shard_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "pos")
 
 
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS len,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, len, w[i] || ' ' || w[i+1] AS ngram
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+    counts AS (
+      SELECT doc_id, len, ngram, COUNT(*) AS top_count
+      FROM grams GROUP BY 1, 2, 3),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY top_count DESC, ngram) AS rn
+        FROM counts) t
+      WHERE rn = 1)
+    SELECT doc_id, ngram AS top_ngram, top_count,
+           CAST(top_count * length(ngram) AS DOUBLE) / greatest(len, 1) AS char_frac
+    FROM top
+    """,
+    tags=("extension", "text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality rule (Gopher/MassiveText family): each doc's
+    most frequent word-2-gram and the character fraction it covers —
+    catches looping/boilerplate text that exact dedup misses
+    (operators/text.repetition_stats). Multiset counts, lexicographic
+    tie-break, single-divide char fraction — fully SQL-replicable."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.t
+      GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+      GROUP BY e.user_id)
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+           (SELECT COUNT(*) FROM s0) AS users
+    UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+    """,
+    tags=("extension", "window", "session"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the clickstream: users reaching view → click
+    (at/after their first view) → purchase (at/after that click) — the
+    strict-ordering product-funnel semantics
+    (operators/sessionize.funnel_counts). Type-pruned scans, all
+    shuffles on the user key, lazy 1-row counts unioned (no driver
+    actions)."""
+    from .operators.sessionize import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -2708,7 +2779,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- new this round (never driver-checked, so windowed immediately) --
     "decontaminate_docs",
     "shard_documents_for_training",
-    # -- 15 highest-risk green entries: changed this round or on the
+    "text_repetition_stats",
+    "funnel_view_click_purchase",
+    # -- 13 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -2720,11 +2793,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
-    "dedup_exact_docs",
     "multimodal_decode",
     "sessionize_events",
     "events_hourly_rollup",
-    "window_running_customer_spend",
 )
 
 
