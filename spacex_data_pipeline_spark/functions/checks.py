@@ -86,6 +86,43 @@ def expect(col_predicate: Column, name: str) -> Check:
     )
 
 
+def relationship_violations(
+    df: DataFrame, col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """dbt ``relationships`` test — the fourth of dbt's built-in test
+    vocabulary (not_null / unique / accepted_values / relationships):
+    non-NULL child keys with no matching parent row. Unlike the
+    single-pass checks this one needs a join, so it returns its own
+    one-row result in ``check_results``'s schema — union the two for a
+    full report.
+
+    Scale shape: LEFT ANTI against the parent's DISTINCT keys — the
+    parent side collapses to its key column before the join (column
+    pruning reaches the scan), broadcasts when small, and the child
+    never carries payload through the join. NULL child keys are skipped,
+    matching dbt (they're not_null's job)."""
+    orphans = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col))
+        .join(
+            parent.select(F.col(parent_col).alias(col)).distinct(),
+            col,
+            "left_anti",
+        )
+    )
+    name = f"relationships:{col}"
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).crossJoin(
+        orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    ).select(
+        F.lit(name).alias("check_name"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 def check_results(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run every check in ONE aggregate pass over ``df``.
 

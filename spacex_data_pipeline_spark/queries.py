@@ -2725,6 +2725,97 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "data_quality_relationships",
+    oracle="""
+    WITH o AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n,
+             (SELECT COUNT(*) FROM orders x
+              LEFT JOIN customer c ON x.o_custkey = c.c_custkey
+              WHERE x.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS v),
+    l AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+             (SELECT COUNT(*) FROM lineitem x
+              LEFT JOIN supplier s ON x.l_suppkey = s.s_suppkey
+              WHERE x.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL) AS v)
+    SELECT 'relationships:o_custkey' AS check_name, n AS n_rows,
+           CAST(v AS BIGINT) AS n_violations, v = 0 AS passed FROM o
+    UNION ALL
+    SELECT 'relationships:l_suppkey', n, CAST(v AS BIGINT), v = 0 FROM l
+    """,
+    tags=("extension", "quality", "join"),
+)
+def data_quality_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's fourth built-in test — ``relationships`` (referential
+    integrity): orders→customer and lineitem→supplier orphan counts in
+    check_results' report schema (functions/checks.py). Completes the
+    dbt test vocabulary the reference declares but never ships
+    (dbt_project.yml:9). Left-anti against distinct parent keys; the
+    child table never carries payload through the join."""
+    from .functions.checks import relationship_violations
+
+    o = relationship_violations(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey",
+    )
+    li = relationship_violations(
+        _t(spark, sf_dir, "lineitem"), "l_suppkey",
+        _t(spark, sf_dir, "supplier"), "s_suppkey",
+    )
+    return o.unionByName(li)
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey),
+    tiled AS (
+      SELECT o_custkey, spend,
+             NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend)
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS customers,
+           MIN(spend) AS min_spend,
+           MAX(spend) AS max_spend,
+           CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_spend
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+    tags=("extension", "window", "agg"),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile table of customer lifetime spend — the NTILE bucketing
+    surface (equal-count tiles, earlier tiles absorb remainders, total
+    order pinned by the unique key so tiling is deterministic). Spend
+    and the per-decile average go through the exact-decimal-sum route;
+    min/max pick already-snapped doubles.
+
+    Scale note: an unpartitioned NTILE is a single-task window — fine
+    here because the input is already one row per CUSTOMER (the
+    billions of fact rows were reduced by the groupBy first), but at
+    extreme key cardinality swap exact NTILE for approx_percentile
+    boundaries + a range bucket join."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            (F.sum(dec("spend")).cast("double") / F.count(F.lit(1))).alias("avg_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -2781,7 +2872,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shard_documents_for_training",
     "text_repetition_stats",
     "funnel_view_click_purchase",
-    # -- 13 highest-risk green entries: changed this round or on the
+    "data_quality_relationships",
+    "customer_spend_deciles",
+    # -- 11 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -2794,8 +2887,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
     "multimodal_decode",
-    "sessionize_events",
-    "events_hourly_rollup",
 )
 
 

@@ -22,6 +22,8 @@ PREVIOUSLY_DRIVER_GREEN = {
     "stg_events_typed",
     "dedup_exact_docs",
     "window_running_customer_spend",
+    "sessionize_events",
+    "events_hourly_rollup",
     "fct_events_by_day",
     "raw_count_orders",
     "top_years_desc",
@@ -71,7 +73,7 @@ def test_window_covers_every_never_driver_checked_entry():
 
 
 def test_rotation_preserves_the_registry():
-    assert len(REGISTRY) == 87
+    assert len(REGISTRY) == 89
     assert len(set(DRIVER_WINDOW)) == 50
     # every windowed entry is oracle-backed (the driver records a full
     # rows+schema+hash row for each, never the weaker rows-only check)
