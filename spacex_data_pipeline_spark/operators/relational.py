@@ -91,12 +91,22 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Distributed AS-OF join: for every left row, the most recent right
-    row of the same key with ``right_ts <= left_ts``. Equal-timestamp
-    ties resolve to the greatest payload tuple (struct compare, field
-    order) — pass a unique id as the first payload column to make the
-    match deterministic.
+    """Distributed AS-OF join with pandas ``merge_asof`` semantics:
+
+    - ``direction='backward'`` (default): the most recent right row of
+      the same key with ``right_ts <= left_ts``; equal-timestamp ties
+      resolve to the GREATEST payload tuple (struct compare, field
+      order) — pass a unique id as the first payload column to make the
+      match deterministic.
+    - ``direction='forward'``: the earliest right row with
+      ``right_ts >= left_ts``; equal-ts ties resolve to the LEAST
+      payload tuple.
+    - ``tolerance_seconds``: matches farther than this from ``left_ts``
+      are nulled out (exact timestamp-interval arithmetic, no epoch
+      truncation), exactly merge_asof's ``tolerance``.
 
     Spark has no asof operator; the naive formulation (range-condition
     join + per-left max) explodes to |key-group|² rows. The scalable
@@ -114,32 +124,60 @@ def as_of_join(
 
     Data moved is |left|+|right| rows exactly once — the same shuffle a
     plain equi-join would pay — and the window is a single running
-    last-value, no range scan. At 100 TB both inputs arrive partitioned
-    by key; AQE handles hot keys.
+    last-value (first-value for forward), no range scan. At 100 TB both
+    inputs arrive partitioned by key; AQE handles hot keys. The
+    tolerance is a post-filter on the matched row's timestamp (carried
+    inside the payload struct), so it adds no join or window cost.
     """
-    pay = F.struct(*[F.col(c) for c in payload])
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    # __rts rides LAST in the struct: tie-breaks stay on the payload
+    # columns, and the tolerance filter reads the matched row's ts
+    pay = F.struct(*[F.col(c) for c in payload], F.col(right_ts).alias("__rts"))
+    backward = direction == "backward"
+    # ordering must place every ELIGIBLE right row inside the left row's
+    # frame at equal timestamps: right-before-left for backward
+    # (preceding frame), left-before-right for forward (following frame)
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(0 if backward else 1).alias("__side"),
         pay.alias("__p"),
     )
+    left_side = 1 if backward else 0
     l = (
         left.withColumn("__k", F.col(left_on))
         .withColumn("__ts", F.col(left_ts))
-        .withColumn("__side", F.lit(1))
+        .withColumn("__side", F.lit(left_side))
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side", "__p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side") == 1).drop("__k", "__ts", "__side", "__p")
+    if backward:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side", "__p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side", "__p")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = u.withColumn("__asof", F.first("__p", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == left_side).drop("__k", "__side", "__p")
+    matched = F.col("__asof")
+    if tolerance_seconds is not None:
+        tol = F.make_dt_interval(secs=F.lit(tolerance_seconds))
+        rts = F.col("__asof").getField("__rts")
+        within = (
+            (rts >= F.col("__ts") - tol) if backward else (rts <= F.col("__ts") + tol)
+        )
+        matched = F.when(within, F.col("__asof"))
+    out = out.withColumn("__m", matched).drop("__ts", "__asof")
     for c in payload:
-        out = out.withColumn(f"asof_{c}", F.col("__asof").getField(c))
-    return out.drop("__asof")
+        out = out.withColumn(f"asof_{c}", F.col("__m").getField(c))
+    return out.drop("__m")
 
 
 def salted_join(

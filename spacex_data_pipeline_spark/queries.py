@@ -2816,6 +2816,54 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_next_purchase",
+    oracle="""
+    WITH r AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT l.event_id, l.user_id, l.ts, min(r.p_ts) AS asof_p_ts
+      FROM events l LEFT JOIN r
+        ON r.user_id = l.user_id AND r.p_ts >= l.ts
+           AND r.p_ts <= l.ts + INTERVAL 1 HOUR
+      GROUP BY 1, 2, 3)
+    SELECT m.event_id, m.user_id, m.ts, m.asof_p_ts,
+           min(r.p_id) AS asof_p_id
+    FROM m LEFT JOIN r
+      ON r.user_id = m.user_id AND r.p_ts = m.asof_p_ts
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("join", "asof", "extension"),
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas merge_asof
+    direction='forward', tolerance='1h'): for every event, the user's
+    next purchase within the following hour — conversion attribution.
+    Same union + ordered-window shape as the backward variant (one key
+    shuffle, no range join); the tolerance is exact timestamp-interval
+    arithmetic applied as a post-filter. The oracle states the
+    semantics via independent relational algebra (min-ts-then-min-id
+    inside the window), cross-checking the window formulation against a
+    different algorithm."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    out = relational.as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["p_ts", "p_id"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "ts", "asof_p_ts", "asof_p_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -2874,7 +2922,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "data_quality_relationships",
     "customer_spend_deciles",
-    # -- 11 highest-risk green entries: changed this round or on the
+    "asof_join_next_purchase",
+    # -- 10 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -2883,7 +2932,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",
     "dedup_minhash_lsh_verify",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
     "multimodal_decode",

@@ -154,10 +154,11 @@ def test_asof_join_is_one_shuffle_one_window(spark, sf):
     """The as-of join must compile to union → ONE key exchange → ONE
     running-last window — never a range-condition join (which would
     explode per-key) or a second shuffle."""
-    plan = plan_of(REGISTRY["asof_join_last_purchase"].fn(spark, sf))
-    assert _shuffle_count(plan) == 1
-    assert "Window" in plan
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    for name in ("asof_join_last_purchase", "asof_join_next_purchase"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf))
+        assert _shuffle_count(plan) == 1, name
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, name
 
 
 def test_corr_prunes_to_three_columns_single_shuffle(spark, sf):
