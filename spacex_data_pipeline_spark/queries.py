@@ -2864,6 +2864,51 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "asof_p_ts", "asof_p_id")
 
 
+@register(
+    "histogram_order_totalprice",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 13
+                  ELSE CAST(FLOOR(o_totalprice * 12 / 600000.0) AS INT) + 1 END AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("agg", "histogram", "extension"),
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: width_bucket semantics (12
+    buckets over [0, 600k), out-of-range in sentinel buckets 0/13) as
+    explicit arithmetic stated IDENTICALLY in both engines — (v·12)/600k
+    is the same two-op IEEE sequence on each side, so bucket edges can't
+    disagree (DuckDB ships no width_bucket to delegate to). The
+    profile-a-column primitive: one map-side bucket expression + a
+    13-row aggregate — scans 100 TB once, shuffles only bucket
+    partials."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    bucket = (
+        F.when(v < 0, F.lit(0))
+        .when(v >= 600000.0, F.lit(13))
+        .otherwise((F.floor(v * 12 / 600000.0) + 1).cast("int"))
+    )
+    return (
+        o.select(bucket.cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -2923,7 +2968,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "data_quality_relationships",
     "customer_spend_deciles",
     "asof_join_next_purchase",
-    # -- 10 highest-risk green entries: changed this round or on the
+    "histogram_order_totalprice",
+    # -- 9 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -2931,7 +2977,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "dedup_minhash_lsh_verify",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
     "multimodal_decode",
