@@ -218,3 +218,43 @@ def salted_join(
         how,
     )
     return out.drop("__salt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare: Sequence[str],
+) -> DataFrame:
+    """Snapshot change-data-capture (the dbt-snapshot / SCD guts): given
+    two full snapshots of a keyed table, classify every key as
+    'insert' (new only), 'delete' (old only), 'update' (both, any
+    compared column differs — null-safe), or 'unchanged'. The diff step
+    that turns the reference's dup-prone daily full loads into an
+    incremental history.
+
+    One co-partitioned full-outer join on the key; comparison is a
+    null-safe struct equality (<=> on a struct compares field-wise), so
+    NULL→value and value→NULL transitions count as updates. At 100 TB
+    both snapshots arrive partitioned by key and the join is the only
+    shuffle; emit 'unchanged' too so the output is a complete keyed
+    audit (filter it away when materializing a changelog).
+    """
+    o = old.select(
+        F.col(key).alias("__k"),
+        F.lit(True).alias("__in_old"),
+        F.struct(*[F.col(c) for c in compare]).alias("__old"),
+    )
+    n = new.select(
+        F.col(key).alias("__k"),
+        F.lit(True).alias("__in_new"),
+        F.struct(*[F.col(c) for c in compare]).alias("__new"),
+    )
+    j = o.join(n, "__k", "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(F.col("__old").eqNullSafe(F.col("__new")), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return j.select(F.col("__k").alias(key), change.alias("change_type"))

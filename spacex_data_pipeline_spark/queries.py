@@ -2909,6 +2909,53 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    n AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                WHEN o.o_totalprice = n.o_totalprice
+                     AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+                ELSE 'update' END AS change_type
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+    """,
+    tags=("join", "cdc", "extension"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (the dbt-snapshot / SCD diff): two deterministic
+    variants of orders play consecutive daily full loads — every 10th
+    key is 'newly inserted', every 7th 'deleted', every 3rd surviving
+    key has a modified price — and each key is classified
+    insert/delete/update/unchanged via ONE full-outer join with
+    null-safe struct comparison (operators/relational.snapshot_diff).
+    The diff that turns the reference's duplicating daily full loads
+    into an incremental history. Single-double-op price modification
+    keeps the equality comparison engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return relational.snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -2969,7 +3016,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customer_spend_deciles",
     "asof_join_next_purchase",
     "histogram_order_totalprice",
-    # -- 9 highest-risk green entries: changed this round or on the
+    "snapshot_diff_orders",
+    # -- 8 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -2979,7 +3027,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh_verify",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
-    "multimodal_decode",
 )
 
 

@@ -81,3 +81,41 @@ def dedup_on_read(df: DataFrame, key: str, order_col: str = "load_ts") -> DataFr
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(rows / target) files — the maintenance op an append-heavy
+    warehouse needs (every streaming/daily append leaves one-file-per-
+    batch debris; thousands of tiny files throttle scans with per-file
+    open cost and starve row-group pruning). Returns the file count
+    after compaction.
+
+    Rewrite-via-staging: read → repartition → write to a sibling temp
+    dir → atomic-ish swap (rename), so a reader never observes a
+    half-written table and a failed compaction leaves the original
+    intact. At 100 TB run this per PARTITION (compact the partitions a
+    maintenance scan flags as fragmented), not whole-table; the
+    repartition shuffle is the unavoidable cost of merging files.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(files).write.mode("overwrite").format("parquet").save(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )

@@ -48,3 +48,25 @@ def test_partitioned_write_prunes(spark, sf_oracle, tmp_path):
         r.oyear for r in back.select("oyear").distinct().collect()
     }
     assert files_read == {1996}
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    """Compaction rewrites append debris into ceil(rows/target) files,
+    preserves the data exactly, and leaves no staging dirs behind."""
+    import os
+
+    from spacex_data_pipeline_spark.sources.sinks import compact
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 1000).withColumnRenamed("id", "v")
+    df.repartition(8).write.mode("overwrite").parquet(path)  # 8-file debris
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 8
+
+    after = compact(spark, path, target_rows_per_file=1000)
+    assert after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert sorted(r.v for r in back.collect()) == list(range(1000))
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")
