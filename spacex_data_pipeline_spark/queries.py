@@ -2956,6 +2956,32 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_order_nations",
+    oracle="""
+    SELECT o.o_orderkey, n.n_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("join", "skew", "extension"),
+)
+def salted_join_order_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting tool under the driver oracle: orders⋈customer
+    runs through ``relational.salted_join`` (salt=8 — the left side's
+    hot keys spread over 8 reducers, the right side replicates ×8), and
+    the oracle is simply the PLAIN join — salting must be a pure
+    physical rewrite with zero semantic footprint. The nation hop rides
+    along as a normal broadcast join."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = relational.salted_join(o, c, "o_custkey", "c_custkey", salt=8)
+    return j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey).select(
+        "o_orderkey", "n_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3017,7 +3043,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_join_next_purchase",
     "histogram_order_totalprice",
     "snapshot_diff_orders",
-    # -- 8 highest-risk green entries: changed this round or on the
+    "salted_join_order_nations",
+    # -- 7 highest-risk green entries: changed this round or on the
     #    decimal/Arrow paths most sensitive to regression --
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -3025,7 +3052,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "dedup_minhash_lsh_verify",
-    "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
 )
 
