@@ -371,3 +371,37 @@ def repetition_stats(
             / F.greatest(F.col("__len"), F.lit(1))
         ).alias("char_frac"),
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 64,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch assignment for inference/training: docs are
+    bucketed by token count (width ``bucket_width``) and numbered into
+    batches of ``batch_size`` WITHIN their bucket, so every batch holds
+    similar-length sequences and padding waste is bounded by the bucket
+    width — the standard dynamic-batching layout.
+
+    All-integer arithmetic (token count, floor-div bucket, row_number,
+    floor-div batch index) — engine-exact by construction. One shuffle
+    on the bucket key; batch ids are deterministic via the (n_tokens,
+    id) total order within each bucket.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    b = toks.withColumn(
+        "bucket", F.floor(F.col("n_tokens") / bucket_width).cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    return b.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    ).select(id_col, F.col("n_tokens").cast("int").alias("n_tokens"), "bucket", "batch_idx")

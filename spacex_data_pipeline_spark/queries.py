@@ -2982,6 +2982,75 @@ def salted_join_order_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "length_bucketed_batches_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, __TOKS__ AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(toks) // 64 AS INT) AS bucket
+      FROM t)
+    SELECT doc_id, n_tokens, bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens, doc_id) - 1) // 8 AS INT)
+             AS batch_idx
+    FROM b
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "batching"),
+)
+def length_bucketed_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching (inference/training layout): docs
+    bucketed by token count (width 64) and numbered into batches of 8
+    within their bucket, so batch padding waste is bounded by the bucket
+    width (operators/text.length_bucketed_batches). All-integer
+    arithmetic — engine-exact by construction; one shuffle on the
+    bucket key."""
+    from .operators.text import length_bucketed_batches
+
+    return length_bucketed_batches(
+        _t(spark, sf_dir, "documents"), bucket_width=64, batch_size=8
+    )
+
+
+@register(
+    "embeddings_unit_norm",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS norm
+      FROM embeddings)
+    SELECT vec_id, norm,
+           CASE WHEN norm = 0 THEN NULL
+                ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / norm) END
+             AS unit
+    FROM n
+    """,
+    tags=("extension", "similarity", "array"),
+)
+def embeddings_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit (L2) normalization of the embedding column — the prep step
+    every cosine pipeline wants materialized once instead of recomputed
+    per comparison. norm is the left-to-right squared-sum fold + one
+    sqrt; each element divides once — single-op IEEE chains, so the
+    full float array hash-matches the oracle. Zero vectors yield a NULL
+    unit (never an ANSI divide-by-zero, never a NaN array). The norm
+    is projected in a separate select so the transform lambda doesn't
+    re-expand the fold per element (the hashing.shingles_from_words
+    inlining trap)."""
+    from .operators.similarity import norm_ltr
+
+    e = _t(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id", "embedding", norm_ltr(F.col("embedding")).alias("norm")
+    )
+    unit = F.when(F.col("norm") == 0, F.lit(None)).otherwise(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    )
+    return with_norm.select("vec_id", "norm", unit.alias("unit"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3044,10 +3113,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "histogram_order_totalprice",
     "snapshot_diff_orders",
     "salted_join_order_nations",
-    # -- 7 highest-risk green entries: changed this round or on the
-    #    decimal/Arrow paths most sensitive to regression --
-    "q1_pricing_summary",
-    "q3_unshipped_revenue",
+    "length_bucketed_batches_docs",
+    "embeddings_unit_norm",
+    # -- 5 highest-risk green entries: changed this round (q5 carries the
+    #    decimal narrowing for the q1/q3/q5 family; the similarity/IVF
+    #    trio carries the BLAS tile rewrite; the minhash harness was
+    #    renamed, so the driver has no row under its new name) --
     "q5_nation_revenue",
     "similarity_topk_cosine",
     "similarity_ann_lsh",
