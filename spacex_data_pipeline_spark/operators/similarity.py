@@ -301,6 +301,35 @@ def ann_lsh_topk(
     return _exact_rescore_topk(_batch_topk_candidates(pairs, k), k)
 
 
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims via a
+    deterministic ±1 (Achlioptas) matrix derived from md5 — the
+    dimensionality-reduction step before cheaper ANN/clustering, with
+    pairwise distances preserved to (1±ε) whp. No RNG state: the same
+    projection on any cluster, any restart, any engine.
+
+    Each output coordinate is one left-to-right double fold against an
+    inlined constant plane (same determinism trick as the sign-LSH
+    oracle), so the projected float arrays are bit-identical to the SQL
+    oracle. This exact form is interpreted per row — the oracle-checked
+    reference; at corpus scale swap in one planes-matmul per Arrow batch
+    (lsh_buckets_blas's shape) when downstream tolerates last-ulp
+    reordering, which ANN/clustering does (thresholds are ε-scale, not
+    ulp-scale).
+    """
+    cols = []
+    for p in range(out_dim):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
+        cols.append(dot_ltr(F.col(vec_col), plane))
+    return embeddings.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
 def zscore_mean_per_label(
     embeddings: DataFrame,
     id_col: str = "vec_id",

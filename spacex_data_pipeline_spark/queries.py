@@ -3051,6 +3051,40 @@ def embeddings_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_norm.select("vec_id", "norm", unit.alias("unit"))
 
 
+def _jl_projection_oracle(out_dim: int = 16, dim: int = 64) -> str:
+    from .operators.similarity import _hyperplane
+
+    def plane_lit(p: int) -> str:
+        vals = _hyperplane(p, dim)
+        return "([" + ",".join("1.0" if v > 0 else "-1.0" for v in vals) + "]::DOUBLE[])"
+
+    dots = ",\n             ".join(
+        _DOT_SQL.format(a="embedding", b=plane_lit(p)) for p in range(out_dim)
+    )
+    return f"""
+    SELECT vec_id,
+           [{dots}] AS proj
+    FROM embeddings
+    """
+
+
+@register(
+    "embeddings_random_projection",
+    oracle=_jl_projection_oracle(),
+    tags=("extension", "similarity", "array"),
+)
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64→16 dims through a
+    deterministic md5-derived ±1 matrix (operators/similarity.
+    random_projection) — distance-preserving compression before cheaper
+    ANN/clustering. The oracle inlines the same planes as literals and
+    folds each coordinate left-to-right, so the projected float arrays
+    hash-match bit-for-bit."""
+    from .operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3115,13 +3149,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_join_order_nations",
     "length_bucketed_batches_docs",
     "embeddings_unit_norm",
-    # -- 5 highest-risk green entries: changed this round (q5 carries the
+    "embeddings_random_projection",
+    # -- 4 highest-risk green entries: changed this round (q5 carries the
     #    decimal narrowing for the q1/q3/q5 family; the similarity/IVF
     #    trio carries the BLAS tile rewrite; the minhash harness was
     #    renamed, so the driver has no row under its new name) --
     "q5_nation_revenue",
     "similarity_topk_cosine",
-    "similarity_ann_lsh",
     "dedup_minhash_lsh_verify",
     "dedup_embedding_cosine_ivf",
 )
