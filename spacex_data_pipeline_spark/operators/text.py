@@ -373,6 +373,65 @@ def repetition_stats(
     )
 
 
+def bigram_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation / phrase mining over the corpus: for every adjacent
+    word pair occurring ≥ ``min_count`` times, the lift ratio
+    ``count(ab)·T / (count(a)·count(b))`` — the PMI statistic without
+    the log (ln is libm-dependent and engines disagree in the last ulp;
+    the RATIO is one integer product per side and a single IEEE divide,
+    so it hash-matches exactly and orders identically to PMI). The
+    vocabulary-building step that decides which word pairs become
+    single tokens.
+
+    Scale: token/bigram explodes are narrow maps; the aggregations
+    shuffle (term, count) pairs — vocabulary-sized after map-side
+    partials, never corpus-sized. T (total bigram count) arrives via a
+    broadcast 1-row aggregate inside the same plan (no driver count).
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    )
+    w_ = F.col("__w")
+    bi = toks.filter(F.size(w_) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w_) - 1),
+                lambda i: F.struct(
+                    F.element_at(w_, i).alias("w1"),
+                    F.element_at(w_, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = toks.select(F.explode(w_).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    total = bi.agg(F.count(F.lit(1)).alias("t"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        pair.filter(F.col("c_ab") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").alias("pair_count"),
+            (
+                (F.col("c_ab") * F.col("t")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+
+
 def length_bucketed_batches(
     docs: DataFrame,
     id_col: str = "doc_id",

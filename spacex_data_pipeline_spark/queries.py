@@ -3085,6 +3085,40 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
 
 
+@register(
+    "bigram_collocations_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    bi AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+    uni AS (SELECT unnest(w) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+    tt AS (SELECT COUNT(*) AS t FROM bi)
+    SELECT p.w1, p.w2, p.c_ab AS pair_count,
+           CAST(p.c_ab * tt.t AS DOUBLE) / (a.c * b.c) AS lift
+    FROM pc p JOIN uc a ON a.w = p.w1
+              JOIN uc b ON b.w = p.w2, tt
+    WHERE p.c_ab >= 5
+    """,
+    tags=("extension", "text", "agg"),
+)
+def bigram_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: lift ratio count(ab)·T/(count(a)·count(b)) for
+    every bigram seen ≥5 times (operators/text.bigram_collocations) —
+    PMI without the engine-divergent ln, ordering identically. The
+    phrase-vocabulary step of tokenizer construction. Integer products
+    + one IEEE divide → exact parity; T rides as a broadcast 1-row
+    aggregate (no driver count)."""
+    from .operators.text import bigram_collocations
+
+    return bigram_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3150,12 +3184,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "length_bucketed_batches_docs",
     "embeddings_unit_norm",
     "embeddings_random_projection",
-    # -- 4 highest-risk green entries: changed this round (q5 carries the
+    "bigram_collocations_docs",
+    # -- 3 highest-risk green entries: changed this round (q5 carries the
     #    decimal narrowing for the q1/q3/q5 family; the similarity/IVF
     #    trio carries the BLAS tile rewrite; the minhash harness was
     #    renamed, so the driver has no row under its new name) --
     "q5_nation_revenue",
-    "similarity_topk_cosine",
     "dedup_minhash_lsh_verify",
     "dedup_embedding_cosine_ivf",
 )
