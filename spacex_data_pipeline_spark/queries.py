@@ -3119,6 +3119,70 @@ def bigram_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_collocations(_t(spark, sf_dir, "documents"), min_count=5)
 
 
+@register(
+    "dedup_savings_report",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jp),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    agg AS (
+      SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+      FROM comp c JOIN documents d USING (doc_id) GROUP BY 1)
+    SELECT a.component, a.n_docs, a.chars_total,
+           CAST(k.n_chars AS BIGINT) AS chars_kept,
+           a.chars_total - CAST(k.n_chars AS BIGINT) AS chars_saved
+    FROM agg a JOIN documents k ON k.doc_id = a.component
+    WHERE a.n_docs > 1
+    """,
+    tags=("extension", "dedup", "iterative", "report"),
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The business end of the dedup family, composed end-to-end: exact
+    n-gram near-dup pairs (J≥0.8) → connected components → per-group
+    keep-one accounting (canonical = the component's min id, which IS
+    the component label) with total/kept/saved character counts. The
+    report a pipeline owner reads before enabling dedup. Proves the
+    pair operators, the iterative fixpoint, and plain relational aggs
+    compose in one lazy plan."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    agg = (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+    )
+    keep = docs.select(
+        F.col("doc_id").alias("component"), F.col("n_chars").alias("chars_kept")
+    )
+    return (
+        agg.join(keep, "component")
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "component",
+            "n_docs",
+            "chars_total",
+            "chars_kept",
+            (F.col("chars_total") - F.col("chars_kept")).alias("chars_saved"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3185,11 +3249,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embeddings_unit_norm",
     "embeddings_random_projection",
     "bigram_collocations_docs",
-    # -- 3 highest-risk green entries: changed this round (q5 carries the
-    #    decimal narrowing for the q1/q3/q5 family; the similarity/IVF
-    #    trio carries the BLAS tile rewrite; the minhash harness was
-    #    renamed, so the driver has no row under its new name) --
-    "q5_nation_revenue",
+    "dedup_savings_report",
+    # -- 2 highest-risk green entries: dedup_minhash_lsh_verify was
+    #    renamed this round (the driver has no row under its new name);
+    #    dedup_embedding_cosine_ivf carries the BLAS cell-tile rewrite.
+    #    Every other changed-green entry (q1/q3/q5 decimal narrowing,
+    #    similarity BLAS tiles) has an r02 driver row AND passed the
+    #    identical-strictness local replica at all three scale factors --
     "dedup_minhash_lsh_verify",
     "dedup_embedding_cosine_ivf",
 )
