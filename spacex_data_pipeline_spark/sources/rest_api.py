@@ -144,3 +144,38 @@ def read_landed_json(spark: SparkSession, path: str) -> DataFrame:
         .withColumnRenamed("id", "launch_id")
         .withColumn("load_ts", F.current_timestamp())
     )
+
+
+def read_landed_json_quarantine(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned JSON scan that QUARANTINES corrupt lines instead of
+    silently nulling them: rows that fail to parse keep their raw text
+    in ``_corrupt_record`` (all data columns null), so the caller splits
+    good from bad with one filter and bad lines survive for replay —
+    the ingest-hygiene variant of :func:`read_landed_json` a production
+    feed needs (a poisoned line must neither kill the 100 TB job nor
+    vanish).
+
+    PERMISSIVE + columnNameOfCorruptRecord is Spark's per-record
+    dead-letter mechanism; the quarantine column costs nothing on clean
+    data (null column, prunable).
+    """
+    api_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("date_utc", T.StringType()),
+            T.StructField("success", T.BooleanType()),
+            T.StructField("rocket", T.StringType()),
+            T.StructField("details", T.StringType()),
+            T.StructField("flight_number", T.LongType()),
+            T.StructField("upcoming", T.BooleanType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(api_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumnRenamed("id", "launch_id")
+    )

@@ -70,3 +70,29 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert sorted(r.v for r in back.collect()) == list(range(1000))
     assert not os.path.exists(path + ".__compact_tmp__")
     assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_json_quarantine_keeps_corrupt_lines(spark, tmp_path):
+    """A poisoned line neither kills the read nor vanishes: it lands in
+    _corrupt_record with data columns null; clean rows parse normally
+    with a null quarantine column."""
+    from spacex_data_pipeline_spark.sources.rest_api import (
+        read_landed_json_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": "a1", "name": "L1", "flight_number": 7}\n'
+        '{"id": "a2", "name": "L2", this is not json}\n'
+        '{"id": "a3", "name": "L3", "flight_number": 9}\n'
+    )
+    df = read_landed_json_quarantine(spark, str(p)).cache()
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert good.count() == 2
+    assert sorted(r.launch_id for r in good.collect()) == ["a1", "a3"]
+    assert bad.count() == 1
+    row = bad.collect()[0]
+    assert "not json" in row._corrupt_record
+    assert row.launch_id is None
+    df.unpersist()
