@@ -46,6 +46,17 @@ HEADLINE = [
     "pipeline_training_data_prep",
 ]
 
+# New-in-r3 operators, timed in their own section AFTER the headline
+# loop: inserting them into HEADLINE would widen the gap between a
+# query's two timed passes (more cache/codegen eviction in between) and
+# make the shared-set numbers non-comparable with earlier rounds.
+EXTENDED = [
+    "decontaminate_docs",
+    "dedup_savings_report",
+    "funnel_view_click_purchase",
+    "bigram_collocations_docs",
+]
+
 
 def _minhash_production(spark, sf_dir):
     """The registry entry is dedup_minhash_lsh_verify — a verification
@@ -156,6 +167,23 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        try:
+            REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+    for _pass in range(2):
+        for name in EXTENDED:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            extended[name] = min(extended.get(name, elapsed), elapsed)
+
     skew = skew_guard_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -168,6 +196,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "extended_queries": extended,
                 "skew_bench": skew,
                 "methodology": METHODOLOGY,
             }
