@@ -74,6 +74,18 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
     pq.add_argument("--sf-dir", default=None, help="fixture table directory")
     pq.add_argument("--limit", type=int, default=20, help="rows to print")
 
+    pe = sub.add_parser(
+        "explain", help="print a registered query's physical plan (EXPLAIN twin)"
+    )
+    pe.add_argument("name", help="registry entry name (see list-queries)")
+    pe.add_argument("--sf-dir", default=None, help="fixture table directory")
+    pe.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+        help="Spark explain mode",
+    )
+
     sub.add_parser("list-queries", help="list registered query names")
 
     pt = sub.add_parser(
@@ -161,6 +173,23 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 return 2
             sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
             REGISTRY[args.name].fn(spark, sf_dir).show(args.limit, truncate=False)
+        elif args.cmd == "explain":
+            # the plan-inspection loop this repo's own tuning used
+            # (tests/test_plans.py asserts the plans; this verb shows them)
+            from . import catalog
+            from .queries import REGISTRY
+
+            if args.name not in REGISTRY:
+                print(f"unknown query {args.name!r}; try list-queries", file=sys.stderr)
+                return 2
+            sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
+            df = REGISTRY[args.name].fn(spark, sf_dir)
+            jvm = spark._jvm
+            print(
+                df._jdf.queryExecution().explainString(
+                    jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+                )
+            )
         return 0
     finally:
         if _spark is None:

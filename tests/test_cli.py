@@ -81,3 +81,12 @@ def test_cli_tables_lists_warehouse_after_build(spark, tmp_path, capsys):
     assert out == ["analytics.fct_spacex_launches_by_year"]
 
     assert main(["tables", "--warehouse", str(tmp_path / "nope")]) == 2
+
+
+def test_cli_explain_prints_physical_plan(spark, sf_oracle, capsys):
+    assert main(
+        ["explain", "q5_nation_revenue", "--sf-dir", sf_oracle], _spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "BroadcastHashJoin" in out and "Physical Plan" in out
+    assert main(["explain", "nope_not_a_query"], _spark=spark) == 2
