@@ -52,3 +52,17 @@ def view_purchase_interval_join_stream(
         "inner",
     )
     return joined.select("purchase_id", "view_id", "user_id")
+
+
+def enrich_stream_with_dim(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join — the most common production join:
+    every micro-batch of the stream joins against a (slowly-changing)
+    static dimension. No watermark and NO JOIN STATE is needed: the
+    static side re-resolves per micro-batch (so a dim refresh between
+    batches is picked up), and Spark broadcasts it when small. State
+    cost is zero regardless of stream length — the reason to prefer
+    stream-static over stream-stream whenever one side is a table.
+    """
+    return events.join(F.broadcast(dim), on, "left")

@@ -362,3 +362,44 @@ def test_unique_check_ignores_null_keys(spark):
         for r in check_results(df2, [unique("k", "s")]).collect()
     }
     assert got2["unique:k,s"] == 1  # only the (1,'a') dup counts
+
+
+def test_asof_direction_validation_and_tolerance_edge(spark):
+    """Bad direction fails fast; a forward match just past the tolerance
+    nulls out while one inside it survives."""
+    from spacex_data_pipeline_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")], "lid long, k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 10, "2024-01-01 00:30:00"), (101, 10, "2024-01-01 02:00:00")],
+        "rid long, k long, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, "k", "k", "ts", "rts", ["rid"], direction="sideways")
+
+    inside = as_of_join(
+        left, right, "k", "k", "ts", "rts", ["rid"],
+        direction="forward", tolerance_seconds=3600,
+    ).collect()[0]
+    assert inside.asof_rid == 100  # 00:30 is within the hour
+
+    tight = as_of_join(
+        left, right, "k", "k", "ts", "rts", ["rid"],
+        direction="forward", tolerance_seconds=60,
+    ).collect()[0]
+    assert tight.asof_rid is None  # nearest forward match is outside 60s
+
+
+def test_contamination_flags_empty_benchmark(spark):
+    """No benchmark docs -> nothing can be contaminated (and no crash on
+    the empty broadcast side)."""
+    from spacex_data_pipeline_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    empty = docs.filter("doc_id < 0")
+    out = contamination_flags(docs, empty, k=5).collect()
+    assert [(r.doc_id, r.contaminated) for r in out] == [(1, False)]

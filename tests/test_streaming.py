@@ -197,3 +197,32 @@ def test_stream_dedup_across_redelivered_files(spark, sf_oracle, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2000
     assert got.select("event_id").distinct().count() == 2000
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_oracle, landed_events, tmp_path):
+    """Stream-static join: every micro-batch enriches against the static
+    dimension with zero join state; replay equals the batch join."""
+    from spacex_data_pipeline_spark.streaming.joins import enrich_stream_with_dim
+
+    ev = catalog.table(spark, sf_oracle, "events")
+    # a static 'user dimension': per-user lifetime event count
+    dim = ev.groupBy("user_id").count().withColumnRenamed("count", "n_events")
+
+    stream = stream_events_from_files(spark, landed_events)
+    enriched = enrich_stream_with_dim(
+        stream.select("event_id", "user_id"), dim
+    )
+    run_available_now(
+        enriched, str(tmp_path / "ck"), "enriched_out"
+    )
+    got = {
+        (r.event_id, r.user_id, r.n_events)
+        for r in spark.table("enriched_out").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.n_events)
+        for r in enrich_stream_with_dim(
+            ev.select("event_id", "user_id"), dim
+        ).collect()
+    }
+    assert got == want and len(got) == ev.count()
