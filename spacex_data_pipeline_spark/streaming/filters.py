@@ -1,0 +1,84 @@
+"""Streaming training-data filter — the engine's core use case as a stream.
+
+A crawl feed filtered ON ARRIVAL: per-document quality scoring plus
+benchmark decontamination, all STATELESS (narrow maps + one broadcast),
+so the stream needs no watermark, no state store, and restarts are free.
+The batch twin is the same column expressions over the same operators
+(`operators/text.py`, `operators/dedup.contamination_flags`); replay
+equality is proven in tests/test_streaming.py.
+
+Contamination here rides as a broadcast ARRAY overlap instead of the
+batch path's shingle anti-join: the benchmark's distinct k-gram set is
+packed into ONE row (`pack_benchmark_shingles`) and every document row
+checks `arrays_overlap` against it — per-row, map-side, streaming-safe.
+Equivalent to the join for any benchmark that fits a broadcast (they all
+do — eval sets are tiny next to a crawl); the join form remains the
+batch/backfill path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import normalize_text, shingles_from_words
+from ..operators.text import punct_ratio
+
+
+def pack_benchmark_shingles(
+    benchmark: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """ONE row holding the benchmark's distinct word-k-shingles as an
+    array — the broadcastable form of the decontamination set. Build
+    once per benchmark release, reuse across micro-batches."""
+    sh = benchmark.select(
+        F.explode(
+            shingles_from_words(F.split(normalize_text(F.col(text_col)), " "), k)
+        ).alias("s")
+    )
+    return sh.agg(F.collect_set("s").alias("__bench"))
+
+
+def training_filter_stream(
+    docs: DataFrame,
+    bench_packed: DataFrame,
+    min_quality: float = 0.5,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keep/drop decision for a document stream:
+    (id, quality, contaminated, keep). Works identically on a batch
+    DataFrame — same expressions, two execution modes.
+
+    quality is the length/diversity/punctuation blend of
+    ``operators.text.quality_score`` (token array projected once — the
+    expression-inlining discipline); contaminated is an arrays_overlap
+    against the broadcast benchmark shingle set. Everything is a narrow
+    map over the stream; the only non-map input is the one-row broadcast.
+    """
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    with_toks = docs.select(
+        F.col(id_col),
+        t,
+        F.split(normalize_text(t), " ").alias("__toks"),
+    ).crossJoin(F.broadcast(bench_packed))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    length_credit = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    quality = (
+        length_credit * F.lit(0.4)
+        + diversity * F.lit(0.4)
+        + (F.lit(1.0) - punct_ratio(t)) * F.lit(0.2)
+    )
+    contaminated = F.coalesce(
+        F.arrays_overlap(shingles_from_words(toks, k), F.col("__bench")),
+        F.lit(False),  # empty benchmark -> overlap is NULL, not a match
+    )
+    return with_toks.select(
+        F.col(id_col),
+        F.round(quality, 6).alias("quality"),
+        contaminated.alias("contaminated"),
+        ((F.round(quality, 6) >= min_quality) & ~contaminated).alias("keep"),
+    )

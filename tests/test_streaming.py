@@ -226,3 +226,47 @@ def test_stream_static_enrichment_matches_batch(spark, sf_oracle, landed_events,
         ).collect()
     }
     assert got == want and len(got) == ev.count()
+
+
+def test_streaming_training_filter_matches_batch(spark, sf_oracle, tmp_path):
+    """The stateless streaming quality+decontamination filter replays to
+    exactly the batch result, and its contamination flags agree with the
+    batch anti-join operator (dedup.contamination_flags)."""
+    from spacex_data_pipeline_spark.operators.dedup import contamination_flags
+    from spacex_data_pipeline_spark.streaming.filters import (
+        pack_benchmark_shingles,
+        training_filter_stream,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    packed = pack_benchmark_shingles(bench, k=5)
+
+    land = str(tmp_path / "docs")
+    train.write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema(train.schema).format("parquet").load(land)
+    )
+    out = training_filter_stream(stream, packed, min_quality=0.5, k=5)
+    assert out.isStreaming
+    run_available_now(out, str(tmp_path / "ck"), "filtered_out")
+
+    got = {
+        r.doc_id: (r.quality, r.contaminated, r.keep)
+        for r in spark.table("filtered_out").collect()
+    }
+    want = {
+        r.doc_id: (r.quality, r.contaminated, r.keep)
+        for r in training_filter_stream(train, packed, min_quality=0.5, k=5).collect()
+    }
+    assert got == want and len(got) == train.count()
+
+    # flags agree with the batch anti-join formulation
+    join_flags = {
+        r.doc_id: r.contaminated
+        for r in contamination_flags(train, bench, k=5).collect()
+    }
+    overlap_flags = {d: c for d, (_, c, _) in got.items()}
+    assert overlap_flags == join_flags
+    assert any(join_flags.values())  # fixture plants real overlaps
