@@ -3183,6 +3183,52 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, __TOKS__ AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::UBIGINT
+               % 10000 AS b
+      FROM documents),
+    s AS (
+      SELECT source,
+             CASE WHEN b < 100 THEN 'val'
+                  WHEN b < 200 THEN 'test'
+                  ELSE 'train' END AS split,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM t)
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM s GROUP BY source, split
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "sampling", "agg"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE first corpus question — how many training tokens, by source
+    and split: whitespace token counts (narrow map) bucketed through the
+    same md5 split assignment evals depend on
+    (operators/sampling.split_assign, 1% val / 1% test), aggregated to
+    (source, split). One scan, one small-key shuffle; the number that
+    decides epochs and mixture weights."""
+    from .operators.sampling import split_assign
+    from .operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    with_split = split_assign(docs, "doc_id", val_pct=0.01, test_pct=0.01)
+    return (
+        with_split.select(
+            "source", "split", token_count(F.col("text")).alias("n_tokens")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3250,14 +3296,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embeddings_random_projection",
     "bigram_collocations_docs",
     "dedup_savings_report",
-    # -- 2 highest-risk green entries: dedup_minhash_lsh_verify was
-    #    renamed this round (the driver has no row under its new name);
-    #    dedup_embedding_cosine_ivf carries the BLAS cell-tile rewrite.
-    #    Every other changed-green entry (q1/q3/q5 decimal narrowing,
-    #    similarity BLAS tiles) has an r02 driver row AND passed the
-    #    identical-strictness local replica at all three scale factors --
+    "corpus_token_budget",
+    # -- dedup_minhash_lsh_verify was renamed this round, so the driver
+    #    has no row under its new name. Every other changed-green entry
+    #    (q1/q3/q5 decimal narrowing, similarity/IVF BLAS tiles) has an
+    #    r02 driver row AND passed the identical-strictness local
+    #    replica at all three scale factors --
     "dedup_minhash_lsh_verify",
-    "dedup_embedding_cosine_ivf",
 )
 
 

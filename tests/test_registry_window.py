@@ -33,6 +33,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "similarity_ann_lsh",
     "similarity_topk_cosine",
     "q5_nation_revenue",
+    "dedup_embedding_cosine_ivf",
     "fct_events_by_day",
     "raw_count_orders",
     "top_years_desc",
@@ -82,7 +83,7 @@ def test_window_covers_every_never_driver_checked_entry():
 
 
 def test_rotation_preserves_the_registry():
-    assert len(REGISTRY) == 98
+    assert len(REGISTRY) == 99
     assert len(set(DRIVER_WINDOW)) == 50
     # every windowed entry is oracle-backed (the driver records a full
     # rows+schema+hash row for each, never the weaker rows-only check)
