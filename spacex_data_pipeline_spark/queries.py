@@ -3229,6 +3229,51 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion_rates",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.t
+      GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+      GROUP BY e.user_id),
+    f AS (
+      SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+             (SELECT COUNT(*) FROM s0) AS users
+      UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2))
+    SELECT stage_idx, stage, users,
+           CAST(users AS DOUBLE)
+             / LAG(users) OVER (ORDER BY stage_idx) AS conv_rate
+    FROM f
+    """,
+    tags=("extension", "window", "session"),
+)
+def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel counts extended with per-stage conversion: users at stage i
+    over users at stage i−1 (lag over the 3-row funnel — a free window;
+    one integer-pair divide, IEEE-identical cross-engine; stage 0's
+    rate is NULL). The number a growth dashboard actually shows."""
+    from pyspark.sql import Window
+
+    from .operators.sessionize import funnel_counts
+
+    f = funnel_counts(_t(spark, sf_dir, "events"))
+    w = Window.orderBy("stage_idx")
+    return f.withColumn(
+        "conv_rate",
+        F.col("users").cast("double") / F.lag("users").over(w),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3297,6 +3342,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bigram_collocations_docs",
     "dedup_savings_report",
     "corpus_token_budget",
+    # funnel_conversion_rates (new, one parity-safe divide on top of the
+    # windowed funnel_view_click_purchase) waits for the r4 rotation —
+    # the window is a hard 50 and every current member outranks it
     # -- dedup_minhash_lsh_verify was renamed this round, so the driver
     #    has no row under its new name. Every other changed-green entry
     #    (q1/q3/q5 decimal narrowing, similarity/IVF BLAS tiles) has an
