@@ -77,3 +77,66 @@ def test_mart_invariants_hold_for_any_payload(payload):
         expect[y] = (s + (rec["success"] is True), f + (rec["success"] is not True))
     got = {r["year"]: (r["successes"], r["failures"]) for r in rows}
     assert got == expect
+
+
+def test_shard_shuffle_is_a_permutation(spark):
+    """shard_and_shuffle must deal every row exactly once: shards
+    partition the keys, positions are contiguous 1..n within each shard,
+    and re-running (or re-partitioning the input) deals identically."""
+    from spacex_data_pipeline_spark.operators.sampling import shard_and_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(997)], "k long")
+    out = shard_and_shuffle(df, "k", n_shards=7).collect()
+    assert len(out) == 997
+    assert {r.k for r in out} == set(range(997))
+    per_shard: dict[int, list[int]] = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(per_shard) <= set(range(7))
+    for positions in per_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # layout-invariance: a different physical partitioning deals the same
+    again = shard_and_shuffle(df.repartition(13), "k", n_shards=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_snapshot_diff_classification_partitions_keys(spark):
+    """Every key in either snapshot gets exactly one class, and the
+    classes mean what they say (insert∉old, delete∉new, update both+
+    changed, unchanged both+equal) — including NULL-value transitions."""
+    from spacex_data_pipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, None), (5, "e")], "k long, v string"
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {
+        1: "delete",
+        2: "unchanged",
+        3: "update",  # NULL -> 'c' is a change (null-safe compare)
+        4: "update",  # 'd' -> NULL likewise
+        5: "insert",
+    }
+
+
+def test_length_bucketed_batches_bound_padding(spark):
+    """Within any emitted batch, token counts span less than the bucket
+    width (the padding-waste bound the layout exists for) and batches
+    hold at most batch_size docs."""
+    from spacex_data_pipeline_spark.operators.text import length_bucketed_batches
+
+    rows = [(i, "w " * (i % 300 + 1)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucketed_batches(df, bucket_width=64, batch_size=8).collect()
+    assert len(out) == 400
+    groups: dict[tuple, list[int]] = {}
+    for r in out:
+        groups.setdefault((r.bucket, r.batch_idx), []).append(r.n_tokens)
+    for (bucket, _), toks in groups.items():
+        assert len(toks) <= 8
+        assert max(toks) - min(toks) < 64
+        for t in toks:
+            assert t // 64 == bucket
