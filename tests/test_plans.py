@@ -178,3 +178,39 @@ def test_ivf_assignment_is_shuffle_free(spark, sf):
 
     assigned, _ = ivf_assign_cells(catalog.table(spark, sf, "embeddings"))
     assert _shuffle_count(plan_of(assigned)) == 0
+
+
+def test_decontamination_broadcasts_benchmark_never_shuffles_corpus(spark, sf):
+    """The benchmark shingle side must broadcast (left-semi hash join);
+    the only exchange allowed is the distinct over HIT doc ids — the
+    corpus itself never shuffles."""
+    plan = plan_of(REGISTRY["decontaminate_docs"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert _shuffle_count(plan) <= 2  # hit-id distinct (+ tiny flag join)
+
+
+def test_shard_shuffle_is_single_exchange(spark, sf):
+    """shard_and_shuffle: ONE shuffle, partitioned by the shard key —
+    exactly the layout the shard files are written in."""
+    plan = plan_of(REGISTRY["shard_documents_for_training"].fn(spark, sf))
+    assert _shuffle_count(plan) == 1
+    assert "Window" in plan
+
+
+def test_snapshot_diff_is_one_join_no_cartesian(spark, sf):
+    import re
+
+    plan = plan_of(REGISTRY["snapshot_diff_orders"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each node twice (tree + "(n) Name" header) —
+    # count only the detail headers, like _shuffle_count does
+    joins = re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M)
+    assert len(joins) == 1
+
+
+def test_funnel_scans_are_type_pruned(spark, sf):
+    """Each funnel stage's event scan must push its event_type filter to
+    parquet — the stage passes read a pruned fraction, not the table."""
+    plan = plan_of(REGISTRY["funnel_view_click_purchase"].fn(spark, sf))
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in plan
