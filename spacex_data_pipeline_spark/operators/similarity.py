@@ -416,9 +416,6 @@ def ivf_assign_cells(
     chosen cell is bit-identical to the window formulation and the SQL
     oracle. Returns (assigned, centroids).
     """
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import Window
 
     # Cell ids must be DETERMINISTIC (rank by id), not
@@ -434,6 +431,22 @@ def ivf_assign_cells(
             F.col(vec_col).alias("cv"),
         )
     )
+    return assign_to_cells(embeddings, cents, id_col, vec_col), cents
+
+
+def assign_to_cells(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment against an arbitrary (cell, cv) set —
+    the shuffle-free packed-broadcast matmul-argmax map pass shared by
+    the first-K IVF build and k-means refinement (see
+    :func:`ivf_assign_cells` for the exactness argument)."""
+    import numpy as np
+    import pandas as pd
+
     packed = cents.agg(
         F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("__cents")
     )
@@ -473,12 +486,85 @@ def ivf_assign_cells(
             )
 
     vec_type = embeddings.schema[vec_col].dataType.simpleString()
-    assigned = (
+    return (
         embeddings.select(id_col, vec_col)
         .crossJoin(F.broadcast(packed))
         .mapInPandas(assign, schema=f"{id_col} long, {vec_col} {vec_type}, cell int")
     )
-    return assigned, cents
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Lloyd refinement of the IVF centroids — the 'production build
+    would k-means them' step the first-K init stands in for. Returns
+    (assigned, centroids, inertia_history) where inertia is the mean
+    spherical distance 1 − cos(v, centroid) per iteration (including
+    the initial assignment), so callers/tests can see convergence.
+
+    Shapes per iteration, all from the existing toolbox:
+    - centroid update: applyInPandas per cell — one Arrow batch per
+      cell, numpy column mean, L2-normalized (spherical k-means: the
+      mean direction is the argmax-cosine centroid); cell size bounds
+      task memory exactly like every other per-cell op here.
+    - reassignment: the shared shuffle-free :func:`assign_to_cells`.
+    - assignments are ``localCheckpoint``ed per round (iterative-loop
+      lineage rule) and inertia is ONE scalar per round — the
+      sanctioned driver-side fixpoint pattern; vectors never visit the
+      driver.
+
+    Unlike the first-K build, refined assignments are NOT SQL-oracle
+    replicable (float mean-sums are order-dependent in the last bits),
+    so this ships as a library operator locked by property tests
+    (monotone inertia, assignment-consistency) rather than a registry
+    row — the registered IVF queries keep the deterministic init.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    assigned, cents = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
+    assigned = assigned.localCheckpoint()
+
+    def mean_inertia(a: DataFrame, c: DataFrame) -> float:
+        # batched numpy, NOT the fenced per-row HOF cosine: this runs per
+        # corpus row every iteration. Zero-norm rows count as distance 1.
+        joined = a.join(F.broadcast(c), "cell").select(vec_col, "cv")
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cv = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = (v * cv).sum(axis=1) / (
+                        np.linalg.norm(v, axis=1) * np.linalg.norm(cv, axis=1)
+                    )
+                yield pd.DataFrame({"d": 1.0 - np.where(np.isnan(cos), 0.0, cos)})
+
+        return joined.mapInPandas(gen, "d double").agg(F.avg("d")).collect()[0][0]
+
+    def cell_mean(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m = mat.mean(axis=0)
+        n = np.linalg.norm(m)
+        if n > 0:
+            m = m / n
+        return pd.DataFrame({"cell": [key[0]], "cv": [m.astype(np.float32)]})
+
+    history = [mean_inertia(assigned, cents)]
+    for _ in range(n_iter):
+        cents = assigned.groupBy("cell").applyInPandas(
+            cell_mean, schema=f"cell int, cv {vec_type}"
+        )
+        assigned = assign_to_cells(embeddings, cents, id_col, vec_col).localCheckpoint()
+        history.append(mean_inertia(assigned, cents))
+    return assigned, cents, history
 
 
 def ivf_topk(

@@ -403,3 +403,24 @@ def test_contamination_flags_empty_benchmark(spark):
     empty = docs.filter("doc_id < 0")
     out = contamination_flags(docs, empty, k=5).collect()
     assert [(r.doc_id, r.contaminated) for r in out] == [(1, False)]
+
+
+def test_kmeans_refine_converges_and_stays_consistent(spark, sf_oracle):
+    """Lloyd refinement: mean spherical inertia is non-increasing across
+    iterations (up to float-mean noise), centroids stay unit-norm, every
+    vector keeps exactly one cell, and refined cells still partition the
+    corpus for the SemDeDup in-cell path."""
+    from spacex_data_pipeline_spark.operators.similarity import kmeans_refine
+
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    assigned, cents, history = kmeans_refine(emb, n_centroids=8, n_iter=3)
+    assert len(history) == 4
+    for before, after in zip(history, history[1:]):
+        assert after <= before + 1e-9  # monotone up to last-bit noise
+    assert history[-1] < history[0]  # and it actually improved
+    rows = assigned.collect()
+    assert len(rows) == emb.count()
+    assert {r.cell for r in rows} <= set(range(8))
+    for c in cents.collect():
+        norm = sum(x * x for x in c.cv) ** 0.5
+        assert abs(norm - 1.0) < 1e-3 or norm == 0.0
