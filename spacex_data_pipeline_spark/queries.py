@@ -1915,7 +1915,9 @@ def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_agg_nations_per_region",
     oracle="""
-    SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+    SELECT r_name,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
+           COUNT(*) AS n
     FROM region JOIN nation ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
@@ -1924,14 +1926,20 @@ def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collected-list aggregate, SORTED for determinism — collect_list
     order is shuffle-dependent, so the raw form must never be
-    hash-compared (or relied on anywhere)."""
+    hash-compared (or relied on anywhere). The list is emitted as a
+    '|'-joined scalar string: registry outputs must be scalar columns
+    only (the driver canonicalizer cannot sort array cells — r3
+    driver-err), and the join loses nothing since the members are sorted
+    and '|'-free."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -3021,11 +3029,10 @@ def length_bucketed_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
              sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS norm
       FROM embeddings)
-    SELECT vec_id, norm,
+    SELECT vec_id, norm, CAST(i - 1 AS INT) AS pos,
            CASE WHEN norm = 0 THEN NULL
-                ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / norm) END
-             AS unit
-    FROM n
+                ELSE CAST(embedding[i] AS DOUBLE) / norm END AS value
+    FROM n, unnest(range(1, len(embedding) + 1)) AS t(i)
     """,
     tags=("extension", "similarity", "array"),
 )
@@ -3033,22 +3040,30 @@ def embeddings_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit (L2) normalization of the embedding column — the prep step
     every cosine pipeline wants materialized once instead of recomputed
     per comparison. norm is the left-to-right squared-sum fold + one
-    sqrt; each element divides once — single-op IEEE chains, so the
-    full float array hash-matches the oracle. Zero vectors yield a NULL
-    unit (never an ANSI divide-by-zero, never a NaN array). The norm
-    is projected in a separate select so the transform lambda doesn't
-    re-expand the fold per element (the hashing.shingles_from_words
-    inlining trap)."""
+    sqrt; each element divides once — single-op IEEE chains, so every
+    coordinate hash-matches the oracle bit-for-bit. Emitted EXPLODED to
+    (vec_id, norm, pos, value) scalar rows: registry outputs must be
+    scalar columns only (the driver canonicalizer cannot sort
+    array cells — r3 driver-err), and exploding keeps the compared
+    values raw IEEE doubles instead of a lossy string digest. Zero
+    vectors keep their 64 rows with NULL values (never an ANSI
+    divide-by-zero, never NaN). The library operator
+    (similarity.norm_ltr / the array-returning unit form) is unchanged;
+    only this registry projection explodes. posexplode is a narrow
+    Generate — no shuffle at any scale."""
     from .operators.similarity import norm_ltr
 
     e = _t(spark, sf_dir, "embeddings")
     with_norm = e.select(
         "vec_id", "embedding", norm_ltr(F.col("embedding")).alias("norm")
     )
-    unit = F.when(F.col("norm") == 0, F.lit(None)).otherwise(
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    exploded = with_norm.select(
+        "vec_id", "norm", F.posexplode("embedding").alias("pos", "x")
     )
-    return with_norm.select("vec_id", "norm", unit.alias("unit"))
+    value = F.when(F.col("norm") == 0, F.lit(None).cast("double")).otherwise(
+        F.col("x").cast("double") / F.col("norm")
+    )
+    return exploded.select("vec_id", "norm", "pos", value.alias("value"))
 
 
 def _jl_projection_oracle(out_dim: int = 16, dim: int = 64) -> str:
@@ -3062,9 +3077,12 @@ def _jl_projection_oracle(out_dim: int = 16, dim: int = 64) -> str:
         _DOT_SQL.format(a="embedding", b=plane_lit(p)) for p in range(out_dim)
     )
     return f"""
-    SELECT vec_id,
-           [{dots}] AS proj
-    FROM embeddings
+    WITH p AS (
+      SELECT vec_id,
+             [{dots}] AS proj
+      FROM embeddings)
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, proj[i] AS value
+    FROM p, unnest(range(1, {out_dim} + 1)) AS t(i)
     """
 
 
@@ -3078,11 +3096,15 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-derived ±1 matrix (operators/similarity.
     random_projection) — distance-preserving compression before cheaper
     ANN/clustering. The oracle inlines the same planes as literals and
-    folds each coordinate left-to-right, so the projected float arrays
-    hash-match bit-for-bit."""
+    folds each coordinate left-to-right, so every projected coordinate
+    hash-matches bit-for-bit. Emitted EXPLODED to (vec_id, pos, value)
+    scalar-double rows (registry outputs must be scalar — r3
+    driver-err on array columns); the library operator
+    random_projection keeps its array form."""
     from .operators.similarity import random_projection
 
-    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    proj = random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    return proj.select("vec_id", F.posexplode("proj").alias("pos", "value"))
 
 
 @register(
