@@ -454,6 +454,7 @@ def assign_to_cells(
     def assign(batches):
         # nested def: cloudpickle ships it by value
         cmat = None
+        cell_ids = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -461,11 +462,19 @@ def assign_to_cells(
                 cent_rows = pdf["__cents"].iloc[0]
                 cmat = np.vstack(
                     [np.asarray(c["cv"], dtype=np.float64) for c in cent_rows]
-                )  # sorted by cell: row index == cell id
+                )
+                # Row index is NOT the cell id in general: k-means rounds
+                # can empty a cluster, leaving the surviving cell ids
+                # non-contiguous. Map every argmax through the packed ids
+                # (ascending, since the pack is sorted by cell — so
+                # "first max" still resolves to the MIN surviving cell).
+                cell_ids = np.asarray(
+                    [c["cell"] for c in cent_rows], dtype=np.int32
+                )
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             affs = mat @ cmat.T  # (n, C)
             best = affs.max(axis=1, keepdims=True)
-            cells = np.argmax(affs, axis=1)  # first max == min cell
+            rows = np.argmax(affs, axis=1)  # first max == min cell id
             near = np.nonzero((affs >= best - 1e-9).sum(axis=1) > 1)[0]
             for r in near:  # exact LTR decision for near-ties only
                 cand = np.nonzero(affs[r] >= best[r, 0] - 1e-9)[0]
@@ -476,12 +485,12 @@ def assign_to_cells(
                         acc += mat[r, j] * cmat[c, j]
                     exact.append(acc)
                 exact = np.asarray(exact)
-                cells[r] = cand[np.argmax(exact)]  # first max == min cell
+                rows[r] = cand[np.argmax(exact)]  # first max == min cell id
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     vec_col: pdf[vec_col],
-                    "cell": cells.astype(np.int32),
+                    "cell": cell_ids[rows],
                 }
             )
 
@@ -522,11 +531,34 @@ def kmeans_refine(
     so this ships as a library operator locked by property tests
     (monotone inertia, assignment-consistency) rather than a registry
     row — the registered IVF queries keep the deterministic init.
+
+    Inputs are L2-normalized ONCE up front (and the returned assignment
+    rows carry the normalized vectors): with unit vectors the assignment
+    objective (max dot) and the reported inertia (mean 1 − cos) are the
+    SAME spherical-Lloyd objective, so the monotone-inertia history is a
+    true invariant — on raw vectors the unweighted mean of 1 − cos can
+    rise while the |v|-weighted objective falls. Zero vectors pass
+    through unscaled and contribute a constant distance of 1.
     """
     import numpy as np
     import pandas as pd
 
     vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    elem_type = embeddings.schema[vec_col].dataType.elementType.simpleString()
+    unit = F.transform(
+        F.col(vec_col), lambda x: (x.cast("double") / F.col("__n")).cast(elem_type)
+    )
+    embeddings = (
+        # norm projected in its own select so the transform lambda doesn't
+        # re-expand the fold per element (the shingles inlining trap); one
+        # narrow map pass, checkpointed so the loop never recomputes it.
+        embeddings.select(id_col, vec_col, norm_ltr(F.col(vec_col)).alias("__n"))
+        .select(
+            id_col,
+            F.when(F.col("__n") == 0, F.col(vec_col)).otherwise(unit).alias(vec_col),
+        )
+        .localCheckpoint()
+    )
     assigned, cents = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
     assigned = assigned.localCheckpoint()
 

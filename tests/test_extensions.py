@@ -405,6 +405,43 @@ def test_contamination_flags_empty_benchmark(spark):
     assert [(r.doc_id, r.contaminated) for r in out] == [(1, False)]
 
 
+def test_kmeans_refine_survives_emptied_cluster(spark):
+    """If a Lloyd round empties a cluster, the surviving cell ids are
+    non-contiguous — assignment must map argmax results through the
+    PACKED cell ids, not the centroid-matrix row index (which silently
+    relabels every vector above the gap)."""
+    import numpy as np
+
+    from spacex_data_pipeline_spark.operators.similarity import kmeans_refine
+
+    # 4 clusters seeded from the first 4 vectors by id; vectors 0 and 1
+    # are identical, so every point prefers cell 0 over cell 1 (ties
+    # break to the min cell) and cell 1 empties on the first update,
+    # leaving surviving cells {0, 2, 3}.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.1, 0.0]),
+        (5, [0.0, 0.0, 0.95, 0.2]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    assigned, cents, history = kmeans_refine(emb, n_centroids=4, n_iter=2)
+    crows = {r.cell: np.asarray(r.cv, dtype=np.float64) for r in cents.collect()}
+    assert 1 not in crows and set(crows) == {0, 2, 3}
+    arows = assigned.collect()
+    assert len(arows) == 6
+    for r in arows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        dots = {c: float(v @ cv) for c, cv in crows.items()}
+        best = max(dots.values())
+        expected = min(c for c, d in dots.items() if d >= best - 1e-12)
+        assert r.cell == expected, (r.vec_id, dots, r.cell, expected)
+    for before, after in zip(history, history[1:]):
+        assert after <= before + 1e-12
+
+
 def test_kmeans_refine_converges_and_stays_consistent(spark, sf_oracle):
     """Lloyd refinement: mean spherical inertia is non-increasing across
     iterations (up to float-mean noise), centroids stay unit-norm, every
