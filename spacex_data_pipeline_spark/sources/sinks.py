@@ -96,11 +96,17 @@ def compact(
     after compaction.
 
     Rewrite-via-staging: read → repartition → write to a sibling temp
-    dir → atomic-ish swap (rename), so a reader never observes a
-    half-written table and a failed compaction leaves the original
-    intact. At 100 TB run this per PARTITION (compact the partitions a
-    maintenance scan flags as fragmented), not whole-table; the
-    repartition shuffle is the unavoidable cost of merging files.
+    dir → swap via two renames. The swap is atomic-ish, not atomic: a
+    reader listing the path BETWEEN the two renames sees it missing,
+    and a crash there leaves the data at ``.__compact_old__`` for
+    manual rollback (never lost). True atomicity needs a metadata
+    pointer swap (a metastore or a table format like Iceberg/Delta) —
+    out of scope for path-based tables; schedule compaction in a
+    maintenance window instead. The backup is kept until the swapped-in
+    listing is verified, then dropped. At 100 TB run this per PARTITION
+    (compact the partitions a maintenance scan flags as fragmented),
+    not whole-table; the repartition shuffle is the unavoidable cost of
+    merging files.
     """
     import math
     import os
@@ -110,12 +116,21 @@ def compact(
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    df.repartition(files).write.mode("overwrite").format("parquet").save(tmp)
     old = path.rstrip("/") + ".__compact_old__"
+    # Both staging dirs are derived from `path`, so all three share one
+    # parent directory — os.rename can never cross a filesystem here.
+    parent = os.path.dirname(os.path.abspath(path).rstrip("/"))
+    assert {os.path.dirname(os.path.abspath(tmp)),
+            os.path.dirname(os.path.abspath(old))} == {parent}
+    df.repartition(files).write.mode("overwrite").format("parquet").save(tmp)
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    os.rename(path, old)  # readers see the path missing between these
+    os.rename(tmp, path)  # two renames (see docstring)
+    out_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    if not out_files:
+        # verification failed — roll the original back before raising
+        os.rename(path, tmp)
+        os.rename(old, path)
+        raise RuntimeError(f"compaction produced no parquet files at {path}")
+    shutil.rmtree(old)  # backup dropped only after the new listing verifies
+    return len(out_files)
