@@ -38,10 +38,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as LONG and truncate to microseconds with
-        # integer `div` (ns epoch values exceed 2^53 — double math would
-        # corrupt them). DuckDB truncates ns->us identically.
+        # The fixture generator has shipped events.ts under two physical
+        # types across rounds: parquet TIMESTAMP(NANOS) (which Spark's
+        # reader rejects unless nanosAsLong maps it to LONG) and plain
+        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to a
+        # session-tz TIMESTAMP so every downstream operator sees one type.
         #
         # The nanosAsLong conf is session-wide and is set at session build
         # time (session.build_session). For externally-built sessions we
@@ -52,9 +53,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # is the single place that converts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # nanos epoch as LONG: truncate to micros with integer `div`
+            # (ns values exceed 2^53 — double math would corrupt them).
+            # DuckDB truncates ns->us identically.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if ts_type == "timestamp_ntz":
+            # session tz is pinned to UTC (session.py), so this cast is
+            # value-identical and keeps the public schema stable.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -3296,6 +3296,194 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_representatives",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jp),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    qt AS (
+      SELECT doc_id, text, __TOKS__ AS toks FROM documents),
+    qc AS (
+      SELECT doc_id,
+             round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) * 0.4
+               + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1)) * 0.2, 6) AS quality
+      FROM qt)
+    SELECT component, doc_id AS rep_doc_id, group_size, quality AS rep_quality
+    FROM (
+      SELECT c.component, c.doc_id, q.quality,
+             COUNT(*) OVER (PARTITION BY c.component) AS group_size,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rk
+      FROM comp c JOIN qc q USING (doc_id))
+    WHERE rk = 1
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "iterative", "text"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-dup-group: connected components over the exact
+    J≥0.8 pair graph, each group reduced to its highest-quality member
+    (quality_score ties broken by min doc_id) — the decision step a real
+    dedup pipeline runs after grouping: which copy survives. Composes
+    connected_components × quality_score with one component-keyed window;
+    quality is rounded to 6 decimals in BOTH engines before the DESC
+    sort, so the representative choice is deterministic cross-engine.
+    Scale shape: the only additions over dedup_components_docs are a
+    narrow per-doc quality map (fuses into the scan) and one window over
+    the component key — the same key the component join already
+    shuffled on."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    qual = quality_score(docs).select("doc_id", "quality")
+    joined = comp.join(qual, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            "group_size",
+            F.col("quality").alias("rep_quality"),
+        )
+    )
+
+
+@register(
+    "split_contamination_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench)),
+    flags AS (
+      SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 50 <> 0),
+    sp AS (
+      SELECT contaminated,
+             CASE WHEN bk < 500 THEN 'val'
+                  WHEN bk < 1000 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT contaminated,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::UBIGINT
+               % 10000 AS bk
+        FROM flags))
+    SELECT split, COUNT(*) AS n_docs,
+           SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS n_contaminated,
+           round(100.0 * SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2) AS contamination_pct
+    FROM sp GROUP BY split
+    """,
+    tags=("extension", "dedup", "sampling"),
+)
+def split_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split benchmark-contamination report: the decontaminate flags
+    (word-5-gram overlap with the held-out set) bucketed by the
+    train/val/test assignment — the audit table an eval owner reads to
+    decide whether a split is trustworthy. Composes contamination_flags
+    × split_assign; the split is a pure md5 function of doc_id, so it
+    adds a narrow map, and the only exchange beyond decontamination is
+    the 3-key final aggregate."""
+    from .operators.dedup import contamination_flags
+    from .operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    flags = contamination_flags(train, bench, k=5)
+    with_split = split_assign(flags, "doc_id", val_pct=0.05, test_pct=0.05)
+    return (
+        with_split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_pct",
+            pct_rate(F.col("n_contaminated"), F.col("n_docs")),
+        )
+    )
+
+
+@register(
+    "dedup_cross_split_leakage",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8")
+    + """
+    SELECT doc_a, doc_b, split_a, split_b, jaccard
+    FROM (
+      SELECT doc_a, doc_b, jaccard,
+             CASE WHEN ba < 500 THEN 'val'
+                  WHEN ba < 1000 THEN 'test'
+                  ELSE 'train' END AS split_a,
+             CASE WHEN bb < 500 THEN 'val'
+                  WHEN bb < 1000 THEN 'test'
+                  ELSE 'train' END AS split_b
+      FROM (
+        SELECT doc_a, doc_b, jaccard,
+               ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || 'split'), 1, 8))::UBIGINT
+               % 10000 AS ba,
+               ('0x' || substr(md5(CAST(doc_b AS VARCHAR) || 'split'), 1, 8))::UBIGINT
+               % 10000 AS bb
+        FROM jp))
+    WHERE split_a <> split_b
+    """,
+    tags=("extension", "dedup", "sampling"),
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: near-dup pairs (exact J≥0.8) whose two sides
+    land in DIFFERENT train/val/test splits — each such pair is an eval
+    answer sitting in the training set. The split is recomputed as a
+    pure md5 function of each pair side (split_assign's expression), so
+    the audit adds a narrow map over the pair list — no join and no
+    shuffle beyond the pair generation itself; at 100 TB the cost is
+    the already-audited Jaccard join, nothing more."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    pairs = split_assign(pairs, "doc_a", val_pct=0.05, test_pct=0.05).withColumnRenamed(
+        "split", "split_a"
+    )
+    pairs = split_assign(pairs, "doc_b", val_pct=0.05, test_pct=0.05).withColumnRenamed(
+        "split", "split_b"
+    )
+    return pairs.filter(F.col("split_a") != F.col("split_b")).select(
+        "doc_a", "doc_b", "split_a", "split_b", "jaccard"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
