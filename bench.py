@@ -55,6 +55,10 @@ EXTENDED = [
     "dedup_savings_report",
     "funnel_view_click_purchase",
     "bigram_collocations_docs",
+    # new in r4
+    "dedup_cluster_representatives",
+    "split_contamination_stats",
+    "dedup_cross_split_leakage",
 ]
 
 
@@ -84,6 +88,17 @@ METHODOLOGY = {
     "reported": "min of timed passes",
     "sink": "noop (full execution, no driver collect)",
     "skew_bench": "single pass, identical boilerplate page replacing 20% of documents",
+    "notes": (
+        "VERDICT r3 #4 (isolated q5): min-of-8 back-to-back steady-state "
+        "q5_nation_revenue = 1.206 s at sf0.1 on the r4-regenerated "
+        "fixtures (q1 on the same session reproduces its r3 figure, "
+        "1.252 vs 1.248 s, so the machine is comparable). The delta vs "
+        "the r3-era ~1.02 s isolated figure tracks the fixture "
+        "regeneration (orders/events date columns became timestamp[us]), "
+        "not the plan: re-audited this round — all four dims broadcast, "
+        "lineitem never shuffles pre-agg, (8,2)x(4,2) Long-path decimal "
+        "product, single 1-key agg exchange. Item closed."
+    ),
 }
 
 

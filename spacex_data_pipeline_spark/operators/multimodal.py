@@ -78,21 +78,67 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-def real_decoder(payload: bytes) -> tuple[int, int]:
-    """Real image decode — (width, height) via Pillow where it exists.
+def _parse_dimensions(payload: bytes) -> tuple[int, int]:
+    """Stdlib-only (width, height) from real image bytes — PNG, GIF,
+    baseline/progressive JPEG. This parses the actual on-disk formats
+    (public file-format specs), so the capability gate exercises a real
+    decode path even on containers without imaging libs; full pixel
+    decode still wants Pillow.
 
-    The build container ships no imaging libs, so the import gate raises
-    NotImplementedError there (honest, not silently faked) and the
-    Pillow-path test carries a skip marker; on a cluster image WITH
-    Pillow this decodes for real. Same mapInPandas plumbing either way —
-    swap this in for decode_image_meta's arithmetic in the batch loop."""
+    PNG: 8-byte signature, then the IHDR chunk (must be first per spec)
+    carries big-endian u32 width/height; its CRC32 (stdlib zlib) is
+    verified so truncated/corrupt payloads fail loudly instead of
+    returning garbage dimensions.
+    GIF: 6-byte signature, then little-endian u16 logical-screen size.
+    JPEG: walk the marker segments to the first SOFn frame header
+    (C0–CF minus DHT/DAC/RST), big-endian u16 height then width.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 33 or payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: missing IHDR")
+        if zlib.crc32(payload[12:29]) != struct.unpack(">I", payload[29:33])[0]:
+            raise ValueError("corrupt PNG: IHDR CRC mismatch")
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("corrupt GIF: truncated header")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        raise ValueError("corrupt JPEG: no SOF frame header")
+    raise ValueError("unrecognized image format")
+
+
+def real_decoder(payload: bytes) -> tuple[int, int]:
+    """Real image decode — (width, height) from actual image bytes.
+
+    Pillow where it exists (full decode, every format it knows);
+    otherwise the stdlib header parser above handles PNG/GIF/JPEG for
+    real — signature, structure, and CRC are all verified against the
+    published specs, so this is an honest decode of the container
+    format, not a deterministic fake (that remains decode_image_meta's
+    role for oracle-checkable plumbing tests). Formats neither path
+    understands raise: ValueError from the parser for corrupt/unknown
+    bytes. Same mapInPandas plumbing either way — swap this in for
+    decode_image_meta's arithmetic in the batch loop."""
     try:
         from PIL import Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode requires Pillow; this environment ships none — "
-            "use decode_image_meta's deterministic fake for plumbing tests"
-        ) from exc
+    except ImportError:
+        return _parse_dimensions(payload)
     import io
 
     with Image.open(io.BytesIO(payload)) as im:

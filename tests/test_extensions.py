@@ -91,21 +91,55 @@ def test_multimodal_decode_invariants(docs):
     assert decoded.count() == docs.count()
 
 
-def test_real_decoder_gated_or_decodes():
-    """Without Pillow the decoder must raise NotImplementedError (an
-    honest capability gate); with Pillow it must actually decode — the
-    same test exercises whichever environment it runs in."""
-    try:
-        from PIL import Image
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            multimodal.real_decoder(b"\x89PNG")
-        pytest.skip("Pillow not installed; gate verified")
-    import io
+def _minimal_png(width: int, height: int) -> bytes:
+    """A spec-valid PNG: signature + IHDR (with real CRC) + a 1-scanline
+    zlib IDAT + IEND. Built from the published format, byte by byte, so
+    the decode test never depends on an imaging lib existing."""
+    import struct
+    import zlib
 
-    buf = io.BytesIO()
-    Image.new("RGB", (7, 5)).save(buf, format="PNG")
-    assert multimodal.real_decoder(buf.getvalue()) == (7, 5)
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x80" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decoder_decodes_real_formats():
+    """The real-decode path must parse actual image bytes in EVERY
+    environment: Pillow where installed, the stdlib PNG/GIF/JPEG header
+    parser (VERDICT r3 #7) otherwise — no skip either way."""
+    assert multimodal.real_decoder(_minimal_png(7, 5)) == (7, 5)
+    # GIF and JPEG SOF0 headers, built from the published specs
+    # (exercised directly: Pillow would reject these truncated bodies)
+    gif = b"GIF89a" + (9).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    assert multimodal._parse_dimensions(gif + b"\x00" * 8) == (9, 4)
+    sof0 = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + (5).to_bytes(
+        2, "big"
+    ) + (7).to_bytes(2, "big") + b"\x03" + b"\x00" * 6
+    jpeg = b"\xff\xd8" + sof0 + b"\xff\xd9"
+    assert multimodal._parse_dimensions(jpeg) == (7, 5)
+
+
+def test_real_decoder_rejects_corrupt_payloads():
+    """Corrupt bytes must fail loudly, never return garbage dimensions."""
+    png = bytearray(_minimal_png(7, 5))
+    png[29] ^= 0xFF  # flip one IHDR CRC byte
+    with pytest.raises(Exception):  # Pillow SyntaxError or parser ValueError
+        multimodal.real_decoder(bytes(png))
+    with pytest.raises(ValueError):
+        multimodal._parse_dimensions(b"not an image at all")
 
 
 def test_frame_sample_plan(docs):
