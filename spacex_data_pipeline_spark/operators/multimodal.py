@@ -91,7 +91,10 @@ def _parse_dimensions(payload: bytes) -> tuple[int, int]:
     returning garbage dimensions.
     GIF: 6-byte signature, then little-endian u16 logical-screen size.
     JPEG: walk the marker segments to the first SOFn frame header
-    (C0–CF minus DHT/DAC/RST), big-endian u16 height then width.
+    (C0–CF minus DHT/JPG/DAC), big-endian u16 height then width.
+    Length-less markers (TEM 0x01, RST0–7, SOI, EOI) advance by 2, and
+    consecutive 0xFF fill/padding bytes before a marker are skipped, per
+    the ITU-T T.81 marker syntax.
     """
     import struct
     import zlib
@@ -109,15 +112,35 @@ def _parse_dimensions(payload: bytes) -> tuple[int, int]:
         w, h = struct.unpack("<HH", payload[6:10])
         return w, h
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        n = len(payload)
         i = 2
-        while i + 9 <= len(payload):
+        while i + 2 <= n:
             if payload[i] != 0xFF:
                 break
+            # 0xFF bytes may be used as fill before any marker (T.81
+            # B.1.1.2) — skip them so the byte after the LAST 0xFF is
+            # read as the marker code.
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > n:
+                break
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI with no SOF seen
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                # TEM / RSTn / SOI carry no length field
+                i += 2
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    break
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return w, h
+            if i + 4 > n:
+                break
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                raise ValueError("corrupt JPEG: invalid segment length")
             i += 2 + seg_len
         raise ValueError("corrupt JPEG: no SOF frame header")
     raise ValueError("unrecognized image format")

@@ -495,3 +495,42 @@ def test_kmeans_refine_converges_and_stays_consistent(spark, sf_oracle):
     for c in cents.collect():
         norm = sum(x * x for x in c.cv) ** 0.5
         assert abs(norm - 1.0) < 1e-3 or norm == 0.0
+
+
+def test_jpeg_walker_handles_fill_bytes_and_lengthless_markers():
+    """ADVICE r4 #3: spec-valid JPEGs may pad with 0xFF fill bytes before
+    a marker, and TEM (0x01) / RSTn (D0–D7) markers carry NO length
+    field — the walker must skip both instead of misreading payload
+    bytes as a segment length (ITU-T T.81 B.1.1.2)."""
+    import struct
+
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">H", 5)   # height
+        + struct.pack(">H", 7)   # width
+        + b"\x03"
+        + b"\x00" * 6
+    )
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    # fill bytes before APP0's marker code, a TEM and an RST1 (no length
+    # field on either) between segments, then the SOF0
+    jpeg = (
+        b"\xff\xd8"          # SOI
+        + b"\xff\xff\xff"    # 0xFF fill padding, then...
+        + app0[1:]           # ...the APP0 marker code + segment
+        + b"\xff\x01"        # TEM — length-less
+        + b"\xff\xd1"        # RST1 — length-less
+        + sof0
+        + b"\xff\xd9"        # EOI
+    )
+    assert multimodal._parse_dimensions(jpeg) == (7, 5)
+    # EOI before any SOF ⇒ loud failure, not a garbage walk
+    with pytest.raises(ValueError):
+        multimodal._parse_dimensions(b"\xff\xd8" + b"\xff\xd9")
+    # zero segment length would loop forever without the guard
+    with pytest.raises(ValueError):
+        multimodal._parse_dimensions(
+            b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0) + b"\xff\xd9"
+        )

@@ -214,3 +214,22 @@ def test_funnel_scans_are_type_pruned(spark, sf):
     plan = plan_of(REGISTRY["funnel_view_click_purchase"].fn(spark, sf))
     for stage in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{stage})" in plan
+
+
+def test_cross_split_leakage_keeps_md5_out_of_join_conditions(spark, sf):
+    """VERDICT r4 #2: the r4 shape let Catalyst push the md5-CASE split
+    predicate down into the shingle self-join condition — two md5+conv
+    chains per CANDIDATE row, 3.75× the bare Jaccard join. The r5 shape
+    joins a (doc_id, split) map onto the AGGREGATED pair list, so no
+    join node may carry md5 in its condition: md5 is allowed only in
+    Project/Filter nodes (the split map's own derivation and the skew
+    caps' hash columns)."""
+    import re
+
+    plan = plan_of(REGISTRY["dedup_cross_split_leakage"].fn(spark, sf))
+    # split the formatted detail section into per-node blocks
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    join_blocks = [b for b in blocks if re.match(r"\(\d+\) \w*Join", b)]
+    assert join_blocks, "expected join nodes in the leakage plan"
+    for b in join_blocks:
+        assert "md5" not in b, f"md5 leaked into a join node:\n{b}"
