@@ -59,6 +59,11 @@ EXTENDED = [
     "dedup_cluster_representatives",
     "split_contamination_stats",
     "dedup_cross_split_leakage",
+    # new in r5
+    "shingle_df_stats",
+    "source_mixture_report",
+    "quality_filter_funnel",
+    "knn_label_agreement",
 ]
 
 

@@ -3506,87 +3506,353 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shingle_df_stats",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.2")
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           round(quantile_cont(df, 0.5), 6) AS p50_df,
+           round(quantile_cont(df, 0.95), 6) AS p95_df,
+           CAST(SUM(CASE WHEN df > 128 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_cap,
+           round(100.0 * SUM(CASE WHEN df > 128 THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2) AS pct_above_cap
+    FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) d
+    """,
+    tags=("extension", "dedup", "observability"),
+)
+def shingle_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency distribution — the observability table
+    you read BEFORE setting ``max_shingle_df`` on a shared-shingle join.
+    At 100 TB one boilerplate 3-gram shared by D docs expands to D² join
+    rows; this reports how heavy that tail is (max df, p95, and the
+    count above the default cap of 128) so the cap is set from data, not
+    guessed. One shuffle (shingle-hash → distinct-doc count); the final
+    stats row uses EXACT percentiles, which funnel df values to one
+    reducer — fine for an audit run; the always-on monitoring variant
+    swaps in approx_percentile (same shape as approx_quantiles_lineitem).
+    Shingle identity is the 8-byte xxhash64 (never the string), same
+    collision trade as dedup_ngram_jaccard's oracle caveat."""
+    from .operators.dedup import shingle_hash_docs
+
+    df = (
+        shingle_hash_docs(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.max("df").alias("max_df"),
+        F.round(F.percentile(F.col("df"), F.lit(0.5)), 6).alias("p50_df"),
+        F.round(F.percentile(F.col("df"), F.lit(0.95)), 6).alias("p95_df"),
+        F.sum((F.col("df") > 128).cast("long")).alias("n_above_cap"),
+    ).withColumn(
+        "pct_above_cap", pct_rate(F.col("n_above_cap"), F.col("n_shingles"))
+    )
+
+
+@register(
+    "source_mixture_report",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             len(__TOKS__) AS n_tok
+      FROM documents),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source)
+    SELECT source, n_docs, n_langs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS avg_tokens,
+           round(100.0 * n_tokens / nullif(SUM(n_tokens) OVER (), 0), 2)
+             AS token_share_pct
+    FROM per
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "sampling"),
+)
+def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mixture table — the input to mixture weighting
+    (what rate to sample each source at): doc counts, language spread,
+    token mass, and each source's share of total corpus tokens. One
+    scan → one partial-aggregated groupBy(source); the share denominator
+    is a window over the ALREADY-AGGREGATED rows (one row per source —
+    a few thousand at worst), so the unpartitioned window is over a
+    dimension-sized frame, never the corpus. All ratios divide exact
+    BIGINTs, so the doubles are engine-stable."""
+    from .operators.text import token_count
+
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 4).alias(
+            "avg_tokens"
+        ),
+        pct_rate(F.col("n_tokens"), F.sum("n_tokens").over(total)).alias(
+            "token_share_pct"
+        ),
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             __TOKS__ AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(toks) < 20 AS too_short,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1) < 0.3 AS low_diversity,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) > 0.2 AS high_punct,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+               / greatest(len(toks), 1) < 0.03 AS low_stopword
+      FROM t),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS c_short,
+             CAST(SUM(CASE WHEN low_diversity THEN 1 ELSE 0 END) AS BIGINT) AS c_div,
+             CAST(SUM(CASE WHEN high_punct THEN 1 ELSE 0 END) AS BIGINT) AS c_punct,
+             CAST(SUM(CASE WHEN low_stopword THEN 1 ELSE 0 END) AS BIGINT) AS c_stop,
+             CAST(SUM(CASE WHEN NOT (too_short OR low_diversity OR high_punct
+                                     OR low_stopword)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_kept
+      FROM f)
+    SELECT rule, n_flagged,
+           round(100.0 * n_flagged / nullif(n_total, 0), 2) AS pct_of_corpus
+    FROM (
+      SELECT 'too_short' AS rule, c_short AS n_flagged, n_total FROM agg
+      UNION ALL SELECT 'low_diversity', c_div, n_total FROM agg
+      UNION ALL SELECT 'high_punct', c_punct, n_total FROM agg
+      UNION ALL SELECT 'low_stopword', c_stop, n_total FROM agg
+      UNION ALL SELECT 'kept', c_kept, n_total FROM agg)
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "quality"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel report: how many docs EACH heuristic rule
+    flags (independently — a doc can trip several) plus the count kept
+    by all of them — the table you read before turning a filter on over
+    100 TB, because a rule that drops 40% of a source is usually a bug
+    in the rule, not the source. One scan, one 0-key aggregate of
+    conditional sums; ``stack`` unpivots the single aggregate row to
+    (rule, count) — no second pass, no join. Thresholds are the Gopher-
+    style defaults; all percentages divide exact BIGINTs."""
+    from .operators.text import STOPWORDS, punct_ratio, tokens
+
+    t = F.col("text")
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
+
+    flags = _t(spark, sf_dir, "documents").select(
+        (n_tok < 20).alias("too_short"),
+        (diversity < 0.3).alias("low_diversity"),
+        (punct_ratio(t) > 0.2).alias("high_punct"),
+        (stop_ratio < 0.03).alias("low_stopword"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("too_short").cast("long")).alias("c_short"),
+        F.sum(F.col("low_diversity").cast("long")).alias("c_div"),
+        F.sum(F.col("high_punct").cast("long")).alias("c_punct"),
+        F.sum(F.col("low_stopword").cast("long")).alias("c_stop"),
+        F.sum(
+            (
+                ~(
+                    F.col("too_short")
+                    | F.col("low_diversity")
+                    | F.col("high_punct")
+                    | F.col("low_stopword")
+                )
+            ).cast("long")
+        ).alias("c_kept"),
+    )
+    long = agg.select(
+        F.expr(
+            "stack(5, 'too_short', c_short, 'low_diversity', c_div, "
+            "'high_punct', c_punct, 'low_stopword', c_stop, 'kept', c_kept) "
+            "AS (rule, n_flagged)"
+        ),
+        F.col("n_total"),
+    )
+    return long.select(
+        "rule", "n_flagged", pct_rate(F.col("n_flagged"), F.col("n_total")).alias(
+            "pct_of_corpus"
+        )
+    )
+
+
+@register(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="c.embedding")} AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) t
+      WHERE rank <= 10)
+    SELECT t.query_id, eq.label AS query_label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_label,
+           round(100.0 * SUM(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2) AS agreement_pct
+    FROM topk t
+    JOIN embeddings eq ON eq.vec_id = t.query_id
+    JOIN embeddings en ON en.vec_id = t.neighbor_id
+    GROUP BY t.query_id, eq.label
+    """,
+    tags=("extension", "similarity", "quality"),
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: for each query vector, what fraction of
+    its exact top-10 cosine neighbors carries the SAME label — the
+    standard cheap probe for whether an embedding space respects the
+    labeling (kNN-classifier accuracy at k=10, reported per query).
+    Reuses the audited cosine_topk plan (broadcast queries, BLAS
+    candidate top-k, zero corpus shuffles); labels attach AFTER the
+    top-k aggregation via broadcast joins on the tiny result — the same
+    attach-late shape as dedup_cross_split_leakage, so no label lookup
+    ever reaches the scoring join."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+    labels = emb.select("vec_id", "label")
+    j = F.broadcast(topk).join(
+        labels.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+        ),
+        "query_id",
+    )
+    j = F.broadcast(j).join(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    )
+    return j.groupBy("query_id", "query_label").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum((F.col("neighbor_label") == F.col("query_label")).cast("long")).alias(
+            "n_same_label"
+        ),
+    ).withColumn(
+        "agreement_pct", pct_rate(F.col("n_same_label"), F.col("n_neighbors"))
+    )
+
+
 # ---------------------------------------------------------------------------
-# Driver-window rotation (r4).
+# Driver-window rotation (r5).
 #
 # The driver's correctness harness checks exactly the FIRST 50 entries of
 # ``queries()`` insertion order (verified r1→r2: the checked set is
-# registry[0:50]). Rotation priority, per VERDICT r3 "next round" #3:
-#   1. never-driver-green: the 3 array-output entries reshaped to scalar
-#      columns after their r3 canonicalizer crash, plus
-#      funnel_conversion_rates (added past the hard 50 in r3);
-#   2. new this round (windowed immediately per the rotation rule);
-#   3. every entry whose implementation changed since its last driver
-#      row: q1/q3/q5 (decimal-Long rewrite, r3), the similarity/dedup
-#      BLAS tile paths (r3), similarity_ivf_topk (post-r3 kmeans cell-id
-#      fix), and the four r2-era events queries (events.ts input
-#      normalization changed this round for the timestamp[us] fixtures);
-#   4. back-rotation of r2-era entries by staleness — all but the 7
-#      lowest-risk trivial ones (plain counts/limits/set-ops, plus
-#      fct_orders_by_year which re-runs every round as the entry()
-#      smoke), which wait for r5.
-# Rotated-out entries stay locked by tests/test_oracle_parity.py, which
-# runs the identical rows+schema+multiset check over ALL entries.
+# registry[0:50]). Rotation priority:
+#   1. changed since their last driver row: split_contamination_stats
+#      (r4's one red row — oracle BIGINT cast fix) and
+#      dedup_cross_split_leakage (split now attached post-aggregation
+#      via broadcast joins, VERDICT r4 #2);
+#   2. new this round (windowed immediately per the rotation rule):
+#      shingle_df_stats, source_mixture_report, quality_filter_funnel,
+#      knn_label_agreement;
+#   3. the 7 r2-era entries deferred by the r4 rotation (plain
+#      counts/limits/set-ops + fct_orders_by_year);
+#   4. back-rotation of r3-era entries by staleness — 37 of the 46 fit;
+#      the 9 lowest-risk trivial ones (scalar/CASE/date/window-function
+#      one-liners with no moving parts: union_all_order_events,
+#      coalesce_case_scalar, date_arithmetic_orders, explode_token_table,
+#      window_lag_lead_first, mode_priority_per_status,
+#      grouping_sets_orders, stddev_exact_by_flag,
+#      sql_api_returned_revenue) wait for r6.
+# All 50 r4-window entries rotated out (49 green r4; the one red is #1
+# above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
+# which runs the identical rows+schema+multiset check over ALL entries.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never driver-green (r3 errs now reshaped, + the r3 straggler) --
-    "array_agg_nations_per_region",
-    "embeddings_unit_norm",
-    "embeddings_random_projection",
-    "funnel_conversion_rates",
-    # -- new this round --
-    "dedup_cluster_representatives",
+    # -- changed since their last driver row --
     "split_contamination_stats",
     "dedup_cross_split_leakage",
-    # -- implementation changed since last driver row (r2) --
-    "q1_pricing_summary",
-    "q3_unshipped_revenue",
-    "q5_nation_revenue",
-    "similarity_topk_cosine",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_ivf",
-    # green r3, but the post-r3 kmeans cell-id fix touches its IVF path
-    "similarity_ivf_topk",
-    # -- events input normalization changed this round; these four last
-    #    had driver rows in r2 --
-    "stg_events_typed",
-    "fct_events_by_day",
-    "sessionize_events",
-    "events_hourly_rollup",
-    # -- r2-era back-rotation by staleness --
-    "semi_customers_with_open_orders",
-    "anti_customers_without_orders",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
-    "setop_intersect_customers",
-    "rollup_orders",
-    "cube_lineitem_flags",
-    "pivot_priority_by_status",
-    "scalar_functions_part",
-    "scalar_dates_orders",
-    "filter_pushdown_lineitem",
-    "count_distinct_customers_by_status",
-    "median_quantity_by_flag",
-    "approx_distinct_parts",
-    "approx_quantiles_lineitem",
-    "dedup_exact_docs",
-    "dedup_latest_order_per_customer",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "text_stats_docs",
-    "text_quality_docs",
-    "text_langid_docs",
-    "text_fingerprints_docs",
-    "multimodal_media_meta",
-    "multimodal_decode",
-    "left_join_customer_order_stats",
-    "full_outer_year_activity",
-    "cross_join_region_status",
-    "subquery_above_nation_avg",
-    "having_active_customers",
-    "string_predicates_part",
+    # -- new this round --
+    "shingle_df_stats",
+    "source_mixture_report",
+    "quality_filter_funnel",
+    "knn_label_agreement",
+    # -- r2-era entries deferred by the r4 rotation --
+    "fct_orders_by_year",
+    "raw_count_orders",
+    "top_years_desc",
+    "setop_union_customers",
+    "setop_except_customers",
+    "distinct_status_priority",
+    "order_nulls_and_offset",
+    # -- r3-era back-rotation by staleness (37 of 46; rest wait for r6) --
+    "dedup_minhash_lsh_verify",
+    "array_functions_embeddings",
+    "applyinpandas_zscore",
+    "text_term_frequencies",
+    "text_tfidf_top_terms",
+    "window_range_frame_events",
+    "window_distribution_stats",
+    "map_functions_events",
+    "udtf_chunk_documents",
+    "pipeline_training_data_prep",
+    "pack_documents_token_bins",
+    "sample_orders_deterministic",
+    "stratified_sample_orders",
+    "split_documents_train_val_test",
+    "text_redact_pii",
+    "dedup_components_docs",
+    "corr_exact_by_flag",
+    "resample_user_daily_gapfill",
+    "hopping_window_event_counts",
+    "window_running_distinct_users",
+    "interval_join_view_purchase",
+    "asof_join_last_purchase",
+    "asof_join_next_purchase",
+    "data_quality_orders",
+    "data_quality_relationships",
+    "decontaminate_docs",
+    "shard_documents_for_training",
+    "text_repetition_stats",
+    "funnel_view_click_purchase",
+    "customer_spend_deciles",
+    "histogram_order_totalprice",
+    "snapshot_diff_orders",
+    "salted_join_order_nations",
+    "length_bucketed_batches_docs",
+    "bigram_collocations_docs",
+    "dedup_savings_report",
+    "corpus_token_budget",
 )
 
 

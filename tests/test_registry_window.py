@@ -12,69 +12,74 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r4: every registry entry outside the window has at least one green
-# driver CORRECTNESS row (r1–r3) under an unchanged implementation —
+# r5: every registry entry outside the window has at least one green
+# driver CORRECTNESS row (r1-r4) under an unchanged implementation -
 # their gate this round is the local replica, which is exactly as strict
 # (rows + schema + value multiset).
 NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
-    # -- r2-era rows deferred to r5 (trivial plans; fct_orders_by_year
-    #    additionally re-runs every round as the driver's entry() smoke) --
-    "fct_orders_by_year",
-    "raw_count_orders",
-    "top_years_desc",
-    "distinct_status_priority",
-    "setop_union_customers",
-    "setop_except_customers",
-    "order_nulls_and_offset",
-    # -- green in r3 under the current implementation --
+    # -- green in r4 under the current implementation (48 of the 50
+    #    r4-window rows; the 2 changed this round are re-windowed) --
+    "fct_events_by_day",
+    "stg_events_typed",
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "semi_customers_with_open_orders",
+    "anti_customers_without_orders",
+    "window_running_customer_spend",
+    "window_top3_orders_per_customer",
+    "setop_intersect_customers",
+    "rollup_orders",
+    "cube_lineitem_flags",
+    "pivot_priority_by_status",
+    "scalar_functions_part",
+    "scalar_dates_orders",
+    "filter_pushdown_lineitem",
+    "count_distinct_customers_by_status",
+    "median_quantity_by_flag",
+    "approx_distinct_parts",
+    "approx_quantiles_lineitem",
+    "dedup_exact_docs",
+    "dedup_latest_order_per_customer",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "similarity_topk_cosine",
+    "similarity_ann_lsh",
+    "text_stats_docs",
+    "text_quality_docs",
+    "text_langid_docs",
+    "text_fingerprints_docs",
+    "multimodal_media_meta",
+    "multimodal_decode",
+    "sessionize_events",
+    "events_hourly_rollup",
+    "left_join_customer_order_stats",
+    "full_outer_year_activity",
+    "cross_join_region_status",
+    "subquery_above_nation_avg",
+    "having_active_customers",
+    "string_predicates_part",
+    "similarity_ivf_topk",
+    "array_agg_nations_per_region",
+    "embeddings_unit_norm",
+    "embeddings_random_projection",
+    "funnel_conversion_rates",
+    "dedup_cluster_representatives",
+    # -- r3-era rows deferred to r6 by the r5 rotation (trivial
+    #    scalar/CASE/date/window one-liners, unchanged since r3) --
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
     "union_all_order_events",
     "coalesce_case_scalar",
     "explode_token_table",
-    "array_functions_embeddings",
-    "applyinpandas_zscore",
-    "text_term_frequencies",
-    "text_tfidf_top_terms",
-    "window_range_frame_events",
-    "window_distribution_stats",
     "date_arithmetic_orders",
-    "map_functions_events",
-    "udtf_chunk_documents",
-    "pipeline_training_data_prep",
-    "pack_documents_token_bins",
-    "sample_orders_deterministic",
-    "stratified_sample_orders",
-    "split_documents_train_val_test",
-    "text_redact_pii",
-    "dedup_components_docs",
-    "corr_exact_by_flag",
     "grouping_sets_orders",
     "mode_priority_per_status",
-    "resample_user_daily_gapfill",
-    "hopping_window_event_counts",
-    "window_running_distinct_users",
-    "interval_join_view_purchase",
-    "asof_join_last_purchase",
-    "data_quality_orders",
-    "decontaminate_docs",
-    "shard_documents_for_training",
-    "text_repetition_stats",
-    "funnel_view_click_purchase",
-    "data_quality_relationships",
-    "customer_spend_deciles",
-    "asof_join_next_purchase",
-    "histogram_order_totalprice",
-    "snapshot_diff_orders",
-    "salted_join_order_nations",
-    "length_bucketed_batches_docs",
-    "bigram_collocations_docs",
-    "dedup_savings_report",
-    "corpus_token_budget",
-    "dedup_minhash_lsh_verify",
 }
 
 
