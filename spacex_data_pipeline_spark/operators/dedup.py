@@ -382,7 +382,17 @@ def connected_components(
         .union(edges.select(F.col(right).alias("src"), F.col(left).alias("dst")))
         .localCheckpoint()
     )
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Iterate ONLY over nodes that touch an edge: a node with no edge is
+    # its own component and can never change label, so carrying it
+    # through every round materializes |V| rows per iteration for
+    # nothing. At 100 TB the near-dup graph's node set is orders of
+    # magnitude smaller than the corpus — the fixpoint should cost
+    # O(|touched|) per round, with the full node set attached once at
+    # the end (r4: 4.0 s → measured below at sf0.1 for the savings
+    # report; the gap widens with corpus size since |touched| tracks
+    # dup density, not corpus size).
+    touched = sym.select("src").distinct()
+    labels = touched.select(F.col("src").alias("node"), F.col("src").alias("label"))
     changed = 0
     for _ in range(max_iter):
         nbr = (
@@ -420,7 +430,17 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    # Singleton nodes (no edges) re-attach here: one join of the corpus
+    # against the tiny converged label set — broadcastable by AQE — with
+    # component defaulting to the node's own id.
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def contamination_flags(
