@@ -221,6 +221,16 @@ def minhash_lsh_candidates(
     # mixing would be cheaper still, but wrapping long multiply throws
     # under Spark 4's ANSI mode.)
     sh = shingle_hash_docs(docs, id_col, text_col, k)
+    # Materialize the signature table ONCE (localCheckpoint, same pattern
+    # as connected_components' edge list): the plan references sigs three
+    # times (band explode + the two per-side re-attach joins), and the
+    # alias projections above the aggregate defeat Spark's exchange reuse
+    # — without the checkpoint the shingle explode + 64-min aggregation
+    # executes three times (verified via explain: 4 parquet scans, 0
+    # ReusedExchange). Signatures are |docs|×(8B id + 512B sig) — the
+    # standard MinHash materialization every production pipeline makes;
+    # at 100 TB this is the difference between one corpus-wide shingle
+    # pass and three. Measured 2.54 s → 2.21 s at sf0.1.
     sigs = (
         sh.groupBy(id_col)
         .agg(
@@ -233,6 +243,7 @@ def minhash_lsh_candidates(
             F.col(id_col),
             F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
         )
+        .localCheckpoint()
     )
     rows_per_band = num_hashes // bands
     # Band rows carry ONLY (id, band, key) — the 64-long signature never
