@@ -332,11 +332,24 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 16,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidates via block
     equality (pigeonhole over 4 blocks ⇒ catches distance ≤ 3 exactly;
-    larger distances probabilistically)."""
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    larger distances probabilistically).
+
+    The fingerprint table is referenced EIGHT times (4 block joins × two
+    sides), so it is materialized once up front (localCheckpoint — the
+    same single-materialization rule as MinHash signatures; without it
+    each reference re-runs the corpus-wide shingle explode + 64-vote
+    aggregation). Callers that already have fingerprints (e.g. a
+    verification query that also inspects them) pass the materialized
+    table via ``fingerprints`` to share one computation."""
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, id_col, text_col).localCheckpoint()
+    )
     pairs = None
     for blk in range(4):
         a = fps.select(

@@ -905,10 +905,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    fps = simhash_fingerprints(docs)
+    # one fingerprint materialization shared by the two inspection sides
+    # AND the banded search (which references it 8 more times) — see
+    # simhash_near_pairs' fingerprints parameter
+    fps = simhash_fingerprints(docs).localCheckpoint()
     fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    banded = simhash_near_pairs(docs, max_hamming=16).select(
+    banded = simhash_near_pairs(docs, max_hamming=16, fingerprints=fps).select(
         "doc_a", "doc_b", F.lit(True).alias("banded")
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
