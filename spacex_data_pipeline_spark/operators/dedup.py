@@ -138,10 +138,18 @@ def ngram_jaccard_pairs(
     toks = docs.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
     )
+    # Materialize the (id, shingle-hash) posting list ONCE: the plan
+    # references it four times (both self-join sides + the two size
+    # joins, five with the skew-cap's hot-shingle scan), and alias
+    # projections defeat exchange reuse, so each reference would re-run
+    # the corpus-wide tokenize + explode (verified: 4 parquet scans, 0
+    # ReusedExchange). 16 B/row checkpointed vs four full text passes —
+    # the same single-materialization rule as the MinHash signature and
+    # SimHash fingerprint tables. Measured 2.16 s → 1.99 s at sf0.1.
     sh = toks.select(
         F.col(id_col),
         F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_shingle_df is not None:
