@@ -64,6 +64,7 @@ EXTENDED = [
     "source_mixture_report",
     "quality_filter_funnel",
     "knn_label_agreement",
+    "source_token_budget_cap",
 ]
 
 

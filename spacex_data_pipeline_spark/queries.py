@@ -3709,6 +3709,81 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_token_budget_cap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(__TOKS__) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8))::UBIGINT
+               AS rk
+      FROM documents),
+    c AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY rk, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok
+      FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(SUM(CASE WHEN cum_tok <= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN cum_tok <= 30000 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           round(100.0 * SUM(CASE WHEN cum_tok <= 30000 THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2) AS pct_docs_kept
+    FROM c GROUP BY source
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "sampling"),
+)
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture capping: enforce a per-source token budget (30k here) by
+    keeping a deterministic hash-ranked prefix of each source — the op
+    that stops one crawl dump from dominating the training mixture.
+    Each doc gets an md5 rank (pure key function, so the kept set is
+    stable under appends and cluster layout, same contract as
+    deterministic_sample); a per-source cumulative token sum admits docs
+    while the running total fits the budget. Reported as the per-source
+    audit: total/kept docs, kept tokens, keep rate.
+
+    Scale: ONE shuffle — the window partitions by source and the final
+    groupBy reuses that exact partitioning (no second exchange;
+    cumulative sums within a source are per-task). A source too large
+    for one task's window switches to the two-level (coarse-bucket
+    pre-sum, then offset) form; the budget decision itself stays a pure
+    prefix rule either way."""
+    from .operators.text import token_count
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+            h.alias("rk"),
+        )
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+    )
+    kept = F.col("cum_tok") <= 30000
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum(kept.cast("long")).alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).alias("tokens_kept"),
+    ).withColumn(
+        "pct_docs_kept", pct_rate(F.col("n_docs_kept"), F.col("n_docs_total"))
+    )
+
+
+@register(
     "knn_label_agreement",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -3795,7 +3870,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      coalesce_case_scalar, date_arithmetic_orders, explode_token_table,
 #      window_lag_lead_first, mode_priority_per_status,
 #      grouping_sets_orders, stddev_exact_by_flag,
-#      sql_api_returned_revenue) wait for r6.
+#      sql_api_returned_revenue, histogram_order_totalprice) wait for
+#      r6 (histogram deferred when source_token_budget_cap was added
+#      mid-round and the window is a hard 50).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
 # which runs the identical rows+schema+multiset check over ALL entries.
@@ -3810,6 +3887,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_mixture_report",
     "quality_filter_funnel",
     "knn_label_agreement",
+    "source_token_budget_cap",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -3849,7 +3927,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_repetition_stats",
     "funnel_view_click_purchase",
     "customer_spend_deciles",
-    "histogram_order_totalprice",
     "snapshot_diff_orders",
     "salted_join_order_nations",
     "length_bucketed_batches_docs",
