@@ -234,3 +234,35 @@ def test_cross_split_leakage_keeps_md5_out_of_join_conditions(spark, sf):
     assert join_blocks, "expected join nodes in the leakage plan"
     for b in join_blocks:
         assert "md5" not in b, f"md5 leaked into a join node:\n{b}"
+
+
+def test_token_budget_cap_is_one_shuffle(spark, sf):
+    """source_token_budget_cap's contract: the per-source cumulative
+    window and the final per-source aggregate share ONE hashpartitioning
+    on source — adding the report on top of the window costs no second
+    exchange."""
+    plan = plan_of(REGISTRY["source_token_budget_cap"].fn(spark, sf))
+    assert _shuffle_count(plan) == 1
+    assert "Window" in plan
+
+
+def test_quality_funnel_is_one_pass(spark, sf):
+    """quality_filter_funnel: one corpus scan into a 0-key aggregate of
+    conditional sums; the unpivot adds no pass and no join."""
+    import re
+
+    plan = plan_of(REGISTRY["quality_filter_funnel"].fn(spark, sf))
+    assert _shuffle_count(plan) == 1  # the single-partition final agg
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
+
+
+def test_knn_label_agreement_attaches_labels_post_topk(spark, sf):
+    """Labels must join onto the top-k RESULT (broadcast hash joins),
+    never into the scoring path — the attach-late rule."""
+    plan = plan_of(REGISTRY["knn_label_agreement"].fn(spark, sf))
+    import re
+
+    bhj = re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert len(bhj) == 2  # query-label + neighbor-label attach
+    assert _shuffle_count(plan) <= 2  # top-k window rank + final groupBy
