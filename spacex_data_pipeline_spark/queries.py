@@ -1241,6 +1241,31 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx
+    FROM m, unnest(range(0, blen // 100 + 1)) AS t(i)
+    WHERE i % 10 = 0
+    """,
+    tags=("extension", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing: deterministic frame index per
+    payload (fake: one frame per 100 bytes) exploded then filtered to
+    every 10th — the explode-then-filter shape a real ffmpeg-based
+    sampler uses, with the keep-filter applied BEFORE any decode cost so
+    only sampled frames would ever be decoded. Narrow map + generate; no
+    shuffle at all."""
+    from .operators.multimodal import documents_as_media, frame_sample_plan
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_nth=10).select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH flagged AS (
@@ -3870,9 +3895,10 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      coalesce_case_scalar, date_arithmetic_orders, explode_token_table,
 #      window_lag_lead_first, mode_priority_per_status,
 #      grouping_sets_orders, stddev_exact_by_flag,
-#      sql_api_returned_revenue, histogram_order_totalprice) wait for
-#      r6 (histogram deferred when source_token_budget_cap was added
-#      mid-round and the window is a hard 50).
+#      sql_api_returned_revenue, histogram_order_totalprice,
+#      sample_orders_deterministic) wait for r6 (the last two deferred
+#      when source_token_budget_cap and multimodal_frame_sample were
+#      added mid-round and the window is a hard 50).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
 # which runs the identical rows+schema+multiset check over ALL entries.
@@ -3888,6 +3914,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_filter_funnel",
     "knn_label_agreement",
     "source_token_budget_cap",
+    "multimodal_frame_sample",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -3908,7 +3935,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_chunk_documents",
     "pipeline_training_data_prep",
     "pack_documents_token_bins",
-    "sample_orders_deterministic",
     "stratified_sample_orders",
     "split_documents_train_val_test",
     "text_redact_pii",

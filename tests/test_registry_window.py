@@ -72,6 +72,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     # -- r3-era rows deferred to r6 by the r5 rotation (trivial
     #    scalar/CASE/date/window one-liners, unchanged since r3) --
     "histogram_order_totalprice",
+    "sample_orders_deterministic",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
