@@ -362,16 +362,18 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     o_custkey; frame evaluation is sequential per key (deterministic order
     via the o_orderkey tiebreaker)."""
     o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rt = relational.running_total(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        dec("o_totalprice"),
+        alias="__rt",
     )
-    return o.select(
+    return rt.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.col("__rt").cast("double").alias("running_spend"),
     )
 
 
@@ -3902,6 +3904,10 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
 # which runs the identical rows+schema+multiset check over ALL entries.
+# Mid-r5 refactor note: window_running_customer_spend now routes through
+# relational.running_total — a plan-identical refactor (same window, same
+# expressions), re-verified against its oracle via the driver-contract
+# drive this round; it stays rotated out on that basis.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (

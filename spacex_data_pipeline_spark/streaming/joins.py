@@ -65,4 +65,6 @@ def enrich_stream_with_dim(
     cost is zero regardless of stream length — the reason to prefer
     stream-static over stream-stream whenever one side is a table.
     """
-    return events.join(F.broadcast(dim), on, "left")
+    from ..operators.relational import broadcast_dim_join
+
+    return broadcast_dim_join(events, dim, on, "left")

@@ -37,7 +37,7 @@ def test_partitioned_write_prunes(spark, sf_oracle, tmp_path):
     )
     path = str(tmp_path / "orders_part")
     files.write_parquet_partitioned(orders, path, ["oyear"])
-    back = spark.read.parquet(path).filter(F.col("oyear") == 1996)
+    back = files.read_parquet(spark, path).filter(F.col("oyear") == 1996)
     plan = back._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -96,3 +96,45 @@ def test_json_quarantine_keeps_corrupt_lines(spark, tmp_path):
     assert "not json" in row._corrupt_record
     assert row.launch_id is None
     df.unpersist()
+
+
+def test_run_dag_chains_models_through_views(spark, sf_oracle):
+    """plans.materialize.run_dag: models run in declaration order and later
+    models resolve earlier ones by view name — the dbt 2-model chain shape
+    (staging view feeding a mart) with nothing hard-coded to spacex."""
+    from spacex_data_pipeline_spark.plans.materialize import run_dag
+
+    out = run_dag(
+        spark,
+        {
+            "dag_stg": lambda s: catalog.table(s, sf_oracle, "orders").select(
+                "o_orderkey", F.year("o_orderdate").alias("oyear")
+            ),
+            "dag_mart": lambda s: s.table("dag_stg")
+            .groupBy("oyear")
+            .agg(F.count(F.lit(1)).alias("n")),
+        },
+    )
+    assert set(out) == {"dag_stg", "dag_mart"}
+    want = (
+        catalog.table(spark, sf_oracle, "orders")
+        .groupBy(F.year("o_orderdate"))
+        .count()
+        .count()
+    )
+    assert spark.table("dag_mart").count() == want
+    for v in ("dag_stg", "dag_mart"):
+        spark.catalog.dropTempView(v)
+
+
+def test_ensure_database_creates_namespace(spark):
+    """sinks.ensure_database: the schema-DDL twin of the reference's
+    CREATE SCHEMA IF NOT EXISTS (spacex_api_dag.py:25-27) — idempotent."""
+    from spacex_data_pipeline_spark.sources import sinks
+
+    sinks.ensure_database(spark, "graft_test_ns")
+    sinks.ensure_database(spark, "graft_test_ns")  # idempotent second call
+    assert any(
+        db.name == "graft_test_ns" for db in spark.catalog.listDatabases()
+    )
+    spark.sql("DROP DATABASE graft_test_ns")

@@ -270,3 +270,36 @@ def test_streaming_training_filter_matches_batch(spark, sf_oracle, tmp_path):
     overlap_flags = {d: c for d, (_, c, _) in got.items()}
     assert overlap_flags == join_flags
     assert any(join_flags.values())  # fixture plants real overlaps
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, sf_oracle, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving inside the
+    watermark window are suppressed exactly like the unbounded variant —
+    but with O(keys-per-window) state, the only shape that survives an
+    unbounded stream. Re-delivered batch = every event still exactly
+    once."""
+    import os
+
+    from spacex_data_pipeline_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+
+    landed = str(tmp_path / "wm_events")
+    os.makedirs(landed)
+    ev = catalog.table(spark, sf_oracle, "events").limit(1000)
+    ev.coalesce(1).write.mode("append").parquet(landed)  # delivery 1
+    ev.coalesce(1).write.mode("append").parquet(landed)  # re-delivery
+
+    out = str(tmp_path / "wm_out")
+    stream = stream_events_from_files(spark, landed)
+    run_available_now_to_parquet(
+        dedup_stream_within_watermark(stream, watermark="4 hours"),
+        str(tmp_path / "ck_wm"),
+        out,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
