@@ -68,16 +68,25 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for seed i, min over shingles of xxhash64(shingle, i).
 
-    xxhash64 accepts a seed column, so the i-th hash family is just a
-    different seed — no a*x+b mod p bookkeeping, and it's all JVM-side.
-    Returns ``array<bigint>`` of length ``num_hashes``.
+    xxhash64 hashes all its argument columns together, so the i-th hash
+    family is the pair (shingle, i) — no a*x+b mod p bookkeeping, and
+    it's all JVM-side. Returns ``array<bigint>`` of length
+    ``num_hashes``.
+
+    The per-family lambda must stay SINGLE-argument: a ``lambda s, i=i``
+    default-arg capture makes PySpark treat it as the two-arg
+    (element, index) higher-order-function form and bind ``i`` to the
+    ARRAY INDEX — every "seed" then produces the identical hash and all
+    signature positions collapse to one value (caught by
+    test_reference_forms_agree_with_production_paths; same trap
+    documented at operators/text.py lang_id). The seed is closed over
+    via an enclosing scope instead.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def fam(i: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[fam(i) for i in range(num_hashes)])
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:

@@ -534,3 +534,73 @@ def test_jpeg_walker_handles_fill_bytes_and_lengthless_markers():
         multimodal._parse_dimensions(
             b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0) + b"\xff\xd9"
         )
+
+
+def test_reference_forms_agree_with_production_paths(spark, sf_oracle):
+    """The documented 'readable reference forms' must actually agree with
+    the optimized production paths they document — otherwise the
+    reference form is a lie the next reader builds on.
+
+    - lsh_bucket (interpreted HOF expression) vs lsh_buckets_blas
+      (matmul per Arrow batch): bit-identical buckets, by construction
+      of the near-zero re-fold.
+    - word_shingles (convenience form) vs the projected
+      shingles_from_words it wraps: identical shingle sets.
+    - minhash_signature (per-row expression family): its banding
+      estimate must track exact Jaccard on a known pair (its hash family
+      differs from the production agg path by design — string-seeded vs
+      rehashed-long — so sanity is value-level, not bit-level)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog as cat
+    from spacex_data_pipeline_spark.functions.hashing import (
+        minhash_signature,
+        word_shingles,
+    )
+    from spacex_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_buckets_blas,
+    )
+
+    emb = cat.table(spark, sf_oracle, "embeddings").limit(256)
+    expr_b = emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), 64, n_planes=5).alias("b_expr")
+    )
+    blas_b = lsh_buckets_blas(emb, dim=64, n_planes=5).select(
+        "vec_id", F.col("bucket").alias("b_blas")
+    )
+    diff = expr_b.join(blas_b, "vec_id").filter(F.col("b_expr") != F.col("b_blas"))
+    assert diff.count() == 0
+
+    docs = cat.table(spark, sf_oracle, "documents").limit(64)
+    from spacex_data_pipeline_spark.functions.hashing import (
+        normalize_text,
+        shingles_from_words,
+    )
+
+    both = docs.select(
+        F.sort_array(word_shingles(F.col("text"), 3)).alias("a"),
+        F.sort_array(
+            shingles_from_words(F.split(normalize_text(F.col("text")), " "), 3)
+        ).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+    # two near-identical texts: signature agreement rate ≈ exact Jaccard
+    pair = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = pair.select(
+        "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 64).alias("sig")
+    ).collect()
+    s0, s1 = (dict((r.doc_id, r.sig) for r in sigs)[i] for i in (0, 1))
+    # the 64 positions must be DISTINCT hash families (the bug this test
+    # caught: an (element, index) lambda collapsed all 64 to one value)
+    assert len(set(s0)) > 1
+    est = sum(int(x == y) for x, y in zip(s0, s1)) / 64.0
+    # exact J = 7 shared / 9 union 3-shingles ≈ 0.778; 64 hashes ⇒ σ ≈ 0.05
+    assert abs(est - 7.0 / 9.0) < 0.2
