@@ -65,6 +65,7 @@ EXTENDED = [
     "quality_filter_funnel",
     "knn_label_agreement",
     "source_token_budget_cap",
+    "winnowing_fingerprints_docs",
 ]
 
 

@@ -157,6 +157,67 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word k-gram, slide a window of ``window``
+    consecutive hashes, keep the MIN of each window, emit the distinct
+    selected hashes as (id, fp) rows.
+
+    Guarantee: any two documents sharing a run of at least
+    ``window + k - 1`` tokens share at least one fingerprint — local
+    similarity detection whose fingerprint density is ~2/(window+1) of
+    the k-gram count, independent of document length. The pair search
+    downstream is a plain equi-join on fp (same shape and skew story as
+    the shingle join; reuse ``max_shingle_df``-style caps there).
+
+    Entirely JVM-side expression work — one narrow map then one explode;
+    no shuffle. The k-gram hash here is the first 15 hex digits of md5
+    (60 bits) so the DuckDB oracle can replicate fingerprint SELECTION
+    exactly (min-of-window depends on hash VALUES, so oracle parity
+    needs an identical hash on both engines — the same reason
+    sampling.py's bucketing is md5-based). A production variant swaps
+    xxhash64 for md5 (4× cheaper; the algorithm is hash-agnostic).
+
+    Short docs: fewer than k tokens → no k-grams → no fingerprints
+    (mirrors shingle_hash_docs' contract); fewer than window k-grams →
+    one window over what exists.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    n_grams = n - (k - 1)
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 15), 16, 10
+    ).cast("long")
+    # guard: F.sequence(1, stop) with stop < 1 generates a DESCENDING
+    # sequence, not an empty one — gate short docs explicitly
+    hs = F.when(n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    with_hs = docs.select(F.col(id_col), hs.alias("__hs"))
+    m = F.size(F.col("__hs"))
+    n_windows = m - (window - 1)
+    sel = (
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min(F.col("__hs"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return with_hs.select(
+        F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp")
+    )
+
+
 def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Corpus-level term statistics: per-(doc, term) frequency and per-term
     document frequency — the exact-integer core of TF-IDF (the float IDF

@@ -3736,6 +3736,47 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_fingerprints_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) - 3 >= 1 THEN
+               list_transform(range(1, len(w) - 3 + 1), i ->
+                 CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          || ' ' || w[i+3]), 1, 15))::UBIGINT AS BIGINT))
+             ELSE []::BIGINT[] END AS hs
+      FROM toks),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(hs) - 3 >= 1 THEN
+                 list_transform(range(1, len(hs) - 3 + 1), j -> list_min(hs[j:j+3]))
+               WHEN len(hs) >= 1 THEN [list_min(hs)]
+               ELSE []::BIGINT[] END) AS fps
+      FROM g)
+    SELECT doc_id, CAST(t.fp AS BIGINT) AS fp
+    FROM sel, unnest(fps) AS t(fp)
+    """,
+    tags=("extension", "text", "dedup"),
+)
+def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over word 4-grams with window 4 —
+    the local-similarity fingerprinting family's member with a coverage
+    GUARANTEE (any shared ≥7-token run shares a fingerprint), vs
+    MinHash's whole-document similarity estimate. Fingerprint selection
+    (min of each hash window) is replicated exactly in SQL because the
+    k-gram hash is md5-derived on both engines. Narrow map + explode;
+    zero shuffles."""
+    from .operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=4, window=4)
+
+
+@register(
     "source_token_budget_cap",
     oracle="""
     WITH t AS (
@@ -3898,8 +3939,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      window_lag_lead_first, mode_priority_per_status,
 #      grouping_sets_orders, stddev_exact_by_flag,
 #      sql_api_returned_revenue, histogram_order_totalprice,
-#      sample_orders_deterministic) wait for r6 (the last two deferred
-#      when source_token_budget_cap and multimodal_frame_sample were
+#      sample_orders_deterministic, stratified_sample_orders) wait for
+#      r6 (the last three deferred as source_token_budget_cap,
+#      multimodal_frame_sample, and winnowing_fingerprints_docs were
 #      added mid-round and the window is a hard 50).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
@@ -3921,6 +3963,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_label_agreement",
     "source_token_budget_cap",
     "multimodal_frame_sample",
+    "winnowing_fingerprints_docs",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -3941,7 +3984,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_chunk_documents",
     "pipeline_training_data_prep",
     "pack_documents_token_bins",
-    "stratified_sample_orders",
     "split_documents_train_val_test",
     "text_redact_pii",
     "dedup_components_docs",

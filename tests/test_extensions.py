@@ -604,3 +604,29 @@ def test_reference_forms_agree_with_production_paths(spark, sf_oracle):
     est = sum(int(x == y) for x, y in zip(s0, s1)) / 64.0
     # exact J = 7 shared / 9 union 3-shingles ≈ 0.778; 64 hashes ⇒ σ ≈ 0.05
     assert abs(est - 7.0 / 9.0) < 0.2
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: two documents sharing a run of at least
+    window + k - 1 tokens share at least one fingerprint (k=4, w=4 ⇒
+    any shared 7-token run). Also: a doc shorter than k tokens emits no
+    fingerprints, and fingerprint density is far below the k-gram count."""
+    from spacex_data_pipeline_spark.operators.text import winnowing_fingerprints
+
+    shared = "one two three four five six seven"  # exactly w+k-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {shared} gamma delta epsilon"),
+            (1, f"zeta eta theta iota {shared} kappa"),
+            (2, "completely different words with nothing in common here"),
+            (3, "tiny doc"),  # < k tokens: no k-grams, no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc.get(2, set()))
+    assert 3 not in by_doc

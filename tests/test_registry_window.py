@@ -73,6 +73,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     #    scalar/CASE/date/window one-liners, unchanged since r3) --
     "histogram_order_totalprice",
     "sample_orders_deterministic",
+    "stratified_sample_orders",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
