@@ -66,6 +66,7 @@ EXTENDED = [
     "knn_label_agreement",
     "source_token_budget_cap",
     "winnowing_fingerprints_docs",
+    "winnowing_near_pairs_docs",
 ]
 
 

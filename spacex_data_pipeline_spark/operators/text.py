@@ -218,6 +218,57 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Local-similarity pair search over winnowing fingerprints: equi-join
+    docs on shared fingerprints, keep pairs sharing ≥ ``min_shared`` —
+    the consumer that turns :func:`winnowing_fingerprints` into a dedup/
+    plagiarism candidate generator. By the winnowing guarantee every
+    pair sharing a ≥ window+k-1 token run appears here (with
+    ``min_shared=1``); higher ``min_shared`` trades recall on single
+    short overlaps for precision.
+
+    Same scale story as the shingle join: only pairs sharing a
+    fingerprint materialize, and fingerprint density is ~2/(window+1)
+    of the k-gram count, so the join input is ~4× smaller than the raw
+    shingle join's at these parameters. ``max_fp_df`` is the same
+    hot-key guard as ngram_jaccard_pairs' ``max_shingle_df`` (a
+    boilerplate fingerprint shared by D docs is a D² blowup): hot
+    fingerprints are dropped via broadcast anti-join, no extra shuffle.
+    The fingerprint table is referenced by both join sides —
+    materialized once per the single-materialization rule."""
+    fps = winnowing_fingerprints(docs, id_col, text_col, k, window).localCheckpoint()
+    join_side = fps
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        join_side = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = join_side.alias("a"), join_side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Corpus-level term statistics: per-(doc, term) frequency and per-term
     document frequency — the exact-integer core of TF-IDF (the float IDF

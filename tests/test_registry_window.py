@@ -74,6 +74,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "histogram_order_totalprice",
     "sample_orders_deterministic",
     "stratified_sample_orders",
+    "split_documents_train_val_test",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
