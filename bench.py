@@ -136,6 +136,7 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
+    from spacex_data_pipeline_spark.operators.text import winnowing_near_pairs
 
     docs = _skewed_docs(spark, sf_dir)
     variants = {
@@ -147,6 +148,8 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         "skew_minhash_capped": lambda: minhash_lsh_candidates(
             docs, threshold=0.2, max_bucket_size=50
         ),
+        "skew_winnow_uncapped": lambda: winnowing_near_pairs(docs),
+        "skew_winnow_capped": lambda: winnowing_near_pairs(docs, max_fp_df=50),
     }
     out: dict[str, float] = {}
     for name, build in variants.items():

@@ -188,18 +188,36 @@ def winnowing_fingerprints(
     (mirrors shingle_hash_docs' contract); fewer than window k-grams →
     one window over what exists.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # Two-phase projection (the shingles_from_words rule): materialize the
+    # token array BEFORE the gram lambda references it — codegen inlines
+    # expression trees into every lambda reference, so an inline
+    # split(normalize) would re-run the regex chain k times per gram
+    # (measured 4.06 s → 0.99 s at sf0.1 for this operator).
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    )
+    words = F.col("__w")
     n = F.size(words)
     n_grams = n - (k - 1)
     gram_hash = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 15), 16, 10
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(k)]
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
     ).cast("long")
     # guard: F.sequence(1, stop) with stop < 1 generates a DESCENDING
     # sequence, not an empty one — gate short docs explicitly
     hs = F.when(n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)).otherwise(
         F.array().cast("array<bigint>")
     )
-    with_hs = docs.select(F.col(id_col), hs.alias("__hs"))
+    with_hs = toks.select(F.col(id_col), hs.alias("__hs"))
     m = F.size(F.col("__hs"))
     n_windows = m - (window - 1)
     sel = (
