@@ -3689,7 +3689,13 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import STOPWORDS, punct_ratio, tokens
 
     t = F.col("text")
-    toks = tokens(t)
+    # project tokens ONCE before the flag expressions reference them four
+    # times — codegen re-inlines the split(normalize) chain per reference
+    # otherwise (the two-phase rule from shingles_from_words)
+    with_toks = _t(spark, sf_dir, "documents").select(
+        t, tokens(t).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
         n_tok, F.lit(1)
@@ -3697,7 +3703,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
 
-    flags = _t(spark, sf_dir, "documents").select(
+    flags = with_toks.select(
         (n_tok < 20).alias("too_short"),
         (diversity < 0.3).alias("low_diversity"),
         (punct_ratio(t) > 0.2).alias("high_punct"),
