@@ -140,3 +140,60 @@ def test_length_bucketed_batches_bound_padding(spark):
         assert max(toks) - min(toks) < 64
         for t in toks:
             assert t // 64 == bucket
+
+
+@given(payload=st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_image_parser_terminates_and_never_returns_garbage(payload):
+    """The stdlib image-dimension parser must, for ARBITRARY bytes,
+    either raise ValueError or return the dimensions a spec-valid header
+    actually encodes — never hang (the JPEG walker has loops) and never
+    return dimensions from a payload whose signature it doesn't know."""
+    from spacex_data_pipeline_spark.operators.multimodal import _parse_dimensions
+
+    known_sig = (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:2] == b"\xff\xd8"
+    )
+    try:
+        w, h = _parse_dimensions(payload)
+    except ValueError:
+        return  # loud failure is always acceptable
+    assert known_sig, "returned dimensions for an unrecognized signature"
+    assert 0 <= w <= 0xFFFFFFFF and 0 <= h <= 0xFFFFFFFF
+
+
+@given(
+    fills=st.integers(min_value=0, max_value=3),
+    n_rst=st.integers(min_value=0, max_value=4),
+    pad=st.binary(max_size=16),
+    width=st.integers(min_value=1, max_value=0xFFFF),
+    height=st.integers(min_value=1, max_value=0xFFFF),
+)
+@settings(max_examples=100, deadline=None)
+def test_jpeg_walker_finds_sof_through_arbitrary_preambles(
+    fills, n_rst, pad, width, height
+):
+    """Any spec-valid marker preamble — fill bytes, TEM/RST length-less
+    markers, APPn segments with arbitrary payload — must not stop the
+    walker from reaching SOF0 and reading the true dimensions."""
+    import struct
+
+    from spacex_data_pipeline_spark.operators.multimodal import _parse_dimensions
+
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(pad)) + pad
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">H", height)
+        + struct.pack(">H", width)
+        + b"\x03"
+        + b"\x00" * 6
+    )
+    preamble = b"\xff" * fills + b"\xff\x01"
+    for r in range(n_rst):
+        preamble += bytes([0xFF, 0xD0 + (r % 8)])
+    jpeg = b"\xff\xd8" + preamble + app1 + sof0 + b"\xff\xd9"
+    assert _parse_dimensions(jpeg) == (width, height)
