@@ -109,20 +109,32 @@ def compact(
     merging files.
     """
     import math
-    import os
-    import shutil
 
     df = spark.read.parquet(path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
+    return _staged_swap(df.repartition(files), path, stem="compact")
+
+
+def _staged_swap(df: DataFrame, path: str, stem: str) -> int:
+    """Write ``df`` to a sibling staging dir and swap it into ``path`` via
+    two renames, keeping the original as a backup until the swapped-in
+    listing verifies (see :func:`compact`'s docstring for the atomicity
+    contract: a reader between the renames sees the path missing; a
+    crash leaves the data at ``.__{stem}_old__``, never lost). Shared by
+    every read-modify-rewrite sink (compact, upsert). Returns the file
+    count after the swap."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + f".__{stem}_tmp__"
+    old = path.rstrip("/") + f".__{stem}_old__"
     # Both staging dirs are derived from `path`, so all three share one
     # parent directory — os.rename can never cross a filesystem here.
     parent = os.path.dirname(os.path.abspath(path).rstrip("/"))
     assert {os.path.dirname(os.path.abspath(tmp)),
             os.path.dirname(os.path.abspath(old))} == {parent}
-    df.repartition(files).write.mode("overwrite").format("parquet").save(tmp)
+    df.write.mode("overwrite").format("parquet").save(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)  # readers see the path missing between these
     os.rename(tmp, path)  # two renames (see docstring)
@@ -131,6 +143,27 @@ def compact(
         # verification failed — roll the original back before raising
         os.rename(path, tmp)
         os.rename(old, path)
-        raise RuntimeError(f"compaction produced no parquet files at {path}")
+        raise RuntimeError(f"{stem} produced no parquet files at {path}")
     shutil.rmtree(old)  # backup dropped only after the new listing verifies
     return len(out_files)
+
+
+def upsert_by_key(spark: SparkSession, df: DataFrame, path: str, key: str) -> int:
+    """MERGE-style upsert into a path-based parquet table: incoming rows
+    REPLACE existing rows with the same key (all of them — re-delivered
+    keys don't duplicate), other existing rows survive untouched. The
+    update path the reference's append-only load lacks, without a
+    lakehouse format: existing ⟕-anti incoming keys (the tiny key set
+    broadcasts) ∪ incoming, rewritten through the same verified staged
+    swap as :func:`compact`.
+
+    Scale contract: a path-based upsert is inherently a rewrite of the
+    files it touches — at 100 TB partition the table on a key prefix and
+    upsert only the AFFECTED partitions (dynamic partition overwrite),
+    or use a table format whose MERGE rewrites row groups; this
+    whole-table form is the small-table / per-partition building block.
+    Returns the post-swap file count."""
+    existing = spark.read.parquet(path)
+    keep = existing.join(F.broadcast(df.select(key).distinct()), key, "left_anti")
+    merged = keep.unionByName(df.select(*existing.columns))
+    return _staged_swap(merged, path, stem="upsert")

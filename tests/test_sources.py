@@ -138,3 +138,40 @@ def test_ensure_database_creates_namespace(spark):
         db.name == "graft_test_ns" for db in spark.catalog.listDatabases()
     )
     spark.sql("DROP DATABASE graft_test_ns")
+
+
+def test_upsert_by_key_replaces_and_inserts(spark, sf_oracle, tmp_path):
+    """upsert: matched keys replaced (no duplicates on re-delivery),
+    unmatched inserted, untouched rows survive byte-for-byte; staging
+    dirs are gone afterward."""
+    import os
+
+    from spacex_data_pipeline_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "upsert_tbl")
+    base = catalog.table(spark, sf_oracle, "orders").limit(1000)
+    base.write.parquet(path)
+
+    incoming = (
+        base.limit(10)
+        .withColumn("o_orderstatus", F.lit("UPDATED"))
+        .unionByName(
+            base.limit(1)
+            .withColumn("o_orderkey", F.lit(999_999_999).cast("long"))
+            .withColumn("o_orderstatus", F.lit("INSERTED"))
+        )
+    )
+    upsert_by_key(spark, incoming, path, "o_orderkey")
+    got = spark.read.parquet(path)
+    assert got.count() == 1001  # 10 replaced in place + 1 new
+    assert got.filter(F.col("o_orderstatus") == "UPDATED").count() == 10
+    assert got.filter(F.col("o_orderstatus") == "INSERTED").count() == 1
+    # keys never duplicate
+    assert got.select("o_orderkey").distinct().count() == 1001
+    # idempotent: re-delivering the same batch changes nothing
+    upsert_by_key(spark, incoming, path, "o_orderkey")
+    again = spark.read.parquet(path)
+    assert again.count() == 1001
+    assert again.filter(F.col("o_orderstatus") == "UPDATED").count() == 10
+    assert not os.path.exists(path + ".__upsert_tmp__")
+    assert not os.path.exists(path + ".__upsert_old__")
