@@ -73,3 +73,79 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("min_event_id", T.LongType()),
+        T.StructField("max_event_id", T.LongType()),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user lifetime event totals via ``transformWithStateInPandas`` —
+    Spark 4's successor to ``applyInPandasWithState`` (explicit typed
+    state handles instead of one packed state tuple; timers and TTL when
+    needed). Kept alongside :func:`first_seen_stream` so the package
+    exercises BOTH stateful APIs: migrating a 100 TB pipeline means
+    running them side by side for a while.
+
+    Emits the UPDATED running totals for every user seen in each
+    micro-batch; outputs are exact integers (count + min/max event id),
+    so replay comparisons against the batch twin are value-exact with
+    no float-order caveats. State per user is three longs — O(users),
+    unbounded by stream length.
+
+    Runtime gate: the transformWithState worker protocol speaks
+    protobuf over a local state server; containers without
+    ``google.protobuf`` (this one — installs are out of bounds) crash
+    the Python driver worker at start. The test skips on that import;
+    :func:`first_seen_stream` (applyInPandasWithState, no protobuf
+    dependency) is the stateful path that runs everywhere.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_cols = [f.name for f in RUNNING_TOTALS_SCHEMA.fields]
+
+    # Nested class: cloudpickle must serialize BY VALUE (module-level
+    # classes pickle by reference and Python workers don't import this
+    # package — the first_seen_stream rule).
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState(
+                "totals", "n long, lo long, hi long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, lo, hi = 0, None, None
+            if self._tot.exists():
+                n, lo, hi = self._tot.get()
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                b_lo = int(pdf["event_id"].min())
+                b_hi = int(pdf["event_id"].max())
+                lo = b_lo if lo is None else min(lo, b_lo)
+                hi = b_hi if hi is None else max(hi, b_hi)
+            self._tot.update((n, lo, hi))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "min_event_id": lo, "max_event_id": hi}],
+                columns=out_cols,
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -303,3 +303,44 @@ def test_stream_dedup_within_watermark_bounds_state(spark, sf_oracle, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 1000
     assert got.select("event_id").distinct().count() == 1000
+
+
+def test_transform_with_state_running_totals_match_batch(spark, sf_oracle, tmp_path):
+    """transformWithStateInPandas (the Spark-4 stateful API): after the
+    stream drains, each user's LAST emitted running total equals the
+    batch aggregate — exact-integer outputs, no float-order caveats.
+
+    Skips where google.protobuf is absent (the TWS worker protocol
+    needs it; this container has no protobuf and installs are out of
+    bounds) — the applyInPandasWithState twin above runs everywhere."""
+    pytest.importorskip("google.protobuf")
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+    from spacex_data_pipeline_spark.streaming.stateful import running_totals_stream
+
+    landed = str(tmp_path / "rt_events")
+    ev = catalog.table(spark, sf_oracle, "events").limit(3000)
+    ev.coalesce(1).write.mode("append").parquet(landed)
+
+    out = str(tmp_path / "rt_out")
+    stream = stream_events_from_files(spark, landed)
+    run_available_now_to_parquet(
+        running_totals_stream(stream), str(tmp_path / "ck_rt"), out
+    )
+    got = spark.read.parquet(out)
+    # one emission per (user, batch); keep the final state per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
