@@ -266,3 +266,20 @@ def test_knn_label_agreement_attaches_labels_post_topk(spark, sf):
     bhj = re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
     assert len(bhj) == 2  # query-label + neighbor-label attach
     assert _shuffle_count(plan) <= 2  # top-k window rank + final groupBy
+
+
+def test_no_cartesian_product_anywhere(spark, sf):
+    """Global 100 TB invariant: no registry query may compile to a
+    CartesianProduct — the unconditional all-pairs plan that cannot
+    survive scale. Broadcast nested-loop joins (tiny broadcast side:
+    query vectors, 1-row corpus totals) are allowed; the only sanctioned
+    CartesianProduct is the explicit cross-join demo over two tiny
+    dimensions."""
+    allowed = {"cross_join_region_status"}
+    offenders = []
+    for name, q in REGISTRY.items():
+        if name in allowed:
+            continue
+        if "CartesianProduct" in plan_of(q.fn(spark, sf)):
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
