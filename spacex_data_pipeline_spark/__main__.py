@@ -86,6 +86,20 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         help="Spark explain mode",
     )
 
+    pp = sub.add_parser(
+        "prep-training",
+        help="run the composed training-data prep and WRITE shard files: "
+        "quality gate -> exact dedup -> decontaminate -> split -> "
+        "shard-shuffle -> parquet partitioned by (split, shard)",
+    )
+    pp.add_argument("--sf-dir", default=None, help="fixture table directory")
+    pp.add_argument("--out", required=True, help="output directory for shards")
+    pp.add_argument("--shards", type=int, default=8, help="training shards per split")
+    pp.add_argument(
+        "--val-pct", type=float, default=0.01, help="validation split fraction"
+    )
+    pp.add_argument("--test-pct", type=float, default=0.01, help="test split fraction")
+
     sub.add_parser("list-queries", help="list registered query names")
 
     pt = sub.add_parser(
@@ -173,6 +187,59 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 return 2
             sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
             REGISTRY[args.name].fn(spark, sf_dir).show(args.limit, truncate=False)
+        elif args.cmd == "prep-training":
+            from pyspark.sql import functions as F
+
+            # The end-to-end product of the training-data operator family:
+            # every stage is the SAME code its standalone oracle-checked
+            # query runs; this verb just composes them and writes files a
+            # trainer reads (parquet partitioned by split/shard — the
+            # shard-keyed layout shard_and_shuffle already partitions by,
+            # so the write adds no extra exchange).
+            from . import catalog
+            from .operators.dedup import contamination_flags, exact_dedup_first
+            from .operators.sampling import shard_and_shuffle, split_assign
+            from .operators.text import quality_score, token_count
+
+            sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
+            docs = catalog.table(spark, sf_dir, "documents")
+            bench = docs.filter(F.col("doc_id") % 50 == 0)
+            corpus = docs.filter(F.col("doc_id") % 50 != 0)
+
+            qual = quality_score(corpus).select("doc_id", "quality")
+            kept = (
+                corpus.join(qual, "doc_id")
+                .filter(F.col("quality") >= 0.5)
+                .filter(token_count(F.col("text")) >= 30)
+            )
+            survivors = exact_dedup_first(kept, "text", "doc_id")
+            kept = kept.join(survivors, "doc_id")
+            flags = contamination_flags(kept, bench, k=5)
+            clean = kept.join(
+                flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+            )
+            split = split_assign(
+                clean, "doc_id", val_pct=args.val_pct, test_pct=args.test_pct
+            )
+            sharded = shard_and_shuffle(split, "doc_id", n_shards=args.shards)
+            (
+                sharded.select(
+                    "doc_id", "text", "lang", "source", "split", "shard", "pos"
+                )
+                .write.mode("overwrite")
+                .partitionBy("split", "shard")
+                .parquet(args.out)
+            )
+            back = spark.read.parquet(args.out)
+            per_split = {
+                r.split: r.n
+                for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            print(
+                f"training shards <- {args.out} "
+                f"(docs={sum(per_split.values())}, splits={per_split}, "
+                f"shards={args.shards})"
+            )
         elif args.cmd == "explain":
             # the plan-inspection loop this repo's own tuning used
             # (tests/test_plans.py asserts the plans; this verb shows them)

