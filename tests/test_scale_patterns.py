@@ -31,10 +31,19 @@ def test_salted_join_matches_plain_join(spark, sf_oracle):
 def bucketed_tables(spark, sf_oracle):
     # default warehouse dir (./spark-warehouse, gitignored) — the
     # warehouse.dir conf is static and can't be pointed at a tmpdir
+    import os
+    import shutil
+
     li = catalog.table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_extendedprice")
     o = catalog.table(spark, sf_oracle, "orders").select("o_orderkey", "o_custkey")
+    # a crashed prior session leaves the table DIRECTORY while the
+    # in-memory catalog forgets the table: DROP TABLE is then a no-op and
+    # saveAsTable dies on LOCATION_ALREADY_EXISTS (the r4 stale-state
+    # setup error) — clear the physical location too
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for df, name, key in ((li, "li_bucketed", "l_orderkey"), (o, "o_bucketed", "o_orderkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(8, key)
