@@ -146,6 +146,12 @@ def ngram_jaccard_pairs(
     # ReusedExchange). 16 B/row checkpointed vs four full text passes —
     # the same single-materialization rule as the MinHash signature and
     # SimHash fingerprint tables. Measured 2.16 s → 1.99 s at sf0.1.
+    # EAGER by intent (the localCheckpoint default): a lazy checkpoint
+    # does NOT dedupe compute across the plan's references within the
+    # first action — measured: minhash 2.6→3.5 s, simhash 5.0→6.5 s,
+    # jaccard 2.0→2.6 s with eager=False — so the one-time build cost
+    # (plan-only consumers like `explain` trigger the materialization)
+    # buys every subsequent reference reading materialized blocks.
     sh = toks.select(
         F.col(id_col),
         F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
@@ -409,9 +415,18 @@ def connected_components(
     # n-gram shingle join that produced the edges) — measured 6.3s → 2.4s
     # at sf0.1, and at 100 TB the difference is re-running dedup candidate
     # generation diameter-many times.
+    node_ids = nodes.select(F.col(id_col).alias("node"))
     sym = (
         edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .union(edges.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        # Contract: components OF THE GIVEN NODE SET. An edge endpoint
+        # outside `nodes` must neither become a label nor bridge two
+        # in-set nodes (callers legitimately pass a filtered node subset
+        # with a pre-filter edge list) — drop edges touching outside ids
+        # before seeding the fixpoint from endpoints. Two semi-joins of
+        # the (small) edge list against the pruned node-id column.
+        .join(node_ids.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(node_ids.withColumnRenamed("node", "dst"), "dst", "left_semi")
         .localCheckpoint()
     )
     # Iterate ONLY over nodes that touch an edge: a node with no edge is

@@ -164,6 +164,14 @@ def upsert_by_key(spark: SparkSession, df: DataFrame, path: str, key: str) -> in
     whole-table form is the small-table / per-partition building block.
     Returns the post-swap file count."""
     existing = spark.read.parquet(path)
-    keep = existing.join(F.broadcast(df.select(key).distinct()), key, "left_anti")
+    # NULL-SAFE anti-join: a plain `key` equi-anti-join never matches NULL
+    # keys, so re-delivered null-key rows would duplicate instead of
+    # replace — eqNullSafe makes NULL behave as one more key value (still
+    # a hash-joinable equality), preserving idempotent re-delivery for
+    # every row.
+    incoming_keys = df.select(F.col(key).alias("__k")).distinct()
+    keep = existing.join(
+        F.broadcast(incoming_keys), existing[key].eqNullSafe(F.col("__k")), "left_anti"
+    )
     merged = keep.unionByName(df.select(*existing.columns))
     return _staged_swap(merged, path, stem="upsert")

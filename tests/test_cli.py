@@ -118,12 +118,18 @@ def test_cli_prep_training_writes_disjoint_shards(spark, sf_oracle, tmp_path, ca
         "test",
     }
     assert back.filter((F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
-    # pos is a 1..k contiguous rank within each shard (trainer contract)
-    per = back.groupBy("split", "shard").agg(
-        F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count(F.lit(1)).alias("k")
-    )
-    # pos ranks are per (shard) across splits — check ranks exist and positive
+    # pos ranks 1..k PER SHARD over the whole clean set (assigned before
+    # the split partitioning, so within one (split, shard) directory pos
+    # has gaps but stays strictly increasing and unique per shard)
     assert back.filter(F.col("pos") < 1).count() == 0
+    per_shard = back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("k"), F.countDistinct("pos").alias("d"),
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+    )
+    bad = per_shard.filter(
+        (F.col("d") != F.col("k")) | (F.col("lo") != 1) | (F.col("hi") != F.col("k"))
+    )
+    assert bad.count() == 0  # contiguous 1..k per shard across splits
     first = sorted(r.doc_id for r in back.select("doc_id").collect())
     out2 = str(tmp_path / "shards2")
     assert (

@@ -115,7 +115,10 @@ def test_no_registry_entry_emits_nested_output(spark, sf_oracle):
     lists get array_join'ed, float arrays get posexplode'd to
     (id, pos, value) rows. Library operators may still return arrays;
     this guards only the ``queries()`` projections the driver hashes.
-    Schema inspection is lazy (plan-build only, no execution)."""
+    Schema inspection builds plans only — except entries composing the
+    eagerly-checkpointed dedup intermediates (shingle/signature/
+    fingerprint tables, the CC fixpoint), which materialize those at
+    build by deliberate design (see ngram_jaccard_pairs' comment)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []

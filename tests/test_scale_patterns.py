@@ -274,3 +274,24 @@ def test_hof_cosine_confined_to_sanctioned_call_sites():
         Visitor(rel).visit(ast.parse(py.read_text()))
 
     assert found <= allow, f"unsanctioned HOF-cosine call sites: {found - allow}"
+
+
+def test_connected_components_respects_the_node_set(spark):
+    """Contract: components OF THE GIVEN NODE SET. An edge endpoint
+    outside `nodes` must neither become a component label nor bridge two
+    in-set nodes (the r5 touched-nodes optimization must not widen the
+    semantics: callers legitimately pass a filtered node subset with a
+    pre-filter edge list)."""
+    from spacex_data_pipeline_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(2,), (3,), (5,), (6,)], "doc_id long")
+    # 1 is OUTSIDE the node set; 2-1 and 1-3 would bridge 2 and 3 through
+    # it; 5-6 is a normal in-set edge
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
+    assert set(comp) == {2, 3, 5, 6}          # only the given nodes
+    assert comp[2] == 2 and comp[3] == 3      # NOT bridged through 1
+    assert comp[5] == 5 and comp[6] == 5      # in-set edge still merges
+    assert not any(c == 1 for c in comp.values())  # 1 never a label

@@ -149,18 +149,25 @@ def test_upsert_by_key_replaces_and_inserts(spark, sf_oracle, tmp_path):
     from spacex_data_pipeline_spark.sources.sinks import upsert_by_key
 
     path = str(tmp_path / "upsert_tbl")
-    base = catalog.table(spark, sf_oracle, "orders").limit(1000)
-    base.write.parquet(path)
+    catalog.table(spark, sf_oracle, "orders").limit(1000).write.parquet(path)
+    # derive incoming from the WRITTEN table, not a re-evaluated limit()
+    # (limit without ORDER BY has no cross-action determinism guarantee)
+    base = spark.read.parquet(path)
 
-    incoming = (
-        base.limit(10)
+    # materialize incoming OFF the table files: every upsert swaps the
+    # directory, so a lazy DataFrame over the old listing dies on re-use
+    # (the path-based staleness hazard compact's contract documents)
+    incoming_rows = (
+        base.orderBy("o_orderkey").limit(10)
         .withColumn("o_orderstatus", F.lit("UPDATED"))
         .unionByName(
-            base.limit(1)
+            base.orderBy("o_orderkey").limit(1)
             .withColumn("o_orderkey", F.lit(999_999_999).cast("long"))
             .withColumn("o_orderstatus", F.lit("INSERTED"))
         )
+        .collect()
     )
+    incoming = spark.createDataFrame(incoming_rows, base.schema)
     upsert_by_key(spark, incoming, path, "o_orderkey")
     got = spark.read.parquet(path)
     assert got.count() == 1001  # 10 replaced in place + 1 new
@@ -175,3 +182,20 @@ def test_upsert_by_key_replaces_and_inserts(spark, sf_oracle, tmp_path):
     assert again.filter(F.col("o_orderstatus") == "UPDATED").count() == 10
     assert not os.path.exists(path + ".__upsert_tmp__")
     assert not os.path.exists(path + ".__upsert_old__")
+    # null keys behave as one more key value: re-delivery replaces, never
+    # duplicates (null-safe anti-join). Materialize the incoming rows off
+    # the table files first: each swap replaces the directory, so a lazy
+    # DataFrame over the OLD listing would die mid-upsert (the path-based
+    # staleness hazard compact's contract documents).
+    rows = [
+        r.asDict() | {"o_orderkey": None, "o_orderstatus": "NULLKEY"}
+        for r in incoming_rows[:1]
+    ]
+    null_row = spark.createDataFrame(
+        [tuple(r[f.name] for f in base.schema.fields) for r in rows], base.schema
+    )
+    upsert_by_key(spark, null_row, path, "o_orderkey")
+    upsert_by_key(spark, null_row, path, "o_orderkey")
+    final = spark.read.parquet(path)
+    assert final.filter(F.col("o_orderkey").isNull()).count() == 1
+    assert final.count() == 1002
