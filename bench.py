@@ -67,6 +67,7 @@ EXTENDED = [
     "source_token_budget_cap",
     "winnowing_fingerprints_docs",
     "winnowing_near_pairs_docs",
+    "dedup_rates_by_source",
 ]
 
 

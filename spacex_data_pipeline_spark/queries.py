@@ -3782,6 +3782,63 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=4, window=4)
 
 
+@register(
+    "dedup_rates_by_source",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jp),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    csizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(100.0 * SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2) AS dup_pct
+    FROM documents d
+    JOIN comp c USING (doc_id)
+    JOIN csizes s USING (component)
+    GROUP BY d.source
+    """,
+    tags=("extension", "dedup", "iterative", "report"),
+)
+def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication rates: what fraction of each source's
+    docs sits in a multi-doc near-dup component (exact J≥0.8 →
+    connected components) — the table that tells a pipeline owner WHICH
+    crawl dumps are redundant before choosing per-source sampling rates
+    (pairs with source_mixture_report: one says how big each source is,
+    this says how much of it is copies). Beyond the already-audited pair
+    join + fixpoint, adds one component-size aggregate and one
+    broadcast-friendly source join keyed on doc id; counts are exact
+    BIGINTs, the rate divides them."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        comp.join(sizes, "component")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("csize") > 1).cast("long")).alias("n_dup_docs"),
+        )
+        .withColumn("dup_pct", pct_rate(F.col("n_dup_docs"), F.col("n_docs")))
+    )
+
+
 _WINNOW_FPS_SQL = """
     WITH toks AS (
       SELECT doc_id,
@@ -3996,11 +4053,12 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      grouping_sets_orders, stddev_exact_by_flag,
 #      sql_api_returned_revenue, histogram_order_totalprice,
 #      sample_orders_deterministic, stratified_sample_orders,
-#      split_documents_train_val_test) wait for r6 (the last four
-#      deferred one-for-one as the four mid-round additions — budget
-#      cap, frame sample, winnowing fingerprints + pairs — entered the
-#      hard-50 window; all are trivial md5/CASE/filter plans whose
-#      operators stay exercised through composed entries).
+#      split_documents_train_val_test, map_functions_events) wait for
+#      r6 (the last five deferred one-for-one as the five mid-round
+#      additions — budget cap, frame sample, winnowing fingerprints +
+#      pairs, per-source dup rates — entered the hard-50 window; all
+#      are trivial md5/CASE/scalar plans whose operators stay exercised
+#      through composed entries).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
 # which runs the identical rows+schema+multiset check over ALL entries.
@@ -4023,6 +4081,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_frame_sample",
     "winnowing_fingerprints_docs",
     "winnowing_near_pairs_docs",
+    "dedup_rates_by_source",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -4039,7 +4098,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "window_range_frame_events",
     "window_distribution_stats",
-    "map_functions_events",
     "udtf_chunk_documents",
     "pipeline_training_data_prep",
     "pack_documents_token_bins",

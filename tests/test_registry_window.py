@@ -75,6 +75,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "sample_orders_deterministic",
     "stratified_sample_orders",
     "split_documents_train_val_test",
+    "map_functions_events",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
