@@ -68,6 +68,7 @@ EXTENDED = [
     "winnowing_fingerprints_docs",
     "winnowing_near_pairs_docs",
     "dedup_rates_by_source",
+    "chunk_documents_overlap",
 ]
 
 

@@ -443,6 +443,53 @@ def chunk_documents(docs: DataFrame, size: int = 16, id_col: str = "doc_id", tex
     )
 
 
+def chunk_documents_columnar(
+    docs: DataFrame,
+    size: int = 16,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pure-column bulk chunker — the SCALE path the UDTF chunker's
+    docstring points at: explode over a computed chunk-index sequence,
+    slice the projected token array per index. Zero Python, narrow map +
+    generate, no shuffle. With ``overlap`` > 0, consecutive chunks share
+    that many tokens (stride = size − overlap) — the RAG-retrieval
+    windowing where a fact straddling a boundary must appear whole in
+    at least one chunk.
+
+    Contract (matches the UDTF at overlap=0, equivalence-tested): chunks
+    are word slices of ``size`` starting every stride tokens; the last
+    chunk may be shorter; an empty/whitespace doc yields ONE empty
+    chunk. ``overlap`` must be < ``size``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size); got {overlap} vs {size}")
+    stride = size - overlap
+    # RAW whitespace split (Python str.split semantics), NOT tokens():
+    # chunking must preserve the original casing/content — normalization
+    # is a feature-extraction concern, and the UDTF contract this
+    # matches splits the raw text
+    t = F.trim(F.col(text_col))
+    raw = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    toks = docs.select(F.col(id_col), raw.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    # number of stride-aligned starts covering the doc; empty doc → 1
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / F.lit(stride)).cast("int") + 1
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    return toks.select(F.col(id_col), idx, F.col("__toks")).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("int").alias("n_words"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:

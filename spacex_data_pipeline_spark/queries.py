@@ -3783,6 +3783,40 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents),
+    nc AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= 16 THEN 1
+                  ELSE CAST(ceil((len(w) - 16) / 12.0) AS INT) + 1 END AS n_chunks
+      FROM t)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(w[i*12+1 : i*12+16], ' ') AS chunk,
+           CAST(len(w[i*12+1 : i*12+16]) AS INT) AS n_words
+    FROM nc, unnest(range(0, n_chunks)) AS u(i)
+    """,
+    tags=("extension", "text", "chunking"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-column overlapped chunking (size 16, overlap 4 ⇒ stride 12)
+    — the RAG-retrieval windowing where a fact straddling a chunk
+    boundary must appear whole in at least one chunk, expressed as
+    explode + array slice with zero Python (the scale path the UDTF
+    chunker's docstring promises; equivalence at overlap=0 is
+    pytest-locked). Narrow map + generate, no shuffle."""
+    from .operators.text import chunk_documents_columnar
+
+    return chunk_documents_columnar(
+        _t(spark, sf_dir, "documents"), size=16, overlap=4
+    )
+
+
+@register(
     "dedup_rates_by_source",
     oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
         "WITH toks", "WITH RECURSIVE toks", 1
@@ -4053,12 +4087,13 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      grouping_sets_orders, stddev_exact_by_flag,
 #      sql_api_returned_revenue, histogram_order_totalprice,
 #      sample_orders_deterministic, stratified_sample_orders,
-#      split_documents_train_val_test, map_functions_events) wait for
-#      r6 (the last five deferred one-for-one as the five mid-round
-#      additions — budget cap, frame sample, winnowing fingerprints +
-#      pairs, per-source dup rates — entered the hard-50 window; all
-#      are trivial md5/CASE/scalar plans whose operators stay exercised
-#      through composed entries).
+#      split_documents_train_val_test, map_functions_events,
+#      corr_exact_by_flag) wait for r6 (the last six deferred
+#      one-for-one as the six mid-round additions — budget cap, frame
+#      sample, winnowing fingerprints + pairs, per-source dup rates,
+#      overlapped chunking — entered the hard-50 window; all are
+#      trivial-to-stable plans whose operators stay exercised through
+#      composed entries and the local replica).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
 # which runs the identical rows+schema+multiset check over ALL entries.
@@ -4082,6 +4117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winnowing_fingerprints_docs",
     "winnowing_near_pairs_docs",
     "dedup_rates_by_source",
+    "chunk_documents_overlap",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -4103,7 +4139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_documents_token_bins",
     "text_redact_pii",
     "dedup_components_docs",
-    "corr_exact_by_flag",
     "resample_user_daily_gapfill",
     "hopping_window_event_counts",
     "window_running_distinct_users",

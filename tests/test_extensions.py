@@ -630,3 +630,42 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     assert by_doc[0] & by_doc[1], "shared 7-token run must share a fingerprint"
     assert not (by_doc[0] & by_doc.get(2, set()))
     assert 3 not in by_doc
+
+
+def test_columnar_chunker_matches_udtf_and_overlap_covers_boundaries(spark, docs):
+    """The pure-column chunker must reproduce the UDTF chunker exactly at
+    overlap=0 (same chunks, indices, casing), and with overlap > 0 every
+    size-long token run must appear whole in at least one chunk (the
+    boundary-coverage property RAG windowing exists for)."""
+    from spacex_data_pipeline_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_columnar,
+    )
+
+    sample = docs.limit(40)
+    udtf_rows = sorted(
+        map(tuple, chunk_documents(sample, size=16).collect())
+    )
+    col_rows = sorted(
+        map(tuple, chunk_documents_columnar(sample, size=16, overlap=0).collect())
+    )
+    assert udtf_rows == col_rows
+
+    # overlap: with size=8, overlap=4 (stride 4), any 4-token run lies
+    # fully inside some chunk
+    text = " ".join(f"w{i}" for i in range(30))
+    one = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = [
+        r.chunk.split() for r in chunk_documents_columnar(one, size=8, overlap=4).collect()
+    ]
+    words = text.split()
+    for start in range(len(words) - 3):
+        run = words[start : start + 4]
+        assert any(
+            run == c[j : j + 4] for c in chunks for j in range(len(c) - 3)
+        ), f"run at {start} not covered"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents_columnar(one, size=8, overlap=8)

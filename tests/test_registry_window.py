@@ -76,6 +76,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "stratified_sample_orders",
     "split_documents_train_val_test",
     "map_functions_events",
+    "corr_exact_by_flag",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
