@@ -69,6 +69,7 @@ EXTENDED = [
     "winnowing_near_pairs_docs",
     "dedup_rates_by_source",
     "chunk_documents_overlap",
+    "embedding_quantization_error",
 ]
 
 

@@ -3783,6 +3783,61 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b)) / 127.0
+               AS scale
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> floor(CAST(x AS DOUBLE) / scale) * scale) END AS deq
+      FROM q)
+    SELECT vec_id,
+           round({_COS_SQL.format(a="embedding", b="deq")}, 6) AS cos_fidelity,
+           round({_COS_SQL.format(a="embedding", b="deq")}, 6) >= 0.995
+             AS fidelity_ok
+    FROM c
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization fidelity audit: cosine between each original
+    vector and its dequantized form (codes × scale), per vector — the
+    check run before switching an ANN index to int8 storage (4× less
+    memory/IO at 100 TB; quantize_embeddings is the narrow-map encoder).
+    Everything is left-to-right double folds, so the fidelity number is
+    engine-exact and the ≥0.995 gate is hash-checkable, not a weak
+    boolean dodge."""
+    from .operators.similarity import dot_ltr, quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    j = emb.join(q, "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.zip_with(
+            F.col("codes"),
+            F.col("embedding"),
+            lambda c, _: c.cast("double") * F.col("scale"),
+        ).alias("deq"),
+    )
+    cos = dot_ltr(F.col("embedding"), F.col("deq")) / (
+        F.sqrt(dot_ltr(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_ltr(F.col("deq"), F.col("deq")))
+    )
+    return j.select(
+        "vec_id",
+        F.round(cos, 6).alias("cos_fidelity"),
+        (F.round(cos, 6) >= 0.995).alias("fidelity_ok"),
+    )
+
+
+@register(
     "chunk_documents_overlap",
     oracle="""
     WITH t AS (
@@ -4088,12 +4143,12 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sql_api_returned_revenue, histogram_order_totalprice,
 #      sample_orders_deterministic, stratified_sample_orders,
 #      split_documents_train_val_test, map_functions_events,
-#      corr_exact_by_flag) wait for r6 (the last six deferred
-#      one-for-one as the six mid-round additions — budget cap, frame
-#      sample, winnowing fingerprints + pairs, per-source dup rates,
-#      overlapped chunking — entered the hard-50 window; all are
-#      trivial-to-stable plans whose operators stay exercised through
-#      composed entries and the local replica).
+#      corr_exact_by_flag, window_distribution_stats) wait for r6 (the
+#      last seven deferred one-for-one as seven mid-round additions —
+#      budget cap, frame sample, winnowing fingerprints + pairs,
+#      per-source dup rates, overlapped chunking, quantization audit —
+#      entered the hard-50 window per the never-driver-checked-first
+#      priority; all are stable plans locked by the local replica).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
 # above). Rotated-out entries stay locked by tests/test_oracle_parity.py,
 # which runs the identical rows+schema+multiset check over ALL entries.
@@ -4118,6 +4173,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winnowing_near_pairs_docs",
     "dedup_rates_by_source",
     "chunk_documents_overlap",
+    "embedding_quantization_error",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -4133,7 +4189,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_term_frequencies",
     "text_tfidf_top_terms",
     "window_range_frame_events",
-    "window_distribution_stats",
     "udtf_chunk_documents",
     "pipeline_training_data_prep",
     "pack_documents_token_bins",

@@ -77,6 +77,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "split_documents_train_val_test",
     "map_functions_events",
     "corr_exact_by_flag",
+    "window_distribution_stats",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
