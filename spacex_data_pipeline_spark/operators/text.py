@@ -466,13 +466,14 @@ def chunk_documents_columnar(
     if not 0 <= overlap < size:
         raise ValueError(f"overlap must be in [0, size); got {overlap} vs {size}")
     stride = size - overlap
-    # RAW whitespace split (Python str.split semantics), NOT tokens():
-    # chunking must preserve the original casing/content — normalization
-    # is a feature-extraction concern, and the UDTF contract this
-    # matches splits the raw text
-    t = F.trim(F.col(text_col))
+    # Case-PRESERVING whitespace split (Python str.split semantics — the
+    # UDTF contract), NOT tokens() (which lowercases): collapse ALL
+    # whitespace to single spaces then trim, so tabs/newlines at the
+    # edges can't produce phantom empty tokens (F.trim strips spaces
+    # only — found by review, mirrored in the oracle in lockstep)
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     raw = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, " ")
     )
     toks = docs.select(F.col(id_col), raw.alias("__toks"))
     n = F.size(F.col("__toks"))

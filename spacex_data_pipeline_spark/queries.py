@@ -3813,23 +3813,20 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is left-to-right double folds, so the fidelity number is
     engine-exact and the ≥0.995 gate is hash-checkable, not a weak
     boolean dodge."""
-    from .operators.similarity import dot_ltr, quantize_embeddings
+    from .operators.similarity import cosine_sim, quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb)
     j = emb.join(q, "vec_id").select(
         "vec_id",
         "embedding",
-        F.zip_with(
-            F.col("codes"),
-            F.col("embedding"),
-            lambda c, _: c.cast("double") * F.col("scale"),
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
         ).alias("deq"),
     )
-    cos = dot_ltr(F.col("embedding"), F.col("deq")) / (
-        F.sqrt(dot_ltr(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_ltr(F.col("deq"), F.col("deq")))
-    )
+    # cosine_sim, not a raw division: a zero-norm side (dead embedding)
+    # must yield the oracle's NaN, not an ANSI DIVIDE_BY_ZERO crash
+    cos = cosine_sim(F.col("embedding"), F.col("deq"))
     return j.select(
         "vec_id",
         F.round(cos, 6).alias("cos_fidelity"),
@@ -3842,8 +3839,10 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+             CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                  THEN []::VARCHAR[]
+                  ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+                  END AS w
       FROM documents),
     nc AS (
       SELECT doc_id, w,

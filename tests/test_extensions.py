@@ -651,6 +651,16 @@ def test_columnar_chunker_matches_udtf_and_overlap_covers_boundaries(spark, docs
     )
     assert udtf_rows == col_rows
 
+    # edge tabs/newlines must not produce phantom empty tokens (review
+    # catch: F.trim strips spaces only — normalize ALL whitespace first)
+    edgy = spark.createDataFrame(
+        [(1, "\tfoo bar baz"), (2, "a b\n"), (3, "\n"), (4, "x  \t y")],
+        "doc_id long, text string",
+    )
+    u = sorted(map(tuple, chunk_documents(edgy, size=4).collect()))
+    c = sorted(map(tuple, chunk_documents_columnar(edgy, size=4, overlap=0).collect()))
+    assert u == c
+
     # overlap: with size=8, overlap=4 (stride 4), any 4-token run lies
     # fully inside some chunk
     text = " ".join(f"w{i}" for i in range(30))
@@ -669,3 +679,39 @@ def test_columnar_chunker_matches_udtf_and_overlap_covers_boundaries(spark, docs
 
     with _pytest.raises(ValueError):
         chunk_documents_columnar(one, size=8, overlap=8)
+
+
+
+def test_quantization_fidelity_survives_zero_vectors(spark):
+    """A dead (all-zero) embedding must yield NaN fidelity, not an ANSI
+    DIVIDE_BY_ZERO crash (review catch: raw division instead of
+    cosine_sim's pinned zero-norm edge)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.similarity import (
+        cosine_sim,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(emb)
+    j = emb.join(q, "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("deq"),
+    )
+    rows = {
+        r.vec_id: r.cos
+        for r in j.select(
+            "vec_id", cosine_sim(F.col("embedding"), F.col("deq")).alias("cos")
+        ).collect()
+    }
+    assert math.isnan(rows[1])
+    assert rows[2] > 0.999

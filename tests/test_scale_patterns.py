@@ -246,6 +246,11 @@ def test_hof_cosine_confined_to_sanctioned_call_sites():
         ("operators/dedup.py", "embedding_cosine_pairs_blocked"),
         # in-cell scoring, bounded by cell size (SemDeDup shape)
         ("operators/dedup.py", "embedding_cosine_pairs_ivf"),
+        # quantization fidelity AUDIT: two folds per row over the
+        # vector's own pair (original, dequantized) — linear diagnostic
+        # pass, not a pairwise scorer; zero-norm edge needs cosine_sim's
+        # NaN instead of an ANSI DIVIDE_BY_ZERO
+        ("queries.py", "embedding_quantization_error"),
     }
     pkg = pathlib.Path(pkg_mod.__file__).parent
     found = set()
