@@ -300,3 +300,30 @@ def test_connected_components_respects_the_node_set(spark):
     assert comp[2] == 2 and comp[3] == 3      # NOT bridged through 1
     assert comp[5] == 5 and comp[6] == 5      # in-set edge still merges
     assert not any(c == 1 for c in comp.values())  # 1 never a label
+
+
+def test_winnowing_fp_cap_drops_only_boilerplate_pairs(spark):
+    """max_fp_df on the winnowing pair search mirrors the shingle join's
+    guard: boilerplate docs (one shared page, all fingerprints hot) stop
+    producing pairs under the cap, while genuine near-dup pairs — whose
+    fingerprints are rare — survive untouched."""
+    from spacex_data_pipeline_spark.operators.text import winnowing_near_pairs
+
+    boiler = " ".join(f"terms{i} of service apply here now" for i in range(4))
+    rows = [(i, boiler) for i in range(30)]  # 30 identical boilerplate docs
+    # two genuine near-dups sharing a long unique run
+    run = " ".join(f"unique{i}" for i in range(20))
+    rows += [(100, run + " alpha beta"), (101, "gamma " + run)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in winnowing_near_pairs(df, min_shared=1).collect()
+    }
+    assert (100, 101) in uncapped
+    assert len(uncapped) > 30 * 29 // 2  # boilerplate all-pairs present
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_near_pairs(df, min_shared=1, max_fp_df=10).collect()
+    }
+    assert (100, 101) in capped          # rare-fp pair survives
+    assert not any(a < 100 for a, _ in capped)  # hot boilerplate pairs gone
