@@ -70,6 +70,7 @@ EXTENDED = [
     "dedup_rates_by_source",
     "chunk_documents_overlap",
     "embedding_quantization_error",
+    "dedup_group_size_histogram",
 ]
 
 

@@ -3783,6 +3783,59 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_group_size_histogram",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jp),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+               FROM comp GROUP BY component)
+    SELECT CAST(CASE WHEN csize = 1 THEN 1
+                ELSE power(2, CAST(floor(log2(csize)) AS INT)) END AS BIGINT)
+             AS size_bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(csize) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY 1
+    """,
+    tags=("extension", "dedup", "iterative", "report"),
+)
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size histogram (power-of-2 buckets): how many
+    groups of size 1, 2, 4–7, 8–15… and how many docs they hold — the
+    one-glance duplication profile of a corpus (a heavy 2^k tail means
+    mirrored dumps; mass at 1 means dedup won't buy much). One tiny
+    aggregate over the component sizes the CC fixpoint already
+    produces; bucket edges are exact integer powers, so the histogram
+    is hash-checkable."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    bucket = F.when(F.col("csize") == 1, F.lit(1).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2("csize")).cast("int")).cast("long")
+    )
+    return (
+        csizes.select(bucket.alias("size_bucket_lo"), "csize")
+        .groupBy("size_bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("csize").alias("n_docs"),
+        )
+    )
+
+
+@register(
     "embedding_quantization_error",
     oracle=f"""
     WITH q AS (
@@ -4142,10 +4195,11 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sql_api_returned_revenue, histogram_order_totalprice,
 #      sample_orders_deterministic, stratified_sample_orders,
 #      split_documents_train_val_test, map_functions_events,
-#      corr_exact_by_flag, window_distribution_stats) wait for r6 (the
-#      last seven deferred one-for-one as seven mid-round additions —
-#      budget cap, frame sample, winnowing fingerprints + pairs,
-#      per-source dup rates, overlapped chunking, quantization audit —
+#      corr_exact_by_flag, window_distribution_stats,
+#      window_range_frame_events) wait for r6 (the last eight deferred
+#      one-for-one as eight mid-round additions — budget cap, frame
+#      sample, winnowing fingerprints + pairs, per-source dup rates,
+#      overlapped chunking, quantization audit, group-size histogram —
 #      entered the hard-50 window per the never-driver-checked-first
 #      priority; all are stable plans locked by the local replica).
 # All 50 r4-window entries rotated out (49 green r4; the one red is #1
@@ -4173,6 +4227,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_rates_by_source",
     "chunk_documents_overlap",
     "embedding_quantization_error",
+    "dedup_group_size_histogram",
     # -- r2-era entries deferred by the r4 rotation --
     "fct_orders_by_year",
     "raw_count_orders",
@@ -4187,7 +4242,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "applyinpandas_zscore",
     "text_term_frequencies",
     "text_tfidf_top_terms",
-    "window_range_frame_events",
     "udtf_chunk_documents",
     "pipeline_training_data_prep",
     "pack_documents_token_bins",

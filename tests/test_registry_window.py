@@ -78,6 +78,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "map_functions_events",
     "corr_exact_by_flag",
     "window_distribution_stats",
+    "window_range_frame_events",
     "window_lag_lead_first",
     "stddev_exact_by_flag",
     "sql_api_returned_revenue",
