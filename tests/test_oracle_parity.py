@@ -61,6 +61,50 @@ def ducks(sf_oracle):
 ORACLE_CASES = sorted(name for name, q in REGISTRY.items() if q.oracle)
 ROWS_ONLY_CASES = sorted(name for name, q in REGISTRY.items() if not q.oracle)
 
+# The driver canonicalizes DuckDB results through pandas before hashing, so
+# any oracle column whose DuckDB type does not round-trip pandas identically
+# to the Spark type is a silent hash mismatch waiting to happen.  The classic
+# trap: an uncast SUM(CASE ...) is HUGEINT in DuckDB, which pandas renders as
+# float64 ("3.0") while Spark emits int64 ("3") — fetchall() hides this
+# because Python ints compare equal.  Every oracle output column must
+# therefore stay inside this driver-safe set; anything else (HUGEINT,
+# DECIMAL, UINTEGER, INTERVAL, ...) needs an explicit CAST in the oracle SQL
+# (and produced the driver reds of rounds 3 and 4 when forgotten).
+DRIVER_SAFE_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+}
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_dtype_canon(name, ducks):
+    """Every oracle output column's DuckDB type is in the driver-safe set.
+
+    Binding only — the relation is never fetched, so this is cheap and runs
+    for all oracle-backed entries regardless of the driver window.
+    """
+    q = REGISTRY[name]
+    rel = ducks.sql(q.oracle)
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in DRIVER_SAFE_DUCK_TYPES
+    ]
+    assert not offenders, (
+        f"{name}: oracle columns outside the driver-safe dtype set "
+        f"{offenders}; add an explicit CAST (e.g. CAST(... AS BIGINT) on "
+        f"SUM(CASE ...)) so the driver's pandas canonicalization matches "
+        f"Spark's output dtype"
+    )
+
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(name, spark, sf_oracle, ducks):
