@@ -268,6 +268,23 @@ def test_knn_label_agreement_attaches_labels_post_topk(spark, sf):
     assert _shuffle_count(plan) <= 2  # top-k window rank + final groupBy
 
 
+def test_shingle_df_stats_has_no_exact_percentile(spark, sf):
+    """VERDICT r5 #2: the default shingle_df_stats plan must never funnel
+    the vocabulary-sized df table through a 0-key EXACT percentile (one
+    reducer). Percentiles come from the mergeable GK sketch; the df table
+    is materialized once via ReuseExchange."""
+    import re
+
+    df = REGISTRY["shingle_df_stats"].fn(spark, sf)
+    plan = plan_of(df, "extended")
+    assert not re.search(r"(?<!approx_)percentile\(", plan), (
+        "exact percentile in the default shingle_df_stats plan"
+    )
+    assert "percentile_approx" in plan
+    df.collect()  # AQE applies exchange reuse at runtime — run, then read
+    assert "ReusedExchange" in plan_of(df)
+
+
 def test_no_cartesian_product_anywhere(spark, sf):
     """Global 100 TB invariant: no registry query may compile to a
     CartesianProduct — the unconditional all-pairs plan that cannot
