@@ -59,6 +59,81 @@ def exact_dedup_rows(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def line_dedup_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-line exact dedup flags, C4/RefinedWeb-style: explode each doc
+    into lines, normalize (lowercase + collapse whitespace + trim), and
+    keep only the FIRST occurrence of each normalized line corpus-wide —
+    the standard boilerplate killer (nav bars, cookie banners, footers
+    repeat verbatim across a crawl).
+
+    Returns one row per line: (id, line_no, line, keep BOOLEAN).
+    Semantics:
+
+    - first occurrence = lowest (id, line_no) — deterministic, layout-
+      and partitioning-invariant, append-stable for stable ids.
+    - blank-after-normalization lines are ALWAYS kept: they are document
+      structure, not duplicable content, and routing them through the
+      dedup window would put every blank line in the corpus into one
+      window partition (the worst skew key imaginable at 100 TB). Each
+      blank line instead gets a per-row unique window key, so the
+      partition is a singleton and row_number() == 1 trivially.
+
+    Scale shape: ONE shuffle, on the 8-byte xxhash64 of the normalized
+    line (never the line text). Remaining skew: a non-blank line
+    duplicated D times is a D-row window partition — at crawl scale the
+    hot lines ("Home", separators) are exactly the ones worth capping
+    or pre-filtering; the two-level variant (per-salt min(id, line_no)
+    aggregate, then global min, then join back) trades a second corpus
+    shuffle for bounded partitions when that matters.
+
+    Oracle parity caveat (same trade as ngram_jaccard_pairs): Spark
+    groups on xxhash64(norm) longs while a SQL oracle groups on the
+    normalized string — identical modulo 64-bit collisions (~2^-64).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    lines = lines.withColumn("__blank", norm == "").withColumn(
+        "__k",
+        F.when(
+            F.col("__blank"), F.xxhash64(F.col(id_col), F.col("line_no"))
+        ).otherwise(F.xxhash64(norm)),
+    )
+    w = Window.partitionBy("__k").orderBy(id_col, "line_no")
+    return lines.withColumn(
+        "keep", F.col("__blank") | (F.row_number().over(w) == 1)
+    ).drop("__k", "__blank")
+
+
+def line_dedup_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Reassembled line-deduplicated corpus: every doc survives, with its
+    duplicate lines removed and the remainder rejoined in original order.
+
+    Returns (id, n_lines, n_kept, text_dedup). Two shuffles total: the
+    line-hash window (line_dedup_flags) and the per-doc reassembly
+    groupBy — both on narrow keys. Reassembly order is pinned by
+    array_sort over (line_no, line) structs, so collect_list's
+    nondeterministic arrival order never leaks into the output."""
+    lines = line_dedup_flags(docs, id_col, text_col)
+    kept_struct = F.when(F.col("keep"), F.struct("line_no", "line"))
+    return lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+
+
 def shingle_docs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) pairs — distinct word-k-shingles per doc.
 

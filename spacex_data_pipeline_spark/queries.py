@@ -4270,6 +4270,135 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE prefix for the line-dedup entries: rebuild the corpus as
+# 8-word lines (the fixture's documents are single-line, so the entry
+# derives a deterministic multi-line view — same slicing recipe as the
+# chunk_documents_overlap oracle at size=8, overlap=0), then flag the
+# first corpus-wide occurrence of each normalized line. Defined ONCE and
+# shared by both entries so the two oracles cannot drift (the
+# _WINNOW_FPS_SQL lesson, ADVICE r5).
+_LINES_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                  THEN []::VARCHAR[]
+                  ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+                  END AS w
+      FROM documents),
+    nc AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= 8 THEN 1
+                  ELSE CAST(ceil((len(w) - 8) / 8.0) AS INT) + 1 END AS n_lines
+      FROM t),
+    lines AS (
+      SELECT doc_id, CAST(i AS INT) AS line_no,
+             array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+      FROM nc, unnest(range(0, n_lines)) AS u(i)),
+    k AS (
+      SELECT doc_id, line_no, line,
+             trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS norm,
+             (trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) = '')
+             OR (row_number() OVER (
+                   PARTITION BY trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id, line_no) = 1) AS keep
+      FROM lines)
+"""
+
+
+def _eight_word_lines(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line view of the documents fixture: 8-word
+    lines joined with newlines (chunk_documents_columnar's slicing at
+    size=8, overlap=0, expressed as a pure per-row expression — no
+    explode, no shuffle). Token array projected ONCE (two-phase
+    projection rule) so codegen never re-inlines the split per line."""
+    t = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    raw = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+    toks = docs.select("doc_id", raw.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_lines = F.when(n <= 8, F.lit(1)).otherwise(
+        F.ceil((n - 8) / F.lit(8)).cast("int") + 1
+    )
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * 8 + 1, 8), " "),
+    )
+    return toks.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+
+
+@register(
+    "dedup_lines_docs",
+    oracle=_LINES_SQL
+    + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_no), '') AS text_dedup
+    FROM k GROUP BY doc_id
+    """,
+    tags=("extension", "dedup", "lines"),
+)
+def dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup (C4/RefinedWeb boilerplate removal): keep
+    only the FIRST corpus-wide occurrence of each normalized line, then
+    reassemble every document from its surviving lines in original
+    order. Near-dup documents keep their first copy's lines and lose
+    the repeats — dedup at sub-document granularity, which whole-doc
+    exact dedup cannot express.
+
+    Scale shape (operators/dedup.py line_dedup_flags): one shuffle on
+    the 8-byte line-hash for the first-occurrence window (blank lines
+    bypass it via per-row keys — no corpus-wide blank skew partition),
+    one narrow-key shuffle for per-doc reassembly. The fixture's docs
+    are single-line, so the entry derives an 8-word-line view first
+    (pure expression, no extra shuffle)."""
+    from .operators.dedup import line_dedup_docs
+
+    return line_dedup_docs(_eight_word_lines(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_lines_report",
+    oracle=_LINES_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN norm = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blank,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           round(100.0 * SUM(CASE WHEN keep THEN 0 ELSE 1 END)
+                 / nullif(COUNT(*), 0), 2) AS pct_removed
+    FROM k
+    """,
+    tags=("extension", "dedup", "lines", "report"),
+)
+def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-dedup rate report: corpus-wide line counts, blank-line count,
+    and the removal rate — the one-row summary read before enabling
+    line dedup in a production run (a high pct_removed on a crawl means
+    heavy boilerplate; near-zero means the pass isn't worth its
+    shuffle). Same flagged-line table as dedup_lines_docs, folded by a
+    0-key conditional-sum aggregate (partial map-side combine, one row
+    to the final reducer)."""
+    from .operators.dedup import line_dedup_flags
+
+    lines = line_dedup_flags(_eight_word_lines(_t(spark, sf_dir, "documents")))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    return (
+        lines.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((norm == "").cast("long")).alias("n_blank"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+        ).withColumn(
+            "pct_removed", pct_rate(F.col("n_removed"), F.col("n_lines"))
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r5).
 #

@@ -715,3 +715,36 @@ def test_quantization_fidelity_survives_zero_vectors(spark):
     }
     assert math.isnan(rows[1])
     assert rows[2] > 0.999
+
+
+def test_line_dedup_semantics(spark):
+    """line_dedup_flags/line_dedup_docs contract on a real multi-line
+    corpus: first (doc_id, line_no) occurrence survives, later copies
+    (cross-doc AND within-doc) are dropped, comparison is on the
+    normalized line (case/whitespace-insensitive), blank lines are
+    always kept, and reassembly preserves original line order."""
+    from spacex_data_pipeline_spark.operators.dedup import (
+        line_dedup_docs,
+        line_dedup_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "Home\nunique alpha\n\nfooter text"),
+            ("b", "home\nunique beta\n\nFooter   Text\nunique beta"),
+        ],
+        "doc_id string, text string",
+    )
+    flags = {
+        (r.doc_id, r.line_no): r.keep
+        for r in line_dedup_flags(docs).collect()
+    }
+    assert flags[("a", 0)] and not flags[("b", 0)]  # 'Home' vs 'home'
+    assert flags[("a", 2)] and flags[("b", 2)]  # blanks always kept
+    assert flags[("a", 3)] and not flags[("b", 3)]  # whitespace-insensitive
+    assert flags[("b", 1)] and not flags[("b", 4)]  # within-doc repeat
+    out = {r.doc_id: r for r in line_dedup_docs(docs).collect()}
+    assert out["a"].text_dedup == "Home\nunique alpha\n\nfooter text"
+    assert (out["a"].n_lines, out["a"].n_kept) == (4, 4)
+    assert out["b"].text_dedup == "unique beta\n"
+    assert (out["b"].n_lines, out["b"].n_kept) == (5, 2)
