@@ -3171,9 +3171,13 @@ def bigram_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_collocations(_t(spark, sf_dir, "documents"), min_count=5)
 
 
-@register(
-    "dedup_savings_report",
-    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
+# Shared CC oracle prefix: J≥0.8 Jaccard pairs → undirected edges →
+# recursive-CTE label propagation → (doc_id, component). Defined ONCE and
+# reused by every connected-components-derived oracle (savings, rates by
+# source, size histogram, representatives, composed reports) so the five
+# copies can never drift (the _WINNOW_FPS_SQL lesson, ADVICE r5).
+_CC_SQL = (
+    _JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
         "WITH toks", "WITH RECURSIVE toks", 1
     )
     + """,
@@ -3185,7 +3189,15 @@ def bigram_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
-    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+"""
+)
+
+
+@register(
+    "dedup_savings_report",
+    oracle=_CC_SQL
+    + """,
     agg AS (
       SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
@@ -3328,20 +3340,8 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_representatives",
-    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
-        "WITH toks", "WITH RECURSIVE toks", 1
-    )
+    oracle=_CC_SQL
     + """,
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM jp
-      UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM jp),
-    reach(node, lbl) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
-    comp AS (
-      SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
     qt AS (
       SELECT doc_id, text, __TOKS__ AS toks FROM documents),
     qc AS (
@@ -3883,19 +3883,8 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_group_size_histogram",
-    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
-        "WITH toks", "WITH RECURSIVE toks", 1
-    )
+    oracle=_CC_SQL
     + """,
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM jp
-      UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM jp),
-    reach(node, lbl) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
-    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
     csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
                FROM comp GROUP BY component)
     SELECT CAST(CASE WHEN csize = 1 THEN 1
@@ -4024,19 +4013,8 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_rates_by_source",
-    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8").replace(
-        "WITH toks", "WITH RECURSIVE toks", 1
-    )
+    oracle=_CC_SQL
     + """,
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM jp
-      UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM jp),
-    reach(node, lbl) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
-    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
     csizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4077,6 +4055,197 @@ def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dup_pct", pct_rate(F.col("n_dup_docs"), F.col("n_docs")))
     )
+
+
+@register(
+    "dedup_reports",
+    oracle=_CC_SQL
+    + """,
+    csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+               FROM comp GROUP BY component),
+    agg AS (
+      SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+      FROM comp c JOIN documents d USING (doc_id) GROUP BY 1),
+    qt AS (
+      SELECT doc_id, text, __TOKS__ AS toks FROM documents),
+    qc AS (
+      SELECT doc_id,
+             round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) * 0.4
+               + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1)) * 0.2, 6) AS quality
+      FROM qt),
+    reps AS (
+      SELECT component, doc_id, quality, group_size FROM (
+        SELECT c.component, c.doc_id, q.quality,
+               COUNT(*) OVER (PARTITION BY c.component) AS group_size,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality DESC, c.doc_id) AS rk
+        FROM comp c JOIN qc q USING (doc_id)) t
+      WHERE rk = 1 AND group_size > 1)
+    SELECT 'savings' AS report, CAST(a.component AS VARCHAR) AS key,
+           a.n_docs, a.chars_total,
+           CAST(k.n_chars AS BIGINT) AS chars_kept,
+           a.chars_total - CAST(k.n_chars AS BIGINT) AS chars_saved,
+           CAST(NULL AS BIGINT) AS n_dup_docs, CAST(NULL AS DOUBLE) AS dup_pct,
+           CAST(NULL AS BIGINT) AS n_groups,
+           CAST(NULL AS VARCHAR) AS rep_doc_id,
+           CAST(NULL AS DOUBLE) AS rep_quality
+    FROM agg a JOIN documents k ON k.doc_id = a.component WHERE a.n_docs > 1
+    UNION ALL
+    SELECT 'rates_by_source', d.source, CAST(COUNT(*) AS BIGINT),
+           NULL, NULL, NULL,
+           CAST(SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           round(100.0 * SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2),
+           NULL, NULL, NULL
+    FROM documents d JOIN comp c USING (doc_id) JOIN csizes s USING (component)
+    GROUP BY d.source
+    UNION ALL
+    SELECT 'size_histogram',
+           CAST(CAST(CASE WHEN csize = 1 THEN 1
+                     ELSE power(2, CAST(floor(log2(csize)) AS INT)) END AS BIGINT)
+                AS VARCHAR),
+           CAST(SUM(csize) AS BIGINT), NULL, NULL, NULL, NULL, NULL,
+           CAST(COUNT(*) AS BIGINT), NULL, NULL
+    FROM csizes GROUP BY 2
+    UNION ALL
+    SELECT 'representatives', CAST(component AS VARCHAR), group_size,
+           NULL, NULL, NULL, NULL, NULL, NULL, CAST(doc_id AS VARCHAR), quality
+    FROM reps
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "iterative", "report"),
+)
+def dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four dedup reports from ONE pairs+components run (VERDICT r5
+    Next #6): savings accounting, per-source duplication rates, the
+    group-size histogram, and keep-best representatives (dup groups
+    only), unioned into one long table with a ``report`` discriminator
+    and NULLs where a column does not apply. The standalone entries
+    each recompute the J≥0.8 pair join and the CC fixpoint (~3.5 s of
+    the ~4 s each costs at sf0.1); here the (doc_id, component) map is
+    materialized once (localCheckpoint — the single-materialization
+    rule; see ngram_jaccard_pairs for the executor-loss trade) and the
+    four derivations are cheap aggregates over it, so the whole report
+    suite costs ≈ one pairs+CC run. The component-size table is built
+    once too; its two consumers sit in one plan, so ReuseExchange
+    dedups it. This is the production shape: a nightly dedup job emits
+    every observability table from one expensive intermediate."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs).localCheckpoint()
+    csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    bnull = F.lit(None).cast("long")
+    dnull = F.lit(None).cast("double")
+    snull = F.lit(None).cast("string")
+
+    sav = (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+    )
+    keep = docs.select(
+        F.col("doc_id").alias("component"), F.col("n_chars").alias("chars_kept")
+    )
+    savings = (
+        sav.join(keep, "component")
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.lit("savings").alias("report"),
+            F.col("component").cast("string").alias("key"),
+            "n_docs",
+            "chars_total",
+            "chars_kept",
+            (F.col("chars_total") - F.col("chars_kept")).alias("chars_saved"),
+            bnull.alias("n_dup_docs"),
+            dnull.alias("dup_pct"),
+            bnull.alias("n_groups"),
+            snull.alias("rep_doc_id"),
+            dnull.alias("rep_quality"),
+        )
+    )
+
+    rates = (
+        comp.join(csizes, "component")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("csize") > 1).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            F.lit("rates_by_source").alias("report"),
+            F.col("source").alias("key"),
+            "n_docs",
+            bnull.alias("chars_total"),
+            bnull.alias("chars_kept"),
+            bnull.alias("chars_saved"),
+            "n_dup_docs",
+            pct_rate(F.col("n_dup_docs"), F.col("n_docs")).alias("dup_pct"),
+            bnull.alias("n_groups"),
+            snull.alias("rep_doc_id"),
+            dnull.alias("rep_quality"),
+        )
+    )
+
+    bucket = F.when(F.col("csize") == 1, F.lit(1).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2("csize")).cast("int")).cast("long")
+    )
+    hist = (
+        csizes.select(bucket.alias("b"), "csize")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("csize").alias("n_docs"),
+        )
+        .select(
+            F.lit("size_histogram").alias("report"),
+            F.col("b").cast("string").alias("key"),
+            "n_docs",
+            bnull.alias("chars_total"),
+            bnull.alias("chars_kept"),
+            bnull.alias("chars_saved"),
+            bnull.alias("n_dup_docs"),
+            dnull.alias("dup_pct"),
+            "n_groups",
+            snull.alias("rep_doc_id"),
+            dnull.alias("rep_quality"),
+        )
+    )
+
+    qual = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    reps = (
+        comp.join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter((F.col("rk") == 1) & (F.col("group_size") > 1))
+        .select(
+            F.lit("representatives").alias("report"),
+            F.col("component").cast("string").alias("key"),
+            F.col("group_size").alias("n_docs"),
+            bnull.alias("chars_total"),
+            bnull.alias("chars_kept"),
+            bnull.alias("chars_saved"),
+            bnull.alias("n_dup_docs"),
+            dnull.alias("dup_pct"),
+            bnull.alias("n_groups"),
+            F.col("doc_id").cast("string").alias("rep_doc_id"),
+            F.col("quality").alias("rep_quality"),
+        )
+    )
+    return savings.unionByName(rates).unionByName(hist).unionByName(reps)
 
 
 _WINNOW_FPS_SQL = """
