@@ -1,0 +1,63 @@
+"""URL / domain canonicalization (training-data pipeline ops).
+
+Web-crawl corpora key almost everything on URLs — per-domain dedup
+rates, domain-level mixture weights, URL-keyed incremental ingestion —
+and raw crawl URLs arrive in dozens of spellings of the same resource.
+Canonicalization folds those spellings together BEFORE any URL-keyed
+join or groupBy, so 'HTTPS://WWW.Example.com:443/a?utm_source=x' and
+'https://example.com/a' land on the same key.
+
+Everything here is a pure narrow Column expression (regexp chains —
+JVM-side, codegen-friendly, no UDF, no shuffle): canonicalization cost
+is absorbed into whatever scan produces the column. The regex subset is
+RE2-safe (no lookaround), so a DuckDB/RE2 oracle can replicate every
+step; replacement backrefs are ``$1`` in Spark and ``\\1`` in DuckDB.
+
+The rule set is the common core of public URL-normalization practice
+(RFC 3986 §6 syntax-based normalization + the usual crawl-pipeline
+extras): strip fragment, drop utm_* tracking params, lowercase scheme
+and host, strip a leading ``www.``, drop scheme-default ports
+(443/https, 80/http), and trim a trailing slash. Path case and
+non-utm query params are preserved — they are semantically significant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL (see module docstring for the rule set).
+
+    Step order matters: the fragment goes first (so ``#`` never hides a
+    trailing utm param), tracking params next (while ``?``/``&``
+    structure is intact), then the authority is split out and folded,
+    and the trailing slash is trimmed last (after the query may have
+    been emptied)."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"utm_[a-z]+=[^&]*&", "")  # utm_*=v& (global)
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*$", "")  # trailing utm
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    return F.regexp_replace(
+        F.concat(scheme, F.lit("://"), host, tail), r"/$", ""
+    )
+
+
+def url_domain(canon_url: Column) -> Column:
+    """Host of an already-canonicalized URL, minus any remaining
+    (non-default) port — the per-domain grouping key for dedup rates
+    and mixture weighting."""
+    host = F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    return F.regexp_replace(host, r":[0-9]+$", "")

@@ -4568,6 +4568,232 @@ def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle prefix for the URL entries: synthesize a deterministic
+# messy URL per doc from (source, doc_id) — uppercase scheme/www/host
+# variants, default :443 ports, utm_* tracking params, fragments,
+# trailing slashes — then replicate functions/urls.canonicalize_url
+# step by step (RE2-safe regexes; DuckDB backrefs are \\1, Spark's $1).
+# Defined once, shared by url_canonicalize_docs and
+# dedup_rates_by_domain so the twin recipes cannot drift.
+_URL_CANON_SQL = """
+    WITH u AS (
+      SELECT doc_id, source, text,
+        CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END
+        || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        || CASE WHEN doc_id % 8 = 0 THEN upper(source) ELSE source END
+        || '.example.com'
+        || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        || '/docs/' || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 9 = 0 AND doc_id % 4 >= 2 THEN '/' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+                THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN doc_id % 4 = 1
+                THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                ELSE '' END
+        || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+      FROM documents),
+    c1 AS (
+      SELECT doc_id, source, text, url,
+             regexp_replace(regexp_replace(regexp_replace(url,
+               '#.*$', ''),
+               'utm_[a-z]+=[^&]*&', '', 'g'),
+               '[?&]utm_[a-z]+=[^&]*$', '') AS s1
+      FROM u),
+    p AS (
+      SELECT *,
+             lower(regexp_extract(s1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(s1, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM c1),
+    p2 AS (
+      SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+             regexp_replace(rest, '^[^/?#]*', '') AS tail
+      FROM p),
+    p3 AS (
+      SELECT *, regexp_replace(lower(hostport), '^www\\.', '') AS h1 FROM p2),
+    p4 AS (
+      SELECT *, CASE WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+                     WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+                     ELSE h1 END AS host
+      FROM p3),
+    canon AS (
+      SELECT doc_id, source, text, url,
+             regexp_replace(scheme || '://' || host || tail, '/$', '')
+               AS canon_url,
+             regexp_replace(host, ':[0-9]+$', '') AS domain
+      FROM p4)
+"""
+
+
+def _synth_url(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL column from (source, doc_id) — the Spark
+    twin of _URL_CANON_SQL's ``u`` CTE (the fixture has no URL column,
+    so the entries derive one; every canonicalization rule gets hit by
+    some residue class of doc_id)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        d.cast("string"),
+        F.when((d % 9 == 0) & (d % 4 >= 2), F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 7).cast("string")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_campaign=x")
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+@register(
+    "url_canonicalize_docs",
+    oracle=_URL_CANON_SQL
+    + """
+    SELECT doc_id, url, canon_url, domain FROM canon
+    """,
+    tags=("extension", "text", "url"),
+)
+def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): fold the dozens of
+    crawl spellings of one resource — case, www, default ports, utm_*
+    tracking params, fragments, trailing slashes — onto a single
+    canonical key, plus the registrable domain. Pure regexp Column
+    chain: narrow map, codegen, no UDF, no shuffle; at 100 TB the cost
+    fuses into the scan that reads the URL column. The oracle replays
+    every step in RE2, so the rule set itself is hash-checked."""
+    from .functions.urls import canonicalize_url, url_domain
+
+    d = _synth_url(
+        _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ).withColumn("canon_url", canonicalize_url(F.col("url")))
+    return d.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        url_domain(F.col("canon_url")).alias("domain"),
+    )
+
+
+@register(
+    "dedup_rates_by_domain",
+    oracle=_URL_CANON_SQL
+    + """,
+    f AS (SELECT domain, COUNT(*) OVER (PARTITION BY text) AS grp FROM canon)
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(100.0 * SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END)
+                 / nullif(COUNT(*), 0), 2) AS dup_pct
+    FROM f GROUP BY domain
+    """,
+    tags=("extension", "dedup", "url", "report"),
+)
+def dedup_rates_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-duplication rates: URL canonicalization supplies
+    the domain key, exact-text dup machinery supplies the flag (a doc is
+    a dup if its text appears more than once corpus-wide) — the table a
+    crawl owner reads to find mirror-heavy domains before assigning
+    crawl budgets. Two shuffles: the 8-byte content-hash window (never
+    the text), then the ~|domains|-sized groupBy. Same hash-vs-string
+    oracle trade as dedup_exact_docs."""
+    from .functions.urls import canonicalize_url, url_domain
+
+    d = _synth_url(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).withColumn("domain", url_domain(canonicalize_url(F.col("url"))))
+    w = Window.partitionBy(F.xxhash64(F.col("text")))
+    flagged = d.select(
+        "domain", (F.count(F.lit(1)).over(w) > 1).alias("is_dup")
+    )
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        )
+        .withColumn("dup_pct", pct_rate(F.col("n_dup_docs"), F.col("n_docs")))
+    )
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'snap'), 1, 8))
+               ::UBIGINT % 10000 AS bkt
+      FROM documents),
+    ex AS (SELECT DISTINCT text FROM b WHERE bkt < 8000),
+    inc AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM b WHERE bkt >= 8000),
+    cls AS (
+      SELECT i.doc_id,
+             CASE WHEN e.text IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN i.rn > 1 THEN 'dup_in_batch'
+                  ELSE 'new' END AS status
+      FROM inc i LEFT JOIN ex e ON e.text = i.text)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(100.0 * COUNT(*) / nullif(SUM(COUNT(*)) OVER (), 0), 2)
+             AS pct_of_batch
+    FROM cls GROUP BY status
+    """,
+    tags=("extension", "dedup", "incremental", "report"),
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot incremental dedup: classify an incoming batch
+    against an existing corpus — ``dup_of_corpus`` (content already
+    ingested; the read-side twin of upsert_by_key's anti-join, which
+    enforces the same never-duplicate contract at write time),
+    ``dup_in_batch`` (first copy in this batch wins, the upsert sink's
+    intra-batch rule), or ``new``. The existing/incoming split is the
+    deterministic md5 bucket (sampling.hash_bucket, append-stable), so
+    the oracle replays it exactly. Scale shape: the corpus side reduces
+    to a distinct 8-byte content-hash set — the join is a hash-keyed
+    equi-join (never text), the batch-local window shares the same hash
+    key, and the report is a 3-row aggregate."""
+    from .operators.sampling import hash_bucket
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("h", F.xxhash64("text"))
+        .withColumn("bkt", hash_bucket(F.col("doc_id"), "snap"))
+    )
+    existing = docs.filter(F.col("bkt") < 8000).select("h").distinct()
+    incoming = docs.filter(F.col("bkt") >= 8000)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    j = incoming.withColumn("rn", F.row_number().over(w)).join(
+        existing.withColumn("in_corpus", F.lit(1)), "h", "left"
+    )
+    status = (
+        F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    per = (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return per.withColumn(
+        "pct_of_batch",
+        pct_rate(F.col("n_docs"), F.sum("n_docs").over(Window.partitionBy())),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r5).
 #

@@ -748,3 +748,44 @@ def test_line_dedup_semantics(spark):
     assert (out["a"].n_lines, out["a"].n_kept) == (4, 4)
     assert out["b"].text_dedup == "unique beta\n"
     assert (out["b"].n_lines, out["b"].n_kept) == (5, 2)
+
+
+def test_url_canonicalization_rules(spark):
+    """canonicalize_url folds the standard crawl spellings: case, www,
+    scheme-default ports (and ONLY those), utm params (all of them, any
+    position), fragments, trailing slash; path case and real query
+    params survive."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.functions.urls import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/b?x=1#frag", "https://example.com/A/b?x=1"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),  # non-default
+        ("https://example.com:80/a", "https://example.com:80/a"),  # wrong scheme
+        (
+            "https://e.com/p?utm_source=x&utm_medium=y&id=3&utm_campaign=z",
+            "https://e.com/p?id=3",
+        ),
+        ("https://e.com/p?utm_source=x", "https://e.com/p"),
+        ("https://wwwx.com/a", "https://wwwx.com/a"),  # www. only as prefix label
+        ("https://example.com/a/", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    dom = (
+        spark.createDataFrame(
+            [("https://sub.example.com:8080/a?b=1",)], "c string"
+        )
+        .select(url_domain(F.col("c")).alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert dom == "sub.example.com"
