@@ -227,6 +227,14 @@ def ngram_jaccard_pairs(
     # jaccard 2.0→2.6 s with eager=False — so the one-time build cost
     # (plan-only consumers like `explain` trigger the materialization)
     # buys every subsequent reference reading materialized blocks.
+    # Fault-tolerance trade (ADVICE r5): localCheckpoint blocks live on
+    # executor storage with NO lineage — an executor loss mid-job kills
+    # the job instead of recomputing. Acceptable in this single-JVM
+    # harness and for restartable batch audits; a long multi-tenant
+    # 100 TB run should swap in reliable checkpoint() (HDFS/object
+    # store) or persist(DISK_ONLY)+count, which keep lineage/replicas at
+    # the cost of a slower write. Applies to every localCheckpoint in
+    # this module (signature/fingerprint tables, the CC fixpoint).
     sh = toks.select(
         F.col(id_col),
         F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),

@@ -7,9 +7,10 @@ a filter on (modality, byte_len) never touches payload bytes.
 The decode step is STUBBED (no image/audio libs in this container): the
 Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
 partition sizing — is real and tested; ``decode_image_meta`` computes a
-deterministic fake decode from the payload so results are verifiable, and
-:func:`real_decoder` shows where Pillow/torchaudio would slot in, gated
-behind NotImplementedError.
+deterministic fake decode from the payload so results are verifiable, the
+header parsers are real stdlib implementations (raising ``ValueError`` on
+malformed bytes), and :func:`real_decoder` shows where Pillow/torchaudio
+would slot in (import-gated: used automatically when the lib is present).
 
 At 100 TB: binary payloads dominate bytes → size partitions by
 ``spark.sql.files.maxPartitionBytes`` (payload-aware), keep metadata in

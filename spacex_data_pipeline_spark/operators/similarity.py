@@ -676,13 +676,17 @@ def quantize_embeddings(
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    scale = amax / F.lit(float(levels))
-    codes = F.when(
-        scale == 0.0,
-        F.transform(v, lambda x: F.lit(0)),
-    ).otherwise(F.transform(v, lambda x: F.floor(x.cast("double") / scale).cast("int")))
-    return embeddings.select(
+    # Two-phase projection (the shingles_from_words rule, ADVICE r5):
+    # materialize scale into a column FIRST, then compute codes from the
+    # materialized column — an inline scale expression would re-expand
+    # the O(dim) amax fold inside every element of the transform lambda.
+    proj = embeddings.select(
         F.col(id_col),
-        codes.alias("codes"),
-        scale.alias("scale"),
+        v.alias("__v"),
+        (amax / F.lit(float(levels))).alias("scale"),
     )
+    s, vv = F.col("scale"), F.col("__v")
+    codes = F.when(s == 0.0, F.transform(vv, lambda x: F.lit(0))).otherwise(
+        F.transform(vv, lambda x: F.floor(x.cast("double") / s).cast("int"))
+    )
+    return proj.select(F.col(id_col), codes.alias("codes"), "scale")

@@ -3840,9 +3840,11 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "winnowing_fingerprints_docs",
-    oracle="""
+# Winnowing fingerprint table (doc_id, fp) as a DuckDB CTE chain —
+# defined ONCE and consumed by BOTH winnowing oracles (fingerprints +
+# near pairs), so the 25-line selection recipe can never drift between
+# them or from operators/text.winnowing_fingerprints (ADVICE r5).
+_WINNOW_FPS_SQL = """
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -3862,10 +3864,14 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform(range(1, len(hs) - 3 + 1), j -> list_min(hs[j:j+3]))
                WHEN len(hs) >= 1 THEN [list_min(hs)]
                ELSE []::BIGINT[] END) AS fps
-      FROM g)
-    SELECT doc_id, CAST(t.fp AS BIGINT) AS fp
-    FROM sel, unnest(fps) AS t(fp)
-    """,
+      FROM g),
+    fpt AS (SELECT doc_id, CAST(t.fp AS BIGINT) AS fp FROM sel, unnest(fps) AS t(fp))
+"""
+
+
+@register(
+    "winnowing_fingerprints_docs",
+    oracle=_WINNOW_FPS_SQL + "SELECT doc_id, fp FROM fpt",
     tags=("extension", "text", "dedup"),
 )
 def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4246,31 +4252,6 @@ def dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return savings.unionByName(rates).unionByName(hist).unionByName(reps)
-
-
-_WINNOW_FPS_SQL = """
-    WITH toks AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-      FROM documents),
-    g AS (
-      SELECT doc_id,
-             CASE WHEN len(w) - 3 >= 1 THEN
-               list_transform(range(1, len(w) - 3 + 1), i ->
-                 CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                          || ' ' || w[i+3]), 1, 15))::UBIGINT AS BIGINT))
-             ELSE []::BIGINT[] END AS hs
-      FROM toks),
-    sel AS (
-      SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(hs) - 3 >= 1 THEN
-                 list_transform(range(1, len(hs) - 3 + 1), j -> list_min(hs[j:j+3]))
-               WHEN len(hs) >= 1 THEN [list_min(hs)]
-               ELSE []::BIGINT[] END) AS fps
-      FROM g),
-    fpt AS (SELECT doc_id, CAST(t.fp AS BIGINT) AS fp FROM sel, unnest(fps) AS t(fp))
-"""
 
 
 @register(

@@ -162,7 +162,22 @@ def upsert_by_key(spark: SparkSession, df: DataFrame, path: str, key: str) -> in
     upsert only the AFFECTED partitions (dynamic partition overwrite),
     or use a table format whose MERGE rewrites row groups; this
     whole-table form is the small-table / per-partition building block.
+
+    Intra-batch duplicate keys (ADVICE r5): SQL MERGE rejects a source
+    with two rows for one target key; a sink should not. Incoming is
+    deduped to one row per key first — the survivor is deterministic
+    (min xxhash64 over the whole row, layout- and order-invariant; ties
+    only between byte-identical rows modulo a ~2⁻⁶⁴ collision). Callers
+    with a real recency column should pre-reduce themselves
+    (row_number over key ORDER BY ts DESC) — a generic sink has no
+    ordering column to infer latest-wins from.
     Returns the post-swap file count."""
+    w = Window.partitionBy(key).orderBy(F.xxhash64(F.struct(*df.columns)))
+    df = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     existing = spark.read.parquet(path)
     # NULL-SAFE anti-join: a plain `key` equi-anti-join never matches NULL
     # keys, so re-delivered null-key rows would duplicate instead of

@@ -199,3 +199,26 @@ def test_upsert_by_key_replaces_and_inserts(spark, sf_oracle, tmp_path):
     final = spark.read.parquet(path)
     assert final.filter(F.col("o_orderkey").isNull()).count() == 1
     assert final.count() == 1002
+    # intra-batch duplicate keys collapse to ONE row (ADVICE r5: SQL
+    # MERGE would reject such a source; the sink dedupes — deterministic
+    # min-row-hash survivor) and the table keeps exactly one row per key
+    dup_rows = [
+        incoming_rows[0].asDict() | {"o_orderstatus": "DUPA"},
+        incoming_rows[0].asDict() | {"o_orderstatus": "DUPB"},
+    ]
+    dup_batch = spark.createDataFrame(
+        [tuple(r[f.name] for f in base.schema.fields) for r in dup_rows],
+        base.schema,
+    )
+    upsert_by_key(spark, dup_batch, path, "o_orderkey")
+    after = spark.read.parquet(path)
+    key0 = incoming_rows[0].o_orderkey
+    assert after.filter(F.col("o_orderkey") == key0).count() == 1
+    assert after.filter(
+        F.col("o_orderstatus").isin("DUPA", "DUPB")
+    ).count() == 1
+    # deterministic: re-running the same dup batch picks the same winner
+    winner = after.filter(F.col("o_orderkey") == key0).collect()[0]
+    upsert_by_key(spark, dup_batch, path, "o_orderkey")
+    again2 = spark.read.parquet(path).filter(F.col("o_orderkey") == key0)
+    assert again2.collect() == [winner]
