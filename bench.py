@@ -71,6 +71,13 @@ EXTENDED = [
     "chunk_documents_overlap",
     "embedding_quantization_error",
     "dedup_group_size_histogram",
+    # new in r6
+    "dedup_reports",
+    "dedup_lines_docs",
+    "dedup_lines_report",
+    "url_canonicalize_docs",
+    "dedup_rates_by_domain",
+    "dedup_incremental_snapshot",
 ]
 
 
@@ -101,18 +108,16 @@ METHODOLOGY = {
     "sink": "noop (full execution, no driver collect)",
     "skew_bench": "single pass, identical boilerplate page replacing 20% of documents",
     "notes": (
-        "r5: dedup_cross_split_leakage 10.18→~2.4 s (split attached via "
-        "broadcast join on the aggregated pair list instead of an "
-        "expression Catalyst pushed into the shingle join); "
-        "single-materialization fixes (MinHash signatures, SimHash "
-        "fingerprints, Jaccard shingle posting list each checkpointed "
-        "once instead of recomputed per plan reference) cut "
-        "dedup_minhash_lsh ~3.5→~2.8 s, dedup_simhash 5.25→4.95 s, "
-        "dedup_ngram_jaccard ~2.7→~2.2 s; connected components iterate "
-        "only edge-touched nodes (savings report 4.04→~3.6 s, cluster "
-        "representatives 4.89→~3.5 s). Prior r4 note (isolated q5 "
-        "1.206 s min-of-8, fixture-regeneration delta, plan re-audited "
-        "clean) stands."
+        "r6: shingle_df_stats reshaped (GK sketch + exact histogram; the "
+        "0-key exact percentile is gone from the plan); dedup_reports "
+        "derives all four dedup report tables from ONE pairs+CC run "
+        "(expect ≈ one dedup_savings_report, vs the four standalone "
+        "entries' summed cost); new line-dedup / URL / incremental "
+        "entries are first-timed this round. Result JSON is also written "
+        "to bench_out.json so the artifact survives stdout-tail "
+        "truncation (VERDICT r5 what's-wrong #3). Prior r5 notes "
+        "(cross-split leakage broadcast fix, single-materialization "
+        "checkpoints, edge-touched-only CC) stand."
     ),
 }
 
@@ -221,20 +226,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "extended_queries": extended,
-                "skew_bench": skew,
-                "methodology": METHODOLOGY,
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            "extended_queries": extended,
+            "skew_bench": skew,
+            "methodology": METHODOLOGY,
+        }
     )
+    # File copy FIRST: BENCH_r05.json's stdout tail capture truncated the
+    # JSON line mid-stream (VERDICT r5 what's-wrong #3), so the artifact
+    # had no machine-readable numbers. The file is the durable copy;
+    # stdout stays the driver-facing one line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(result + "\n")
+    print(result, flush=True)
     spark.stop()
 
 

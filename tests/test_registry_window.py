@@ -12,82 +12,89 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r5: every registry entry outside the window has at least one green
-# driver CORRECTNESS row (r1-r4) under an unchanged implementation -
+# r6: every registry entry outside the window has at least one green
+# driver CORRECTNESS row (r1-r5) under an unchanged implementation -
 # their gate this round is the local replica, which is exactly as strict
 # (rows + schema + value multiset).
 NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
-    # -- green in r4 under the current implementation (48 of the 50
-    #    r4-window rows; the 2 changed this round are re-windowed) --
-    "fct_events_by_day",
-    "stg_events_typed",
-    "q1_pricing_summary",
-    "q3_unshipped_revenue",
-    "q5_nation_revenue",
-    "semi_customers_with_open_orders",
+    # -- green in r5 under the current implementation (44 of the 50
+    #    r5-window rows; the 6 changed this round are re-windowed) --
+    "applyinpandas_zscore",
+    "array_functions_embeddings",
+    "asof_join_last_purchase",
+    "asof_join_next_purchase",
+    "bigram_collocations_docs",
+    "chunk_documents_overlap",
+    "corpus_token_budget",
+    "customer_spend_deciles",
+    "data_quality_orders",
+    "data_quality_relationships",
+    "decontaminate_docs",
+    "dedup_components_docs",
+    "dedup_cross_split_leakage",
+    "dedup_minhash_lsh_verify",
+    "distinct_status_priority",
+    "fct_orders_by_year",
+    "funnel_view_click_purchase",
+    "hopping_window_event_counts",
+    "interval_join_view_purchase",
+    "knn_label_agreement",
+    "length_bucketed_batches_docs",
+    "multimodal_frame_sample",
+    "order_nulls_and_offset",
+    "pack_documents_token_bins",
+    "pipeline_training_data_prep",
+    "quality_filter_funnel",
+    "raw_count_orders",
+    "resample_user_daily_gapfill",
+    "salted_join_order_nations",
+    "setop_except_customers",
+    "setop_union_customers",
+    "shard_documents_for_training",
+    "snapshot_diff_orders",
+    "source_mixture_report",
+    "source_token_budget_cap",
+    "split_contamination_stats",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_term_frequencies",
+    "text_tfidf_top_terms",
+    "top_years_desc",
+    "udtf_chunk_documents",
+    "window_running_distinct_users",
+    "winnowing_near_pairs_docs",
+    # -- r4-era rows deferred to r7 by the r6 rotation (low-risk
+    #    relational one-liners and stable aggregates, unchanged since
+    #    their r4 green rows) --
     "anti_customers_without_orders",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
-    "setop_intersect_customers",
-    "rollup_orders",
-    "cube_lineitem_flags",
-    "pivot_priority_by_status",
-    "scalar_functions_part",
-    "scalar_dates_orders",
-    "filter_pushdown_lineitem",
-    "count_distinct_customers_by_status",
-    "median_quantity_by_flag",
     "approx_distinct_parts",
     "approx_quantiles_lineitem",
-    "dedup_exact_docs",
-    "dedup_latest_order_per_customer",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_ivf",
-    "similarity_topk_cosine",
-    "similarity_ann_lsh",
-    "text_stats_docs",
-    "text_quality_docs",
-    "text_langid_docs",
-    "text_fingerprints_docs",
-    "multimodal_media_meta",
-    "multimodal_decode",
-    "sessionize_events",
-    "events_hourly_rollup",
-    "left_join_customer_order_stats",
-    "full_outer_year_activity",
-    "cross_join_region_status",
-    "subquery_above_nation_avg",
-    "having_active_customers",
-    "string_predicates_part",
-    "similarity_ivf_topk",
     "array_agg_nations_per_region",
-    "embeddings_unit_norm",
+    "count_distinct_customers_by_status",
+    "cross_join_region_status",
+    "cube_lineitem_flags",
     "embeddings_random_projection",
+    "embeddings_unit_norm",
+    "fct_events_by_day",
+    "filter_pushdown_lineitem",
+    "full_outer_year_activity",
     "funnel_conversion_rates",
-    "dedup_cluster_representatives",
-    # -- r3-era rows deferred to r6 by the r5 rotation (trivial
-    #    scalar/CASE/date/window one-liners, unchanged since r3) --
-    "histogram_order_totalprice",
-    "sample_orders_deterministic",
-    "stratified_sample_orders",
-    "split_documents_train_val_test",
-    "map_functions_events",
-    "corr_exact_by_flag",
-    "window_distribution_stats",
-    "window_range_frame_events",
-    "window_lag_lead_first",
-    "stddev_exact_by_flag",
-    "sql_api_returned_revenue",
-    "union_all_order_events",
-    "coalesce_case_scalar",
-    "explode_token_table",
-    "date_arithmetic_orders",
-    "grouping_sets_orders",
-    "mode_priority_per_status",
+    "having_active_customers",
+    "left_join_customer_order_stats",
+    "median_quantity_by_flag",
+    "pivot_priority_by_status",
+    "q3_unshipped_revenue",
+    "rollup_orders",
+    "scalar_dates_orders",
+    "scalar_functions_part",
+    "semi_customers_with_open_orders",
+    "setop_intersect_customers",
+    "stg_events_typed",
+    "string_predicates_part",
+    "subquery_above_nation_avg",
+    "window_running_customer_spend",
 }
 
 
