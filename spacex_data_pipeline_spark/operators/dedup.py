@@ -60,7 +60,10 @@ def exact_dedup_rows(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def line_dedup_flags(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    two_level: bool = False,
 ) -> DataFrame:
     """Per-line exact dedup flags, C4/RefinedWeb-style: explode each doc
     into lines, normalize (lowercase + collapse whitespace + trim), and
@@ -83,10 +86,15 @@ def line_dedup_flags(
     Scale shape: ONE shuffle, on the 8-byte xxhash64 of the normalized
     line (never the line text). Remaining skew: a non-blank line
     duplicated D times is a D-row window partition — at crawl scale the
-    hot lines ("Home", separators) are exactly the ones worth capping
-    or pre-filtering; the two-level variant (per-salt min(id, line_no)
-    aggregate, then global min, then join back) trades a second corpus
-    shuffle for bounded partitions when that matters.
+    hot lines ("Home", separators) are exactly the ones that explode.
+    ``two_level=True`` switches to the skew-bounded form: a
+    min(struct(id, line_no)) AGGREGATE picks each line's winner —
+    partial aggregation caps any reducer's input at one partial per
+    upstream partition, so no key can form a D-row reducer — then the
+    winner set joins back onto the lines (second corpus shuffle; the
+    hot-key join partitions are 1-row-build-side and AQE-splittable).
+    Same flags, proven equal by test; the default window form is one
+    shuffle cheaper and right whenever max line-df is sane.
 
     Oracle parity caveat (same trade as ngram_jaccard_pairs): Spark
     groups on xxhash64(norm) longs while a SQL oracle groups on the
@@ -103,6 +111,21 @@ def line_dedup_flags(
             F.col("__blank"), F.xxhash64(F.col(id_col), F.col("line_no"))
         ).otherwise(F.xxhash64(norm)),
     )
+    if two_level:
+        winners = (
+            lines.filter(~F.col("__blank"))
+            .groupBy("__k")
+            .agg(F.min(F.struct(id_col, "line_no")).alias("__w"))
+        )
+        return (
+            lines.join(winners, "__k", "left")
+            .withColumn(
+                "keep",
+                F.col("__blank")
+                | (F.struct(F.col(id_col), F.col("line_no")) == F.col("__w")),
+            )
+            .drop("__k", "__blank", "__w")
+        )
     w = Window.partitionBy("__k").orderBy(id_col, "line_no")
     return lines.withColumn(
         "keep", F.col("__blank") | (F.row_number().over(w) == 1)

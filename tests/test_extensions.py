@@ -789,3 +789,39 @@ def test_url_canonicalization_rules(spark):
         .d
     )
     assert dom == "sub.example.com"
+
+
+def test_line_dedup_two_level_equals_window_form(spark):
+    """The skew-bounded aggregate+join form must produce byte-identical
+    keep flags to the default window form — on the synthetic multi-line
+    corpus AND on a corpus with a corpus-wide hot line (the skew case
+    the variant exists for)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.dedup import line_dedup_flags
+
+    hot = "\n".join(["Home"] * 50 + ["unique tail"])
+    docs = spark.createDataFrame(
+        [
+            ("a", "Home\nunique alpha\n\nfooter text"),
+            ("b", "home\nunique beta\n\nFooter   Text\nunique beta"),
+            ("c", hot),
+            ("d", hot),
+        ],
+        "doc_id string, text string",
+    )
+
+    def flags(two_level):
+        return sorted(
+            (r.doc_id, r.line_no, r.keep)
+            for r in line_dedup_flags(docs, two_level=two_level).collect()
+        )
+
+    assert flags(False) == flags(True)
+    # and the winner really is the global first occurrence
+    kept = {
+        (r.doc_id, r.line_no)
+        for r in line_dedup_flags(docs, two_level=True).collect()
+        if r.keep and r.line == "Home"
+    }
+    assert kept == {("a", 0)}
