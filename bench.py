@@ -145,6 +145,7 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     """Capped-vs-uncapped wall time on the adversarial corpus — the
     timing evidence that the guards pay for themselves under skew."""
     from spacex_data_pipeline_spark.operators.dedup import (
+        line_dedup_flags,
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
@@ -162,6 +163,11 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         ),
         "skew_winnow_uncapped": lambda: winnowing_near_pairs(docs),
         "skew_winnow_capped": lambda: winnowing_near_pairs(docs, max_fp_df=50),
+        # r6: 20% identical docs ⇒ their lines are corpus-wide hot keys —
+        # window form funnels each hot line's D rows to one reducer; the
+        # two-level aggregate+join form bounds every reducer.
+        "skew_linededup_window": lambda: line_dedup_flags(docs),
+        "skew_linededup_twolevel": lambda: line_dedup_flags(docs, two_level=True),
     }
     out: dict[str, float] = {}
     for name, build in variants.items():

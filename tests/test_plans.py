@@ -285,6 +285,44 @@ def test_shingle_df_stats_has_no_exact_percentile(spark, sf):
     assert "ReusedExchange" in plan_of(df)
 
 
+def test_line_dedup_is_two_narrow_key_shuffles(spark, sf):
+    """dedup_lines_docs: ONE line-hash window shuffle + ONE doc-keyed
+    reassembly shuffle, no join anywhere; the report swaps reassembly
+    for a 0-key aggregate (still ≤2 exchanges)."""
+    plan = plan_of(REGISTRY["dedup_lines_docs"].fn(spark, sf))
+    assert _shuffle_count(plan) == 2
+    assert "Window" in plan and "Join" not in plan
+    rplan = plan_of(REGISTRY["dedup_lines_report"].fn(spark, sf))
+    assert _shuffle_count(rplan) <= 2
+    assert "Join" not in rplan
+
+
+def test_url_canonicalize_is_pure_narrow_map(spark, sf):
+    """url_canonicalize_docs: regexp chain fused into the scan — zero
+    exchanges, zero joins, one parquet scan."""
+    import re
+
+    plan = plan_of(REGISTRY["url_canonicalize_docs"].fn(spark, sf))
+    assert _shuffle_count(plan) == 0
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_incremental_snapshot_joins_on_hash_never_text(spark, sf):
+    """dedup_incremental_snapshot: the corpus join must be an equi-join
+    on the 8-byte content hash — the text column may never appear in a
+    join condition (it only feeds xxhash64 in the scan projection)."""
+    import re
+
+    plan = plan_of(REGISTRY["dedup_incremental_snapshot"].fn(spark, sf))
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    join_blocks = [b for b in blocks if re.match(r"\(\d+\) \w*Join", b)]
+    assert join_blocks, "expected the corpus hash join"
+    for b in join_blocks:
+        cond = [l for l in b.splitlines() if "condition" in l or "keys" in l.lower()]
+        assert not any("text" in l for l in cond), f"text in join condition:\n{b}"
+
+
 def test_no_cartesian_product_anywhere(spark, sf):
     """Global 100 TB invariant: no registry query may compile to a
     CartesianProduct — the unconditional all-pairs plan that cannot
