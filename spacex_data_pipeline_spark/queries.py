@@ -3982,6 +3982,92 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_quantized",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b)) / 127.0
+               AS scale
+      FROM embeddings),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                    x -> floor(CAST(x AS DOUBLE) / scale) * scale) END AS emb
+      FROM qz),
+    eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0,1,2,3,4)),
+    es AS (
+      SELECT eq.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="eq.qv", b="c.embedding")} AS cosine
+      FROM embeddings c, eq WHERE c.vec_id <> eq.query_id),
+    er AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM es) t WHERE rk <= 10),
+    qq AS (SELECT vec_id AS query_id, emb AS qv FROM dq
+           WHERE vec_id IN (0,1,2,3,4)),
+    qs AS (
+      SELECT qq.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qq.qv", b="c.emb")} AS cosine
+      FROM dq c, qq WHERE c.vec_id <> qq.query_id),
+    qr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM qs) t WHERE rk <= 10)
+    SELECT e.query_id,
+           CAST(COUNT(q.neighbor_id) AS BIGINT) AS n_overlap,
+           round(100.0 * COUNT(q.neighbor_id) / 10, 2) AS recall_pct
+    FROM er e LEFT JOIN qr q USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall of the int8-quantized store: exact top-10 over
+    the DEQUANTIZED corpus (codes × scale — what an int8 index actually
+    scores) vs exact top-10 over the raw corpus, reported as per-query
+    overlap and recall@10. The decision table read before switching a
+    100 TB embedding store to int8 (4× less scan IO; quantize_embeddings
+    is the encoder, embedding_quantization_error the per-vector cosine
+    audit, this the end-to-end retrieval consequence). Deterministic on
+    both engines: floor integerization and left-to-right double folds
+    make both rankings bit-identical SQL replicas — the recall table is
+    hash-checked exactly, no boolean dodge. Scale shape: two cosine_topk
+    runs (broadcast queries, BLAS candidate prefilter, zero corpus
+    shuffles) + a broadcast-sized overlap join on the two tiny top-k
+    results."""
+    from .operators.similarity import cosine_topk, quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    exact = cosine_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    quant = cosine_topk(deq, qids, k=10).select(
+        "query_id", F.col("neighbor_id").alias("q_neighbor_id")
+    )
+    hits = exact.join(
+        quant,
+        (exact["query_id"] == quant["query_id"])
+        & (exact["neighbor_id"] == quant["q_neighbor_id"]),
+        "left",
+    ).select(exact["query_id"], quant["q_neighbor_id"])
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("q_neighbor_id").alias("n_overlap"))
+        .withColumn("recall_pct", pct_rate(F.col("n_overlap"), F.lit(10)))
+    )
+
+
+@register(
     "chunk_documents_overlap",
     oracle="""
     WITH t AS (
@@ -4817,6 +4903,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winnowing_fingerprints_docs",
     "embedding_quantization_error",
     # -- new this round --
+    "similarity_topk_quantized",
     "dedup_lines_docs",
     "dedup_lines_report",
     "dedup_reports",
@@ -4841,7 +4928,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corr_exact_by_flag",
     "window_distribution_stats",
     "window_range_frame_events",
-    # -- r4-era back-rotation by staleness (20 of 47; rest wait for r7) --
+    # -- r4-era back-rotation by staleness (19 of 47; rest wait for r7) --
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -4861,7 +4948,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_fingerprints_docs",
     "q1_pricing_summary",
     "q5_nation_revenue",
-    "window_top3_orders_per_customer",
 )
 
 

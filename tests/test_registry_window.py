@@ -95,6 +95,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "string_predicates_part",
     "subquery_above_nation_avg",
     "window_running_customer_spend",
+    "window_top3_orders_per_customer",
 }
 
 
