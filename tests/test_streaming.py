@@ -344,3 +344,64 @@ def test_transform_with_state_running_totals_match_batch(spark, sf_oracle, tmp_p
         F.max("event_id").alias("max_event_id"),
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_line_dedup_matches_batch_kept_set(spark, sf_oracle, tmp_path):
+    """Streaming line dedup emits exactly one copy of each distinct
+    non-blank normalized line plus every blank line — same kept-line SET
+    as the batch form (survivor identity may differ: the stream keeps
+    arrival order, batch keeps min (id, line_no)) — and re-delivering
+    the same documents adds nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.dedup import line_dedup_flags
+    from spacex_data_pipeline_spark.streaming.dedup import (
+        dedup_stream_exact,
+        dedup_stream_lines,
+    )
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Home\nunique alpha\n\nfooter text"),
+            (2, "home\nunique beta\n\nFooter   Text\nunique beta"),
+            (3, "Home\n\nunique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    landed = str(tmp_path / "line_docs")
+    os.makedirs(landed)
+    docs.coalesce(1).write.mode("append").parquet(landed)  # delivery 1
+    docs.coalesce(1).write.mode("append").parquet(landed)  # re-delivery
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(landed)
+    )
+    out = str(tmp_path / "line_out")
+    # production composition: doc-level dedup first (kills re-delivery),
+    # THEN line dedup — blank lines pass the line stage per document, so
+    # without the doc stage a re-delivered doc re-emits its blanks
+    run_available_now_to_parquet(
+        dedup_stream_lines(dedup_stream_exact(stream, ["doc_id"])),
+        str(tmp_path / "ck_lines"),
+        out,
+    )
+    got = spark.read.parquet(out)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    batch = line_dedup_flags(docs).filter("keep")
+    # same number of kept lines as ONE batch pass (re-delivery added none)
+    assert got.count() == batch.count()
+    # identical kept normalized-line multisets
+    assert sorted(
+        r.n for r in got.select(norm.alias("n")).collect()
+    ) == sorted(r.n for r in batch.select(norm.alias("n")).collect())
+    # every distinct non-blank line exactly once; blanks all survive
+    nb = got.filter(norm != "")
+    assert nb.count() == nb.select(norm.alias("n")).distinct().count()
+    assert got.filter(norm == "").count() == 3
