@@ -73,6 +73,7 @@ EXTENDED = [
     "dedup_group_size_histogram",
     # new in r6
     "similarity_topk_quantized",
+    "mixture_rebalance_plan",
     "dedup_reports",
     "dedup_lines_docs",
     "dedup_lines_report",

@@ -4635,6 +4635,82 @@ def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_rebalance_plan",
+    oracle="""
+    WITH t AS (SELECT source, len(__TOKS__) AS n_tok FROM documents),
+    per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source),
+    w AS (SELECT source, n_tokens,
+                 CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+          FROM per),
+    c AS (SELECT source, n_tokens, total,
+                 least(CAST(1.0 AS DOUBLE),
+                       (CAST(total AS DOUBLE) / n_src) / n_tokens) AS rate,
+                 CAST(floor(least(CAST(1.0 AS DOUBLE),
+                       (CAST(total AS DOUBLE) / n_src) / n_tokens) * n_tokens)
+                      AS BIGINT) AS tokens_after
+          FROM w)
+    SELECT source, n_tokens,
+           round(100.0 * n_tokens / nullif(total, 0), 2) AS share_pct,
+           round(rate, 6) AS sample_rate,
+           tokens_after,
+           round(100.0 * tokens_after
+                 / nullif(SUM(tokens_after) OVER (), 0), 2)
+             AS share_after_pct
+    FROM c
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "sampling", "report"),
+)
+def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-planning table: the deterministic downsampling rate per
+    source that moves the corpus toward a uniform token mixture
+    (target = total/n_sources per source; oversized sources get rate
+    target/current, undersized keep rate 1.0 — no upsampling), plus the
+    token mass and share AFTER applying those rates. The consumer feeds
+    ``stratified_sample``'s rates argument; pairs with
+    ``source_mixture_report`` (which reports the mixture, this plans
+    the correction).
+
+    Engine-exactness: every fractional value is either a single IEEE
+    divide of exact BIGINTs or floor(double × BIGINT) — no float SUM is
+    ever hash-compared (``tokens_after`` is floored to BIGINT before
+    the summing window, so the after-share denominator is exact integer
+    arithmetic). One groupBy(source) shuffle; both windows run over the
+    already-aggregated dimension-sized frame."""
+    from .operators.text import token_count
+
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
+    )
+    tot = Window.partitionBy()
+    total = F.sum("n_tokens").over(tot)
+    n_src = F.count(F.lit(1)).over(tot)
+    rate = F.least(
+        F.lit(1.0), (total.cast("double") / n_src) / F.col("n_tokens")
+    )
+    w = per.select(
+        "source",
+        "n_tokens",
+        total.alias("total"),
+        rate.alias("rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("tokens_after"),
+    )
+    return w.select(
+        "source",
+        "n_tokens",
+        pct_rate(F.col("n_tokens"), F.col("total")).alias("share_pct"),
+        F.round(F.col("rate"), 6).alias("sample_rate"),
+        "tokens_after",
+        pct_rate(F.col("tokens_after"), F.sum("tokens_after").over(tot)).alias(
+            "share_after_pct"
+        ),
+    )
+
+
 # Shared oracle prefix for the URL entries: synthesize a deterministic
 # messy URL per doc from (source, doc_id) — uppercase scheme/www/host
 # variants, default :443 ports, utm_* tracking params, fragments,
@@ -4904,6 +4980,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_quantization_error",
     # -- new this round --
     "similarity_topk_quantized",
+    "mixture_rebalance_plan",
     "dedup_lines_docs",
     "dedup_lines_report",
     "dedup_reports",
@@ -4928,7 +5005,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corr_exact_by_flag",
     "window_distribution_stats",
     "window_range_frame_events",
-    # -- r4-era back-rotation by staleness (19 of 47; rest wait for r7) --
+    # -- r4-era back-rotation by staleness (18 of 47; rest wait for r7) --
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -4945,7 +5022,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_stats_docs",
     "text_quality_docs",
     "text_langid_docs",
-    "text_fingerprints_docs",
     "q1_pricing_summary",
     "q5_nation_revenue",
 )

@@ -96,6 +96,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "subquery_above_nation_avg",
     "window_running_customer_spend",
     "window_top3_orders_per_customer",
+    "text_fingerprints_docs",
 }
 
 
