@@ -32,26 +32,36 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of a URL (see module docstring for the rule set).
 
-    Step order matters: the fragment goes first (so ``#`` never hides a
-    trailing utm param), tracking params next (while ``?``/``&``
-    structure is intact), then the authority is split out and folded,
-    and the trailing slash is trimmed last (after the query may have
-    been emptied)."""
+    The URL is PARSED into (scheme, hostport, path, query) before any
+    rule fires, so each rule touches only the component it belongs to:
+    utm removal sees the query alone (a literal ``utm_x=v`` inside a
+    path survives), case folding sees scheme+host alone (path case is
+    significant), the trailing slash is trimmed from the path alone
+    (so ``/a/?id=1`` canonicalizes like ``/a?id=1``). utm params are
+    removed together with their leading ``?``/``&`` in one global pass
+    — position-independent, any count — then a leading ``&`` left by a
+    removed first param is promoted back to ``?``."""
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
-    u = F.regexp_replace(u, r"utm_[a-z]+=[^&]*&", "")  # utm_*=v& (global)
-    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*$", "")  # trailing utm
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
     hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_replace(tail, r"^[^?]*", "")
+    query = F.regexp_replace(query, r"[?&]utm_[a-z]+=[^&]*", "")
+    query = F.regexp_replace(query, r"^&", "?")
     host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
     host = (
         F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
         .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
         .otherwise(host)
     )
-    return F.regexp_replace(
-        F.concat(scheme, F.lit("://"), host, tail), r"/$", ""
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.regexp_replace(path, r"/$", ""),
+        query,
     )
 
 

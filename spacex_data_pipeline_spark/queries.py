@@ -4737,10 +4737,7 @@ _URL_CANON_SQL = """
       FROM documents),
     c1 AS (
       SELECT doc_id, source, text, url,
-             regexp_replace(regexp_replace(regexp_replace(url,
-               '#.*$', ''),
-               'utm_[a-z]+=[^&]*&', '', 'g'),
-               '[?&]utm_[a-z]+=[^&]*$', '') AS s1
+             regexp_replace(url, '#.*$', '') AS s1
       FROM u),
     p AS (
       SELECT *,
@@ -4753,7 +4750,13 @@ _URL_CANON_SQL = """
              regexp_replace(rest, '^[^/?#]*', '') AS tail
       FROM p),
     p3 AS (
-      SELECT *, regexp_replace(lower(hostport), '^www\\.', '') AS h1 FROM p2),
+      SELECT *, regexp_replace(lower(hostport), '^www\\.', '') AS h1,
+             regexp_extract(tail, '^([^?]*)', 1) AS upath,
+             regexp_replace(
+               regexp_replace(regexp_replace(tail, '^[^?]*', ''),
+                              '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+               '^&', '?') AS uquery
+      FROM p2),
     p4 AS (
       SELECT *, CASE WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
                      WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
@@ -4761,8 +4764,8 @@ _URL_CANON_SQL = """
       FROM p3),
     canon AS (
       SELECT doc_id, source, text, url,
-             regexp_replace(scheme || '://' || host || tail, '/$', '')
-               AS canon_url,
+             scheme || '://' || host
+               || regexp_replace(upath, '/$', '') || uquery AS canon_url,
              regexp_replace(host, ':[0-9]+$', '') AS domain
       FROM p4)
 """

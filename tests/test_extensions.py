@@ -774,6 +774,12 @@ def test_url_canonicalization_rules(spark):
         ("https://e.com/p?utm_source=x", "https://e.com/p"),
         ("https://wwwx.com/a", "https://wwwx.com/a"),  # www. only as prefix label
         ("https://example.com/a/", "https://example.com/a"),
+        # utm removal is query-scoped and position-independent
+        ("https://e.com/p?utm_a=1&utm_b=2&id=3", "https://e.com/p?id=3"),
+        ("https://e.com/p?utm_a=1&utm_b=2", "https://e.com/p"),
+        ("https://e.com/xutm_a=1&b/q", "https://e.com/xutm_a=1&b/q"),  # path safe
+        ("https://e.com/p?xutm_a=1", "https://e.com/p?xutm_a=1"),  # not utm_*
+        ("https://e.com/a/?id=1", "https://e.com/a?id=1"),  # slash before query
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
