@@ -197,3 +197,57 @@ def test_jpeg_walker_finds_sof_through_arbitrary_preambles(
         preamble += bytes([0xFF, 0xD0 + (r % 8)])
     jpeg = b"\xff\xd8" + preamble + app1 + sof0 + b"\xff\xd9"
     assert _parse_dimensions(jpeg) == (width, height)
+
+
+# URL-ish strings: scheme (mixed case) + host labels + optional port +
+# path segments (may contain literal 'utm_' text) + query params (some
+# utm_*) + optional fragment. Deliberately messier than the synthesized
+# fixture URLs.
+_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-", min_size=1, max_size=8)
+_param = st.one_of(
+    st.tuples(st.just("utm_source"), _label),
+    st.tuples(st.just("utm_campaign"), _label),
+    st.tuples(_label, _label),
+)
+
+
+@st.composite
+def _urlish(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(st.one_of(_label, st.just("utm_x=1&y")), max_size=3))
+    path = "".join("/" + s for s in segs) + draw(st.sampled_from(["", "/"]))
+    params = draw(st.lists(_param, max_size=4))
+    query = "?" + "&".join(f"{k}={v}" for k, v in params) if params else ""
+    frag = draw(st.sampled_from(["", "#sec", "#utm_source=x"]))
+    return f"{scheme}://{www}{host}{port}{path}{query}{frag}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(urls=st.lists(_urlish(), min_size=1, max_size=60))
+def test_url_canonicalization_is_idempotent(urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for arbitrary
+    URL-ish input — the property that makes the canonical form a JOIN
+    KEY (re-canonicalizing an already-ingested key must be a no-op), and
+    url_domain of the canonical form contains no scheme, port, or www
+    prefix."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.functions.urls import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+        url_domain(canonicalize_url(F.col("url"))).alias("dom"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2, f"not idempotent: {r.c1!r} -> {r.c2!r}"
+        assert "://" not in r.dom and not r.dom.startswith("www.")
+        assert ":" not in r.dom
