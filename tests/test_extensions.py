@@ -831,3 +831,45 @@ def test_line_dedup_two_level_equals_window_form(spark):
         if r.keep and r.line == "Home"
     }
     assert kept == {("a", 0)}
+
+
+def test_dedup_reports_matches_standalone_entries(spark, sf_oracle):
+    """The composed one-run dedup_reports must reproduce each standalone
+    report entry exactly — same savings rows, same per-source rates,
+    same histogram, and the multi-doc subset of representatives — so the
+    cheap composed form can substitute for the four separate runs."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rep = REGISTRY["dedup_reports"].fn(spark, sf_oracle).collect()
+    by = {}
+    for r in rep:
+        by.setdefault(r.report, []).append(r)
+
+    sav = REGISTRY["dedup_savings_report"].fn(spark, sf_oracle).collect()
+    assert sorted(
+        (r.key, r.n_docs, r.chars_total, r.chars_kept, r.chars_saved)
+        for r in by["savings"]
+    ) == sorted(
+        (str(r.component), r.n_docs, r.chars_total, r.chars_kept, r.chars_saved)
+        for r in sav
+    )
+
+    rates = REGISTRY["dedup_rates_by_source"].fn(spark, sf_oracle).collect()
+    assert sorted(
+        (r.key, r.n_docs, r.n_dup_docs, r.dup_pct) for r in by["rates_by_source"]
+    ) == sorted((r.source, r.n_docs, r.n_dup_docs, r.dup_pct) for r in rates)
+
+    hist = REGISTRY["dedup_group_size_histogram"].fn(spark, sf_oracle).collect()
+    assert sorted(
+        (r.key, r.n_groups, r.n_docs) for r in by["size_histogram"]
+    ) == sorted((str(r.size_bucket_lo), r.n_groups, r.n_docs) for r in hist)
+
+    reps = REGISTRY["dedup_cluster_representatives"].fn(spark, sf_oracle).collect()
+    assert sorted(
+        (r.key, r.rep_doc_id, r.n_docs, r.rep_quality)
+        for r in by["representatives"]
+    ) == sorted(
+        (str(r.component), str(r.rep_doc_id), r.group_size, r.rep_quality)
+        for r in reps
+        if r.group_size > 1
+    )
