@@ -99,6 +99,13 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "--val-pct", type=float, default=0.01, help="validation split fraction"
     )
     pp.add_argument("--test-pct", type=float, default=0.01, help="test split fraction")
+    pp.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="also remove duplicate lines corpus-wide (C4-style first-"
+        "occurrence keep) after exact doc dedup; docs left with no lines "
+        "are dropped",
+    )
 
     sub.add_parser("list-queries", help="list registered query names")
 
@@ -214,6 +221,19 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
             )
             survivors = exact_dedup_first(kept, "text", "doc_id")
             kept = kept.join(survivors, "doc_id")
+            if args.line_dedup:
+                # sub-document dedup AFTER doc-level (so re-delivered
+                # whole docs never reach the line stage) and BEFORE
+                # decontamination (flags should see the final text)
+                from .operators.dedup import line_dedup_docs
+
+                ld = line_dedup_docs(kept, "doc_id", "text").filter(
+                    F.col("n_kept") > 0
+                )
+                kept = kept.drop("text").join(
+                    ld.select("doc_id", F.col("text_dedup").alias("text")),
+                    "doc_id",
+                )
             flags = contamination_flags(kept, bench, k=5)
             clean = kept.join(
                 flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"

@@ -143,3 +143,28 @@ def test_cli_prep_training_writes_disjoint_shards(spark, sf_oracle, tmp_path, ca
         r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
     )
     assert first == second  # layout-invariant determinism
+
+
+def test_cli_prep_training_line_dedup_flag(spark, sf_oracle, tmp_path, capsys):
+    """--line-dedup: shard output carries no duplicate non-blank
+    normalized line corpus-wide, and no doc is left empty."""
+    out = str(tmp_path / "ld_shards")
+    assert (
+        main(
+            [
+                "prep-training", "--sf-dir", sf_oracle, "--out", out,
+                "--shards", "4", "--line-dedup",
+            ],
+            _spark=spark,
+        )
+        == 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert back.filter(F.length("text") == 0).count() == 0
+    lines = back.select(
+        F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).select(
+        F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")).alias("n")
+    ).filter(F.col("n") != "")
+    assert lines.count() == lines.distinct().count()
