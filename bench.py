@@ -74,6 +74,7 @@ EXTENDED = [
     # new in r6
     "similarity_topk_quantized",
     "mixture_rebalance_plan",
+    "contrastive_pairs_embeddings",
     "dedup_reports",
     "dedup_lines_docs",
     "dedup_lines_report",

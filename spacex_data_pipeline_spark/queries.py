@@ -4068,6 +4068,128 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_pairs_embeddings",
+    oracle=f"""
+    WITH eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id IN (0,1,2,3,4)),
+    es AS (
+      SELECT eq.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="eq.qv", b="c.embedding")} AS cosine
+      FROM embeddings c, eq WHERE c.vec_id <> eq.query_id),
+    tk AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM es),
+    pos AS (
+      SELECT query_id, 'positive' AS role, 1 AS rnk, neighbor_id AS vec_id
+      FROM tk WHERE rk = 1),
+    pool AS (
+      SELECT eq.query_id, c.vec_id FROM embeddings c, eq
+      WHERE c.vec_id <> eq.query_id
+        AND NOT EXISTS (SELECT 1 FROM tk
+                        WHERE tk.query_id = eq.query_id
+                          AND tk.neighbor_id = c.vec_id AND tk.rk <= 10)),
+    negs AS (
+      SELECT query_id, 'negative' AS role, rn AS rnk, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 md5(CAST(query_id AS VARCHAR) || ':'
+                     || CAST(vec_id AS VARCHAR) || ':neg'), vec_id) AS rn
+        FROM pool) t WHERE rn <= 3),
+    sel AS (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+    SELECT s.query_id, s.role, CAST(s.rnk AS INT) AS rnk, s.vec_id,
+           round({_COS_SQL.format(a="eq.qv", b="v.embedding")}, 6) AS cosine
+    FROM sel s JOIN eq ON eq.query_id = s.query_id
+               JOIN embeddings v ON v.vec_id = s.vec_id
+    """,
+    tags=("extension", "similarity", "sampling"),
+)
+def contrastive_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair builder: for each query vector, ONE
+    positive (the exact top-1 cosine neighbor) and THREE deterministic
+    negatives (md5-ranked over the corpus EXCLUDING the top-10
+    neighborhood — hard-enough random negatives that never collide with
+    near-positives), each scored with its cosine. The dataset-generation
+    step for contrastive/embedding training, built from audited pieces:
+    cosine_topk for the positive and the exclusion set, the md5 ranking
+    that makes negative choice a pure key function (append-stable,
+    layout-invariant, SQL-replicable — the sampling.py discipline).
+
+    Scale shape: positives ride cosine_topk's broadcast-query BLAS plan
+    (zero corpus shuffles); the negative pool is corpus × broadcast
+    (|queries| rows) filtered by a broadcast anti-join on the tiny
+    top-10 set, then ONE window per query partition ranks by md5. At
+    billions of rows the full per-query rank is overkill — threshold
+    the md5 first (hash < t keeps ~t·n candidates, then rank those);
+    the documented two-phase shape, same answer."""
+    from .operators.similarity import cosine_sim, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    topk = cosine_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    pos = (
+        cosine_topk(emb, qids, k=1)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.lit("positive").alias("role"),
+            F.lit(1).cast("int").alias("rnk"),
+            F.col("neighbor_id").alias("vec_id"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pool = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(queries.select("query_id")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(
+                topk.select("query_id", F.col("neighbor_id").alias("vec_id"))
+            ),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+    )
+    h = F.md5(
+        F.concat(
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+            F.lit(":neg"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(h.alias("h"), F.col("vec_id"))
+    negs = (
+        pool.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.lit("negative").alias("role"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+        )
+    )
+    sel = pos.unionByName(negs)
+    scored = (
+        F.broadcast(sel)
+        .join(queries, "query_id")
+        .join(
+            emb.select("vec_id", F.col("embedding").alias("nv")), "vec_id"
+        )
+    )
+    return scored.select(
+        "query_id",
+        "role",
+        "rnk",
+        "vec_id",
+        F.round(cosine_sim(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+    )
+
+
+@register(
     "chunk_documents_overlap",
     oracle="""
     WITH t AS (
@@ -4984,6 +5106,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- new this round --
     "similarity_topk_quantized",
     "mixture_rebalance_plan",
+    "contrastive_pairs_embeddings",
     "dedup_lines_docs",
     "dedup_lines_report",
     "dedup_reports",
@@ -5008,7 +5131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corr_exact_by_flag",
     "window_distribution_stats",
     "window_range_frame_events",
-    # -- r4-era back-rotation by staleness (18 of 47; rest wait for r7) --
+    # -- r4-era back-rotation by staleness (17 of 47; rest wait for r7) --
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -5024,7 +5147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_hourly_rollup",
     "text_stats_docs",
     "text_quality_docs",
-    "text_langid_docs",
     "q1_pricing_summary",
     "q5_nation_revenue",
 )

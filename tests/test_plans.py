@@ -91,6 +91,7 @@ SANCTIONED_PYTHON = {
     "similarity_topk_cosine",  # BLAS tile prefilter (r3)
     "knn_label_agreement",  # rides cosine_topk's BLAS tile prefilter (r5)
     "similarity_topk_quantized",  # two cosine_topk runs (r6)
+    "contrastive_pairs_embeddings",  # positive via cosine_topk BLAS (r6)
     "similarity_ann_lsh",  # BLAS bucket assignment + tile prefilter (r3)
     "similarity_ivf_topk",  # BLAS cell assignment + tile prefilter (r3)
     "dedup_embedding_cosine_ivf",  # BLAS cell assignment + cell tiles (r3)

@@ -97,6 +97,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "window_running_customer_spend",
     "window_top3_orders_per_customer",
     "text_fingerprints_docs",
+    "text_langid_docs",
 }
 
 
