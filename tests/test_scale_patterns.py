@@ -251,6 +251,9 @@ def test_hof_cosine_confined_to_sanctioned_call_sites():
         # pass, not a pairwise scorer; zero-norm edge needs cosine_sim's
         # NaN instead of an ANSI DIVIDE_BY_ZERO
         ("queries.py", "embedding_quantization_error"),
+        # final scoring of the SELECTED pairs only — |queries|·4 rows
+        # (one positive + three negatives per query), never the corpus
+        ("queries.py", "contrastive_pairs_embeddings"),
     }
     pkg = pathlib.Path(pkg_mod.__file__).parent
     found = set()
