@@ -251,3 +251,72 @@ def test_url_canonicalization_is_idempotent(urls):
         assert r.c1 == r.c2, f"not idempotent: {r.c1!r} -> {r.c2!r}"
         assert "://" not in r.dom and not r.dom.startswith("www.")
         assert ":" not in r.dom
+
+
+_line = st.one_of(
+    st.just(""),
+    st.just("   "),  # blank after normalization
+    st.builds(
+        lambda words, pad: pad + " ".join(words),
+        st.lists(st.sampled_from(["alpha", "Alpha", "beta", "GAMMA", "x"]),
+                 min_size=1, max_size=3),
+        st.sampled_from(["", "  ", "\t"]),
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.lists(_line, min_size=1, max_size=6).map("\n".join),
+                      min_size=1, max_size=5))
+def test_line_dedup_invariants_hold_for_any_corpus(texts):
+    """For ANY corpus: (1) kept lines = one per distinct non-blank
+    normalized line + every blank line; (2) each survivor is the
+    globally minimal (doc_id, line_no) owner of its line; (3) the
+    two-level form flags identically; (4) reassembly equals joining the
+    kept lines in order."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.dedup import (
+        line_dedup_docs,
+        line_dedup_flags,
+    )
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = line_dedup_flags(docs).collect()
+
+    def norm(s):
+        import re
+
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    # python reference model
+    lines = sorted((r.doc_id, r.line_no, r.line, r.keep) for r in rows)
+    firsts = {}
+    for d, i, line, _ in lines:
+        n = norm(line)
+        if n and n not in firsts:
+            firsts[n] = (d, i)
+    for d, i, line, keep in lines:
+        n = norm(line)
+        want = (n == "") or firsts[n] == (d, i)
+        assert keep == want, (d, i, line, keep, want)
+
+    two = sorted(
+        (r.doc_id, r.line_no, r.line, r.keep)
+        for r in line_dedup_flags(docs, two_level=True).collect()
+    )
+    assert two == lines
+
+    kept_by_doc = {}
+    for d, i, line, keep in lines:
+        if keep:
+            kept_by_doc.setdefault(d, []).append((i, line))
+    out = {r.doc_id: r for r in line_dedup_docs(docs).collect()}
+    for d, text in enumerate(texts):
+        want_text = "\n".join(l for _, l in sorted(kept_by_doc.get(d, [])))
+        assert out[d].text_dedup == want_text
+        assert out[d].n_lines == len(text.split("\n"))
+        assert out[d].n_kept == len(kept_by_doc.get(d, []))
