@@ -130,6 +130,13 @@ def test_oracle_parity(name, spark, sf_oracle, ducks):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
+def test_every_entry_is_oracle_backed():
+    """The registry carries NO rows-only entries: every query has a full
+    DuckDB oracle, so the driver records the strong rows+schema+hash row
+    for each (the weaker rows-only check never applies)."""
+    assert ROWS_ONLY_CASES == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_queries_run(name, spark, sf_oracle):
     q = REGISTRY[name]
