@@ -78,6 +78,7 @@ EXTENDED = [
     "dedup_reports",
     "dedup_lines_docs",
     "dedup_lines_report",
+    "dedup_lines_by_source",
     "url_canonicalize_docs",
     "dedup_rates_by_domain",
     "dedup_incremental_snapshot",

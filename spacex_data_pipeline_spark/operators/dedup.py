@@ -64,6 +64,7 @@ def line_dedup_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     two_level: bool = False,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Per-line exact dedup flags, C4/RefinedWeb-style: explode each doc
     into lines, normalize (lowercase + collapse whitespace + trim), and
@@ -96,20 +97,31 @@ def line_dedup_flags(
     Same flags, proven equal by test; the default window form is one
     shuffle cheaper and right whenever max line-df is sane.
 
+    ``scope_col`` narrows first-occurrence to WITHIN each scope value
+    (e.g. per source/domain — boilerplate usually repeats per site, and
+    scoping keeps a legitimate line that happens to exist on two
+    unrelated sites alive in both): the scope joins the dedup key, the
+    window semantics are otherwise identical, and the scope column is
+    carried through the output.
+
     Oracle parity caveat (same trade as ngram_jaccard_pairs): Spark
     groups on xxhash64(norm) longs while a SQL oracle groups on the
     normalized string — identical modulo 64-bit collisions (~2^-64).
     """
+    carry = [F.col(id_col)] + ([F.col(scope_col)] if scope_col else [])
     lines = docs.select(
-        F.col(id_col),
+        *carry,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
     norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    nb_key = (
+        F.xxhash64(F.col(scope_col), norm) if scope_col else F.xxhash64(norm)
+    )
     lines = lines.withColumn("__blank", norm == "").withColumn(
         "__k",
         F.when(
             F.col("__blank"), F.xxhash64(F.col(id_col), F.col("line_no"))
-        ).otherwise(F.xxhash64(norm)),
+        ).otherwise(nb_key),
     )
     if two_level:
         winners = (

@@ -4635,23 +4635,26 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first corpus-wide occurrence of each normalized line. Defined ONCE and
 # shared by both entries so the two oracles cannot drift (the
 # _WINNOW_FPS_SQL lesson, ADVICE r5).
-_LINES_SQL = """
+_LINES_BASE_SQL = """
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
              CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
                   THEN []::VARCHAR[]
                   ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
                   END AS w
       FROM documents),
     nc AS (
-      SELECT doc_id, w,
+      SELECT doc_id, source, w,
              CASE WHEN len(w) <= 8 THEN 1
                   ELSE CAST(ceil((len(w) - 8) / 8.0) AS INT) + 1 END AS n_lines
       FROM t),
     lines AS (
-      SELECT doc_id, CAST(i AS INT) AS line_no,
+      SELECT doc_id, source, CAST(i AS INT) AS line_no,
              array_to_string(w[i*8+1 : i*8+8], ' ') AS line
-      FROM nc, unnest(range(0, n_lines)) AS u(i)),
+      FROM nc, unnest(range(0, n_lines)) AS u(i))
+"""
+
+_LINES_SQL = _LINES_BASE_SQL + """,
     k AS (
       SELECT doc_id, line_no, line,
              trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS norm,
@@ -4663,17 +4666,20 @@ _LINES_SQL = """
 """
 
 
-def _eight_word_lines(docs: DataFrame) -> DataFrame:
+def _eight_word_lines(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
     """Deterministic multi-line view of the documents fixture: 8-word
     lines joined with newlines (chunk_documents_columnar's slicing at
     size=8, overlap=0, expressed as a pure per-row expression — no
     explode, no shuffle). Token array projected ONCE (two-phase
-    projection rule) so codegen never re-inlines the split per line."""
+    projection rule) so codegen never re-inlines the split per line.
+    ``keep_cols`` rides extra columns (e.g. source) through the view."""
     t = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     raw = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, " ")
     )
-    toks = docs.select("doc_id", raw.alias("__toks"))
+    toks = docs.select(*keep_cols, raw.alias("__toks"))
     n = F.size(F.col("__toks"))
     n_lines = F.when(n <= 8, F.lit(1)).otherwise(
         F.ceil((n - 8) / F.lit(8)).cast("int") + 1
@@ -4682,7 +4688,7 @@ def _eight_word_lines(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.array_join(F.slice(F.col("__toks"), i * 8 + 1, 8), " "),
     )
-    return toks.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    return toks.select(*keep_cols, F.array_join(line_arr, "\n").alias("text"))
 
 
 @register(
@@ -4754,6 +4760,57 @@ def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn(
             "pct_removed", pct_rate(F.col("n_removed"), F.col("n_lines"))
         )
+    )
+
+
+@register(
+    "dedup_lines_by_source",
+    oracle=_LINES_BASE_SQL
+    + """,
+    k AS (
+      SELECT source,
+             (trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) = '')
+             OR (row_number() OVER (
+                   PARTITION BY source,
+                                trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id, line_no) = 1) AS keep
+      FROM lines)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           round(100.0 * SUM(CASE WHEN keep THEN 0 ELSE 1 END)
+                 / nullif(COUNT(*), 0), 2) AS pct_removed
+    FROM k GROUP BY source
+    """,
+    tags=("extension", "dedup", "lines", "report"),
+)
+def dedup_lines_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SCOPED line dedup rates: first occurrence counted
+    WITHIN each source (boilerplate repeats per site — scoping keeps a
+    legitimate line shared by unrelated sources alive in each), reported
+    as per-source removal rates. The table that says WHICH sources are
+    boilerplate-heavy, read next to dedup_rates_by_source (whole-doc
+    near-dup rates) when assigning crawl budgets. Same single line-hash
+    window shuffle as the corpus-wide form — the scope just joins the
+    window key (xxhash64(source, norm)) — plus a |sources|-sized
+    groupBy."""
+    from .operators.dedup import line_dedup_flags
+
+    lines = line_dedup_flags(
+        _eight_word_lines(
+            _t(spark, sf_dir, "documents"), keep_cols=("doc_id", "source")
+        ),
+        scope_col="source",
+    )
+    return (
+        lines.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+        )
+        .withColumn("pct_removed", pct_rate(F.col("n_removed"), F.col("n_lines")))
     )
 
 
@@ -5109,6 +5166,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "contrastive_pairs_embeddings",
     "dedup_lines_docs",
     "dedup_lines_report",
+    "dedup_lines_by_source",
     "dedup_reports",
     "url_canonicalize_docs",
     "dedup_rates_by_domain",
@@ -5131,7 +5189,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corr_exact_by_flag",
     "window_distribution_stats",
     "window_range_frame_events",
-    # -- r4-era back-rotation by staleness (17 of 47; rest wait for r7) --
+    # -- r4-era back-rotation by staleness (16 of 47; rest wait for r7) --
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -5140,7 +5198,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_lsh",
     "similarity_ivf_topk",
     "dedup_exact_docs",
-    "dedup_latest_order_per_customer",
     "multimodal_decode",
     "multimodal_media_meta",
     "sessionize_events",

@@ -98,6 +98,7 @@ PREVIOUSLY_DRIVER_GREEN = {
     "window_top3_orders_per_customer",
     "text_fingerprints_docs",
     "text_langid_docs",
+    "dedup_latest_order_per_customer",
 }
 
 
