@@ -39,8 +39,16 @@ def canonicalize_url(url: Column) -> Column:
     significant), the trailing slash is trimmed from the path alone
     (so ``/a/?id=1`` canonicalizes like ``/a?id=1``). utm params are
     removed together with their leading ``?``/``&`` in one global pass
-    — position-independent, any count — then a leading ``&`` left by a
-    removed first param is promoted back to ``?``."""
+    — position-independent, any count, any case (``UTM_SOURCE`` folds
+    like ``utm_source``; param VALUES keep their case) — then a leading
+    ``&`` left by a removed first param is promoted back to ``?``.
+
+    Idempotence is an invariant, not an accident: repeated prefixes and
+    slashes collapse in ONE pass (``^(www\\.)+`` and ``/+$``), so
+    ``www.www.example.com/a//`` lands on the same key whether it is
+    canonicalized once or twice — required for canonical URLs used as
+    JOIN/upsert keys (ADVICE r6: the single-strip form re-moved on a
+    second pass). Property-tested in tests/test_properties.py."""
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
@@ -48,9 +56,9 @@ def canonicalize_url(url: Column) -> Column:
     tail = F.regexp_replace(rest, r"^[^/?#]*", "")
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     query = F.regexp_replace(tail, r"^[^?]*", "")
-    query = F.regexp_replace(query, r"[?&]utm_[a-z]+=[^&]*", "")
+    query = F.regexp_replace(query, r"[?&][uU][tT][mM]_[A-Za-z]+=[^&]*", "")
     query = F.regexp_replace(query, r"^&", "?")
-    host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
+    host = F.regexp_replace(F.lower(hostport), r"^(www\.)+", "")
     host = (
         F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
         .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
@@ -60,7 +68,7 @@ def canonicalize_url(url: Column) -> Column:
         scheme,
         F.lit("://"),
         host,
-        F.regexp_replace(path, r"/$", ""),
+        F.regexp_replace(path, r"/+$", ""),
         query,
     )
 

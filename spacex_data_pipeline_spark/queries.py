@@ -4929,11 +4929,11 @@ _URL_CANON_SQL = """
              regexp_replace(rest, '^[^/?#]*', '') AS tail
       FROM p),
     p3 AS (
-      SELECT *, regexp_replace(lower(hostport), '^www\\.', '') AS h1,
+      SELECT *, regexp_replace(lower(hostport), '^(www\\.)+', '') AS h1,
              regexp_extract(tail, '^([^?]*)', 1) AS upath,
              regexp_replace(
                regexp_replace(regexp_replace(tail, '^[^?]*', ''),
-                              '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+                              '[?&][uU][tT][mM]_[A-Za-z]+=[^&]*', '', 'g'),
                '^&', '?') AS uquery
       FROM p2),
     p4 AS (
@@ -4944,7 +4944,7 @@ _URL_CANON_SQL = """
     canon AS (
       SELECT doc_id, source, text, url,
              scheme || '://' || host
-               || regexp_replace(upath, '/$', '') || uquery AS canon_url,
+               || regexp_replace(upath, '/+$', '') || uquery AS canon_url,
              regexp_replace(host, ':[0-9]+$', '') AS domain
       FROM p4)
 """

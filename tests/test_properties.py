@@ -207,6 +207,8 @@ _label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0
 _param = st.one_of(
     st.tuples(st.just("utm_source"), _label),
     st.tuples(st.just("utm_campaign"), _label),
+    st.tuples(st.just("UTM_SOURCE"), _label),  # ADVICE r6: mixed-case utm
+    st.tuples(st.just("Utm_Medium"), _label),
     st.tuples(_label, _label),
 )
 
@@ -215,10 +217,12 @@ _param = st.one_of(
 def _urlish(draw):
     scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"]))
     host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
-    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    # repeated www prefixes (ADVICE r6: 'www.www.' must collapse in one
+    # canonicalization pass, not one prefix per pass)
+    www = draw(st.sampled_from(["", "www.", "WWW.", "www.WWW.", "www.www.www."]))
     port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
     segs = draw(st.lists(st.one_of(_label, st.just("utm_x=1&y")), max_size=3))
-    path = "".join("/" + s for s in segs) + draw(st.sampled_from(["", "/"]))
+    path = "".join("/" + s for s in segs) + draw(st.sampled_from(["", "/", "//"]))
     params = draw(st.lists(_param, max_size=4))
     query = "?" + "&".join(f"{k}={v}" for k, v in params) if params else ""
     frag = draw(st.sampled_from(["", "#sec", "#utm_source=x"]))
