@@ -873,3 +873,60 @@ def test_dedup_reports_matches_standalone_entries(spark, sf_oracle):
         for r in reps
         if r.group_size > 1
     )
+
+
+def test_contrastive_two_level_negatives_equal_direct_rank(spark, sf_oracle):
+    """The distributed top-k identity behind the r7 reshape (VERDICT r6
+    #1): ranking each (query, bucket)'s top-3 then re-ranking the
+    survivors selects EXACTLY the rows the direct full-pool per-query
+    rank selects — for this corpus and any other, since every global
+    top-3 row is its own bucket's top-≤3. Compares the registered
+    entry's negative rows against an independently computed direct
+    single-window rank over the same pool."""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["contrastive_pairs_embeddings"].fn(spark, sf_oracle)
+    got = {
+        (r.query_id, r.rnk, r.vec_id)
+        for r in out.filter(F.col("role") == "negative").collect()
+    }
+
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    topk = similarity.cosine_topk(emb, qids, k=10).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    pool = (
+        emb.select("vec_id")
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id").isin(qids)).select(
+                    F.col("vec_id").alias("query_id")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(topk), ["query_id", "vec_id"], "left_anti")
+    )
+    h = F.md5(
+        F.concat(
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+            F.lit(":neg"),
+        )
+    )
+    direct = (
+        pool.withColumn("h", h)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("h", "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    want = {(r.query_id, r.rnk, r.vec_id) for r in direct.collect()}
+    assert got == want
