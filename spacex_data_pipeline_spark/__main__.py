@@ -227,8 +227,11 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 # decontamination (flags should see the final text)
                 from .operators.dedup import line_dedup_docs
 
+                # n_kept counts blank lines too (always-kept structure),
+                # so it cannot tell an emptied doc from a live one — gate
+                # on surviving CONTENT lines (ADVICE r6)
                 ld = line_dedup_docs(kept, "doc_id", "text").filter(
-                    F.col("n_kept") > 0
+                    F.col("n_kept_nonblank") > 0
                 )
                 kept = kept.drop("text").join(
                     ld.select("doc_id", F.col("text_dedup").alias("text")),

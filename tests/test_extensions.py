@@ -745,9 +745,25 @@ def test_line_dedup_semantics(spark):
     assert flags[("b", 1)] and not flags[("b", 4)]  # within-doc repeat
     out = {r.doc_id: r for r in line_dedup_docs(docs).collect()}
     assert out["a"].text_dedup == "Home\nunique alpha\n\nfooter text"
-    assert (out["a"].n_lines, out["a"].n_kept) == (4, 4)
+    assert (out["a"].n_lines, out["a"].n_kept, out["a"].n_kept_nonblank) == (4, 4, 3)
     assert out["b"].text_dedup == "unique beta\n"
-    assert (out["b"].n_lines, out["b"].n_kept) == (5, 2)
+    # b keeps 2 lines but only 1 CONTENT line — n_kept_nonblank is the
+    # column that distinguishes an emptied doc from a live one (ADVICE r6)
+    assert (out["b"].n_lines, out["b"].n_kept, out["b"].n_kept_nonblank) == (5, 2, 1)
+    # with_norm exposes the operator's own blank/norm definition
+    flagged = line_dedup_flags(docs, with_norm=True)
+    assert {"norm", "is_blank"} <= set(flagged.columns)
+    r = {(x.doc_id, x.line_no): x for x in flagged.collect()}
+    assert r[("a", 2)].is_blank and r[("a", 2)].norm == ""
+    assert r[("b", 3)].norm == "footer text"
+    # a doc whose every content line is a duplicate keeps only blanks:
+    # n_kept > 0 but n_kept_nonblank == 0
+    emptied = spark.createDataFrame(
+        [("a", "Home\nfooter text"), ("c", "home\n\nFooter  Text")],
+        "doc_id string, text string",
+    )
+    oc = {r.doc_id: r for r in line_dedup_docs(emptied).collect()}
+    assert oc["c"].n_kept == 1 and oc["c"].n_kept_nonblank == 0
 
 
 def test_url_canonicalization_rules(spark):
