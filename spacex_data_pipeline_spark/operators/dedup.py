@@ -36,6 +36,49 @@ from ..functions.hashing import (
 )
 
 
+def materialize(df: DataFrame, checkpoint: str = "local") -> DataFrame:
+    """Materialize an intermediate a plan references many times, by one of
+    three strategies — the executor-loss trade (ADVICE r5) as a CALLER
+    CHOICE instead of module prose:
+
+    - ``"local"`` (default): ``localCheckpoint(eager=True)`` — fastest
+      (executor-local blocks, no lineage). An executor loss mid-job
+      kills the job instead of recomputing; right for this single-JVM
+      harness and restartable batch audits.
+    - ``"reliable"``: ``checkpoint(eager=True)`` — blocks written to the
+      session's ``spark.sparkContext.setCheckpointDir`` (HDFS/object
+      store on a cluster). Survives executor loss; costs a durable
+      write. The long-multi-tenant-100 TB-run setting. Raises a clear
+      error if no checkpoint dir is configured.
+    - ``"persist"``: ``persist(DISK_ONLY)`` + an eager ``count()`` —
+      keeps LINEAGE (lost partitions recompute instead of failing the
+      job) at local-disk cost, no checkpoint dir needed.
+
+    Eager in all three modes, deliberately: a lazy materialization does
+    not dedupe compute across a plan's references within the first
+    action (measured: minhash 2.6→3.5 s, simhash 5.0→6.5 s, jaccard
+    2.0→2.6 s with eager=False)."""
+    if checkpoint == "local":
+        return df.localCheckpoint()
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint='reliable' needs "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3/dbfs path>)"
+            )
+        return df.checkpoint()
+    if checkpoint == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()
+        return out
+    raise ValueError(
+        f"checkpoint must be 'local' | 'reliable' | 'persist', got {checkpoint!r}"
+    )
+
+
 def exact_dedup_first(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact content value.
 
@@ -245,6 +288,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Exact Jaccard over word k-shingle sets, via shared-shingle equi-join.
 
@@ -298,10 +342,15 @@ def ngram_jaccard_pairs(
     # store) or persist(DISK_ONLY)+count, which keep lineage/replicas at
     # the cost of a slower write. Applies to every localCheckpoint in
     # this module (signature/fingerprint tables, the CC fixpoint).
-    sh = toks.select(
-        F.col(id_col),
-        F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
-    ).localCheckpoint()
+    sh = materialize(
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                shingle_hashes_from_words(F.col("__words"), k)
+            ).alias("h"),
+        ),
+        checkpoint,
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_shingle_df is not None:
@@ -348,6 +397,7 @@ def minhash_lsh_candidates(
     bands: int = 32,
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates with estimated Jaccard.
 
@@ -403,8 +453,8 @@ def minhash_lsh_candidates(
             F.col(id_col),
             F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
         )
-        .localCheckpoint()
     )
+    sigs = materialize(sigs, checkpoint)
     rows_per_band = num_hashes // bands
     # Band rows carry ONLY (id, band, key) — the 64-long signature never
     # rides through the docs×bands self-join shuffle (512 B/row saved);
@@ -493,6 +543,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 16,
     fingerprints: DataFrame | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidates via block
     equality (pigeonhole over 4 blocks ⇒ catches distance ≤ 3 exactly;
@@ -508,7 +559,9 @@ def simhash_near_pairs(
     fps = (
         fingerprints
         if fingerprints is not None
-        else simhash_fingerprints(docs, id_col, text_col).localCheckpoint()
+        else materialize(
+            simhash_fingerprints(docs, id_col, text_col), checkpoint
+        )
     )
     pairs = None
     for blk in range(4):
@@ -536,6 +589,7 @@ def connected_components(
     left: str = "doc_a",
     right: str = "doc_b",
     max_iter: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → canonical dedup
     groups: every node gets ``component`` = the minimum id reachable from
@@ -565,8 +619,8 @@ def connected_components(
     sym = (
         edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .union(edges.select(F.col(right).alias("src"), F.col(left).alias("dst")))
-        .localCheckpoint()
     )
+    sym = materialize(sym, checkpoint)
     # Iterate ONLY over nodes that touch an edge: a node with no edge is
     # its own component and can never change label, so carrying it
     # through every round materializes |V| rows per iteration for
@@ -609,8 +663,8 @@ def connected_components(
                 upd.alias("new_label"),
                 (upd < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint()
         )
+        new_labels = materialize(new_labels, checkpoint)
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:

@@ -244,6 +244,7 @@ def winnowing_near_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Local-similarity pair search over winnowing fingerprints: equi-join
     docs on shared fingerprints, keep pairs sharing ≥ ``min_shared`` —
@@ -262,7 +263,11 @@ def winnowing_near_pairs(
     fingerprints are dropped via broadcast anti-join, no extra shuffle.
     The fingerprint table is referenced by both join sides —
     materialized once per the single-materialization rule."""
-    fps = winnowing_fingerprints(docs, id_col, text_col, k, window).localCheckpoint()
+    from .dedup import materialize
+
+    fps = materialize(
+        winnowing_fingerprints(docs, id_col, text_col, k, window), checkpoint
+    )
     join_side = fps
     if max_fp_df is not None:
         hot = (

