@@ -82,6 +82,10 @@ EXTENDED = [
     "url_canonicalize_docs",
     "dedup_rates_by_domain",
     "dedup_incremental_snapshot",
+    # new in r7 (contrastive_pairs_embeddings above now times the
+    # two-level negative rank)
+    "token_mass_models_by_source",
+    "dedup_neardup_rates_by_domain",
 ]
 
 

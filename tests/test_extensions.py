@@ -984,3 +984,54 @@ def test_materialize_strategies_agree(spark, sf_oracle, tmp_path):
     assert run("persist") == base
     with pytest.raises(ValueError, match="checkpoint must be"):
         materialize(docs, "lazy")
+
+
+def test_token_counter_pluggability(spark, docs):
+    """resolve_token_counter is one surface for every token-mass
+    consumer: 'bpe' and a chars-per-token ratio flow through
+    pack_token_bins/length_bucketed_batches unchanged, and a REAL
+    tokenizer wraps in as an Arrow-batched pandas counter — each proven
+    by recomputing the expected n_tokens independently."""
+    from spacex_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+        length_bucketed_batches,
+        pack_token_bins,
+        pandas_tokenizer_counter,
+        resolve_token_counter,
+    )
+
+    d = docs.limit(40).select("doc_id", "text")
+
+    want_bpe = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    got = {r.doc_id: r.n_tokens for r in pack_token_bins(d, counter="bpe").collect()}
+    assert got == want_bpe
+
+    # fixed-ratio model: ceil(chars/8)
+    want_ce = {
+        r.doc_id: -(-r.n // 8)
+        for r in d.select("doc_id", F.length("text").alias("n")).collect()
+    }
+    got = {
+        r.doc_id: r.n_tokens
+        for r in length_bucketed_batches(d, counter=8.0).collect()
+    }
+    assert got == want_ce
+
+    # a "real tokenizer" (here: count letter runs in Python) via the
+    # Arrow batch surface
+    import re as _re
+
+    tok = pandas_tokenizer_counter(lambda s: len(_re.findall(r"[A-Za-z]+", s)))
+    want_py = {
+        r.doc_id: len(_re.findall(r"[A-Za-z]+", r.text)) for r in d.collect()
+    }
+    got = {r.doc_id: r.n_tokens for r in pack_token_bins(d, counter=tok).collect()}
+    assert got == want_py
+
+    with pytest.raises(ValueError, match="counter must be"):
+        resolve_token_counter("subword")

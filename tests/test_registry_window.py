@@ -12,93 +12,95 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r6: every registry entry outside the window has at least one green
-# driver CORRECTNESS row (r1-r5) under an unchanged implementation -
-# their gate this round is the local replica, which is exactly as strict
-# (rows + schema + value multiset).
+# r7: every registry entry outside the window has at least one green
+# driver CORRECTNESS row (r1-r6) under behavior-identical code - the
+# checkpoint-strategy threading kept localCheckpoint as the default and
+# the strategy-equivalence test proves identical results. Their gate
+# this round is the local replica, which is exactly as strict
+# (rows + schema + value multiset). With the r7 window (the 31 r4-era
+# entries + this round's changed/new set + the 8 stalest r5-era rows)
+# every entry's driver row is <=3 rounds old for the first time.
 NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
-    # -- green in r5 under the current implementation (44 of the 50
-    #    r5-window rows; the 6 changed this round are re-windowed) --
+    # -- green in r5 or r6 under behavior-identical implementations --
     "applyinpandas_zscore",
     "array_functions_embeddings",
     "asof_join_last_purchase",
     "asof_join_next_purchase",
     "bigram_collocations_docs",
     "chunk_documents_overlap",
-    "corpus_token_budget",
+    "coalesce_case_scalar",
+    "corr_exact_by_flag",
     "customer_spend_deciles",
     "data_quality_orders",
     "data_quality_relationships",
-    "decontaminate_docs",
-    "dedup_components_docs",
-    "dedup_cross_split_leakage",
-    "dedup_minhash_lsh_verify",
+    "date_arithmetic_orders",
+    "dedup_cluster_representatives",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "dedup_exact_docs",
+    "dedup_group_size_histogram",
+    "dedup_incremental_snapshot",
+    "dedup_ngram_jaccard",
+    "dedup_rates_by_source",
+    "dedup_savings_report",
+    "dedup_simhash",
     "distinct_status_priority",
+    "embedding_quantization_error",
+    "events_hourly_rollup",
+    "explode_token_table",
     "fct_orders_by_year",
     "funnel_view_click_purchase",
+    "grouping_sets_orders",
+    "histogram_order_totalprice",
     "hopping_window_event_counts",
     "interval_join_view_purchase",
-    "knn_label_agreement",
-    "length_bucketed_batches_docs",
+    "map_functions_events",
+    "mixture_rebalance_plan",
+    "mode_priority_per_status",
+    "multimodal_decode",
     "multimodal_frame_sample",
+    "multimodal_media_meta",
     "order_nulls_and_offset",
-    "pack_documents_token_bins",
-    "pipeline_training_data_prep",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
     "quality_filter_funnel",
     "raw_count_orders",
     "resample_user_daily_gapfill",
     "salted_join_order_nations",
+    "sample_orders_deterministic",
+    "sessionize_events",
     "setop_except_customers",
     "setop_union_customers",
     "shard_documents_for_training",
+    "shingle_df_stats",
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "similarity_topk_cosine",
+    "similarity_topk_quantized",
     "snapshot_diff_orders",
     "source_mixture_report",
     "source_token_budget_cap",
     "split_contamination_stats",
+    "split_documents_train_val_test",
+    "sql_api_returned_revenue",
+    "stddev_exact_by_flag",
+    "stratified_sample_orders",
+    "text_quality_docs",
     "text_redact_pii",
     "text_repetition_stats",
+    "text_stats_docs",
     "text_term_frequencies",
     "text_tfidf_top_terms",
     "top_years_desc",
     "udtf_chunk_documents",
+    "union_all_order_events",
+    "window_distribution_stats",
+    "window_lag_lead_first",
+    "window_range_frame_events",
     "window_running_distinct_users",
-    "winnowing_near_pairs_docs",
-    # -- r4-era rows deferred to r7 by the r6 rotation (low-risk
-    #    relational one-liners and stable aggregates, unchanged since
-    #    their r4 green rows) --
-    "anti_customers_without_orders",
-    "approx_distinct_parts",
-    "approx_quantiles_lineitem",
-    "array_agg_nations_per_region",
-    "count_distinct_customers_by_status",
-    "cross_join_region_status",
-    "cube_lineitem_flags",
-    "embeddings_random_projection",
-    "embeddings_unit_norm",
-    "fct_events_by_day",
-    "filter_pushdown_lineitem",
-    "full_outer_year_activity",
-    "funnel_conversion_rates",
-    "having_active_customers",
-    "left_join_customer_order_stats",
-    "median_quantity_by_flag",
-    "pivot_priority_by_status",
-    "q3_unshipped_revenue",
-    "rollup_orders",
-    "scalar_dates_orders",
-    "scalar_functions_part",
-    "semi_customers_with_open_orders",
-    "setop_intersect_customers",
-    "stg_events_typed",
-    "string_predicates_part",
-    "subquery_above_nation_avg",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
-    "text_fingerprints_docs",
-    "text_langid_docs",
-    "dedup_latest_order_per_customer",
+    "winnowing_fingerprints_docs",
 }
 
 

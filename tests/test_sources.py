@@ -222,3 +222,48 @@ def test_upsert_by_key_replaces_and_inserts(spark, sf_oracle, tmp_path):
     upsert_by_key(spark, dup_batch, path, "o_orderkey")
     again2 = spark.read.parquet(path).filter(F.col("o_orderkey") == key0)
     assert again2.collect() == [winner]
+
+
+def test_upsert_by_canonical_url_key(spark, tmp_path):
+    """Canonical-URL-keyed ingest (VERDICT r6 next #7): spelling variants
+    of one resource — case, www (repeated), :443, utm params (any case),
+    fragments, trailing slashes — must land on ONE table row across
+    upserts, because the key is canonicalize_url(raw), not the raw URL.
+    Idempotence of the canonicalizer is what makes re-canonicalizing an
+    already-ingested key a no-op."""
+    from spacex_data_pipeline_spark.functions.urls import canonicalize_url
+    from spacex_data_pipeline_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "url_tbl")
+
+    def batch(rows):
+        return (
+            spark.createDataFrame(rows, "raw_url string, title string")
+            .withColumn("url_key", canonicalize_url(F.col("raw_url")))
+        )
+
+    batch(
+        [
+            ("https://example.com/a", "v1"),
+            ("https://other.com/x", "keep"),
+        ]
+    ).write.parquet(path)
+
+    # every row here is a re-spelling of https://example.com/a
+    incoming = batch(
+        [
+            ("HTTPS://WWW.Example.com:443/a", "v2"),
+            ("https://www.www.example.com/a/#frag", "v2"),
+            ("https://example.com/a?UTM_SOURCE=feed", "v2"),
+        ]
+    ).collect()
+    upsert_by_key(spark, spark.createDataFrame(
+        incoming, "raw_url string, title string, url_key string"
+    ), path, "url_key")
+
+    got = spark.read.parquet(path)
+    assert got.count() == 2  # one canonical row replaced, one untouched
+    assert got.select("url_key").distinct().count() == 2
+    a = got.filter(F.col("url_key") == "https://example.com/a").collect()
+    assert len(a) == 1 and a[0].title == "v2"
+    assert got.filter(F.col("title") == "keep").count() == 1
