@@ -410,6 +410,109 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_doc_ids: list[int],
+    n_query_terms: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus: each query is the first
+    ``n_query_terms`` distinct terms (by first occurrence) of a query
+    document; every corpus document that matches ≥1 query term is scored
+
+        score(q, d) = Σ_t idf_r(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    with the *ratio* idf idf_r = (N − df + 0.5)/(df + 0.5) — the log-free
+    variant for the same reason tfidf_top_terms uses N/df: ln is
+    libm-dependent across engines while −, +, ·, / are correctly-rounded
+    IEEE and bit-identical, so score AND ranking are hash-checkable.
+    ln is monotone in the classic Robertson idf argument, so per-term idf
+    ORDER matches textbook BM25; only the scale differs (documented
+    variant, not an approximation of the ranking function's shape).
+
+    Determinism: every per-term score is one fixed expression tree of
+    correctly-rounded IEEE ops; the per-(query, doc) total folds the term
+    scores LEFT-TO-RIGHT in term-sorted order (F.aggregate over a
+    sort_array'd collect_list — the zscore discipline), so the double is
+    bit-identical to DuckDB's list_reduce over list(... ORDER BY term).
+
+    Scale shape (100 TB): tf/df/dl are the term_frequencies aggregates —
+    map-side-combined, vocabulary-sized after the combine; query terms are
+    a ≤|q|·n_terms broadcast (inverted-index probe, never a corpus×corpus
+    join); only MATCHING (query, doc) rows are scored; the final top-k is
+    the exact TWO-LEVEL rank (bucket by pmod(doc_id, n_buckets), keep each
+    bucket's top-k by (score DESC, doc_id), then rank the ≤k·B survivors) —
+    no corpus-sized single-reducer window survives (the
+    contrastive_pairs_embeddings discipline; total order ⇒ identical to
+    the direct rank, which is what the oracle runs).
+    """
+    from pyspark.sql import Window
+
+    toks = _with_tokens(docs, id_col, text_col).select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # N over ALL docs (incl. token-less ones); total token mass from tf —
+    # both ride as a broadcast 1-row aggregate, no driver-side collect.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    tot = tf.agg(F.sum("tf").cast("double").alias("__tot_tokens"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+    # Query terms: first n distinct terms of each query doc, ranked by
+    # first-occurrence position (ties impossible: positions are distinct).
+    qw = Window.partitionBy("query_id").orderBy("first_pos", "term")
+    qterms = (
+        toks.filter(F.col(id_col).isin(query_doc_ids))
+        .groupBy(F.col(id_col).alias("query_id"), "term")
+        .agg(F.min("pos").alias("first_pos"))
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= n_query_terms)
+        .select("query_id", "term")
+    )
+
+    matched = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(tot))
+    )
+    idf = (F.col("__n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    avgdl = F.col("__tot_tokens") / F.col("__n_docs")
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    scored_terms = matched.select(
+        "query_id", F.col(id_col), "term", (idf * tfc).alias("score_t")
+    )
+    g = scored_terms.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "score_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score_t"],
+        ).alias("score")
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(n_buckets))
+    ).orderBy(F.col("score").desc(), id_col)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), id_col)
+    return (
+        g.withColumn("__brn", F.row_number().over(w1))
+        .filter(F.col("__brn") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )
+
+
 def pack_token_bins(
     docs: DataFrame,
     id_col: str = "doc_id",

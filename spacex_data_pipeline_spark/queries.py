@@ -5289,6 +5289,61 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot_tokens FROM tf),
+    qt AS (
+      SELECT query_id, term FROM (
+        SELECT t.doc_id AS query_id, f.term,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY list_position(t.toks, f.term), f.term) AS qrn
+        FROM t JOIN (SELECT DISTINCT doc_id, term FROM tf) f
+               ON f.doc_id = t.doc_id
+        WHERE t.doc_id IN (0, 1, 2)) z
+      WHERE qrn <= 3),
+    s AS (
+      SELECT qt.query_id, tf.doc_id, qt.term,
+             ((n.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                           / (tot.tot_tokens / n.n_docs)))))
+               AS score_t
+      FROM qt JOIN tf ON tf.term = qt.term
+            JOIN df ON df.term = qt.term
+            JOIN dl ON dl.doc_id = tf.doc_id, n, tot),
+    g AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(score_t ORDER BY term)),
+                         (a, b) -> a + b) AS score
+      FROM s GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, CAST(rk AS INT) AS rank, score FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM g) z WHERE rk <= 10
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval: queries are the first 3 distinct terms of
+    docs 0-2; rational (log-free) Robertson idf so score and ranking are
+    bit-identical cross-engine (the tfidf_top_terms argument); the final
+    top-k is the exact two-level bucketed rank — no corpus-sized window
+    reducer (see operators/text.bm25_topk for the full scale shape)."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), [0, 1, 2])
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

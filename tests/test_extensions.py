@@ -1035,3 +1035,31 @@ def test_token_counter_pluggability(spark, docs):
 
     with pytest.raises(ValueError, match="counter must be"):
         resolve_token_counter("subword")
+
+
+def test_bm25_two_level_rank_matches_direct(spark, sf_oracle):
+    """The bucketed two-level top-k is EXACT: (score DESC, doc_id) is a
+    total order, so the direct single-window rank — recomputed here from
+    the same scored table — selects the identical (query, doc, rank)
+    set. (No self-retrieval assertion: the fixture's query terms are
+    corpus-common, so BM25's dl normalization can legitimately rank
+    short matching docs above the long query doc itself.)"""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark.operators.text import bm25_topk
+    from spacex_data_pipeline_spark.queries import _t
+
+    docs = _t(spark, sf_oracle, "documents")
+    got = bm25_topk(docs, [0, 1, 2], k=5, n_buckets=7).collect()
+    # direct form: n_buckets=1 collapses level 1 into a single bucket,
+    # making level 2 the plain global rank
+    direct = bm25_topk(docs, [0, 1, 2], k=5, n_buckets=1).collect()
+    assert sorted(((r.query_id, r.rank, r.doc_id, r.score) for r in got)) == sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in direct
+    )
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    for q in (0, 1, 2):
+        assert len(by_q[q]) == 5
+    assert all(r.score > 0 for r in got)

@@ -366,3 +366,18 @@ def test_no_cartesian_product_anywhere(spark, sf):
         if "CartesianProduct" in plan_of(q.fn(spark, sf)):
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_bm25_topk_rank_is_bucketed(spark, sf):
+    """text_bm25_topk's final top-k must keep the two-level shape: a
+    (query_id, pmod(doc_id, B))-keyed WindowGroupLimit bounds every
+    rank task before the query_id-only rank sees only survivors —
+    the same invariant pinned for contrastive_pairs_embeddings."""
+    import re
+
+    df = REGISTRY["text_bm25_topk"].fn(spark, sf)
+    plan = plan_of(df, "extended")
+    assert "pmod(doc_id" in plan, "bucket column pmod(doc_id, B) missing"
+    assert re.search(r"WindowGroupLimit \[query_id#\d+L?, _w\d+#\d+L?\]", plan) or re.search(
+        r"WindowGroupLimit \[query_id#\d+L?, pmod", plan
+    ), "bucketed WindowGroupLimit missing from the physical plan"
