@@ -281,6 +281,86 @@ def shingle_hash_docs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -
     )
 
 
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact-duplicate statistics: for every document,
+    how much of it is covered by token n-grams that occur MORE THAN ONCE
+    anywhere in the corpus (including repeats inside the same document).
+    This is the accounting pass of exact-substring training-data dedup
+    (the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" family): doc- and line-level dedup miss boilerplate spans
+    embedded in otherwise-unique documents; the duplicated-span fraction
+    is what tells you whether substring surgery is worth running.
+
+    Output per doc: n_tokens, n_grams, n_dup_grams (gram occurrences in
+    this doc whose gram is corpus-duplicated), n_dup_tokens (tokens
+    covered by ≥1 duplicated gram — interval union, not n·n_dup_grams),
+    dup_token_pct.
+
+    Scale shape (100 TB): grams are hashed to 8 bytes at birth
+    (multi-arg xxhash64 over the n token columns — no gram STRING is
+    ever built or shuffled, the shingle_hash_docs trick); the occurrence
+    count is one map-side-combined groupBy on the hash; the dup-flag
+    join is hash-keyed and AQE co-partitions it with the count; span
+    coverage explodes only DUPLICATED gram starts (≤ n rows per dup
+    gram) and distincts on (doc, position) — a doc-keyed shuffle
+    bounded by n·dup_occurrences, not corpus size. The oracle groups on
+    gram TEXT — identical modulo 64-bit collisions (the line-dedup
+    argument, ~2^-64 at any real corpus)."""
+    from ..functions.numeric import pct_rate
+    from .text import tokens
+
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    base = t.select(id_col, F.size("__toks").alias("n_tokens"), "__toks")
+    pos = base.filter(F.col("n_tokens") >= n).select(
+        F.col(id_col),
+        "__toks",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens") - (n - 1))).alias("start"),
+    )
+    grams = pos.select(
+        F.col(id_col),
+        "start",
+        F.xxhash64(
+            *[F.element_at(F.col("__toks"), F.col("start") + j) for j in range(n)]
+        ).alias("h"),
+    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(cnt.filter(F.col("c") > 1).select("h"), "h")
+    ndup = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    cov = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    return (
+        base.select(
+            id_col,
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).alias("n_grams"),
+        )
+        .join(ndup, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+            F.coalesce("n_dup_tokens", F.lit(0).cast("long")).alias("n_dup_tokens"),
+        )
+        .withColumn("dup_token_pct", pct_rate(F.col("n_dup_tokens"), F.col("n_tokens")))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5344,6 +5344,43 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), [0, 1, 2])
 
 
+@register(
+    "dedup_ngram_span_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    g AS (
+      SELECT t.doc_id, CAST(u.i AS INT) AS start,
+             array_to_string(list_slice(t.toks, u.i, u.i + 7), ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(t.toks) - 6, 1))) AS u(i)),
+    c AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+    d AS (SELECT g.doc_id, g.start FROM g JOIN c ON c.gram = g.gram WHERE c.c > 1),
+    nd AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM d GROUP BY doc_id),
+    cov AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM (
+              SELECT DISTINCT d.doc_id, d.start + o.off AS p
+              FROM d, unnest(range(0, 8)) AS o(off)) z GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(greatest(len(t.toks) - 7, 0) AS INT) AS n_grams,
+           CAST(COALESCE(nd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           round(100.0 * CAST(COALESCE(cov.n_dup_tokens, 0) AS BIGINT)
+                 / nullif(CAST(len(t.toks) AS INT), 0), 2) AS dup_token_pct
+    FROM t LEFT JOIN nd ON nd.doc_id = t.doc_id
+           LEFT JOIN cov ON cov.doc_id = t.doc_id
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "substring"),
+)
+def dedup_ngram_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup accounting: per-doc fraction covered by
+    corpus-duplicated token 8-grams (interval-union coverage, the Lee
+    et al. substring-dedup family's budgeting pass). Grams live as
+    8-byte multi-arg xxhash64 keys — no gram string is built or
+    shuffled; see operators/dedup.duplicate_ngram_spans."""
+    from .operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1063,3 +1063,36 @@ def test_bm25_two_level_rank_matches_direct(spark, sf_oracle):
     for q in (0, 1, 2):
         assert len(by_q[q]) == 5
     assert all(r.score > 0 for r in got)
+
+
+def test_duplicate_ngram_spans_interval_union(spark):
+    """Hand-built corpus: two docs share one 8-token phrase; doc 2
+    repeats its own phrase internally (self-repeat counts — it IS
+    removable duplication); doc 3 is unique and short docs (<8 tokens)
+    have zero grams. Coverage is the interval UNION: overlapping dup
+    grams must not double-count tokens."""
+    from spacex_data_pipeline_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, shared + " unique0 tail0"),               # grams 1-3; gram 1 dup
+        (1, "lead1 " + shared + " unique1"),          # gram 2 of 3 dup
+        (2, shared + " mid " + shared),               # self-repeat, 2 dup hits
+        (3, "totally different words with no repeats here at all ok"),
+        (4, "tiny doc"),                              # < 8 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicate_ngram_spans(docs, n=8).collect()}
+
+    assert got[0].n_tokens == 10 and got[0].n_grams == 3
+    # only the leading 8-gram of doc 0 is duplicated → 8 covered tokens
+    assert got[0].n_dup_grams == 1 and got[0].n_dup_tokens == 8
+    assert got[0].dup_token_pct == 80.0
+    assert got[1].n_dup_grams == 1 and got[1].n_dup_tokens == 8
+    # doc 2: 17 tokens, shared phrase at positions 1-8 and 10-17 → both
+    # occurrences dup (vs each other and docs 0/1): union covers 16
+    assert got[2].n_tokens == 17
+    assert got[2].n_dup_grams == 2 and got[2].n_dup_tokens == 16
+    assert got[3].n_dup_grams == 0 and got[3].n_dup_tokens == 0
+    assert got[3].dup_token_pct == 0.0
+    assert got[4].n_grams == 0 and got[4].n_dup_tokens == 0
