@@ -513,6 +513,94 @@ def bm25_topk(
     )
 
 
+def trigram_typicality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+    with_sums: bool = False,
+) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet idea — score every document by
+    a language model of the corpus and filter the tail): a character
+    TRIGRAM frequency model trained on the corpus itself, each document
+    scored by its mean trigram probability
+
+        typicality(d) = (1/|d|) Σ_occ c(tri)/T = Σ_tri tf_d·c(tri) / (T·|d|)
+
+    Low typicality = character sequences rare in the corpus — mojibake,
+    binary spill, wrong-language fragments; the standard cheap stand-in
+    for perplexity when no external LM ships with the pipeline.
+
+    Hash-exactness by ALGEBRA, not accumulation order: the middle form
+    above is all INTEGER sums (Σ tf·c is a BIGINT), so the only floating
+    ops are one multiply and one divide at the very end — no
+    order-dependent double summation, no libm log (same reason
+    tfidf_top_terms uses ratio idf: this is the monotone log-free twin
+    of mean log-prob for RANKING within a fixed corpus... strictly it is
+    the arithmetic rather than geometric mean, the documented variant).
+
+    Scale shape (100 TB): the model is the trigram occurrence count —
+    char-trigram vocabulary is bounded by |charset|³ (≤ ~1M for ASCII-ish
+    corpora), so it BROADCASTS; scoring is a map-side broadcast join on
+    the per-doc tf table plus one doc-keyed integer aggregation. The
+    trigram explode is the only corpus-sized intermediate and it carries
+    (id, 3 chars). Docs under 3 normalized chars score NULL (n_trigrams
+    0). ``with_sums=True`` also emits the exact integer numerators
+    (``sum_tf_c``, ``corpus_trigrams``) so any regrouping (per source,
+    per split) can rebuild an exact group typicality without ever
+    summing doubles. Overflow headroom: Σ tf·c stays under 2⁶³ while
+    corpus_trigrams · max_doc_tf < 9.2e18 — at ~10¹⁵ total trigrams
+    (≈100 TB of text) that allows per-doc trigram repeats up to ~9000;
+    beyond that, pre-divide c by a power of two or switch the sum to
+    DECIMAL(38,0).
+    """
+    norm = docs.select(
+        F.col(id_col), *[F.col(c) for c in keep], normalize_text(F.col(text_col)).alias("__s")
+    )
+    s = F.col("__s")
+    tri_arr = F.when(
+        F.length(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2), lambda i: s.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = norm.select(F.col(id_col), F.explode(tri_arr).alias("tri"))
+    tf = occ.groupBy(id_col, "tri").agg(F.count(F.lit(1)).alias("tf"))
+    model = occ.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    tot = model.agg(F.sum("c").alias("__tt"))
+    per_doc = (
+        tf.join(F.broadcast(model), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("c")).alias("__num"),
+            F.sum("tf").alias("__ntri"),
+        )
+    )
+    extra = (
+        [
+            F.coalesce("__num", F.lit(0)).cast("long").alias("sum_tf_c"),
+            F.col("__tt").cast("long").alias("corpus_trigrams"),
+        ]
+        if with_sums
+        else []
+    )
+    return (
+        norm.select(id_col, *keep)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            *keep,
+            F.coalesce("__ntri", F.lit(0)).cast("int").alias("n_trigrams"),
+            (
+                F.col("__num").cast("double")
+                / (F.col("__tt").cast("double") * F.col("__ntri").cast("double"))
+            ).alias("typicality"),
+            *extra,
+        )
+    )
+
+
 def pack_token_bins(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
-from .functions.numeric import davg, dec, dec_factor2, dec_money, dsum, pct_rate
+from .functions.numeric import davg, dec, dec_factor2, dec_money, dsum, nullif, pct_rate
 from .operators import marts, relational
 
 
@@ -5379,6 +5379,87 @@ def dedup_ngram_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicate_ngram_spans
 
     return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+_TRIGRAM_SUMS_SQL = """
+    b AS (SELECT doc_id, source,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+          FROM documents),
+    o AS (SELECT doc_id,
+                 unnest(list_transform(range(1, length(s) - 1),
+                                       i -> substr(s, i, 3))) AS tri
+          FROM b),
+    tf AS (SELECT doc_id, tri, COUNT(*) AS tf FROM o GROUP BY doc_id, tri),
+    m AS (SELECT tri, COUNT(*) AS c FROM o GROUP BY tri),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM m),
+    nd AS (SELECT tf.doc_id,
+                  CAST(SUM(tf.tf * m.c) AS BIGINT) AS num,
+                  CAST(SUM(tf.tf) AS BIGINT) AS n_tri
+           FROM tf JOIN m USING (tri) GROUP BY tf.doc_id)"""
+
+
+@register(
+    "text_trigram_typicality",
+    oracle=f"""
+    WITH {_TRIGRAM_SUMS_SQL}
+    SELECT b.doc_id,
+           CAST(COALESCE(nd.n_tri, 0) AS INT) AS n_trigrams,
+           CAST(nd.num AS DOUBLE)
+             / (CAST(t.tt AS DOUBLE) * CAST(nd.n_tri AS DOUBLE)) AS typicality
+    FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id, t
+    """,
+    tags=("extension", "text", "quality"),
+)
+def text_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trigram LM typicality per doc — the CCNet-style perplexity
+    proxy, made hash-exact by integer-sum algebra (the only floats are
+    one multiply + one divide at the end; see
+    operators/text.trigram_typicality)."""
+    from .operators.text import trigram_typicality
+
+    return trigram_typicality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_typicality_report",
+    oracle=f"""
+    WITH {_TRIGRAM_SUMS_SQL}
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(nd.n_tri, 0)) AS BIGINT) AS n_trigrams,
+           CAST(SUM(COALESCE(nd.num, 0)) AS DOUBLE)
+             / (CAST(t.tt AS DOUBLE)
+                * CAST(nullif(SUM(COALESCE(nd.n_tri, 0)), 0) AS DOUBLE))
+             AS typicality
+    FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id, t
+    GROUP BY b.source, t.tt
+    """,
+    tags=("extension", "text", "quality", "report"),
+)
+def source_typicality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-weighted corpus-trigram typicality per SOURCE — which
+    feeds contribute atypical character sequences (scan targets for
+    mojibake/garbage). Regroups the per-doc exact integer numerators
+    (with_sums=True), so the group score is exact too: one multiply +
+    one divide per source, never a sum of doubles."""
+    from .operators.text import trigram_typicality
+
+    per_doc = trigram_typicality(
+        _t(spark, sf_dir, "documents"), keep=("source",), with_sums=True
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_trigrams").cast("long")).alias("n_trigrams"),
+        (
+            F.sum("sum_tf_c").cast("double")
+            / (
+                F.first("corpus_trigrams").cast("double")
+                * nullif(F.sum(F.col("n_trigrams").cast("long")), F.lit(0)).cast(
+                    "double"
+                )
+            )
+        ).alias("typicality"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1096,3 +1096,40 @@ def test_duplicate_ngram_spans_interval_union(spark):
     assert got[3].n_dup_grams == 0 and got[3].n_dup_tokens == 0
     assert got[3].dup_token_pct == 0.0
     assert got[4].n_grams == 0 and got[4].n_dup_tokens == 0
+
+
+def test_trigram_typicality_flags_garbage(spark):
+    """A mojibake/garbage doc must score strictly below every normal doc
+    of the same corpus; sub-3-char docs score NULL with 0 trigrams; and
+    the score equals a plain Python reference model exactly (the
+    integer-sum algebra makes it deterministic, not approximate)."""
+    from collections import Counter
+
+    from spacex_data_pipeline_spark.operators.text import trigram_typicality
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "the quick brown cat naps under the warm sun", "web"),
+        (2, "a quick brown dog runs over the green hill", "web"),
+        (3, "ï¿½x91Ã¢zqÂ§kj ðw9v", "crawl"),
+        (4, "ab", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in trigram_typicality(docs).collect()}
+
+    # python reference: same normalization (lower + collapse ws + trim)
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t, _ in rows}
+    tris = {i: [s[j : j + 3] for j in range(len(s) - 2)] for i, s in norm.items()}
+    model = Counter(t for ts in tris.values() for t in ts)
+    tt = sum(model.values())
+    for i, ts in tris.items():
+        if not ts:
+            assert got[i].typicality is None and got[i].n_trigrams == 0
+            continue
+        num = sum(model[t] for t in ts)
+        assert got[i].n_trigrams == len(ts)
+        assert got[i].typicality == num / (float(tt) * float(len(ts)))
+    normals = [got[i].typicality for i in (0, 1, 2)]
+    assert all(got[3].typicality < t for t in normals), "garbage not in the tail"
