@@ -690,3 +690,187 @@ def quantize_embeddings(
         F.transform(vv, lambda x: F.floor(x.cast("double") / s).cast("int"))
     )
     return proj.select(F.col(id_col), codes.alias("codes"), "scale")
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces of dim/m dims; subspace j's code c is the
+    j-th subvector of the c-th vector by id — deterministic and RNG-free
+    (the ivf_assign_cells discipline: a production build k-means-refines
+    each subspace codebook via kmeans_refine, but the encode/ADC
+    mechanics — the part the engine owns — are identical).
+
+    Returns (subspace int, code int, cv array) — m·n_codes rows, always
+    broadcast-sized."""
+    from pyspark.sql import Window
+
+    d = dim // m
+    cb = (
+        embeddings.orderBy(id_col)
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("code"),
+            F.col(vec_col).alias("__fv"),
+        )
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col("__fv"), j * d + 1, d).alias("cv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return cb.select("code", F.explode(subs).alias("__s")).select(
+        F.col("__s.subspace").alias("subspace"), "code", F.col("__s.cv").alias("cv")
+    )
+
+
+def _l2_ltr(a: Column, b: Column) -> Column:
+    """Left-to-right Σ(aᵢ−bᵢ)² fold — correctly-rounded IEEE ops in pinned
+    order, bit-identical to DuckDB's list_reduce replica."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each vector → m small integer codes (nearest codebook
+    entry per subspace by exact L2, ties → lowest code). 64 float dims
+    become 4 codes ≈ 64× compression — the memory step that makes a
+    billion-vector ANN index RAM-resident while int8 quantization only
+    buys 4×.
+
+    Scale shape (100 TB): the codebook is a broadcast (m·n_codes rows);
+    assignment explodes each vector into m subvector rows, joins the
+    broadcast, and computes the N·m·C distance set ENTIRELY in
+    whole-stage codegen (zip_with/aggregate HOFs — zero Python, zero
+    shuffle for the join); the argmin is a map-side-combinable
+    min(struct(dist, code)) groupBy on (id, subspace) — never a window.
+    Exactness: the L2 fold is left-to-right correctly-rounded IEEE, so
+    the chosen code is bit-identical to the SQL oracle's replica.
+
+    Returns (id, subspace int, code int)."""
+    d = dim // m
+    cbs = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col(vec_col), j * d + 1, d).alias("xv"),
+            )
+            for j in range(m)
+        ]
+    )
+    vs = embeddings.select(F.col(id_col), F.explode(subs).alias("__s")).select(
+        F.col(id_col), F.col("__s.subspace").alias("subspace"), F.col("__s.xv").alias("xv")
+    )
+    dists = vs.join(F.broadcast(cbs), "subspace").select(
+        F.col(id_col),
+        "subspace",
+        "code",
+        _l2_ltr(F.col("xv"), F.col("cv")).alias("dist"),
+    )
+    best = (
+        dists.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("dist").alias("d"), F.col("code").alias("c"))).alias("__m"))
+        .select(F.col(id_col), "subspace", F.col("__m.c").alias("code"))
+    )
+    return best
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    corpus vectors exist only as their m codes; the inner product is
+    approximated by Σⱼ LUT[q, j, codeⱼ] where the lookup table holds the
+    exact query·codeword dots (|q|·m·n_codes entries — built once,
+    broadcast). The classic Jégou et al. PQ search shape: scan integer
+    codes + table lookups, never the float corpus.
+
+    Exactness of the APPROXIMATION's arithmetic: LUT entries are LTR
+    dots; the per-(query, vector) total folds the m partials in
+    subspace order (sort_array + F.aggregate); the final top-k is the
+    exact two-level bucketed rank on (adc DESC, id) — every piece
+    bit-replicable in SQL, so the oracle hash-checks the full table.
+
+    Returns (query_id, neighbor_id, rank int, adc double) — self
+    excluded, like cosine_topk."""
+    from pyspark.sql import Window
+
+    d = dim // m
+    codes = pq_encode(embeddings, m, n_codes, dim, id_col, vec_col)
+    cbs = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col(vec_col), j * d + 1, d).alias("qv"),
+            )
+            for j in range(m)
+        ]
+    )
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.explode(qsubs).alias("__s"))
+        .select("query_id", F.col("__s.subspace").alias("subspace"), F.col("__s.qv").alias("qv"))
+    )
+    lut = q.join(F.broadcast(cbs), "subspace").select(
+        "query_id", "subspace", "code", dot_ltr(F.col("qv"), F.col("cv")).alias("part")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("subspace", "part"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["part"],
+            ).alias("adc")
+        )
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(n_buckets))
+    ).orderBy(F.col("adc").desc(), id_col)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), id_col)
+    return (
+        scored.withColumn("__brn", F.row_number().over(w1))
+        .filter(F.col("__brn") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
+    )

@@ -5462,6 +5462,95 @@ def source_typicality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CODES_SQL = """
+    cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             embedding AS fv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cbs AS (
+      SELECT CAST(j.j AS INT) AS subspace, cb.code,
+             list_slice(cb.fv, j.j * 16 + 1, j.j * 16 + 16) AS cv
+      FROM cb, (SELECT unnest(range(0, 4)) AS j) j),
+    vs AS (
+      SELECT e.vec_id, CAST(j.j AS INT) AS subspace,
+             list_slice(e.embedding, j.j * 16 + 1, j.j * 16 + 16) AS xv
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS j) j),
+    dists AS (
+      SELECT vs.vec_id, vs.subspace, cbs.code,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+               i -> (CAST(vs.xv[i] AS DOUBLE) - CAST(cbs.cv[i] AS DOUBLE))
+                  * (CAST(vs.xv[i] AS DOUBLE) - CAST(cbs.cv[i] AS DOUBLE)))),
+               (p, q) -> p + q) AS dist
+      FROM vs JOIN cbs ON cbs.subspace = vs.subspace),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist, code) AS rn
+        FROM dists) z WHERE rn = 1)"""
+
+
+@register(
+    "pq_encode_codes",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL}
+    SELECT vec_id, subspace, code FROM codes
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: 64 float dims → 4 int codes (16-dim
+    subspaces, 16-entry deterministic codebooks, exact-L2 argmin with
+    min-code tiebreak) — ~64× compression vs int8's 4×. All codegen'd
+    HOFs + a map-side-combinable min(struct) — zero Python, zero window
+    (see operators/similarity.pq_encode)."""
+    from .operators.similarity import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    q AS (
+      SELECT e.vec_id AS query_id, CAST(j.j AS INT) AS subspace,
+             list_slice(e.embedding, j.j * 16 + 1, j.j * 16 + 16) AS qv
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS j) j
+      WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+    lut AS (
+      SELECT q.query_id, q.subspace, cbs.code,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(cbs.cv[i] AS DOUBLE))),
+               (x, y) -> x + y) AS part
+      FROM q JOIN cbs ON cbs.subspace = q.subspace),
+    sc AS (
+      SELECT l.query_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(l.part ORDER BY l.subspace)),
+                         (a, b) -> a + b) AS adc
+      FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id)
+    SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank, adc FROM (
+      SELECT query_id, vec_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, vec_id) AS rk
+      FROM sc) z WHERE rk <= 10
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10: the query·codeword lookup table is
+    broadcast, the corpus is scanned as integer codes only, per-vector
+    score = m subspace-ordered LUT partials folded left-to-right, final
+    top-k via the exact two-level bucketed rank — the Jégou et al. PQ
+    search re-expressed as broadcast join + groupBy fold (see
+    operators/similarity.pq_adc_topk)."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1133,3 +1133,34 @@ def test_trigram_typicality_flags_garbage(spark):
         assert got[i].typicality == num / (float(tt) * float(len(ts)))
     normals = [got[i].typicality for i in (0, 1, 2)]
     assert all(got[3].typicality < t for t in normals), "garbage not in the tail"
+
+
+def test_pq_encode_self_and_recall(spark, sf_oracle):
+    """Codebook-source vectors (ids 0..15) must encode to their OWN code
+    in every subspace (their L2 distance to themselves is exactly 0);
+    every vector gets exactly m codes in [0, n_codes); and ADC top-10
+    must recover a sane fraction of the exact cosine top-10 (floor, not
+    target — uniform random embeddings are PQ's worst case)."""
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    codes = similarity.pq_encode(emb).collect()
+    per_vec: dict[int, dict[int, int]] = {}
+    for r in codes:
+        per_vec.setdefault(r.vec_id, {})[r.subspace] = r.code
+    n = emb.count()
+    assert len(per_vec) == n
+    for vid, by_sub in per_vec.items():
+        assert sorted(by_sub) == [0, 1, 2, 3]
+        assert all(0 <= c < 16 for c in by_sub.values())
+    for vid in range(16):
+        assert per_vec[vid] == {0: vid, 1: vid, 2: vid, 3: vid}
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_adc_topk(emb, qids, k=10).collect()
+    }
+    assert len(exact & pq) / len(exact) >= 0.2
