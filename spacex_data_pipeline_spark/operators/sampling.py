@@ -102,3 +102,93 @@ def split_assign(
         .when(b < test_hi, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def temperature_sample_plan(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    budget_frac: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture sampling: target source shares
+    p_s ∝ n_s^τ (τ < 1 upweights small sources — the multilingual/
+    low-resource rebalancing rule used for LLM mixtures), a total budget
+    of ``floor(N·budget_frac)`` docs, per-source acceptance thresholds,
+    and the realized counts after DETERMINISTIC hash sampling
+    (membership is a pure function of the doc id — append-stable,
+    re-runnable, the sampling.py discipline).
+
+    Exactness: with τ = 0.5 the weight is sqrt(n) — IEEE-754 requires
+    sqrt correctly rounded, so it is bit-identical cross-engine (ANY
+    other τ goes through pow, which is libm-dependent — callers may use
+    it, but the oracle-backed entry pins τ = 0.5); the weight
+    normalizer folds the ~|sources| weights left-to-right in source
+    order; thresholds are floor()-integerized (the one integerization
+    both engines share — quantize_embeddings' argument).
+
+    Scale shape: two source-keyed aggregates (|sources| rows), a 1-row
+    broadcast for the normalizer, a broadcast threshold join onto the
+    corpus scan, and one more source-keyed count. The corpus is touched
+    exactly twice, both as scans with map-side combine."""
+    if tau != 0.5:
+        w_expr = F.pow(F.col("n_docs").cast("double"), F.lit(tau))
+    else:
+        w_expr = F.sqrt(F.col("n_docs").cast("double"))
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    sq = per.withColumn("w", w_expr)
+    z = sq.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("__z"),
+        F.sum("n_docs").alias("__n_total"),
+    )
+    p = F.col("w") / F.col("__z")
+    budget = F.floor(F.col("__n_total").cast("double") * F.lit(budget_frac))
+    plan = (
+        sq.crossJoin(F.broadcast(z))
+        .withColumn("p_target", p)
+        .withColumn(
+            "target_docs", F.floor(budget.cast("double") * p).cast("long")
+        )
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(BUCKETS).cast("long"),
+                F.floor(
+                    F.lit(float(BUCKETS))
+                    * (
+                        F.col("target_docs").cast("double")
+                        / F.col("n_docs").cast("double")
+                    )
+                ),
+            ),
+        )
+        .select("source", "n_docs", "p_target", "target_docs", "threshold")
+    )
+    sampled = (
+        docs.select(F.col(source_col).alias("source"), F.col(id_col))
+        .join(F.broadcast(plan.select("source", "threshold")), "source")
+        .filter(hash_bucket(F.col(id_col), seed) < F.col("threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    from ..functions.numeric import pct_rate
+
+    return (
+        plan.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p_target",
+            "target_docs",
+            F.col("threshold").cast("int").alias("threshold"),
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+        )
+        .withColumn("sample_pct", pct_rate(F.col("n_sampled"), F.col("n_docs")))
+    )

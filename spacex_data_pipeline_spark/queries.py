@@ -5551,6 +5551,108 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+@register(
+    "mixture_temperature_sampling",
+    oracle="""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    sq AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM per),
+    z AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                             (a, b) -> a + b) AS z,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM sq),
+    plan AS (
+      SELECT sq.source, CAST(sq.n_docs AS BIGINT) AS n_docs,
+             sq.w / z.z AS p_target,
+             CAST(floor(CAST(floor(CAST(z.n_total AS DOUBLE) * 0.5) AS DOUBLE)
+                        * (sq.w / z.z)) AS BIGINT) AS target_docs
+      FROM sq, z),
+    thr AS (
+      SELECT source, n_docs, p_target, target_docs,
+             least(10000, CAST(floor(10000.0 * (CAST(target_docs AS DOUBLE)
+                                                / CAST(n_docs AS DOUBLE)))
+                               AS BIGINT)) AS threshold
+      FROM plan),
+    s AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN thr ON thr.source = d.source
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8))
+              ::UBIGINT % 10000 < thr.threshold
+      GROUP BY d.source)
+    SELECT t.source, t.n_docs, t.p_target, t.target_docs,
+           CAST(t.threshold AS INT) AS threshold,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           round(100.0 * CAST(COALESCE(s.n_sampled, 0) AS BIGINT)
+                 / nullif(t.n_docs, 0), 2) AS sample_pct
+    FROM thr t LEFT JOIN s ON s.source = t.source
+    """,
+    tags=("extension", "sampling", "mixture"),
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ = 0.5 temperature mixture: target shares ∝ sqrt(n_source)
+    (upweights small sources), a half-corpus budget, floor-integerized
+    per-source acceptance thresholds, and the realized counts after
+    deterministic md5 sampling — the executable companion to
+    mixture_rebalance_plan's pure arithmetic (see
+    operators/sampling.temperature_sample_plan for the sqrt-vs-pow
+    exactness argument)."""
+    from .operators.sampling import temperature_sample_plan
+
+    return temperature_sample_plan(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "scd2_customer_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS ts, o_orderkey
+      FROM orders),
+    c AS (
+      SELECT *, lag(priority) OVER (PARTITION BY o_custkey
+                                    ORDER BY ts, o_orderkey) AS prev
+      FROM o),
+    ch AS (SELECT * FROM c WHERE prev IS NULL OR priority <> prev)
+    SELECT o_custkey, priority, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM (
+      SELECT o_custkey, priority, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY o_custkey
+                            ORDER BY ts, o_orderkey) AS valid_to
+      FROM ch) h
+    """,
+    tags=("extension", "warehouse", "scd"),
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each customer's order
+    priority as validity intervals — a new version row ONLY when the
+    attribute changes (change-compression via lag), valid_to = next
+    version's valid_from (half-open intervals; NULL = current, flagged).
+    Ties on the same date break on o_orderkey, deterministically. The
+    dimension-table maintenance op every warehouse load runs; scale
+    shape is two per-key windows over customer-sized partitions — no
+    global sort, no skew beyond the busiest key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    ch = o.withColumn("prev", F.lag("priority").over(w)).filter(
+        F.col("prev").isNull() | (F.col("priority") != F.col("prev"))
+    )
+    return (
+        ch.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "o_custkey",
+            "priority",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

