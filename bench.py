@@ -86,6 +86,11 @@ EXTENDED = [
     # two-level negative rank)
     "token_mass_models_by_source",
     "dedup_neardup_rates_by_domain",
+    "text_bm25_topk",
+    "dedup_ngram_span_stats",
+    "text_trigram_typicality",
+    "similarity_topk_pq",
+    "mixture_temperature_sampling",
 ]
 
 

@@ -874,3 +874,98 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
     )
+
+
+def pq_ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the FAISS-style composition that actually serves
+    billion-vector ANN: the IVF cell prunes the corpus to ``n_probe``
+    partitions per query, and within the probed cells vectors exist only
+    as their m PQ codes, scored by ADC lookup-table sums. Both halves
+    reuse the audited pieces (ivf_assign_cells' exact cell choice;
+    pq_encode/pq_codebooks; the LUT and subspace-ordered fold of
+    pq_adc_topk) and the final top-k is the exact two-level bucketed
+    rank.
+
+    Scale shape: at 100 TB the (cell, codes) table IS the stored index —
+    partitioned by cell, 4 bytes of codes per vector — so the
+    probe-join reads n_probe partitions and the cand↔codes join
+    disappears into the storage layout (here it is an explicit vec-keyed
+    join because the fixture keeps them as separate frames). Everything
+    broadcast except the corpus-sized code scan.
+    """
+    from pyspark.sql import Window
+
+    assigned, cents = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
+    codes = pq_encode(embeddings, m, n_codes, dim, id_col, vec_col)
+    cbs = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    d = dim // m
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcells = q.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot_ltr(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assigned.select(F.col(id_col), "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col("qv"), j * d + 1, d).alias("qsv"),
+            )
+            for j in range(m)
+        ]
+    )
+    lut = (
+        q.select("query_id", F.explode(qsubs).alias("__s"))
+        .select("query_id", F.col("__s.subspace").alias("subspace"), F.col("__s.qsv").alias("qsv"))
+        .join(F.broadcast(cbs), "subspace")
+        .select("query_id", "subspace", "code", dot_ltr(F.col("qsv"), F.col("cv")).alias("part"))
+    )
+    scored = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("subspace", "part"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["part"],
+            ).alias("adc")
+        )
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(n_buckets))
+    ).orderBy(F.col("adc").desc(), id_col)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), id_col)
+    return (
+        scored.withColumn("__brn", F.row_number().over(w1))
+        .filter(F.col("__brn") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
+    )

@@ -5653,6 +5653,189 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding AS ccv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    aff AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.ccv")} AS aff
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM aff) t
+      WHERE rn = 1),
+    qaff AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.ccv")} AS aff
+      FROM embeddings e, cents c
+      WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM qaff) t
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    qs AS (
+      SELECT e.vec_id AS query_id, CAST(j.j AS INT) AS subspace,
+             list_slice(e.embedding, j.j * 16 + 1, j.j * 16 + 16) AS qsv
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS j) j
+      WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+    lut AS (
+      SELECT qs.query_id, qs.subspace, cbs.code,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+               i -> CAST(qs.qsv[i] AS DOUBLE) * CAST(cbs.cv[i] AS DOUBLE))),
+               (x, y) -> x + y) AS part
+      FROM qs JOIN cbs ON cbs.subspace = qs.subspace),
+    sc AS (
+      SELECT c.query_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(l.part ORDER BY l.subspace)),
+                         (a, b) -> a + b) AS adc
+      FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+           JOIN lut l ON l.query_id = c.query_id
+                     AND l.subspace = k.subspace AND l.code = k.code
+      GROUP BY c.query_id, c.vec_id)
+    SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rank, adc FROM (
+      SELECT query_id, vec_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, vec_id) AS rk
+      FROM sc) z WHERE rk <= 10
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 — the FAISS-style billion-vector serving index:
+    IVF cell pruning (4 of 16 probes) composed with PQ ADC scoring over
+    the probed cells only; every arithmetic piece reused from the
+    audited IVF and PQ paths (see operators/similarity.pq_ivf_topk)."""
+    from .operators.similarity import pq_ivf_topk
+
+    return pq_ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle="""
+    WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot_tokens FROM tf),
+    qt AS (
+      SELECT query_id, term FROM (
+        SELECT t.doc_id AS query_id, f.term,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY list_position(t.toks, f.term), f.term) AS qrn
+        FROM t JOIN (SELECT DISTINCT doc_id, term FROM tf) f
+               ON f.doc_id = t.doc_id
+        WHERE t.doc_id IN (0, 1, 2)) z
+      WHERE qrn <= 3),
+    s AS (
+      SELECT qt.query_id, tf.doc_id, qt.term,
+             ((n.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                           / (tot.tot_tokens / n.n_docs)))))
+               AS score_t
+      FROM qt JOIN tf ON tf.term = qt.term
+            JOIN df ON df.term = qt.term
+            JOIN dl ON dl.doc_id = tf.doc_id, n, tot),
+    g AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(score_t ORDER BY term)),
+                         (a, b) -> a + b) AS score
+      FROM s GROUP BY query_id, doc_id),
+    bm AS (
+      SELECT query_id, doc_id, CAST(rk AS INT) AS brank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM g) z WHERE rk <= 10),
+    eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+    vc AS (
+      SELECT query_id, neighbor_id, CAST(rk AS INT) AS vrank FROM (
+        SELECT eq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY eq.query_id ORDER BY
+                 __COS__ DESC, c.vec_id) AS rk
+        FROM embeddings c, eq WHERE c.vec_id <> eq.query_id) z
+      WHERE rk <= 10),
+    fused AS (
+      SELECT COALESCE(bm.query_id, vc.query_id) AS query_id,
+             COALESCE(bm.doc_id, vc.neighbor_id) AS doc_id,
+             bm.brank, vc.vrank,
+             COALESCE(1.0 / CAST(60 + bm.brank AS DOUBLE), 0.0)
+               + COALESCE(1.0 / CAST(60 + vc.vrank AS DOUBLE), 0.0) AS rrf
+      FROM bm FULL OUTER JOIN vc
+        ON vc.query_id = bm.query_id AND vc.neighbor_id = bm.doc_id)
+    SELECT query_id, doc_id, CAST(rk AS INT) AS rrf_rank, rrf,
+           CAST(brank AS INT) AS bm25_rank, CAST(vrank AS INT) AS vector_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused) z
+    """.replace("__TOKS__", _TOKS_SQL).replace(
+        "__COS__", _COS_SQL.format(a="eq.qv", b="c.embedding")
+    ),
+    tags=("extension", "retrieval", "hybrid"),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 top-10 (doc
+    text, rational idf) and the exact cosine top-10 (the doc's embedding
+    by aligned id) fused with the standard RRF score Σ 1/(60 + rank) —
+    the lexical+vector combination every RAG stack serves. Exact by
+    construction: ranks are integers, each RRF term is one IEEE divide,
+    and the two terms add in fixed (bm25, vector) order. The asymmetry
+    that the BM25 list may contain the query doc itself while the vector
+    list excludes self is preserved from the two source entries. Scale
+    shape: both source rankings are the audited bounded top-k paths; the
+    fusion joins two ≤k·|q|-row frames and ranks ≤2k rows per query —
+    bounded by k, not the corpus, so the plain window is safe."""
+    from .operators.similarity import cosine_topk
+    from .operators.text import bm25_topk
+
+    qids = [0, 1, 2]
+    bm = bm25_topk(_t(spark, sf_dir, "documents"), qids, k=10).select(
+        "query_id", "doc_id", F.col("rank").alias("brank")
+    )
+    vc = cosine_topk(_t(spark, sf_dir, "embeddings"), qids, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vrank")
+    )
+    fused = bm.join(vc, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "brank",
+        "vrank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("brank")).cast("double"), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vrank")).cast("double"), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("rrf_rank"),
+        "rrf",
+        F.col("brank").cast("int").alias("bm25_rank"),
+        F.col("vrank").cast("int").alias("vector_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #
@@ -5673,12 +5856,16 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. the 31 r4-era entries deferred by the r6 rotation — closing the
 #      staleness cycle (VERDICT r6 next #2): with this window every
 #      registry entry has a driver row ≤3 rounds old.
-#   4. the 8 stalest r5-era entries, prioritized by overlap with this
-#      round's checkpoint-strategy threading (CC / minhash / winnowing
-#      consumers) — dedup_components_docs, dedup_minhash_lsh_verify,
+#   4. the 8 operators NEW this round (BM25, substring-span stats,
+#      trigram typicality ×2, PQ ×2, temperature sampling, SCD2) — new
+#      entries always outrank re-verification: they have NO driver row
+#      yet, while the 8 stalest r5-era rows they displaced
+#      (dedup_components_docs, dedup_minhash_lsh_verify,
 #      winnowing_near_pairs_docs, dedup_cross_split_leakage,
 #      decontaminate_docs, corpus_token_budget,
-#      pipeline_training_data_prep, knn_label_agreement.
+#      pipeline_training_data_prep, knn_label_agreement) are r5-green —
+#      2 rounds old, inside the ≤3-round freshness target — and stay
+#      locked by the local replica.
 # All 50 r6-window rows were green (CORRECTNESS_r06: 50/50, zero err);
 # entries rotating out carry that basis. Rotated-out entries stay locked
 # by tests/test_oracle_parity.py, which runs the identical
@@ -5730,15 +5917,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_fingerprints_docs",
     "text_langid_docs",
     "dedup_latest_order_per_customer",
-    # -- stalest r5-era rows, checkpoint-threading consumers first --
-    "dedup_components_docs",
-    "dedup_minhash_lsh_verify",
-    "winnowing_near_pairs_docs",
-    "dedup_cross_split_leakage",
-    "decontaminate_docs",
-    "corpus_token_budget",
-    "pipeline_training_data_prep",
-    "knn_label_agreement",
+    # -- new this round: no driver row exists yet --
+    "text_bm25_topk",
+    "dedup_ngram_span_stats",
+    "text_trigram_typicality",
+    "source_typicality_report",
+    "pq_encode_codes",
+    "similarity_topk_pq",
+    "mixture_temperature_sampling",
+    "scd2_customer_priority",
 )
 
 

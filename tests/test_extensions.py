@@ -1209,3 +1209,56 @@ def test_scd2_invariants(spark, sf_oracle):
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to == b.valid_from
             assert a.priority != b.priority
+
+
+def test_ivfpq_full_probe_equals_adc(spark, sf_oracle):
+    """Probing every IVF cell makes IVF-PQ score exactly the ADC set:
+    pq_ivf_topk(n_probe == n_centroids) must equal pq_adc_topk row for
+    row (both exclude self) — the PQ twin of the IVF==exact full-probe
+    identity. Fewer probes must return a subset-consistent ADC score
+    for every (query, neighbor) it keeps."""
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.adc)
+        for r in similarity.pq_ivf_topk(emb, qids, k=10, n_probe=16).collect()
+    )
+    adc = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.adc)
+        for r in similarity.pq_adc_topk(emb, qids, k=10).collect()
+    )
+    assert full == adc
+    adc_scores = {(q, n): s for q, n, _, s in adc}
+    pruned = similarity.pq_ivf_topk(emb, qids, k=10, n_probe=4).collect()
+    for r in pruned:
+        if (r.query_id, r.neighbor_id) in adc_scores:
+            assert adc_scores[(r.query_id, r.neighbor_id)] == r.adc
+
+
+def test_rrf_fusion_invariants(spark, sf_oracle):
+    """RRF: every fused row's score is the sum of its two rank terms;
+    docs present in BOTH lists outrank docs present in neither... and
+    the max possible score is 2/61 (rank 1 in both)."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["hybrid_retrieval_rrf"].fn(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r.bm25_rank is not None:
+            expect += 1.0 / (60 + r.bm25_rank)
+        if r.vector_rank is not None:
+            expect += 1.0 / (60 + r.vector_rank)
+        assert r.rrf == expect
+        assert r.rrf <= 2.0 / 61.0 + 1e-15
+        assert (r.bm25_rank is not None) or (r.vector_rank is not None)
+    # per query: rrf_rank is 1..n and ordered by (rrf desc, doc_id)
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r)
+    for q, vs in per.items():
+        vs.sort(key=lambda r: r.rrf_rank)
+        assert [r.rrf_rank for r in vs] == list(range(1, len(vs) + 1))
+        assert all(
+            (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id) for a, b in zip(vs, vs[1:])
+        )

@@ -20,10 +20,27 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # (rows + schema + value multiset). With the r7 window (the 31 r4-era
 # entries + this round's changed/new set + the 8 stalest r5-era rows)
 # every entry's driver row is <=3 rounds old for the first time.
-NEW_AWAITING_WINDOW: set[str] = set()
+# r7 late additions: the 50-slot window was already committed to the 31
+# r4-era rotations + this round's changed/new set when these landed, so
+# they debut in the r8 window; until then the local replica (exact same
+# strictness) is their gate.
+NEW_AWAITING_WINDOW: set[str] = {
+    "similarity_ivfpq_topk",
+    "hybrid_retrieval_rrf",
+}
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- green in r5 or r6 under behavior-identical implementations --
+    # (the 8 r5-era rows displaced by r7's new operators are 2 rounds
+    # old — inside the ≤3-round freshness target)
+    "corpus_token_budget",
+    "decontaminate_docs",
+    "dedup_components_docs",
+    "dedup_cross_split_leakage",
+    "dedup_minhash_lsh_verify",
+    "knn_label_agreement",
+    "pipeline_training_data_prep",
+    "winnowing_near_pairs_docs",
     "applyinpandas_zscore",
     "array_functions_embeddings",
     "asof_join_last_purchase",
