@@ -5836,6 +5836,125 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_recall_report",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT eq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY eq.query_id ORDER BY
+                 {_COS_SQL.format(a="eq.qv", b="c.embedding")} DESC,
+                 c.vec_id) AS rk
+        FROM embeddings c, eq WHERE c.vec_id <> eq.query_id) z
+      WHERE rk <= 10),
+    q AS (
+      SELECT e.vec_id AS query_id, CAST(j.j AS INT) AS subspace,
+             list_slice(e.embedding, j.j * 16 + 1, j.j * 16 + 16) AS qsv
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS j) j
+      WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+    lut AS (
+      SELECT q.query_id, q.subspace, cbs.code,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+               i -> CAST(q.qsv[i] AS DOUBLE) * CAST(cbs.cv[i] AS DOUBLE))),
+               (x, y) -> x + y) AS part
+      FROM q JOIN cbs ON cbs.subspace = q.subspace),
+    sc AS (
+      SELECT l.query_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(l.part ORDER BY l.subspace)),
+                         (a, b) -> a + b) AS adc
+      FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id),
+    pq AS (
+      SELECT query_id, vec_id AS q_neighbor_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, vec_id) AS rk
+        FROM sc) z WHERE rk <= 10)
+    SELECT ex.query_id,
+           CAST(COUNT(pq.q_neighbor_id) AS BIGINT) AS n_overlap,
+           round(100.0 * COUNT(pq.q_neighbor_id) / nullif(10, 0), 2) AS recall_pct
+    FROM ex LEFT JOIN pq ON pq.query_id = ex.query_id
+                        AND pq.q_neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    tags=("extension", "similarity", "quantization", "report"),
+)
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ ADC search vs the exact cosine top-10 — the
+    end-to-end consequence table for moving an embedding store to PQ
+    codes (the similarity_topk_quantized twin at 64× compression
+    instead of int8's 4×). Both rankings are bit-exact SQL replicas, so
+    the recall table is hash-checked, no boolean dodge."""
+    from .operators.similarity import cosine_topk, pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    pq = pq_adc_topk(emb, qids, k=10).select(
+        "query_id", F.col("neighbor_id").alias("q_neighbor_id")
+    )
+    hits = exact.join(
+        pq,
+        (exact["query_id"] == pq["query_id"])
+        & (exact["neighbor_id"] == pq["q_neighbor_id"]),
+        "left",
+    ).select(exact["query_id"], pq["q_neighbor_id"])
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("q_neighbor_id").alias("n_overlap"))
+        .withColumn("recall_pct", pct_rate(F.col("n_overlap"), F.lit(10)))
+    )
+
+
+@register(
+    "dedup_span_savings",
+    oracle="""
+    WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    g AS (
+      SELECT t.doc_id, CAST(u.i AS INT) AS start,
+             array_to_string(list_slice(t.toks, u.i, u.i + 7), ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(t.toks) - 6, 1))) AS u(i)),
+    c AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+    d AS (SELECT g.doc_id, g.start FROM g JOIN c ON c.gram = g.gram WHERE c.c > 1),
+    cov AS (SELECT doc_id, COUNT(*) AS n_cov FROM (
+              SELECT DISTINCT d.doc_id, d.start + o.off AS p
+              FROM d, unnest(range(0, 8)) AS o(off)) z GROUP BY doc_id)
+    SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM cov) AS BIGINT) AS n_docs_with_dup_spans,
+           CAST((SELECT SUM(len(toks)) FROM t) AS BIGINT) AS total_tokens,
+           CAST(COALESCE((SELECT SUM(n_cov) FROM cov), 0) AS BIGINT)
+             AS duplicated_tokens,
+           round(100.0 * CAST(COALESCE((SELECT SUM(n_cov) FROM cov), 0) AS BIGINT)
+                 / nullif(CAST((SELECT SUM(len(toks)) FROM t) AS BIGINT), 0), 2)
+             AS duplicated_token_pct
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "substring", "report"),
+)
+def dedup_span_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of duplicate_ngram_spans: how many tokens
+    exact-substring surgery would touch — the single number that decides
+    whether the (expensive) span-removal pass is worth scheduling, next
+    to dedup_savings_report's whole-doc number."""
+    from .operators.dedup import duplicate_ngram_spans
+
+    per = duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=8)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_dup_tokens") > 0).cast("long")).alias(
+            "n_docs_with_dup_spans"
+        ),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.sum("n_dup_tokens").alias("duplicated_tokens"),
+    ).withColumn(
+        "duplicated_token_pct",
+        pct_rate(F.col("duplicated_tokens"), F.col("total_tokens")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

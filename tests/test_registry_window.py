@@ -27,6 +27,8 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 NEW_AWAITING_WINDOW: set[str] = {
     "similarity_ivfpq_topk",
     "hybrid_retrieval_rrf",
+    "pq_recall_report",
+    "dedup_span_savings",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
