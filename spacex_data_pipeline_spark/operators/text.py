@@ -513,6 +513,20 @@ def bm25_topk(
     )
 
 
+def char_trigrams(s: Column) -> Column:
+    """Sliding character trigrams of a MATERIALIZED normalized-text
+    column (empty array under 3 chars). ``s`` must be a projected
+    column, not an inline normalize expression — the inlining rule
+    (shingles_from_words): codegen re-expands the full regex chain into
+    every lambda reference otherwise."""
+    return F.when(
+        F.length(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2), lambda i: s.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def trigram_typicality(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -557,14 +571,7 @@ def trigram_typicality(
     norm = docs.select(
         F.col(id_col), *[F.col(c) for c in keep], normalize_text(F.col(text_col)).alias("__s")
     )
-    s = F.col("__s")
-    tri_arr = F.when(
-        F.length(s) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - 2), lambda i: s.substr(i, F.lit(3))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = norm.select(F.col(id_col), F.explode(tri_arr).alias("tri"))
+    occ = norm.select(F.col(id_col), F.explode(char_trigrams(F.col("__s"))).alias("tri"))
     tf = occ.groupBy(id_col, "tri").agg(F.count(F.lit(1)).alias("tf"))
     model = occ.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
     tot = model.agg(F.sum("c").alias("__tt"))

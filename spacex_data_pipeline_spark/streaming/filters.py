@@ -82,3 +82,64 @@ def training_filter_stream(
         contaminated.alias("contaminated"),
         ((F.round(quality, 6) >= min_quality) & ~contaminated).alias("keep"),
     )
+
+
+def pack_trigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE row holding the corpus-trigram LM as a broadcastable map
+    (trigram → occurrence count) plus the total mass — the frozen-model
+    form of operators/text.trigram_typicality's corpus statistics.
+    Production shape: train nightly on the corpus snapshot, broadcast
+    into the scoring stream; the map is bounded by |charset|³."""
+    from ..operators.text import char_trigrams
+
+    norm = docs.select(normalize_text(F.col(text_col)).alias("__s"))
+    occ = norm.select(F.explode(char_trigrams(F.col("__s"))).alias("tri"))
+    m = occ.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    return m.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("tri", "c")))
+        ).alias("__model"),
+        F.sum("c").alias("__tt"),
+    )
+
+
+def typicality_stream(
+    docs: DataFrame,
+    model_packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents ON ARRIVAL against a frozen trigram model — the
+    streaming twin of text.trigram_typicality, STATELESS (one broadcast
+    + narrow maps, no watermark, no state store). Works identically on
+    a batch frame; for any document whose trigrams all appear in the
+    model (every doc of the training corpus itself), the score is
+    BIT-IDENTICAL to the batch operator: the per-doc numerator is an
+    integer fold (order-free), and the final multiply+divide is the
+    same two IEEE ops. Unseen trigrams count 0 — a fully-novel doc
+    scores 0.0, the correct 'atypical' extreme; sub-3-char docs score
+    NULL with 0 trigrams, matching batch."""
+    from ..operators.text import char_trigrams
+
+    t = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__s")
+    ).crossJoin(F.broadcast(model_packed))
+    w = t.select(
+        F.col(id_col), char_trigrams(F.col("__s")).alias("__tris"), "__model", "__tt"
+    )
+    num = F.aggregate(
+        F.col("__tris"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.coalesce(F.element_at(F.col("__model"), x), F.lit(0).cast("long")),
+    )
+    n = F.size(F.col("__tris"))
+    return w.select(
+        F.col(id_col),
+        n.cast("int").alias("n_trigrams"),
+        F.when(
+            n > 0,
+            num.cast("double")
+            / (F.col("__tt").cast("double") * n.cast("double")),
+        ).alias("typicality"),
+    )

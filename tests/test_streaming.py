@@ -405,3 +405,45 @@ def test_stream_line_dedup_matches_batch_kept_set(spark, sf_oracle, tmp_path):
     nb = got.filter(norm != "")
     assert nb.count() == nb.select(norm.alias("n")).distinct().count()
     assert got.filter(norm == "").count() == 3
+
+
+def test_streaming_typicality_matches_batch(spark, sf_oracle, tmp_path):
+    """The frozen-model streaming typicality scorer replays the batch
+    operator bit-for-bit on the training corpus itself (integer-fold
+    numerator — order-free; same final two IEEE ops), and scores a
+    fully-novel doc 0.0 (every trigram unseen) and a sub-3-char doc
+    NULL."""
+    from spacex_data_pipeline_spark.operators.text import trigram_typicality
+    from spacex_data_pipeline_spark.streaming.filters import (
+        pack_trigram_model,
+        typicality_stream,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    packed = pack_trigram_model(docs)
+
+    land = str(tmp_path / "docs_typ")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(land)
+    stream = spark.readStream.schema("doc_id long, text string").format(
+        "parquet"
+    ).load(land)
+    out = typicality_stream(stream, packed)
+    assert out.isStreaming
+    run_available_now(out, str(tmp_path / "ck_typ"), "typ_out")
+
+    got = {
+        r.doc_id: (r.n_trigrams, r.typicality)
+        for r in spark.table("typ_out").collect()
+    }
+    want = {
+        r.doc_id: (r.n_trigrams, r.typicality)
+        for r in trigram_typicality(docs).collect()
+    }
+    assert got == want and len(got) == docs.count()
+
+    novel = spark.createDataFrame(
+        [(9001, "zzqxj"), (9002, "ab")], "doc_id long, text string"
+    )
+    extra = {r.doc_id: r for r in typicality_stream(novel, packed).collect()}
+    assert extra[9001].typicality == 0.0 and extra[9001].n_trigrams == 3
+    assert extra[9002].typicality is None and extra[9002].n_trigrams == 0
