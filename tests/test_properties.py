@@ -324,3 +324,49 @@ def test_line_dedup_invariants_hold_for_any_corpus(texts):
         assert out[d].text_dedup == want_text
         assert out[d].n_lines == len(text.split("\n"))
         assert out[d].n_kept == len(kept_by_doc.get(d, []))
+
+
+_word = st.sampled_from(["a", "b", "c", "dd"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.lists(_word, min_size=0, max_size=12).map(" ".join),
+                      min_size=1, max_size=6))
+def test_duplicate_ngram_spans_match_python_reference(texts):
+    """For ANY corpus (tiny vocabulary forces collisions): n_dup_grams,
+    the interval-union coverage, and the pct agree with a direct Python
+    model of 'token n-gram occurs >1 time corpus-wide'."""
+    from spacex_data_pipeline_spark.operators.dedup import duplicate_ngram_spans
+
+    n = 3
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in duplicate_ngram_spans(docs, n=n).collect()}
+
+    import re
+    from collections import Counter
+
+    toks = {
+        i: ([] if not re.sub(r"\s+", " ", t.lower()).strip()
+            else re.sub(r"\s+", " ", t.lower()).strip().split(" "))
+        for i, t in enumerate(texts)
+    }
+    grams = {
+        i: [tuple(ts[j : j + n]) for j in range(len(ts) - n + 1)]
+        for i, ts in toks.items()
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    for i, ts in toks.items():
+        dup_starts = [j for j, g in enumerate(grams[i]) if counts[g] > 1]
+        covered = {p for j in dup_starts for p in range(j, j + n)}
+        r = got[i]
+        assert r.n_tokens == len(ts)
+        assert r.n_grams == max(len(ts) - n + 1, 0)
+        assert r.n_dup_grams == len(dup_starts)
+        assert r.n_dup_tokens == len(covered)
+        if len(ts):
+            assert r.dup_token_pct == round(100.0 * len(covered) / len(ts), 2)
+        else:
+            assert r.dup_token_pct is None
