@@ -361,6 +361,102 @@ def duplicate_ngram_spans(
     )
 
 
+def duplicate_span_docs(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup SURGERY (the removal pass
+    duplicate_ngram_spans budgets for): every corpus-duplicated token
+    n-gram keeps its FIRST occurrence — the globally minimal
+    (doc, start) owner, same ownership rule as line dedup — and every
+    token covered by a NON-owner duplicated gram is removed; survivors
+    reassemble in original order. Deterministic: ownership is a pure
+    min over (doc_id, start), so the rewritten corpus is layout- and
+    append-order-invariant, and re-running on the rewritten corpus
+    removes nothing (the dup grams are gone).
+
+    The output text is the NORMALIZED token stream (lowercase, collapsed
+    whitespace) — substring surgery operates post-normalization by
+    definition; keep the original column alongside if casing matters.
+    Overlapping self-repeats resolve aggressively: a token covered by
+    any non-owner dup gram goes, even if an owner gram also covers it
+    (the Lee-et-al drop-all-but-first behavior at overlap boundaries).
+
+    Scale shape: everything duplicate_ngram_spans does (8-byte gram
+    hashes, map-side-combined count+owner in ONE aggregate, explode of
+    only duplicated non-owner starts) plus one (doc, pos) anti-join and
+    a per-doc sort_array reassembly — the same two doc-keyed shuffles
+    line_dedup_docs pays."""
+    from .text import tokens
+
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    base = t.select(id_col, F.size("__toks").alias("n_tokens"), "__toks")
+    pos = base.filter(F.col("n_tokens") >= n).select(
+        F.col(id_col),
+        "__toks",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens") - (n - 1))).alias("start"),
+    )
+    grams = pos.select(
+        F.col(id_col),
+        "start",
+        F.xxhash64(
+            *[F.element_at(F.col("__toks"), F.col("start") + j) for j in range(n)]
+        ).alias("h"),
+    )
+    stats = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))).alias(
+            "__own"
+        ),
+    )
+    nonowner = (
+        grams.join(stats.filter(F.col("c") > 1), "h")
+        .filter(
+            (F.col(id_col) != F.col("__own.d")) | (F.col("start") != F.col("__own.s"))
+        )
+        .select(id_col, "start")
+    )
+    removed = (
+        nonowner.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("p0", "tok")
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks_pos.join(removed.withColumn("__rm", F.lit(1)), [id_col, "p"], "left")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rm").isNull(), F.struct("p", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_dedup"),
+        F.sum(F.col("__rm").cast("long")).alias("__n_removed"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("__n_removed", F.lit(0).cast("long")).alias("n_removed_tokens"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5955,6 +5955,56 @@ def dedup_span_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    g AS (
+      SELECT t.doc_id, CAST(u.i AS INT) AS start,
+             array_to_string(list_slice(t.toks, u.i, u.i + 7), ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(t.toks) - 6, 1))) AS u(i)),
+    own AS (
+      SELECT gram, doc_id AS od, start AS os FROM (
+        SELECT gram, doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn,
+               COUNT(*) OVER (PARTITION BY gram) AS c
+        FROM g) z WHERE rn = 1 AND c > 1),
+    no AS (
+      SELECT g.doc_id, g.start
+      FROM g JOIN own ON own.gram = g.gram
+      WHERE g.doc_id <> own.od OR g.start <> own.os),
+    rm AS (SELECT DISTINCT doc_id, start + o.off AS p
+           FROM no, unnest(range(0, 8)) AS o(off)),
+    tp AS (SELECT t.doc_id, CAST(u.i AS INT) AS p, t.toks[u.i] AS tok
+           FROM t, unnest(range(1, len(t.toks) + 1)) AS u(i)),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok, rm.p IS NOT NULL AS is_rm
+      FROM tp LEFT JOIN rm ON rm.doc_id = tp.doc_id AND rm.p = tp.p),
+    rb AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT is_rm THEN tok END,
+                                 ' ' ORDER BY p), '') AS text_dedup,
+             CAST(SUM(CASE WHEN is_rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(COALESCE(rb.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+           COALESCE(rb.text_dedup, '') AS text_dedup
+    FROM t LEFT JOIN rb ON rb.doc_id = t.doc_id
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "substring"),
+)
+def dedup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup surgery: corpus-duplicated token 8-grams
+    keep their first (min doc, start) occurrence; tokens covered by
+    non-owner duplicated grams are removed and survivors reassemble in
+    order — flag (dedup_ngram_span_stats) → budget (dedup_span_savings)
+    → surgery, the same progression the line-dedup family ships (see
+    operators/dedup.duplicate_span_docs)."""
+    from .operators.dedup import duplicate_span_docs
+
+    return duplicate_span_docs(_t(spark, sf_dir, "documents"), n=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

