@@ -6005,6 +6005,93 @@ def dedup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_docs(_t(spark, sf_dir, "documents"), n=8)
 
 
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    tr AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+           FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM tr
+    """,
+    tags=("extension", "analytics", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    P(next event type | type) per user-ordered consecutive pairs —
+    the behavioral fingerprint table (bot detection, funnel modeling).
+    Exact: integer transition counts, ONE IEEE divide per cell; the
+    probability denominator windows over the ALREADY-AGGREGATED
+    |types|² rows. Scale: one per-user lead window + one map-side
+    combined count."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    tr = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return tr.select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        (F.col("n").cast("double") / F.sum("n").over(wf).cast("double")).alias("p"),
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    fst AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id),
+    j AS (SELECT f.cohort_day,
+                 date_diff('day', f.cohort_day, d.day) AS day_offset
+          FROM days d JOIN fst f ON f.user_id = d.user_id),
+    per AS (SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+                   COUNT(*) AS n_users
+            FROM j GROUP BY 1, 2),
+    sz AS (SELECT cohort_day, n_users AS cohort_size FROM per WHERE day_offset = 0)
+    SELECT p.cohort_day, p.day_offset, CAST(p.n_users AS BIGINT) AS n_users,
+           round(100.0 * CAST(p.n_users AS BIGINT)
+                 / nullif(s.cohort_size, 0), 2) AS retention_pct
+    FROM per p JOIN sz s ON s.cohort_day = p.cohort_day
+    """,
+    tags=("extension", "analytics", "cohort"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each later active day offset, as a share of the cohort —
+    the classic product-analytics table. Every user has an offset-0 row
+    by construction, so the cohort size join is total. Integer counts +
+    pct_rate only; the distinct (user, day) set is the single
+    corpus-sized shuffle and the rest is dimension-sized."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    fst = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = days.join(fst, "user_id").select(
+        "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+    )
+    per = j.groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sz = per.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        per.join(sz, "cohort_day")
+        .withColumn("retention_pct", pct_rate(F.col("n_users"), F.col("cohort_size")))
+        .select("cohort_day", "day_offset", "n_users", "retention_pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -30,6 +30,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "pq_recall_report",
     "dedup_span_savings",
     "dedup_span_docs",
+    "event_transition_matrix",
+    "user_retention_cohorts",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
