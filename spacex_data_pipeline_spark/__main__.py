@@ -106,6 +106,14 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "occurrence keep) after exact doc dedup; docs left with no lines "
         "are dropped",
     )
+    pp.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="also remove corpus-duplicated token 8-gram spans (exact-"
+        "substring surgery, first-occurrence keep; note: output text is "
+        "the normalized token stream); docs emptied by surgery are "
+        "dropped",
+    )
 
     sub.add_parser("list-queries", help="list registered query names")
 
@@ -235,6 +243,21 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 )
                 kept = kept.drop("text").join(
                     ld.select("doc_id", F.col("text_dedup").alias("text")),
+                    "doc_id",
+                )
+            if args.span_dedup:
+                # substring surgery runs LAST of the dedup ladder (doc →
+                # line → span): each stage only sees text the coarser
+                # stage already kept. Emptied docs (all tokens inside
+                # non-owner duplicated spans) are dropped the same way
+                # --line-dedup drops line-emptied docs.
+                from .operators.dedup import duplicate_span_docs
+
+                sd = duplicate_span_docs(kept, n=8).filter(
+                    F.trim(F.col("text_dedup")) != ""
+                )
+                kept = kept.drop("text").join(
+                    sd.select("doc_id", F.col("text_dedup").alias("text")),
                     "doc_id",
                 )
             flags = contamination_flags(kept, bench, k=5)

@@ -176,3 +176,27 @@ def test_cli_prep_training_line_dedup_flag(spark, sf_oracle, tmp_path, capsys):
         F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")).alias("n")
     ).filter(F.col("n") != "")
     assert lines.count() == lines.distinct().count()
+
+
+def test_cli_prep_training_span_dedup_flag(spark, sf_oracle, tmp_path):
+    """--span-dedup: shard text carries NO corpus-duplicated token
+    8-gram (surgery is idempotent, so a second pass finds nothing),
+    and no emptied doc reaches the shards."""
+    out = str(tmp_path / "sd_shards")
+    assert (
+        main(
+            [
+                "prep-training", "--sf-dir", sf_oracle, "--out", out,
+                "--shards", "4", "--span-dedup",
+            ],
+            _spark=spark,
+        )
+        == 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert back.filter(F.trim(F.col("text")) == "").count() == 0
+    from spacex_data_pipeline_spark.operators.dedup import duplicate_ngram_spans
+
+    again = duplicate_ngram_spans(back.select("doc_id", "text"), n=8)
+    assert again.filter(F.col("n_dup_grams") > 0).count() == 0

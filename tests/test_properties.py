@@ -370,3 +370,70 @@ def test_duplicate_ngram_spans_match_python_reference(texts):
             assert r.dup_token_pct == round(100.0 * len(covered) / len(ts), 2)
         else:
             assert r.dup_token_pct is None
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.lists(_word, min_size=1, max_size=10).map(" ".join),
+                      min_size=2, max_size=6))
+def test_bm25_matches_python_reference(texts):
+    """For ANY corpus: BM25 scores and the per-query ranking equal a
+    direct Python IEEE-double model (same expression tree, same
+    term-sorted LTR fold, same (score DESC, doc_id) tiebreak) — the
+    determinism argument the oracle relies on, checked end-to-end."""
+    from spacex_data_pipeline_spark.operators.text import bm25_topk
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    k = 4
+    got = {}
+    for r in bm25_topk(docs, [0], n_query_terms=2, k=k, n_buckets=3).collect():
+        got[(r.query_id, r.doc_id)] = (r.rank, r.score)
+
+    import re
+
+    toks = {
+        i: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for i, t in enumerate(texts)
+    }
+    tf = {}
+    for i, ts in toks.items():
+        for w in ts:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (i, w), _ in tf.items():
+        df[w] = df.get(w, 0) + 1
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n_docs = float(len(texts))
+    tot = float(sum(dl.values()))
+    avgdl = tot / n_docs
+
+    # query 0's first 2 distinct terms by first occurrence
+    seen, qterms = set(), []
+    for w in toks[0]:
+        if w not in seen:
+            seen.add(w)
+            qterms.append(w)
+        if len(qterms) == 2:
+            break
+
+    scores = {}
+    for i in toks:
+        total, any_hit = 0.0, False
+        for w in sorted(qterms):
+            if (i, w) not in tf:
+                continue
+            any_hit = True
+            idf = (n_docs - df[w] + 0.5) / (df[w] + 0.5)
+            tfc = (tf[(i, w)] * 2.2) / (
+                tf[(i, w)] + 1.2 * (0.25 + 0.75 * (dl[i] / avgdl))
+            )
+            total = total + idf * tfc
+        if any_hit:
+            scores[i] = total
+    want = {}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    for rk, (i, s) in enumerate(ranked, 1):
+        want[(0, i)] = (rk, s)
+    assert got == want
