@@ -91,6 +91,10 @@ EXTENDED = [
     "text_trigram_typicality",
     "similarity_topk_pq",
     "mixture_temperature_sampling",
+    "similarity_ivfpq_topk",
+    "hybrid_retrieval_rrf",
+    "dedup_span_docs",
+    "user_retention_cohorts",
 ]
 
 

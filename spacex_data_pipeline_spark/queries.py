@@ -6092,6 +6092,60 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_rates_by_source",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, __TOKS__ AS toks FROM documents),
+    g AS (
+      SELECT t.doc_id, CAST(u.i AS INT) AS start,
+             array_to_string(list_slice(t.toks, u.i, u.i + 7), ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(t.toks) - 6, 1))) AS u(i)),
+    c AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+    d AS (SELECT g.doc_id, g.start FROM g JOIN c ON c.gram = g.gram WHERE c.c > 1),
+    cov AS (SELECT doc_id, COUNT(*) AS n_cov FROM (
+              SELECT DISTINCT d.doc_id, d.start + o.off AS p
+              FROM d, unnest(range(0, 8)) AS o(off)) z GROUP BY doc_id)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cov.n_cov IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_dup_spans,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(cov.n_cov, 0)) AS BIGINT) AS duplicated_tokens,
+           round(100.0 * CAST(SUM(COALESCE(cov.n_cov, 0)) AS BIGINT)
+                 / nullif(CAST(SUM(len(t.toks)) AS BIGINT), 0), 2)
+             AS duplicated_token_pct
+    FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+    GROUP BY t.source
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "substring", "report"),
+)
+def dedup_span_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE substring-duplication rates — which feeds carry the
+    boilerplate spans (the crawl-budget axis of dedup_span_savings,
+    mirroring how dedup_lines_by_source scopes the line family). The
+    span machinery is corpus-wide; only the rollup key changes."""
+    from .operators.dedup import duplicate_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    per = duplicate_ngram_spans(docs, n=8)
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_dup_tokens") > 0).cast("long")).alias(
+                "n_docs_with_dup_spans"
+            ),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.sum("n_dup_tokens").alias("duplicated_tokens"),
+        )
+        .withColumn(
+            "duplicated_token_pct",
+            pct_rate(F.col("duplicated_tokens"), F.col("total_tokens")),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

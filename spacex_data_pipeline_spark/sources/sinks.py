@@ -190,3 +190,31 @@ def upsert_by_key(spark: SparkSession, df: DataFrame, path: str, key: str) -> in
     )
     merged = keep.unionByName(df.select(*existing.columns))
     return _staged_swap(merged, path, stem="upsert")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Write a BUCKETED managed table: rows hash-partitioned into
+    ``n_buckets`` files by ``key`` (optionally sorted within buckets) —
+    the pre-shuffle that makes every later equi-join or aggregation on
+    the key SHUFFLE-FREE. At 100 TB this is the difference between a
+    nightly fact↔fact join paying two corpus-wide exchanges per run and
+    paying them ONCE at write time: two tables bucketed the same way
+    join with zero Exchange nodes (plan-asserted in
+    tests/test_sources.py), and Spark skips the sort too when both
+    sides are bucket-sorted.
+
+    Bucketing requires the session catalog (``saveAsTable``) — the
+    bucket spec lives in table metadata, which a bare parquet path
+    cannot carry; pair with ``ensure_database`` for namespacing. Use
+    the SAME n_buckets on both sides of a planned join (mismatched
+    counts fall back to a shuffle on one side)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)

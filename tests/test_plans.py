@@ -95,6 +95,9 @@ SANCTIONED_PYTHON = {
     "similarity_ann_lsh",  # BLAS bucket assignment + tile prefilter (r3)
     "similarity_ivf_topk",  # BLAS cell assignment + tile prefilter (r3)
     "dedup_embedding_cosine_ivf",  # BLAS cell assignment + cell tiles (r3)
+    "similarity_ivfpq_topk",  # BLAS cell assignment feeding the code probe (r7)
+    "pq_recall_report",  # exact side rides cosine_topk's BLAS tile (r7)
+    "hybrid_retrieval_rrf",  # vector side rides cosine_topk's BLAS tile (r7)
 }
 
 

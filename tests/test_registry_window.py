@@ -32,6 +32,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "dedup_span_docs",
     "event_transition_matrix",
     "user_retention_cohorts",
+    "dedup_span_rates_by_source",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {

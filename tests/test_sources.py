@@ -267,3 +267,47 @@ def test_upsert_by_canonical_url_key(spark, tmp_path):
     a = got.filter(F.col("url_key") == "https://example.com/a").collect()
     assert len(a) == 1 and a[0].title == "v2"
     assert got.filter(F.col("title") == "keep").count() == 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_oracle, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO Exchange nodes — the write-once pre-shuffle that co-locates
+    every later join at 100 TB. An unbucketed twin of the same join
+    pays at least one Exchange, proving the bucketing (not AQE or
+    broadcast) removed it."""
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.sources.sinks import write_bucketed
+
+    orders = catalog.table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = catalog.table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4,
+                       sort_by="o_orderkey")
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", "o_orderkey", n_buckets=4, sort_by="o_orderkey",
+        )
+        bj = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = bj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        uj = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        uplan = uj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in uplan
+        # bucketed result == plain join result
+        assert bj.count() == uj.count()
+        agg = (
+            spark.table("b_orders").groupBy("o_orderkey").count()
+        )
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan  # agg on the bucket key: shuffle-free
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
