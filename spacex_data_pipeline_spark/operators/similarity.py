@@ -969,3 +969,121 @@ def pq_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
     )
+
+
+def persist_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ serving index: the per-vector PQ codes
+    written as a parquet table PARTITIONED BY the IVF cell (so a probe
+    reads n_probe directories, not the corpus — the storage layout
+    SCALE.md promises), plus the tiny centroid and codebook tables.
+    Build once per corpus snapshot; the search path
+    (:func:`search_ivfpq_index`) never touches the float corpus."""
+    assigned, cents = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
+    codes = pq_encode(embeddings, m, n_codes, dim, id_col, vec_col)
+    idx = assigned.select(F.col(id_col), "cell").join(codes, id_col)
+    idx.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path + "/codebooks")
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve ANN queries from a persisted IVF-PQ index: probe cells are
+    chosen by exact query·centroid dots (the |q|·C affinity table is
+    computed and COLLECTED on the driver — |q|·n_probe ints, the
+    client-side step every ANN server runs; FAISS does the same), the
+    code table is read with a STATIC partition filter on those cells
+    (plan shows PartitionFilters — only n_probe·|q| directories are
+    listed), and scoring is the broadcast-LUT ADC fold + exact
+    two-level rank of pq_ivf_topk. Results are bit-identical to the
+    in-memory pq_ivf_topk on the same corpus (test-pinned).
+
+    ``queries``: (query_id, qv) — full-precision query vectors."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(path + "/centroids")
+    cbs = spark.read.parquet(path + "/codebooks")
+    qaff = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot_ltr(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    probes = (
+        qaff.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    probe_rows = probes.collect()  # |q|·n_probe rows — the client-side step
+    cells = sorted({r.cell for r in probe_rows})
+    codes = spark.read.parquet(path + "/codes").filter(F.col("cell").isin(cells))
+
+    dim = len(cbs.select("cv").first()["cv"]) * cbs.select(
+        "subspace"
+    ).distinct().count()
+    m = cbs.select("subspace").distinct().count()
+    d = dim // m
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col("qv"), j * d + 1, d).alias("qsv"),
+            )
+            for j in range(m)
+        ]
+    )
+    lut = (
+        queries.select("query_id", F.explode(qsubs).alias("__s"))
+        .select(
+            "query_id",
+            F.col("__s.subspace").alias("subspace"),
+            F.col("__s.qsv").alias("qsv"),
+        )
+        .join(F.broadcast(cbs), "subspace")
+        .select(
+            "query_id", "subspace", "code", dot_ltr(F.col("qsv"), F.col("cv")).alias("part")
+        )
+    )
+    cand = (
+        codes.join(
+            F.broadcast(spark.createDataFrame(probe_rows, "query_id long, cell int")),
+            "cell",
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("subspace", "part"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["part"],
+            ).alias("adc")
+        )
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(n_buckets))
+    ).orderBy(F.col("adc").desc(), id_col)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), id_col)
+    return (
+        cand.withColumn("__brn", F.row_number().over(w1))
+        .filter(F.col("__brn") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
+    )

@@ -1306,3 +1306,41 @@ def test_span_surgery_idempotent_and_exact(spark):
     stats = {r.doc_id: r for r in duplicate_ngram_spans(docs, n=8).collect()}
     for i in range(4):
         assert out[i].n_removed_tokens <= stats[i].n_dup_tokens
+
+
+def test_ivfpq_index_persist_and_search(spark, sf_oracle, tmp_path):
+    """The persisted IVF-PQ index serves bit-identical results to the
+    in-memory pq_ivf_topk, and the probe reads ONLY the probed cell
+    partitions (PartitionFilters in the scan — the n_probe-directories
+    read that makes billion-vector serving cheap)."""
+    from spacex_data_pipeline_spark.operators.similarity import (
+        persist_ivfpq_index,
+        pq_ivf_topk,
+        search_ivfpq_index,
+    )
+
+    emb = catalog.table(spark, sf_oracle, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    persist_ivfpq_index(emb, idx)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    served = search_ivfpq_index(spark, idx, queries, k=10, n_probe=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell#" in plan
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.adc) for r in served.collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.adc)
+        for r in pq_ivf_topk(emb, qids, k=10, n_probe=4).collect()
+    )
+    assert got == want
+
+    # the scan lists only the probed cells' directories (IN or INSET
+    # rendering depending on the optimizer's set-size threshold)
+    import re
+
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN", plan), plan[:2000]
