@@ -6146,6 +6146,117 @@ def dedup_span_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CTRL_ZW_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]|\x{200B}|\x{200C}|\x{200D}|\x{FEFF}"
+)
+
+
+@register(
+    "text_clean_docs",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{_CTRL_ZW_RE}', '', 'g') AS c1
+      FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(c1, '\\s+', ' ', 'g')) AS text_clean,
+           CAST(length(text) - length(c1) AS INT) AS n_chars_removed,
+           (text IS DISTINCT FROM trim(regexp_replace(c1, '\\s+', ' ', 'g')))
+             AS changed
+    FROM c
+    """,
+    tags=("extension", "text", "cleaning"),
+)
+def text_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass — strip control characters (C0 minus
+    tab/newline/CR, DEL) and zero-width code points (ZWSP/ZWNJ/ZWJ/BOM
+    — the invisible chars that break tokenizer merges and dedup keys),
+    then collapse whitespace. The pattern lives in the RE2 ∩ Java
+    subset (the PII-redaction discipline) so the oracle replays it
+    verbatim. Pure narrow map: zero shuffles, fuses into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    c1 = F.regexp_replace(F.col("text"), _CTRL_ZW_RE, "")
+    proj = docs.select("doc_id", "text", c1.alias("__c1"))
+    clean = F.trim(F.regexp_replace(F.col("__c1"), r"\s+", " "))
+    return proj.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        (F.length("text") - F.length("__c1")).cast("int").alias("n_chars_removed"),
+        (~F.col("text").eqNullSafe(clean)).alias("changed"),
+    )
+
+
+@register(
+    "event_rate_anomalies",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT hour, n,
+             CAST(SUM(n) OVER tw AS BIGINT) AS s,
+             CAST(SUM(n * n) OVER tw AS BIGINT) AS sq,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS c
+      FROM h
+      WINDOW tw AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT hour, CAST(n AS BIGINT) AS n_events,
+           CASE WHEN c >= 12 AND (sq * c - s * s) > 0 THEN
+             (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+             / sqrt((CAST(sq AS DOUBLE) * CAST(c AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))
+           END AS z,
+           CASE WHEN c >= 12 AND (sq * c - s * s) > 0 THEN
+             abs((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+                 / sqrt((CAST(sq AS DOUBLE) * CAST(c AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) > 3.0
+           ELSE FALSE END AS is_anomaly
+    FROM w
+    """,
+    tags=("extension", "analytics", "anomaly"),
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: each hour's count z-scored against
+    the TRAILING 24 full hours (current excluded), flagged at |z| > 3 —
+    the ops-monitoring query every event pipeline runs. Hash-exact by
+    integer algebra: the trailing window aggregates are exact BIGINT
+    sums (Σn, Σn², count) and the mean/variance/z come out as a fixed
+    chain of IEEE divides and one correctly-rounded sqrt — no windowed
+    double accumulation anywhere. Warm-up hours (<12 trailing points)
+    and zero-variance windows emit NULL z / false flag. Scale: one
+    hour-keyed aggregate (map-side combined), then a window over the
+    |hours| rows — dimension-sized, not event-sized."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tw = (
+        Window.orderBy("hour").rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "hour",
+        "n",
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("sq"),
+        F.count(F.lit(1)).over(tw).alias("c"),
+    )
+    nd = F.col("n").cast("double")
+    sd, sqd, cd = (
+        F.col("s").cast("double"),
+        F.col("sq").cast("double"),
+        F.col("c").cast("double"),
+    )
+    ok = (F.col("c") >= 12) & ((F.col("sq") * F.col("c") - F.col("s") * F.col("s")) > 0)
+    z = (nd - sd / cd) / F.sqrt((sqd * cd - sd * sd) / (cd * cd))
+    return w.select(
+        "hour",
+        F.col("n").alias("n_events"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > 3.0).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

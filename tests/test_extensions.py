@@ -1344,3 +1344,67 @@ def test_ivfpq_index_persist_and_search(spark, sf_oracle, tmp_path):
     import re
 
     assert re.search(r"PartitionFilters: \[cell#\d+ IN", plan), plan[:2000]
+
+
+def test_text_clean_strips_invisibles(spark):
+    """Planted control chars and zero-width code points are removed,
+    whitespace collapses, counts are exact, and clean text is a no-op
+    fixed point (idempotent)."""
+    from spacex_data_pipeline_spark.queries import REGISTRY, _t  # noqa: F401
+
+    rows = [
+        (0, "hello​world\x07 and‍ more﻿"),
+        (1, "  already   spaced  "),
+        (2, "clean text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import spacex_data_pipeline_spark.queries as Q
+
+    fn = Q.REGISTRY["text_clean_docs"].fn
+    import unittest.mock as um
+
+    with um.patch.object(Q, "_t", lambda s, d, n: docs):
+        got = {r.doc_id: r for r in fn(spark, "ignored").collect()}
+    assert got[0].text_clean == "helloworld and more"
+    assert got[0].n_chars_removed == 4 and got[0].changed
+    assert got[1].text_clean == "already spaced" and got[1].changed
+    assert got[1].n_chars_removed == 0
+    assert got[2].text_clean == "clean text" and not got[2].changed
+
+    again = spark.createDataFrame(
+        [(i, got[i].text_clean) for i in range(3)], "doc_id long, text string"
+    )
+    with um.patch.object(Q, "_t", lambda s, d, n: again):
+        rep = {r.doc_id: r for r in fn(spark, "ignored").collect()}
+    for i in range(3):
+        assert not rep[i].changed
+
+
+def test_event_rate_anomaly_detects_planted_spike(spark):
+    """A synthetic steady stream with one 20x-spike hour: the spike is
+    the ONLY anomaly; warm-up hours carry NULL z."""
+    import datetime as dt
+
+    import spacex_data_pipeline_spark.queries as Q
+    import unittest.mock as um
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(48):
+        n = 200 if h == 40 else (10 + (h % 3))  # mild variation, one spike
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 1, "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with um.patch.object(Q, "_t", lambda s, d, n: ev):
+        got = sorted(
+            Q.REGISTRY["event_rate_anomalies"].fn(spark, "x").collect(),
+            key=lambda r: r.hour,
+        )
+    flagged = [r.hour.hour + 24 * (r.hour.day - 1) for r in got if r.is_anomaly]
+    assert flagged == [40]
+    assert all(r.z is None for r in got[:12])  # warm-up
+    assert got[40].z > 3.0

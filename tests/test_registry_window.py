@@ -33,6 +33,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "event_transition_matrix",
     "user_retention_cohorts",
     "dedup_span_rates_by_source",
+    "text_clean_docs",
+    "event_rate_anomalies",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
