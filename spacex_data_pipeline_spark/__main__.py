@@ -114,6 +114,15 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "the normalized token stream); docs emptied by surgery are "
         "dropped",
     )
+    pp.add_argument(
+        "--typicality-tail-pct",
+        type=float,
+        default=None,
+        metavar="P",
+        help="drop the P%% least corpus-typical docs by the trigram-LM "
+        "score (the CCNet tail cut); the cutoff is a percentile of the "
+        "post-dedup corpus",
+    )
 
     sub.add_parser("list-queries", help="list registered query names")
 
@@ -259,6 +268,25 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 kept = kept.drop("text").join(
                     sd.select("doc_id", F.col("text_dedup").alias("text")),
                     "doc_id",
+                )
+            if args.typicality_tail_pct is not None:
+                # CCNet-style LM tail cut, scored on the post-dedup text
+                # (the text that would actually train). GK-sketch cutoff
+                # is the audit-run shape; it rides as a broadcast 1-row
+                # aggregate, no driver-side collect.
+                from .operators.text import trigram_typicality
+
+                typ = trigram_typicality(kept).select("doc_id", "typicality")
+                cut = typ.agg(
+                    F.percentile_approx(
+                        "typicality", args.typicality_tail_pct / 100.0
+                    ).alias("__cut")
+                )
+                kept = (
+                    kept.join(typ, "doc_id")
+                    .crossJoin(F.broadcast(cut))
+                    .filter(F.col("typicality") >= F.col("__cut"))
+                    .drop("typicality", "__cut")
                 )
             flags = contamination_flags(kept, bench, k=5)
             clean = kept.join(

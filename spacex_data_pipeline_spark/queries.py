@@ -6257,6 +6257,77 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_trigram_typicality_by_lang",
+    oracle="""
+    WITH b AS (SELECT doc_id, lang,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+               FROM documents),
+    o AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, length(s) - 1),
+                                       i -> substr(s, i, 3))) AS tri
+          FROM b),
+    tf AS (SELECT doc_id, lang, tri, COUNT(*) AS tf FROM o GROUP BY 1, 2, 3),
+    m AS (SELECT lang, tri, COUNT(*) AS c FROM o GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tt FROM m GROUP BY lang),
+    nd AS (SELECT tf.doc_id, tf.lang,
+                  CAST(SUM(tf.tf * m.c) AS BIGINT) AS num,
+                  CAST(SUM(tf.tf) AS BIGINT) AS n_tri
+           FROM tf JOIN m ON m.lang = tf.lang AND m.tri = tf.tri
+           GROUP BY tf.doc_id, tf.lang)
+    SELECT b.doc_id, b.lang,
+           CAST(COALESCE(nd.n_tri, 0) AS INT) AS n_trigrams,
+           CAST(nd.num AS DOUBLE)
+             / (CAST(t.tt AS DOUBLE) * CAST(nd.n_tri AS DOUBLE)) AS typicality
+    FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id
+           LEFT JOIN t ON t.lang = b.lang
+    """,
+    tags=("extension", "text", "quality"),
+)
+def text_trigram_typicality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE trigram typicality — each doc scored against its own
+    language's corpus model, the actual CCNet arrangement (a global
+    model penalizes minority languages as 'atypical'; per-language
+    models measure quality within each). Same integer-sum exactness;
+    the model key gains lang, the scoring join is still a broadcast
+    (Σ per-lang trigram vocabularies stay bounded by |langs|·|charset|³)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.hashing import normalize_text
+    from .operators.text import char_trigrams
+
+    norm = docs.select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("__s")
+    )
+    occ = norm.select(
+        "doc_id", "lang", F.explode(char_trigrams(F.col("__s"))).alias("tri")
+    )
+    tf = occ.groupBy("doc_id", "lang", "tri").agg(F.count(F.lit(1)).alias("tf"))
+    model = occ.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    tot = model.groupBy("lang").agg(F.sum("c").alias("tt"))
+    per_doc = (
+        tf.join(F.broadcast(model), ["lang", "tri"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("c")).alias("__num"),
+            F.sum("tf").alias("__ntri"),
+        )
+    )
+    return (
+        norm.select("doc_id", "lang")
+        .join(per_doc.select("doc_id", "__num", "__ntri"), "doc_id", "left")
+        .join(F.broadcast(tot), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("__ntri", F.lit(0)).cast("int").alias("n_trigrams"),
+            (
+                F.col("__num").cast("double")
+                / (F.col("tt").cast("double") * F.col("__ntri").cast("double"))
+            ).alias("typicality"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -200,3 +200,33 @@ def test_cli_prep_training_span_dedup_flag(spark, sf_oracle, tmp_path):
 
     again = duplicate_ngram_spans(back.select("doc_id", "text"), n=8)
     assert again.filter(F.col("n_dup_grams") > 0).count() == 0
+
+
+def test_cli_prep_training_typicality_tail_cut(spark, sf_oracle, tmp_path):
+    """--typicality-tail-pct 20 drops roughly the bottom fifth of docs
+    by trigram-LM typicality: shard count shrinks vs the no-cut run,
+    and every surviving doc scores at or above every dropped doc's
+    score ceiling (the cut is a clean threshold, not a sample)."""
+    base_out = str(tmp_path / "t_base")
+    cut_out = str(tmp_path / "t_cut")
+    assert main(["prep-training", "--sf-dir", sf_oracle, "--out", base_out,
+                 "--shards", "2"], _spark=spark) == 0
+    assert main(["prep-training", "--sf-dir", sf_oracle, "--out", cut_out,
+                 "--shards", "2", "--typicality-tail-pct", "20"],
+                _spark=spark) == 0
+    base = spark.read.parquet(base_out)
+    cut = spark.read.parquet(cut_out)
+    n_base, n_cut = base.count(), cut.count()
+    assert n_cut < n_base
+    assert n_cut >= int(n_base * 0.7)  # ~20% cut, GK-sketch slack
+    kept_ids = {r.doc_id for r in cut.select("doc_id").collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    assert kept_ids <= base_ids
+    from spacex_data_pipeline_spark.operators.text import trigram_typicality
+
+    scores = {
+        r.doc_id: r.typicality
+        for r in trigram_typicality(base.select("doc_id", "text")).collect()
+    }
+    dropped = base_ids - kept_ids
+    assert max(scores[d] for d in dropped) <= min(scores[s] for s in kept_ids)

@@ -35,6 +35,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "dedup_span_rates_by_source",
     "text_clean_docs",
     "event_rate_anomalies",
+    "text_trigram_typicality_by_lang",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
