@@ -420,6 +420,7 @@ def bm25_topk(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """BM25 top-k retrieval over the corpus: each query is the first
     ``n_query_terms`` distinct terms (by first occurrence) of a query
@@ -450,13 +451,24 @@ def bm25_topk(
     no corpus-sized single-reducer window survives (the
     contrastive_pairs_embeddings discipline; total order ⇒ identical to
     the direct rank, which is what the oracle runs).
+
+    The tf table is referenced by FOUR branches (df, dl, total-mass,
+    matching) — the single-materialization rule (dedup.py): it is
+    checkpointed once via ``checkpoint`` ("local" default | "reliable"
+    | "persist" | "none" to keep the plan fully lazy), so the corpus is
+    tokenized once, not four times. In production the tf/df/dl tables
+    ARE the stored inverted index, built once per corpus snapshot.
     """
     from pyspark.sql import Window
+
+    from .dedup import materialize
 
     toks = _with_tokens(docs, id_col, text_col).select(
         F.col(id_col), F.posexplode("__toks").alias("pos", "term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if checkpoint != "none":
+        tf = materialize(tf, checkpoint)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N over ALL docs (incl. token-less ones); total token mass from tf —
     # both ride as a broadcast 1-row aggregate, no driver-side collect.
@@ -533,6 +545,7 @@ def trigram_typicality(
     text_col: str = "text",
     keep: tuple[str, ...] = (),
     with_sums: bool = False,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Corpus-LM quality proxy (the CCNet idea — score every document by
     a language model of the corpus and filter the tail): a character
@@ -573,7 +586,15 @@ def trigram_typicality(
     )
     occ = norm.select(F.col(id_col), F.explode(char_trigrams(F.col("__s"))).alias("tri"))
     tf = occ.groupBy(id_col, "tri").agg(F.count(F.lit(1)).alias("tf"))
-    model = occ.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    # The model and total derive from tf (Σ tf per trigram == occurrence
+    # count), and tf feeds the scoring join too — so tf is the one
+    # corpus-pass product, materialized once (the single-materialization
+    # rule; "none" keeps the plan fully lazy).
+    if checkpoint != "none":
+        from .dedup import materialize
+
+        tf = materialize(tf, checkpoint)
+    model = tf.groupBy("tri").agg(F.sum("tf").alias("c"))
     tot = model.agg(F.sum("c").alias("__tt"))
     per_doc = (
         tf.join(F.broadcast(model), "tri")
