@@ -286,6 +286,7 @@ def duplicate_ngram_spans(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Substring-level exact-duplicate statistics: for every document,
     how much of it is covered by token n-grams that occur MORE THAN ONCE
@@ -310,7 +311,9 @@ def duplicate_ngram_spans(
     gram) and distincts on (doc, position) — a doc-keyed shuffle
     bounded by n·dup_occurrences, not corpus size. The oracle groups on
     gram TEXT — identical modulo 64-bit collisions (the line-dedup
-    argument, ~2^-64 at any real corpus)."""
+    argument, ~2^-64 at any real corpus). The gram table feeds both the
+    count aggregate and the dup-flag join — single-materialization rule
+    (``checkpoint``: local | reliable | persist | none)."""
     from ..functions.numeric import pct_rate
     from .text import tokens
 
@@ -328,6 +331,8 @@ def duplicate_ngram_spans(
             *[F.element_at(F.col("__toks"), F.col("start") + j) for j in range(n)]
         ).alias("h"),
     )
+    if checkpoint != "none":
+        grams = materialize(grams, checkpoint)
     cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup = grams.join(cnt.filter(F.col("c") > 1).select("h"), "h")
     ndup = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
@@ -366,6 +371,7 @@ def duplicate_span_docs(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Exact-substring dedup SURGERY (the removal pass
     duplicate_ngram_spans budgets for): every corpus-duplicated token
@@ -405,6 +411,8 @@ def duplicate_span_docs(
             *[F.element_at(F.col("__toks"), F.col("start") + j) for j in range(n)]
         ).alias("h"),
     )
+    if checkpoint != "none":
+        grams = materialize(grams, checkpoint)
     stats = grams.groupBy("h").agg(
         F.count(F.lit(1)).alias("c"),
         F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))).alias(

@@ -6301,8 +6301,14 @@ def text_trigram_typicality_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     occ = norm.select(
         "doc_id", "lang", F.explode(char_trigrams(F.col("__s"))).alias("tri")
     )
-    tf = occ.groupBy("doc_id", "lang", "tri").agg(F.count(F.lit(1)).alias("tf"))
-    model = occ.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    from .operators.dedup import materialize
+
+    # one corpus pass: model and totals derive from the materialized tf
+    # (Σ tf per (lang, tri) == occurrence count) — text.py's rule
+    tf = materialize(
+        occ.groupBy("doc_id", "lang", "tri").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = tf.groupBy("lang", "tri").agg(F.sum("tf").alias("c"))
     tot = model.groupBy("lang").agg(F.sum("c").alias("tt"))
     per_doc = (
         tf.join(F.broadcast(model), ["lang", "tri"])
