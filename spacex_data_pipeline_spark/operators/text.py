@@ -899,6 +899,143 @@ def bigram_collocations(
     )
 
 
+def word_vocab(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(word, wcount)`` type table of the corpus's whitespace tokens.
+
+    The BPE-training substrate: the ONE corpus-sized shuffle happens
+    here (token explode + groupBy with map-side partials); everything
+    downstream — pair mining, merge learning — runs over the TYPE table,
+    which Heaps' law keeps orders of magnitude smaller than the corpus
+    (this is exactly how production BPE trainers scale: count words
+    once, then iterate on the weighted vocabulary)."""
+    t = _with_tokens(docs, id_col, text_col)
+    return (
+        t.select(F.explode("__toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def bpe_pair_counts(
+    vocab: DataFrame, word_col: str = "word", count_col: str = "wcount"
+) -> DataFrame:
+    """Adjacent character-pair statistics over a weighted vocabulary —
+    the argmax candidate table of BPE's first merge iteration:
+    ``pair_count`` = corpus occurrences (Σ wcount over every adjacent
+    position, overlapping occurrences counted as BPE trainers do) and
+    ``n_words`` = distinct word types containing the pair.
+
+    Scale: runs over the TYPE table (see word_vocab) — the explode is
+    |vocab| × avg_word_len rows of 2-char strings, the aggregate is
+    alphabet²-sized after map-side partials. Zero Python; substring and
+    sequence are codegen'd expressions."""
+    w, c = F.col(word_col), F.col(count_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: F.substring(w, i, F.lit(2)),
+    )
+    return (
+        vocab.filter(F.length(w) >= 2)
+        .select(w.alias("__word"), c.alias("__wc"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.sum("__wc").alias("pair_count"),
+            F.count_distinct(F.col("__word")).alias("n_words"),
+        )
+    )
+
+
+def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
+    """Left-to-right single-pass merge of adjacent (left, right) symbol
+    occurrences in a symbol array — the BPE apply step as a pure fold
+    (``aggregate``), matching the reference trainer's greedy scan:
+    in 'aaa' with pair (a,a) the first two symbols merge and the third
+    survives alone."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn_merges(
+    vocab: DataFrame,
+    n_merges: int = 10,
+    word_col: str = "word",
+    count_col: str = "wcount",
+    checkpoint: str = "local",
+) -> list[tuple[int, str, str, int]]:
+    """Greedy BPE training over a weighted vocabulary: ``n_merges``
+    iterations of (count adjacent symbol pairs) → (merge the argmax
+    pair corpus-wide). Returns ``[(step, left, right, pair_count)]`` —
+    the learned merge table, in order.
+
+    Distribution contract: each iteration is ONE aggregation over the
+    type table (pair, Σwcount) plus a narrow map applying the merge —
+    the corpus itself is never touched after word_vocab. The argmax is
+    the sanctioned driver-side scalar per iteration (exactly the
+    k-means-inertia pattern, similarity.py): one 4-field row collected
+    per merge, deterministic via the (count DESC, left, right) total
+    order. The evolving symbol table is re-materialized each step
+    (strategy knob, operators/dedup.materialize) so step k+1's scan
+    does not replay steps 1..k's folds.
+
+    Pair counting counts overlapping occurrences (standard trainer
+    behavior); the apply step merges left-to-right non-overlapping
+    (_merge_pair), so 'aaa' contributes 2 to (a,a)'s count but yields
+    ['aa','a'] after the merge — property-tested against a pure-Python
+    reference model in tests/test_properties.py."""
+    from .dedup import materialize
+
+    w = F.col(word_col)
+    syms = vocab.filter(F.length(w) >= 1).select(
+        F.col(count_col).alias("__wc"),
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.substring(w, i, F.lit(1)),
+        ).alias("__syms"),
+    )
+    syms = materialize(syms, checkpoint)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        s = F.col("__syms")
+        adj = F.zip_with(
+            F.slice(s, 1, F.size(s) - 1),
+            F.slice(s, 2, F.size(s) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            syms.filter(F.size(s) >= 2)
+            .select(F.col("__wc"), F.explode(adj).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("__wc").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, count = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step, left, right, count))
+        syms = materialize(
+            syms.select(
+                "__wc", _merge_pair(s, F.lit(left), F.lit(right)).alias("__syms")
+            ),
+            checkpoint,
+        )
+    return merges
+
+
 def length_bucketed_batches(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -6334,6 +6334,40 @@ def text_trigram_typicality_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH t AS (SELECT __TOKS__ AS toks FROM documents),
+    v AS (SELECT word, COUNT(*) AS wcount
+          FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+    p AS (SELECT word, wcount,
+                 unnest(list_transform(range(1, length(word)),
+                                       i -> substring(word, i, 2))) AS pair
+          FROM v WHERE length(word) >= 2)
+    SELECT pair,
+           CAST(SUM(wcount) AS BIGINT)        AS pair_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM p GROUP BY 1
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "tokenizer"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration one: the top-50 adjacent character pairs
+    by corpus occurrence — the argmax candidates the first merge would
+    choose from. The corpus collapses to the weighted TYPE table first
+    (text.word_vocab — one corpus shuffle), then pair mining runs over
+    the vocabulary (Heaps-law-sized); the full greedy trainer
+    (text.bpe_learn_merges) iterates this exact aggregate per merge and
+    is property-tested against a pure-Python reference model."""
+    from .operators.text import bpe_pair_counts, word_vocab
+
+    pairs = bpe_pair_counts(word_vocab(_t(spark, sf_dir, "documents")))
+    return relational.topk(
+        pairs, [F.col("pair_count").desc(), F.col("pair").asc()], 50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1408,3 +1408,40 @@ def test_event_rate_anomaly_detects_planted_spike(spark):
     assert flagged == [40]
     assert all(r.z is None for r in got[:12])  # warm-up
     assert got[40].z > 3.0
+
+
+def test_bpe_pair_counts_overlap_and_weights(spark):
+    """'aaa' contributes TWO (aa) occurrences (trainer-style overlap
+    counting), counts are weighted by word frequency, and 1-char words
+    contribute nothing."""
+    from spacex_data_pipeline_spark.operators.text import bpe_pair_counts
+
+    vocab = spark.createDataFrame(
+        [("aaa", 5), ("ab", 3), ("a", 100)], "word string, wcount int"
+    )
+    got = {r.pair: (r.pair_count, r.n_words) for r in bpe_pair_counts(vocab).collect()}
+    assert got == {"aa": (10, 1), "ab": (3, 1)}
+
+
+def test_bpe_learn_merges_greedy_sequence(spark):
+    """On a corpus where 'ab' dominates, the first merge is (a,b); the
+    second operates on the MERGED symbols (so ('ab','c') can win) — the
+    defining property separating BPE from one-shot pair mining."""
+    from spacex_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    vocab = spark.createDataFrame(
+        [("abc", 10), ("abd", 8), ("xy", 1)], "word string, wcount int"
+    )
+    merges = bpe_learn_merges(vocab, n_merges=3)
+    assert merges[0] == (1, "a", "b", 18)
+    assert merges[1] == (2, "ab", "c", 10)
+    assert merges[2] == (3, "ab", "d", 8)
+
+
+def test_bpe_learn_merges_stops_when_dry(spark):
+    """Single-symbol vocabulary: no adjacent pairs, the loop exits
+    early instead of emitting degenerate merges."""
+    from spacex_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    vocab = spark.createDataFrame([("a", 4), ("b", 2)], "word string, wcount int")
+    assert bpe_learn_merges(vocab, n_merges=5) == []

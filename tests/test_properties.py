@@ -437,3 +437,54 @@ def test_bm25_matches_python_reference(texts):
     for rk, (i, s) in enumerate(ranked, 1):
         want[(0, i)] = (rk, s)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    counts=st.lists(st.integers(min_value=1, max_value=9), min_size=12, max_size=12),
+)
+def test_bpe_learn_merges_match_python_reference(words, counts):
+    """For ANY weighted vocabulary: the distributed greedy BPE trainer
+    emits the same merge table as a direct Python model (overlap-counted
+    pair statistics, left-to-right non-overlapping apply, argmax by
+    (count DESC, left, right)) — including the tie-break and the
+    merged-symbol cascade across steps."""
+    from spacex_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    spark = _get_spark()
+    vocab_map: dict[str, int] = {}
+    for w, c in zip(words, counts):
+        vocab_map[w] = vocab_map.get(w, 0) + c
+
+    # python reference model
+    vocab = [(list(w), c) for w, c in vocab_map.items()]
+    expected = []
+    for step in range(1, 4):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, left, right, c))
+        nxt = []
+        for syms, wc in vocab:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            nxt.append((out, wc))
+        vocab = nxt
+
+    df = spark.createDataFrame(
+        list(vocab_map.items()), "word string, wcount int"
+    )
+    assert bpe_learn_merges(df, n_merges=3) == expected

@@ -36,6 +36,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "text_clean_docs",
     "event_rate_anomalies",
     "text_trigram_typicality_by_lang",
+    "bpe_merge_candidates",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
