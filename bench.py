@@ -95,6 +95,8 @@ EXTENDED = [
     "hybrid_retrieval_rrf",
     "dedup_span_docs",
     "user_retention_cohorts",
+    "bpe_merge_candidates",
+    "er_fuzzy_pairs_customers",
 ]
 
 

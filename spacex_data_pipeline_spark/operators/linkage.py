@@ -1,0 +1,107 @@
+"""Entity resolution / record linkage (driver north-star extension).
+
+Fuzzy-matching near-identical entity records (names with typos, OCR
+noise, inconsistent keying) without an all-pairs comparison — the
+classic blocking-then-verify shape:
+
+1. **Block** on positional q-grams: every record emits its character
+   q-grams tagged with their position (``gram:pos`` keys). Two strings
+   within substitution distance d share at least ``L − q + 1 − q·d``
+   positional q-grams (each substitution destroys at most q grams), so
+   candidate generation by equi-join on the gram key has guaranteed
+   recall for substitution-type edits; insertions/deletions shift
+   positions and rely on the surviving prefix grams (documented, not
+   guaranteed — raise ``q``-gram position tolerance by matching on
+   unpositioned grams if that matters for a corpus).
+2. **Cap** hot gram keys (the dedup family's ``max_shingle_df`` move,
+   dedup.py): a gram shared by D records would emit D² candidate rows —
+   constant prefixes ("Customer#") are exactly this shape. Keys above
+   ``max_gram_df`` are dropped via a broadcast anti-join on the
+   aggregated hot-key list; the quadratic term is bounded by
+   ``max_gram_df²`` per key.
+3. **Verify** with a THRESHOLD-BOUNDED Levenshtein: Spark's
+   ``levenshtein(l, r, threshold)`` abandons a pair the moment the
+   banded DP exceeds the bound (O(d·L) per pair instead of O(L²)),
+   returning −1 — the verify step never pays full edit-distance cost on
+   the non-matches that dominate candidates.
+
+Scale: one corpus-sized gram explode (narrow), one shuffle on the gram
+key for candidates, one shuffle on record key to re-attach names. No
+cartesian anywhere (plan-asserted registry-wide). All JVM expressions —
+zero Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def positional_qgram_keys(name: Column, q: int = 3) -> Column:
+    """``gram:pos`` blocking keys of a string (empty array if shorter
+    than q). Positions are 1-based so the SQL twin is ``substring``-
+    compatible in both engines."""
+    n = F.length(name)
+    return F.when(
+        n >= q,
+        F.transform(
+            F.sequence(F.lit(1), n - q + 1),
+            lambda i: F.concat_ws(":", F.substring(name, i, F.lit(q)), i.cast("string")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def blocked_fuzzy_pairs(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    q: int = 3,
+    max_dist: int = 2,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """Matched record pairs ``(a_key, b_key, a_name, b_name, dist)``
+    with ``levenshtein(a_name, b_name) ≤ max_dist``, found via
+    positional q-gram blocking (module docstring). Names are compared
+    lowercased/trimmed; ``a_key < b_key`` canonicalizes pair order."""
+    nm = F.trim(F.lower(F.col(name_col)))
+    names = records.select(F.col(key_col).alias("k"), nm.alias("nm"))
+    grams = names.select(
+        "k", F.explode(positional_qgram_keys(F.col("nm"), q)).alias("gk")
+    )
+    hot = (
+        grams.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_gram_df)
+        .select("gk")
+    )
+    cold = grams.join(F.broadcast(hot), "gk", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gk") == F.col("b.gk")) & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("a_key"), F.col("b.k").alias("b_key"))
+        .distinct()
+    )
+    an = names.select(F.col("k").alias("a_key"), F.col("nm").alias("a_name"))
+    bn = names.select(F.col("k").alias("b_key"), F.col("nm").alias("b_name"))
+    dist = F.levenshtein(F.col("a_name"), F.col("b_name"), max_dist)
+    return (
+        cand.join(an, "a_key")
+        .join(bn, "b_key")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("a_key", "b_key", "a_name", "b_name", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_match_stats(pairs: DataFrame) -> DataFrame:
+    """Per-distance rollup of a matched-pair table: pair count and the
+    number of distinct entities involved at each edit distance — the
+    triage report run before committing to a merge of fuzzy clusters."""
+    ents = pairs.select(
+        "dist", F.explode(F.array("a_key", "b_key")).alias("k")
+    )
+    n_pairs = pairs.groupBy("dist").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_ents = ents.groupBy("dist").agg(
+        F.count_distinct(F.col("k")).alias("n_entities")
+    )
+    return n_pairs.join(n_ents, "dist").orderBy("dist")

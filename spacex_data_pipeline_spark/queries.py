@@ -6368,6 +6368,80 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ER_CAND_SQL = """
+    n AS (SELECT c_custkey AS k, trim(lower(c_name)) AS nm FROM customer),
+    g AS (SELECT k, unnest(list_transform(range(1, length(nm) - 1),
+              i -> substring(nm, i, 3) || ':' || CAST(i AS VARCHAR))) AS gk
+          FROM n WHERE length(nm) >= 3),
+    hot AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(*) > 100),
+    cold AS (SELECT g.k, g.gk FROM g WHERE gk NOT IN (SELECT gk FROM hot)),
+    cand AS (SELECT DISTINCT a.k AS a_key, b.k AS b_key
+             FROM cold a JOIN cold b ON a.gk = b.gk AND a.k < b.k),
+    v AS (SELECT a_key, b_key, an.nm AS a_name, bn.nm AS b_name,
+                 levenshtein(an.nm, bn.nm) AS d
+          FROM cand JOIN n an ON an.k = a_key JOIN n bn ON bn.k = b_key)
+"""
+
+
+@register(
+    "er_fuzzy_pairs_customers",
+    oracle=f"""
+    WITH {_ER_CAND_SQL}
+    SELECT a_key, b_key, a_name, b_name, CAST(d AS INT) AS dist
+    FROM v WHERE d <= 2
+    ORDER BY dist, a_key, b_key LIMIT 100
+    """,
+    tags=("extension", "linkage"),
+)
+def er_fuzzy_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer names: positional-q-gram-blocked
+    candidate pairs verified with a threshold-bounded Levenshtein
+    (operators/linkage.py). The constant 'customer#' prefix is exactly
+    the hot-gram shape the df cap exists for — its gram keys (df =
+    |customers|) are dropped before the self-join, so candidates come
+    only from the discriminating digit-region grams."""
+    from .operators.linkage import blocked_fuzzy_pairs
+
+    pairs = blocked_fuzzy_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+    return relational.topk(
+        pairs,
+        [F.col("dist").asc(), F.col("a_key").asc(), F.col("b_key").asc()],
+        100,
+    )
+
+
+@register(
+    "er_fuzzy_match_stats",
+    oracle=f"""
+    WITH {_ER_CAND_SQL},
+    m AS (SELECT * FROM v WHERE d <= 2),
+    e AS (SELECT d, unnest([a_key, b_key]) AS k FROM m)
+    SELECT CAST(m.d AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT k) FROM e WHERE e.d = m.d) AS BIGINT)
+             AS n_entities
+    FROM m GROUP BY m.d ORDER BY 1
+    """,
+    tags=("extension", "linkage"),
+)
+def er_fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edit-distance rollup of the fuzzy-match table (pair count +
+    distinct entities involved) — the triage report before merging
+    fuzzy clusters into golden records."""
+    from .operators.linkage import blocked_fuzzy_pairs, fuzzy_match_stats
+
+    pairs = blocked_fuzzy_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+    return fuzzy_match_stats(pairs).select(
+        F.col("dist"),
+        F.col("n_pairs"),
+        F.col("n_entities"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

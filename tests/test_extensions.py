@@ -1445,3 +1445,45 @@ def test_bpe_learn_merges_stops_when_dry(spark):
 
     vocab = spark.createDataFrame([("a", 4), ("b", 2)], "word string, wcount int")
     assert bpe_learn_merges(vocab, n_merges=5) == []
+
+
+def test_blocked_fuzzy_pairs_finds_planted_typos(spark):
+    """Substitution and single-insertion typos within the edit bound
+    are matched; unrelated names and over-the-bound names are not;
+    names are compared case-insensitively and pair order is canonical
+    (a_key < b_key)."""
+    from spacex_data_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "Jonathan Smith"),
+            (2, "Jonathan Smyth"),      # 1 substitution
+            (3, "JONATHAN SMITH"),      # case-only -> dist 0
+            (4, "Jonathans Smith"),     # 1 insertion (prefix grams align)
+            (5, "Gertrude Blanchard"),  # unrelated
+            (6, "Jon Smith"),           # 6 deletions: over the bound
+        ],
+        "k long, name string",
+    )
+    got = {
+        (r.a_key, r.b_key): r.dist
+        for r in blocked_fuzzy_pairs(recs, "k", "name", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1, (1, 4): 1, (2, 4): 2, (3, 4): 1}
+
+
+def test_blocked_fuzzy_pairs_hot_gram_cap_bounds_candidates(spark):
+    """A gram key shared by more records than max_gram_df is dropped
+    from blocking: identical names in a corpus-wide boilerplate block
+    produce NO pairs once every discriminating gram is hot — the
+    D² safeguard, at the cost of recall on records whose only shared
+    grams are hot (documented)."""
+    from spacex_data_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    recs = spark.createDataFrame(
+        [(i, "aaaaaa") for i in range(12)], "k long, name string"
+    )
+    assert blocked_fuzzy_pairs(recs, "k", "name", max_gram_df=5).count() == 0
+    # under the cap the same corpus matches all-pairs at dist 0
+    n = blocked_fuzzy_pairs(recs, "k", "name", max_gram_df=50).count()
+    assert n == 12 * 11 // 2

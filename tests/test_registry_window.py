@@ -37,6 +37,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "event_rate_anomalies",
     "text_trigram_typicality_by_lang",
     "bpe_merge_candidates",
+    "er_fuzzy_pairs_customers",
+    "er_fuzzy_match_stats",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
