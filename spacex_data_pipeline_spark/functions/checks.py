@@ -144,3 +144,78 @@ def check_results(df: DataFrame, checks: list[Check]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def key_skew_report(df: DataFrame, *key_cols: str) -> DataFrame:
+    """One-row skew diagnosis of a prospective join/aggregation key —
+    the measurement run BEFORE choosing between a plain shuffle join,
+    `relational.salted_join`, and AQE skew handling:
+
+    - ``n_rows`` / ``n_keys`` / ``avg_freq`` (one IEEE divide),
+    - ``max_freq`` and ``skew_ratio`` = max/avg (a balanced key has
+      ratio ≈ 1; a ratio of R means the hottest reducer does R× the
+      average task's work — the straggler multiplier),
+    - ``n_hot_keys``: keys with > 10× the average frequency (the
+      salting candidate list's size),
+    - ``null_rows``: rows with any null key component (they all hash to
+      ONE reducer in a shuffle join — the classic invisible hot key).
+
+    Cost: one shuffle on the key (map-side partial counts), then a
+    single-row aggregate over the |keys|-sized count table. The double
+    compare ``freq > 10.0·n_rows/n_keys`` deliberately avoids the
+    integer product (freq·n_keys overflows BIGINT at petabyte row
+    counts); both factors are exact-rounded IEEE ops, engine-stable."""
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__freq"),
+    )
+    null_any = F.lit(False)
+    for c in key_cols:
+        null_any = null_any | F.col(c).isNull()
+    nulls = df.select(
+        F.sum(F.when(null_any, F.lit(1)).otherwise(F.lit(0))).alias("null_rows")
+    )
+    summary = counts.agg(
+        F.sum("__freq").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__freq").alias("max_freq"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    hot = counts.crossJoin(F.broadcast(summary)).filter(
+        F.col("__freq").cast("double") > F.lit(10.0) * avg
+    ).agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    return (
+        summary.crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(nulls))
+        .select(
+            "n_rows",
+            "n_keys",
+            F.col("max_freq").cast("long").alias("max_freq"),
+            avg.alias("avg_freq"),
+            (F.col("max_freq").cast("double") / avg).alias("skew_ratio"),
+            "n_hot_keys",
+            F.coalesce(F.col("null_rows"), F.lit(0)).cast("long").alias("null_rows"),
+        )
+    )
+
+
+def heavy_hitters(df: DataFrame, *key_cols: str, k: int = 20) -> DataFrame:
+    """Top-k hottest key values with their row share — the concrete
+    hot-key list a salting or filter decision acts on. One shuffle on
+    the key; the top-k is a TakeOrderedAndProject (per-partition heap,
+    k-row driver merge), never a global sort."""
+    from ..operators.relational import topk
+    from .numeric import pct_rate
+
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    total = counts.agg(F.sum("freq").alias("__t"))
+    ranked = topk(
+        counts, [F.col("freq").desc(), *[F.col(c).asc() for c in key_cols]], k
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "freq",
+        pct_rate(F.col("freq"), F.col("__t")).alias("share_pct"),
+    )

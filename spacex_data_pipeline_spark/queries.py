@@ -6442,6 +6442,58 @@ def er_fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "key_skew_report_events",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS freq FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_keys,
+                 CAST(MAX(freq) AS BIGINT) AS max_freq FROM c),
+    h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_keys FROM c, s
+          WHERE CAST(freq AS DOUBLE)
+                > 10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)),
+    nl AS (SELECT CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS null_rows FROM events)
+    SELECT s.n_rows, s.n_keys, s.max_freq,
+           CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE) AS avg_freq,
+           CAST(s.max_freq AS DOUBLE)
+             / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)) AS skew_ratio,
+           h.n_hot_keys, nl.null_rows
+    FROM s, h, nl
+    """,
+    tags=("extension", "ops"),
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis of events.user_id — the measurement that decides
+    between a plain shuffle join, salted_join, and AQE skew handling
+    (functions/checks.key_skew_report). The 10×-average hot-key count
+    is the size of the salting candidate list; null_rows counts the
+    invisible single-reducer hot key a null join key becomes."""
+    from .functions.checks import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "heavy_hitters_event_users",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS freq FROM events GROUP BY 1),
+    t AS (SELECT SUM(freq) AS tt FROM c)
+    SELECT user_id, CAST(freq AS BIGINT) AS freq,
+           round(100.0 * freq / nullif(tt, 0), 2) AS share_pct
+    FROM c, t ORDER BY freq DESC, user_id LIMIT 20
+    """,
+    tags=("extension", "ops"),
+)
+def heavy_hitters_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 hottest user_ids with row share — the concrete list a
+    salting/filter decision acts on. TakeOrderedAndProject, never a
+    global sort (functions/checks.heavy_hitters)."""
+    from .functions.checks import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1487,3 +1487,30 @@ def test_blocked_fuzzy_pairs_hot_gram_cap_bounds_candidates(spark):
     # under the cap the same corpus matches all-pairs at dist 0
     n = blocked_fuzzy_pairs(recs, "k", "name", max_gram_df=50).count()
     assert n == 12 * 11 // 2
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    """A corpus with one 50x hot key and some null keys: the report's
+    max/avg/hot-key/null accounting is exact."""
+    from spacex_data_pipeline_spark.functions.checks import key_skew_report
+
+    rows = [(1,)] * 100 + [(k,) for k in range(2, 102)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    # the null rows form one key group of their own (they hash to one
+    # reducer in a shuffle — the report counts them as a key AND calls
+    # them out separately)
+    assert (r.n_rows, r.n_keys, r.max_freq) == (205, 102, 100)
+    # avg ~2.0; only key 1 exceeds 10x the average
+    assert r.n_hot_keys == 1
+    assert r.null_rows == 5
+    assert r.skew_ratio == 100 / (205 / 102)
+
+
+def test_heavy_hitters_share_and_order(spark):
+    from spacex_data_pipeline_spark.functions.checks import heavy_hitters
+
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r.k, r.freq, r.share_pct) for r in heavy_hitters(df, "k", k=2).collect()]
+    assert got == [("a", 60, 60.0), ("b", 30, 30.0)]

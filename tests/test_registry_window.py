@@ -39,6 +39,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "bpe_merge_candidates",
     "er_fuzzy_pairs_customers",
     "er_fuzzy_match_stats",
+    "key_skew_report_events",
+    "heavy_hitters_event_users",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
