@@ -192,3 +192,84 @@ def temperature_sample_plan(
         )
         .withColumn("sample_pct", pct_rate(F.col("n_sampled"), F.col("n_docs")))
     )
+
+
+def weighted_priority(
+    key: Column, weight: Column, seed: str = "", max_weight: int = 32
+) -> Column:
+    """Efraimidis–Spirakis (A-ES) sampling priority for INTEGER weights,
+    log- and pow-free: the textbook priority is u^(1/w) (select the
+    top-k priorities ⇒ weighted sampling without replacement), but pow
+    goes through libm and engines disagree in the last ulp. For integer
+    w there is an exact equivalent both engines compute bit-identically:
+    ``max of w independent uniforms`` has CDF x^w — the SAME law as
+    u^(1/w) (P(u^(1/w) ≤ x) = P(u ≤ x^w) = x^w) — so the priority is
+    the max of ``w`` independent 32-bit md5 draws keyed (key, j, seed).
+
+    Per-row cost is O(w) md5s, so weights are clamped to
+    ``max_weight`` (document the clamp where it matters: beyond ~32 the
+    selection probabilities saturate anyway — P ∝ w only holds until
+    near-certain inclusion). Zero shuffle; pure expression."""
+    w = F.least(F.greatest(weight.cast("long"), F.lit(1)), F.lit(max_weight))
+    draw = lambda j: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(":", key.cast("string"), j.cast("string"), F.lit(seed))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(1), w),
+        F.lit(-1).cast("long"),
+        lambda acc, j: F.greatest(acc, draw(j)),
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: str = "ws",
+    n_buckets: int = 32,
+    max_weight: int = 32,
+) -> DataFrame:
+    """Top-k A-ES weighted sample WITHIN each group (weight-proportional,
+    without replacement, deterministic: membership is a pure function of
+    the key — append-stable and engine-reproducible like everything in
+    this module).
+
+    The rank is the exact TWO-LEVEL bucketed top-k (the
+    contrastive-negatives pattern): level 1 ranks within (group,
+    md5-bucket-of-key) and keeps each bucket's top-k, level 2 ranks the
+    ≤ k·n_buckets survivors per group — identical output to a direct
+    per-group window (the global top-k is inside the union of bucket
+    top-ks) with every reducer bounded at ~|group|/n_buckets rows, so
+    one giant source can't pin the job on one task."""
+    prio = weighted_priority(
+        F.col(key), F.col(weight_col), seed, max_weight
+    ).alias("priority")
+    bucket = hash_bucket(F.col(key), seed + ":b", n_buckets)
+    base = df.select(
+        F.col(group_col), F.col(key), F.col(weight_col), prio,
+        bucket.alias("__bkt"),
+    )
+    w1 = Window.partitionBy(group_col, "__bkt").orderBy(
+        F.col("priority").desc(), F.col(key)
+    )
+    lvl1 = (
+        base.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__bkt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col("priority").desc(), F.col(key))
+    return (
+        lvl1.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, key, weight_col, "priority", "sample_rank")
+    )

@@ -6494,6 +6494,56 @@ def heavy_hitters_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=20)
 
 
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id, source,
+           least(32, greatest(CAST(floor(n_chars / 400.0) AS BIGINT), 1)) AS wt
+           FROM documents),
+    p AS (SELECT source, doc_id, wt,
+           list_max(list_transform(range(1, CAST(wt AS INT) + 1),
+             j -> CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR) || ':ws'), 1, 8)) AS UBIGINT) AS BIGINT)))
+             AS priority
+          FROM w),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY priority DESC, doc_id) AS rk
+          FROM p)
+    SELECT source, doc_id, CAST(wt AS INT) AS weight, priority,
+           CAST(rk AS INT) AS sample_rank
+    FROM r WHERE rk <= 50
+    """,
+    tags=("extension", "sampling"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample, 50 docs each, inclusion ∝ a length-
+    derived integer weight (longer docs upweighted, clamped to 32) —
+    A-ES without replacement via the log/pow-free max-of-w-uniforms
+    priority (sampling.weighted_priority: max of w md5 draws has
+    exactly u^(1/w)'s law for integer w, and both engines compute it
+    bit-identically). The per-group top-k is the exact two-level
+    bucketed rank, so no source's sample is a single-reducer sort."""
+    from .operators.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(32), F.greatest(F.floor(F.col("n_chars") / F.lit(400.0)), F.lit(1))
+        ).alias("weight"),
+    )
+    out = weighted_sample_per_group(
+        docs, key="doc_id", weight_col="weight", group_col="source", k=50
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("weight").cast("int").alias("weight"),
+        "priority",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1514,3 +1514,57 @@ def test_heavy_hitters_share_and_order(spark):
     df = spark.createDataFrame(rows, "k string")
     got = [(r.k, r.freq, r.share_pct) for r in heavy_hitters(df, "k", k=2).collect()]
     assert got == [("a", 60, 60.0), ("b", 30, 30.0)]
+
+
+def test_weighted_sample_two_level_equals_direct_rank(spark, sf_oracle):
+    """The bucketed two-level per-group top-k returns EXACTLY the rows
+    and ranks of a direct per-group window over the same priorities."""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.sampling import (
+        weighted_priority,
+        weighted_sample_per_group,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents").select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(32), F.greatest(F.floor(F.col("n_chars") / F.lit(400.0)), F.lit(1))
+        ).alias("weight"),
+    )
+    got = {
+        (r.source, r.doc_id): r.sample_rank
+        for r in weighted_sample_per_group(
+            docs, "doc_id", "weight", "source", k=25
+        ).collect()
+    }
+    direct = docs.withColumn(
+        "priority", weighted_priority(F.col("doc_id"), F.col("weight"), "ws")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
+    want = {
+        (r.source, r.doc_id): r.rk
+        for r in direct.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """A-ES law check: with weights 8 vs 1 and a 200-of-2000 sample,
+    heavy keys should win ~8/9 of the slots (deterministic draw — the
+    band is wide enough to be stable, tight enough to catch a uniform
+    sampler, which would give ~100)."""
+    from spacex_data_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", 8 if i < 1000 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, g string, w int")
+    picked = weighted_sample_per_group(df, "k", "w", "g", k=200).collect()
+    assert len(picked) == 200
+    heavy = sum(1 for r in picked if r.k < 1000)
+    assert 150 <= heavy <= 195  # E[heavy] ≈ 178

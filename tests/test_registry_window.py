@@ -41,6 +41,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "er_fuzzy_match_stats",
     "key_skew_report_events",
     "heavy_hitters_event_users",
+    "weighted_sample_docs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
