@@ -97,6 +97,9 @@ EXTENDED = [
     "user_retention_cohorts",
     "bpe_merge_candidates",
     "er_fuzzy_pairs_customers",
+    "textrank_keywords",
+    "weighted_sample_docs",
+    "key_skew_report_events",
 ]
 
 

@@ -1069,3 +1069,85 @@ def length_bucketed_batches(
         "batch_idx",
         F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
     ).select(id_col, F.col("n_tokens").cast("int").alias("n_tokens"), "bucket", "batch_idx")
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_iter: int = 5,
+    min_len: int = 3,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Corpus-level TextRank keyword scores: PageRank (damping 0.85,
+    ``n_iter`` fixed iterations) over the word co-occurrence graph —
+    nodes are content words (length ≥ ``min_len``, non-stopword),
+    undirected edges are adjacency counts in the filtered token
+    sequence.
+
+    Exactness design: ranks live in SCALED INTEGERS (1.0 ≡ 1_000_000)
+    and every update is integer multiply/divide —
+    ``r' = 150000 + (85·Σ((r·w) div W_u)) div 100`` — so the fixpoint
+    math is BIGINT-exact and bit-identical cross-engine (float PageRank
+    sums are order-dependent; decimal division scale rules differ
+    between engines; integer div agrees everywhere for positives).
+
+    Scale: ONE corpus pass builds the weighted edge list (bigram
+    explode + count — vocabulary²-bounded but co-occurrence-sparse in
+    practice); each iteration is one (src-keyed) join + one (dst-keyed)
+    aggregate over edges, with the rank table materialized per step
+    (the CC-fixpoint discipline, dedup.py) so step k+1 never replays
+    1..k. Returns (word, rank_score, degree)."""
+    from .dedup import materialize
+
+    fw = F.filter(
+        tokens(F.col(text_col)),
+        lambda w: (F.length(w) >= min_len) & ~w.isin(*STOPWORDS),
+    )
+    t = docs.select(fw.alias("__fw"))
+    w_ = F.col("__fw")
+    bi = (
+        t.filter(F.size(w_) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w_) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w_, i).alias("src"),
+                        F.element_at(w_, i + 1).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = bi.union(bi.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ed = und.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    wu = ed.groupBy("src").agg(F.sum("w").alias("wu"))
+    edges = materialize(ed.join(wu, "src"), checkpoint)
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    degree = edges.groupBy(F.col("src").alias("word")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    ranks = nodes.select("word", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["word"])
+            .select(F.col("dst"), F.expr("(r * w) div wu").alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("c"))
+        )
+        ranks = materialize(
+            nodes.join(contrib, nodes["word"] == contrib["dst"], "left")
+            .select(
+                "word",
+                F.expr(
+                    "150000 + ((85 * coalesce(c, 0L)) div 100)"
+                ).alias("r"),
+            ),
+            checkpoint,
+        )
+    return ranks.join(degree, "word").select(
+        "word", F.col("r").alias("rank_score"), F.col("degree").cast("long").alias("degree")
+    )

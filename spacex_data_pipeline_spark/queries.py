@@ -6544,6 +6544,65 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _textrank_oracle(n_iter: int = 5) -> str:
+    """Unrolled fixed-iteration integer PageRank — one CTE per step
+    (recursive-CTE aggregation restrictions vary by engine; unrolling a
+    FIXED iteration count is portable and exactly mirrors the Spark
+    loop)."""
+    its = ["it0 AS (SELECT word, CAST(1000000 AS BIGINT) AS r FROM nodes)"]
+    for i in range(1, n_iter + 1):
+        its.append(
+            f"""it{i} AS (SELECT n.word, 150000 + ((85 * COALESCE(s.c, 0)) // 100) AS r
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS word, SUM((p.r * e.w) // e.wu) AS c
+              FROM edges e JOIN it{i - 1} p ON p.word = e.src GROUP BY 1) s
+            USING (word))"""
+        )
+    return f"""
+    WITH t AS (SELECT list_filter(__TOKS__,
+                 w -> length(w) >= 3 AND NOT list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], w)) AS fw
+               FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(fw)),
+                   i -> struct_pack(src := fw[i], dst := fw[i+1]))) AS e
+          FROM t WHERE len(fw) >= 2),
+    e1 AS (SELECT e.src AS src, e.dst AS dst FROM b WHERE e.src <> e.dst),
+    ud AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+    ed AS (SELECT src, dst, COUNT(*) AS w FROM ud GROUP BY 1, 2),
+    wt AS (SELECT src, SUM(w) AS wu FROM ed GROUP BY 1),
+    edges AS (SELECT ed.src, ed.dst, ed.w, wt.wu FROM ed JOIN wt USING (src)),
+    nodes AS (SELECT DISTINCT src AS word FROM ed),
+    deg AS (SELECT src AS word, COUNT(*) AS degree FROM ed GROUP BY 1),
+    {",".join(its)}
+    SELECT it{n_iter}.word, CAST(it{n_iter}.r AS BIGINT) AS rank_score,
+           CAST(deg.degree AS BIGINT) AS degree
+    FROM it{n_iter} JOIN deg USING (word)
+    ORDER BY rank_score DESC, word LIMIT 50
+    """.replace("__TOKS__", _TOKS_SQL)
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(5),
+    tags=("extension", "text", "graph"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus keywords by TextRank — PageRank (5 fixed
+    iterations, damping 0.85) over the content-word co-occurrence
+    graph, computed entirely in scaled-integer arithmetic so the
+    iterative fixpoint is BIGINT-exact and hash-checkable cross-engine
+    (operators/text.textrank_keywords: float PageRank sums are
+    shuffle-order-dependent; integer div agrees everywhere). Each
+    iteration is one edge join + one aggregate; ranks materialize per
+    step (the CC-fixpoint discipline)."""
+    from .operators.text import textrank_keywords as _tr
+
+    out = _tr(_t(spark, sf_dir, "documents"), n_iter=5)
+    return relational.topk(
+        out, [F.col("rank_score").desc(), F.col("word").asc()], 50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -488,3 +488,58 @@ def test_bpe_learn_merges_match_python_reference(words, counts):
         list(vocab_map.items()), "word string, wcount int"
     )
     assert bpe_learn_merges(df, n_merges=3) == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"]),
+            min_size=2,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_textrank_matches_python_reference(texts):
+    """For ANY corpus: the scaled-integer PageRank equals a direct
+    Python model running the identical update rule (the integer-exact
+    argument the oracle depends on), and every returned score is ≥ the
+    0.15 damping floor."""
+    from spacex_data_pipeline_spark.operators.text import textrank_keywords
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.word: (r.rank_score, r.degree)
+        for r in textrank_keywords(docs, n_iter=3).collect()
+    }
+
+    # python reference model (same filter: len>=3, non-stopword — the
+    # sampled words all qualify)
+    edges: dict[tuple[str, str], int] = {}
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+                edges[(b, a)] = edges.get((b, a), 0) + 1
+    wu: dict[str, int] = {}
+    for (a, _), w in edges.items():
+        wu[a] = wu.get(a, 0) + w
+    nodes = sorted(wu)
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0 for v in nodes}
+        for (a, b), w in edges.items():
+            contrib[b] += (r[a] * w) // wu[a]
+        r = {v: 150_000 + (85 * contrib[v]) // 100 for v in nodes}
+    deg: dict[str, int] = {}
+    for (a, _b), _ in edges.items():
+        deg[a] = deg.get(a, 0) + 1
+    want = {v: (r[v], deg[v]) for v in nodes}
+    assert got == want
+    assert all(score >= 150_000 for score, _ in got.values())

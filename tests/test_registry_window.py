@@ -42,6 +42,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "key_skew_report_events",
     "heavy_hitters_event_users",
     "weighted_sample_docs",
+    "textrank_keywords",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
