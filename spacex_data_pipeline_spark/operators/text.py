@@ -1151,3 +1151,62 @@ def textrank_keywords(
     return ranks.join(degree, "word").select(
         "word", F.col("r").alias("rank_score"), F.col("degree").cast("long").alias("degree")
     )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Positional inverted-index postings ``(doc_id, pos, term)`` —
+    the retrieval-engine substrate (BM25 ranks, phrase/proximity
+    queries, collocation windows all consume this table). ``terms``
+    restricts the postings to a term set BEFORE anything downstream —
+    for a known query the filter lands pre-explode (a narrow scan
+    predicate), so the posting build for a phrase query moves only the
+    phrase terms' rows, never the corpus's."""
+    t = _with_tokens(docs, id_col, text_col)
+    if terms is not None:
+        # prune docs that can't contribute before exploding
+        t = t.filter(F.arrays_overlap(F.col("__toks"), F.array(*[F.lit(x) for x in terms])))
+    out = t.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "term")
+    )
+    if terms is not None:
+        out = out.filter(F.col("term").isin(*terms))
+    return out
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase query via positional posting intersection: term i
+    of the phrase matches at ``start + i``, so each join step is an
+    equi-join on ``(doc_id, start)`` — the classic positional-index
+    phrase plan. Returns ``(doc_id, n_matches, first_pos)``.
+
+    Scale: postings are filtered to the phrase's terms before the
+    explode (inverted_postings ``terms=``), so k−1 joins move only
+    phrase-term postings; after the first shuffle on (doc_id, pos) the
+    subsequent joins reuse the same partitioning (one exchange, k−1
+    co-partitioned joins). Equivalence with a direct array scan is
+    pytest-locked; the join path is the one that generalizes to an
+    index SERVED from storage rather than rebuilt per query."""
+    terms = [t for t in str(phrase).strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    post = inverted_postings(docs, id_col, text_col, terms=sorted(set(terms)))
+    starts = post.filter(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, term in enumerate(terms[1:], 1):
+        nxt = post.filter(F.col("term") == term).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        starts = starts.join(nxt, [id_col, "pos"])
+    return starts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )

@@ -6603,6 +6603,34 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "phrase_search_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
+    p AS (SELECT doc_id, i.i - 1 AS pos, toks[i.i] AS term
+          FROM t, unnest(range(1, len(toks) + 1)) AS i(i)
+          WHERE toks[i.i] IN ('value', 'table')),
+    s0 AS (SELECT doc_id, pos FROM p WHERE term = 'value'),
+    s1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table'),
+    m AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN s1 USING (doc_id, pos))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(pos) AS INT) AS first_pos
+    FROM m GROUP BY 1
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "retrieval"),
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ('value table') via positional-inverted-
+    index posting intersection (operators/text.phrase_search): term i
+    matches at start+i, so the k−1 joins are equi-joins on (doc_id,
+    start) over postings FILTERED to the phrase's terms before the
+    explode — the corpus's other tokens never move. Equivalence with a
+    direct array scan is pytest-locked."""
+    from .operators.text import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "value table")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1568,3 +1568,47 @@ def test_weighted_sample_is_weight_proportional(spark):
     assert len(picked) == 200
     heavy = sum(1 for r in picked if r.k < 1000)
     assert 150 <= heavy <= 195  # E[heavy] ≈ 178
+
+
+def test_phrase_search_equals_direct_array_scan(spark, sf_oracle):
+    """The posting-intersection phrase plan returns exactly the result
+    of a direct token-array scan (match counts AND first positions),
+    including overlapping matches ('a a a' contains 'a a' twice)."""
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.text import phrase_search, tokens
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, "value table").collect()
+    }
+    toks = {r.doc_id: r.t for r in docs.select("doc_id", tokens(F.col("text")).alias("t")).collect()}
+    want = {}
+    for did, ts in toks.items():
+        hits = [i for i in range(len(ts) - 1) if ts[i] == "value" and ts[i + 1] == "table"]
+        if hits:
+            want[did] = (len(hits), hits[0])
+    assert got == want
+
+
+def test_phrase_search_three_terms_and_overlap(spark):
+    from spacex_data_pipeline_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big red fox big red fox"),
+            (2, "big red herring"),
+            (3, "a a a a"),
+            (4, "red fox big"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, "big red fox").collect()
+    }
+    assert got == {1: (2, 0)}
+    overlap = {
+        r.doc_id: r.n_matches for r in phrase_search(docs, "a a").collect()
+    }
+    assert overlap == {3: 3}

@@ -43,6 +43,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "heavy_hitters_event_users",
     "weighted_sample_docs",
     "textrank_keywords",
+    "phrase_search_docs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
