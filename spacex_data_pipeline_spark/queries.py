@@ -6631,6 +6631,43 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), "value table")
 
 
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH u AS (
+      SELECT 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    SELECT measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MAX(val) AS DOUBLE) AS max_val
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``unpivot`` (melt) operator —
+    pivot_priority_by_status's inverse — then a per-measure rollup.
+    The unpivot is a narrow local expansion (no shuffle until the
+    aggregate); sums ride the decimal exactness rail."""
+    li = _t(spark, sf_dir, "lineitem")
+    up = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return (
+        up.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("val", "total"),
+            F.max("val").cast("double").alias("max_val"),
+        )
+        .orderBy("measure")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

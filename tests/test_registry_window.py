@@ -44,6 +44,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "weighted_sample_docs",
     "textrank_keywords",
     "phrase_search_docs",
+    "unpivot_lineitem_measures",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
