@@ -100,6 +100,8 @@ EXTENDED = [
     "textrank_keywords",
     "weighted_sample_docs",
     "key_skew_report_events",
+    "phrase_search_docs",
+    "centroid_confusion_embeddings",
 ]
 
 

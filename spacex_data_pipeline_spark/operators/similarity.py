@@ -1087,3 +1087,64 @@ def search_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc")
     )
+
+
+def nearest_centroid_confusion(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification of every vector against its own
+    corpus's per-label centroids, rolled up to the (label, pred, n)
+    resubstitution confusion matrix — the embedding-space class-
+    separability audit (pairs with knn_label_agreement: kNN measures
+    local structure, centroids measure global).
+
+    Exactness design (quantize_embeddings' floor-integerization taken
+    all the way): components quantize ONCE to shifted integers
+    ``floor(x·10⁶) + 10⁶`` (the shift keeps every value positive so
+    truncating and flooring integer division agree cross-engine), the
+    centroid is the exact integer mean ``Σxq div n``, and the distance
+    is the BIGINT sum of squared differences — the argmin and the whole
+    confusion matrix are integer-exact, no float comparison anywhere.
+    Quantization grain 1e-6 on unit-scale inputs; a tie on quantized
+    distance breaks by label, deterministically.
+
+    Scale: one posexplode pass (|vecs|·dim rows) for quantization; the
+    centroid table is (labels × dim) — broadcast; scoring joins on pos
+    and aggregates (|vecs|·dim·labels → |vecs|·labels) with map-side
+    partials; the argmin is min(struct(dist, label)) — an aggregate,
+    never a window over the corpus."""
+    x = F.col("__x")
+    q = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    ).select(
+        id_col,
+        "label",
+        "pos",
+        (
+            F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+            + F.lit(1_000_000)
+        ).alias("xq"),
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.expr("sum(xq) div count(1)").alias("cq")
+    )
+    d = (
+        q.join(F.broadcast(cent), "pos")
+        .withColumn("__dd", (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+        .groupBy(id_col, "label", "clabel")
+        .agg(F.sum("__dd").alias("dist"))
+    )
+    best = d.groupBy(id_col, "label").agg(
+        F.min(F.struct("dist", "clabel")).alias("__b")
+    )
+    return (
+        best.select("label", F.col("__b.clabel").alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )

@@ -6668,6 +6668,39 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "centroid_confusion_embeddings",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, i.i - 1 AS pos,
+               CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                 + 1000000 AS xq
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    c AS (SELECT label AS clabel, pos, SUM(xq) // COUNT(*) AS cq
+          FROM q GROUP BY 1, 2),
+    d AS (SELECT q.vec_id, q.label, c.clabel,
+                 SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+          FROM q JOIN c USING (pos) GROUP BY 1, 2, 3),
+    b AS (SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, clabel) AS rk
+          FROM d)
+    SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("extension", "similarity", "eval"),
+)
+def centroid_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label nearest-centroid confusion matrix over the embedding
+    corpus (similarity.nearest_centroid_confusion) — the global class-
+    separability audit beside knn_label_agreement's local one. Shifted
+    integer quantization (floor(x·10⁶)+10⁶) makes centroid means,
+    distances, and the argmin BIGINT-exact, so even this geometric eval
+    is value-hash-checkable cross-engine."""
+    from .operators.similarity import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

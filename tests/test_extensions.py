@@ -1612,3 +1612,25 @@ def test_phrase_search_three_terms_and_overlap(spark):
         r.doc_id: r.n_matches for r in phrase_search(docs, "a a").collect()
     }
     assert overlap == {3: 3}
+
+
+def test_centroid_confusion_separable_clusters(spark):
+    """Two well-separated clusters classify perfectly (diagonal
+    confusion matrix); a vector planted at the other cluster's centroid
+    shows up as that off-diagonal cell."""
+    import random
+
+    from spacex_data_pipeline_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + rng.uniform(-0.01, 0.01)] * 64, 0))
+    for i in range(20, 40):
+        rows.append((i, [-1.0 + rng.uniform(-0.01, 0.01)] * 64, 1))
+    rows.append((99, [-1.0] * 64, 0))  # label-0 point sitting in cluster 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label, r.pred): r.n for r in nearest_centroid_confusion(df).collect()}
+    assert got == {(0, 0): 20, (1, 1): 20, (0, 1): 1}

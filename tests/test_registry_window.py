@@ -45,6 +45,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "textrank_keywords",
     "phrase_search_docs",
     "unpivot_lineitem_measures",
+    "centroid_confusion_embeddings",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
