@@ -384,3 +384,46 @@ def test_bm25_topk_rank_is_bucketed(spark, sf):
     assert re.search(r"WindowGroupLimit \[query_id#\d+L?, _w\d+#\d+L?\]", plan) or re.search(
         r"WindowGroupLimit \[query_id#\d+L?, pmod", plan
     ), "bucketed WindowGroupLimit missing from the physical plan"
+
+
+def test_er_fuzzy_blocking_plan_shape(spark, sf):
+    """Entity resolution must keep its scale guards in the plan: the
+    hot-gram cap is a BROADCAST anti-join (the aggregated hot-key list
+    never shuffles the gram table), verification uses the THRESHOLD
+    form of levenshtein (banded DP, early abandon), and no cartesian
+    appears (candidate generation is the gram-key equi-join)."""
+    plan = plan_of(REGISTRY["er_fuzzy_pairs_customers"].fn(spark, sf), "extended")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "levenshtein" in plan and "Some(2)" in plan  # threshold-bounded form
+
+
+def test_weighted_sample_rank_is_two_level(spark, sf):
+    """The per-group weighted-sample top-k must rank in two levels: a
+    (source, bucket)-keyed WindowGroupLimit bounds every reducer before
+    the source-only rank sees only survivors (the contrastive/BM25
+    invariant, pinned for the sampler too)."""
+    import re
+
+    plan = plan_of(REGISTRY["weighted_sample_docs"].fn(spark, sf), "extended")
+    assert re.search(r"WindowGroupLimit \[source#\d+, __bkt#\d+L?\]", plan), (
+        "bucketed WindowGroupLimit missing"
+    )
+    assert re.search(r"WindowGroupLimit \[source#\d+\]", plan), (
+        "per-group survivor rank missing"
+    )
+
+
+def test_bpe_candidates_use_heap_topk(spark, sf):
+    plan = plan_of(REGISTRY["bpe_merge_candidates"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort anywhere
+
+
+def test_centroid_confusion_broadcasts_centroids(spark, sf):
+    """The (labels × dim) centroid table must broadcast into the scoring
+    join — a shuffle there would move the corpus-sized quantized table
+    twice."""
+    plan = plan_of(REGISTRY["centroid_confusion_embeddings"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
