@@ -1634,3 +1634,33 @@ def test_centroid_confusion_separable_clusters(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     got = {(r.label, r.pred): r.n for r in nearest_centroid_confusion(df).collect()}
     assert got == {(0, 0): 20, (1, 1): 20, (0, 1): 1}
+
+
+def test_blocked_fuzzy_join_two_tables(spark):
+    """Master-vs-feed linkage: each corrupted feed name links to its
+    master record (and only it); exact same-side duplicates in the feed
+    do NOT pair with each other (cross-table mode pairs a-side with
+    b-side only)."""
+    from spacex_data_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    master = spark.createDataFrame(
+        [(1, "Jonathan Smith"), (2, "Gertrude Blanchard"), (3, "Ahmed Haddad")],
+        "k long, name string",
+    )
+    feed = spark.createDataFrame(
+        [
+            (101, "Jonathon Smith"),    # 1 sub of master 1
+            (102, "Gertrude Blanchard"),  # exact copy of master 2
+            (103, "Gertrude Blanchard"),  # duplicate feed row
+            (104, "Zelda Quux"),        # no master
+        ],
+        "fk long, fname string",
+    )
+    got = {
+        (r.a_key, r.b_key): r.dist
+        for r in blocked_fuzzy_pairs(
+            master, "k", "name",
+            right=feed, right_key_col="fk", right_name_col="fname",
+        ).collect()
+    }
+    assert got == {(1, 101): 1, (2, 102): 0, (2, 103): 0}
