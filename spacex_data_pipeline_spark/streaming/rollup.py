@@ -64,3 +64,15 @@ def session_rollup_stream(events: DataFrame, gap: str = "30 minutes", watermark:
             "total_value",
         )
     )
+
+
+def heavy_hitters_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming running key-frequency table — the on-arrival twin of
+    checks.heavy_hitters' count stage. A plain streaming groupBy count:
+    state is one row per key (bounded by key cardinality, not stream
+    length), partial counts merge map-side per micro-batch, and a replay
+    delivers exactly the batch counts (tested). The consumer ranks the
+    handful of rows it reads — a global top-k SORT inside the stream
+    would force complete-mode output; keeping the stream as counts lets
+    it run in update mode against a key-value sink at any scale."""
+    return events.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("freq"))

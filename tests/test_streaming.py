@@ -447,3 +447,29 @@ def test_streaming_typicality_matches_batch(spark, sf_oracle, tmp_path):
     extra = {r.doc_id: r for r in typicality_stream(novel, packed).collect()}
     assert extra[9001].typicality == 0.0 and extra[9001].n_trigrams == 3
     assert extra[9002].typicality is None and extra[9002].n_trigrams == 0
+
+
+def test_stream_heavy_hitter_counts_match_batch(spark, sf_oracle, landed_events, tmp_path):
+    """The streaming key-frequency state equals the batch groupBy count
+    after a full replay — so a consumer ranking the state table sees
+    exactly checks.heavy_hitters' answer."""
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now,
+        stream_events_from_files,
+    )
+    from spacex_data_pipeline_spark.streaming.rollup import heavy_hitters_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        heavy_hitters_stream(stream),
+        str(tmp_path / "ckpt_hh"),
+        "hh_out",
+        output_mode="complete",
+    )
+    got = {(r.user_id): r.freq for r in spark.table("hh_out").collect()}
+    batch = catalog.table(spark, sf_oracle, "events")
+    want = {
+        r.user_id: r.freq
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq")).collect()
+    }
+    assert got == want
