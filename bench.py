@@ -102,6 +102,8 @@ EXTENDED = [
     "key_skew_report_events",
     "phrase_search_docs",
     "centroid_confusion_embeddings",
+    "dau_wau_stickiness",
+    "source_overlap_matrix",
 ]
 
 

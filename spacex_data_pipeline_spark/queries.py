@@ -6701,6 +6701,132 @@ def centroid_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM days d JOIN du u
+              ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY 1)
+    SELECT d.day, CAST(a.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           round(100.0 * a.dau / nullif(w.wau, 0), 2) AS stickiness_pct
+    FROM days d JOIN dau a USING (day) JOIN wau w ON w.day = d.day
+    ORDER BY 1
+    """,
+    tags=("extension", "analytics"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users vs trailing-7-day actives with the DAU/WAU
+    stickiness ratio — the product-analytics overlap-of-windows shape.
+    Distinct (day, user) reduces the stream ONCE (the only corpus-sized
+    shuffle); WAU joins each day to its ≤7 trailing days of that
+    reduced table — a 7× dimension-bounded expansion, never a sliding
+    window over raw events. Integer counts + one ratio divide."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d, u = days.alias("d"), du.alias("u")
+    wau = (
+        d.join(
+            u,
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("u.user_id")).alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            pct_rate(F.col("dau"), F.col("wau")).alias("stickiness_pct"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))
+               ::UBIGINT::BIGINT AS h
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_shingles,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           round(100.0 * shared / nullif(least(na.n, nb.n), 0), 2) AS containment_pct
+    FROM p JOIN sizes na ON na.source = source_a
+           JOIN sizes nb ON nb.source = source_b
+    ORDER BY 1, 2
+    """,
+    tags=("extension", "dedup", "report"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, the
+    number of distinct word-3-gram shingles both contain, with per-
+    source shingle-set sizes and the containment share — the which-
+    crawls-overlap table that decides de-weighting before mixture
+    planning (complements dedup_rates_by_source's within-component
+    view). The corpus reduces to distinct (shingle-hash, source) ONCE —
+    the pair join moves 8-byte hashes, never shingle text, and output
+    is |sources|²-bounded."""
+    from .functions.hashing import normalize_text, shingles_from_words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(normalize_text(F.col("text")), " ").alias("__w")
+    )
+    sh = toks.select(
+        "source",
+        F.explode(shingles_from_words(F.col("__w"), 3)).alias("__s"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            pct_rate(
+                F.col("shared_shingles"), F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment_pct"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

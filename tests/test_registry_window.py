@@ -46,6 +46,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "phrase_search_docs",
     "unpivot_lineitem_measures",
     "centroid_confusion_embeddings",
+    "dau_wau_stickiness",
+    "source_overlap_matrix",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
