@@ -1210,3 +1210,116 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").cast("int").alias("first_pos"),
     )
+
+
+def persist_text_index(
+    docs: DataFrame,
+    path: str,
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the BM25 serving index (bm25_topk's docstring
+    promise made concrete): the tf postings written as parquet
+    PARTITIONED BY an md5 term bucket — a query lists only its terms'
+    bucket directories, never the corpus — with the per-doc length
+    DENORMALIZED into each posting row (classic posting-list layout:
+    scoring needs dl, and a doc-keyed side table could not be
+    partition-pruned by term), plus the 1-row (n_docs, tot_tokens)
+    stats table. Build once per corpus snapshot; the serve path
+    (:func:`search_text_index`) never touches the text corpus.
+
+    The bucket function is the md5 prefix (sampling.hash_bucket), NOT
+    xxhash64, deliberately: the client must compute a term's bucket
+    WITHOUT a Spark job (hashlib.md5 in plain Python matches), the same
+    reason ANN serving computes probe cells client-side."""
+    from .sampling import hash_bucket
+
+    toks = _with_tokens(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("__toks").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    post = tf.join(dl, id_col).withColumn(
+        "term_bucket", hash_bucket(F.col("term"), "tix", n_term_buckets).cast("int")
+    )
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        path + "/postings"
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").alias("tot_tokens"))
+    )
+    stats.write.mode("overwrite").parquet(path + "/stats")
+
+
+def search_text_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_term_buckets: int = 64,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a BM25 query from a persisted text index: term buckets are
+    computed CLIENT-SIDE (pure-Python md5 — no Spark job), the posting
+    read carries a static partition filter on those buckets (plan shows
+    PartitionFilters: only the query's directories are listed), df
+    comes from the read postings themselves, and scoring is bit-
+    identical to bm25_topk's (ratio idf, term-sorted LTR fold, exact
+    two-level rank) — equivalence is test-pinned. Returns
+    (doc_id, rank, score)."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    terms = sorted(set(terms))
+    buckets = sorted(
+        {
+            int(hashlib.md5((t + "tix").encode()).hexdigest()[:8], 16)
+            % n_term_buckets
+            for t in terms
+        }
+    )
+    post = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(path + "/stats")
+    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    m = (
+        post.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__n_docs", F.col("n_docs").cast("double"))
+        .withColumn("__tot", F.col("tot_tokens").cast("double"))
+    )
+    idf = (F.col("__n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    avgdl = F.col("__tot") / F.col("__n_docs")
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    g = (
+        m.select(F.col(id_col), "term", (idf * tfc).alias("score_t"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "score_t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score_t"],
+            ).alias("score")
+        )
+    )
+    w1 = Window.partitionBy(F.pmod(F.col(id_col), F.lit(n_buckets))).orderBy(
+        F.col("score").desc(), id_col
+    )
+    w2 = Window.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), id_col)
+    return (
+        g.withColumn("__brn", F.row_number().over(w1))
+        .filter(F.col("__brn") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "score")
+    )

@@ -1664,3 +1664,47 @@ def test_blocked_fuzzy_join_two_tables(spark):
         ).collect()
     }
     assert got == {(1, 101): 1, (2, 102): 0, (2, 103): 0}
+
+
+def test_text_index_persist_serve_matches_bm25(spark, sf_oracle, tmp_path):
+    """Index-once/serve-many: search_text_index over the persisted
+    posting table returns bit-identical (rank, score) to the in-memory
+    bm25_topk for the same query terms, and the serve plan reads ONLY
+    the query terms' bucket directories (PartitionFilters present)."""
+    import re
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.text import (
+        bm25_topk,
+        persist_text_index,
+        search_text_index,
+        tokens,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    path = str(tmp_path / "tix")
+    persist_text_index(docs, path)
+
+    # replicate bm25_topk's query-term derivation for doc 0 in Python
+    toks0 = docs.filter(F.col("doc_id") == 0).select(
+        tokens(F.col("text")).alias("t")
+    ).collect()[0].t
+    seen, terms = set(), []
+    for t in toks0:
+        if t not in seen:
+            seen.add(t)
+            terms.append(t)
+        if len(terms) == 2:
+            break
+
+    served = search_text_index(spark, path, terms, k=10)
+    got = {r.doc_id: (r.rank, r.score) for r in served.collect()}
+    want = {
+        r.doc_id: (r.rank, r.score)
+        for r in bm25_topk(docs, [0], n_query_terms=2, k=10).collect()
+    }
+    assert got == want
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan)
+    assert m, "serve read is not partition-pruned by term bucket"
