@@ -124,6 +124,21 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "post-dedup corpus",
     )
 
+    px = sub.add_parser(
+        "index-build",
+        help="materialize the BM25 serving index (bucket-partitioned "
+        "postings + stats) from the documents table",
+    )
+    px.add_argument("--sf-dir", default=None, help="fixture table directory")
+    px.add_argument("--out", required=True, help="index output directory")
+
+    ps = sub.add_parser(
+        "search", help="BM25 query served from a persisted text index"
+    )
+    ps.add_argument("--index", required=True, help="index directory (index-build --out)")
+    ps.add_argument("terms", nargs="+", help="query terms")
+    ps.add_argument("--k", type=int, default=10, help="results to return")
+
     sub.add_parser("list-queries", help="list registered query names")
 
     pt = sub.add_parser(
@@ -313,6 +328,20 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 f"training shards <- {args.out} "
                 f"(docs={sum(per_split.values())}, splits={per_split}, "
                 f"shards={args.shards})"
+            )
+        elif args.cmd == "index-build":
+            from . import catalog
+            from .operators.text import persist_text_index
+
+            sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
+            persist_text_index(catalog.table(spark, sf_dir, "documents"), args.out)
+            n = spark.read.parquet(args.out + "/postings").count()
+            print(f"text index <- {args.out} ({n} postings)")
+        elif args.cmd == "search":
+            from .operators.text import search_text_index
+
+            search_text_index(spark, args.index, args.terms, k=args.k).show(
+                args.k, truncate=False
             )
         elif args.cmd == "explain":
             # the plan-inspection loop this repo's own tuning used

@@ -230,3 +230,22 @@ def test_cli_prep_training_typicality_tail_cut(spark, sf_oracle, tmp_path):
     }
     dropped = base_ids - kept_ids
     assert max(scores[d] for d in dropped) <= min(scores[s] for s in kept_ids)
+
+
+def test_cli_index_build_and_search(spark, sf_oracle, tmp_path, capsys):
+    """index-build writes the bucket-partitioned postings; search serves
+    a query from them and prints ranked rows."""
+    idx = str(tmp_path / "tix")
+    assert (
+        main(["index-build", "--sf-dir", sf_oracle, "--out", idx], _spark=spark) == 0
+    )
+    out = capsys.readouterr().out
+    assert "postings)" in out
+    assert (
+        main(["search", "--index", idx, "value", "table", "--k", "5"], _spark=spark)
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "doc_id" in out and "rank" in out and "score" in out
+    # at least one ranked data row printed
+    assert sum(1 for line in out.splitlines() if line.startswith("|")) >= 2
