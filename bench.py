@@ -104,6 +104,7 @@ EXTENDED = [
     "centroid_confusion_embeddings",
     "dau_wau_stickiness",
     "source_overlap_matrix",
+    "rfm_customer_segments",
 ]
 
 

@@ -51,28 +51,20 @@ def positional_qgram_keys(name: Column, q: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def blocked_fuzzy_pairs(
+def _blocking_stages(
     records: DataFrame,
     key_col: str,
     name_col: str,
-    q: int = 3,
-    max_dist: int = 2,
-    max_gram_df: int = 100,
+    q: int,
+    max_dist: int,
+    max_gram_df: int,
     right: DataFrame | None = None,
     right_key_col: str | None = None,
     right_name_col: str | None = None,
-) -> DataFrame:
-    """Matched record pairs ``(a_key, b_key, a_name, b_name, dist)``
-    with ``levenshtein(a_name, b_name) ≤ max_dist``, found via
-    positional q-gram blocking (module docstring). Names are compared
-    lowercased/trimmed.
-
-    Self-linkage (default): pairs within ``records``, canonicalized by
-    ``a_key < b_key``. Two-table linkage (``right=`` given): a comes
-    from ``records``, b from ``right`` — the master-list-vs-incoming-
-    feed reconciliation join. The hot-gram df cap is computed over the
-    UNION of both sides (a gram key hot on either side still causes
-    the D_left·D_right blowup)."""
+) -> dict[str, DataFrame]:
+    """The shared pipeline stages (names → grams → hot/cold → candidates
+    → verified pairs), returned by name so both the pair operator and
+    the blocking-efficiency report derive from ONE definition."""
 
     def _names(df, kc, nc):
         return df.select(
@@ -112,12 +104,93 @@ def blocked_fuzzy_pairs(
     an = names_a.select(F.col("k").alias("a_key"), F.col("nm").alias("a_name"))
     bn = names_b.select(F.col("k").alias("b_key"), F.col("nm").alias("b_name"))
     dist = F.levenshtein(F.col("a_name"), F.col("b_name"), max_dist)
-    return (
+    verified = (
         cand.join(an, "a_key")
         .join(bn, "b_key")
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
-        .select("a_key", "b_key", "a_name", "b_name", F.col("dist").cast("int").alias("dist"))
+        .select(
+            "a_key", "b_key", "a_name", "b_name", F.col("dist").cast("int").alias("dist")
+        )
+    )
+    return {
+        "names": names_a,
+        "cold": cold_a,
+        "hot": hot,
+        "cand": cand,
+        "verified": verified,
+    }
+
+
+def blocked_fuzzy_pairs(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    q: int = 3,
+    max_dist: int = 2,
+    max_gram_df: int = 100,
+    right: DataFrame | None = None,
+    right_key_col: str | None = None,
+    right_name_col: str | None = None,
+) -> DataFrame:
+    """Matched record pairs ``(a_key, b_key, a_name, b_name, dist)``
+    with ``levenshtein(a_name, b_name) ≤ max_dist``, found via
+    positional q-gram blocking (module docstring). Names are compared
+    lowercased/trimmed.
+
+    Self-linkage (default): pairs within ``records``, canonicalized by
+    ``a_key < b_key``. Two-table linkage (``right=`` given): a comes
+    from ``records``, b from ``right`` — the master-list-vs-incoming-
+    feed reconciliation join. The hot-gram df cap is computed over the
+    UNION of both sides (a gram key hot on either side still causes
+    the D_left·D_right blowup)."""
+    return _blocking_stages(
+        records, key_col, name_col, q, max_dist, max_gram_df,
+        right, right_key_col, right_name_col,
+    )["verified"]
+
+
+def blocking_report(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    q: int = 3,
+    max_dist: int = 2,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """One-row blocking-efficiency report — the ER counterpart of
+    shingle_df_stats' LSH observability: records in, distinct gram keys
+    kept, hot keys dropped by the df cap, candidate pairs generated,
+    pairs that verify at ≤ max_dist, and the verify precision (the
+    fraction of candidate comparisons that were worth paying). Read
+    before tuning q / max_gram_df: precision near 100% with few matches
+    means blocking is too tight (recall risk); precision near 0% means
+    the cap or q is too loose and the join is burning Levenshtein calls."""
+    from ..functions.numeric import pct_rate
+
+    st = _blocking_stages(records, key_col, name_col, q, max_dist, max_gram_df)
+    n_rec = st["names"].agg(F.count(F.lit(1)).alias("n_records"))
+    n_keys = st["cold"].agg(
+        F.count_distinct(F.col("gk")).alias("n_gram_keys")
+    )
+    n_hot = st["hot"].agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    n_cand = st["cand"].agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_match = st["verified"].agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_rec.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_hot))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_records",
+            "n_gram_keys",
+            "n_hot_keys",
+            "n_candidates",
+            "n_matched",
+            pct_rate(F.col("n_matched"), F.col("n_candidates")).alias(
+                "verify_precision_pct"
+            ),
+        )
     )
 
 

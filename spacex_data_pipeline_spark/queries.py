@@ -6827,6 +6827,107 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "er_blocking_report",
+    oracle=f"""
+    WITH {_ER_CAND_SQL},
+    m AS (SELECT COUNT(*) AS n_matched FROM v WHERE d <= 2),
+    c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    kk AS (SELECT COUNT(DISTINCT gk) AS n_gram_keys FROM cold),
+    hh AS (SELECT COUNT(*) AS n_hot_keys FROM hot),
+    rr AS (SELECT COUNT(*) AS n_records FROM n)
+    SELECT CAST(rr.n_records AS BIGINT)   AS n_records,
+           CAST(kk.n_gram_keys AS BIGINT) AS n_gram_keys,
+           CAST(hh.n_hot_keys AS BIGINT)  AS n_hot_keys,
+           CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           CAST(m.n_matched AS BIGINT)    AS n_matched,
+           round(100.0 * m.n_matched / nullif(c.n_candidates, 0), 2)
+             AS verify_precision_pct
+    FROM rr, kk, hh, c, m
+    """,
+    tags=("extension", "linkage", "report"),
+)
+def er_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-efficiency report for the customer-name linkage — the
+    ER counterpart of shingle_df_stats' LSH observability (records,
+    kept/dropped gram keys, candidates, verified matches, verify
+    precision). The tuning table for q and max_gram_df."""
+    from .operators.linkage import blocking_report
+
+    return blocking_report(_t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS ad FROM orders),
+    base AS (SELECT o_custkey AS c_custkey,
+                    datediff('day', MAX(o_orderdate), (SELECT ad FROM anchor))
+                      AS recency_days,
+                    COUNT(*) AS frequency,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                      AS monetary
+             FROM orders GROUP BY 1),
+    s AS (SELECT c_custkey,
+                 CAST(recency_days AS INT) AS recency_days,
+                 CAST(frequency AS BIGINT) AS frequency,
+                 monetary,
+                 ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r,
+                 ntile(5) OVER (ORDER BY frequency, c_custkey)         AS f,
+                 ntile(5) OVER (ORDER BY monetary, c_custkey)          AS m
+          FROM base)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(r * 100 + f * 10 + m AS INT) AS segment
+    FROM s
+    """,
+    tags=("extension", "analytics"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days before the corpus's
+    last order date), frequency, decimal-exact monetary, each scored
+    into quintiles (5 = most recent / most frequent / highest spend)
+    with the key as a deterministic tiebreak, composed into the
+    classic 3-digit segment code. The unpartitioned NTILE windows run
+    AFTER the groupBy reduced orders to one row per customer — the
+    customer_spend_deciles argument; at extreme customer cardinality
+    swap for approx-percentile boundaries + a range bucket join."""
+    ords = _t(spark, sf_dir, "orders")
+    anchor = ords.agg(F.max("o_orderdate").alias("__ad"))
+    base = (
+        ords.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("__ad"), F.col("__last")).cast("int").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    wf = Window.orderBy(F.col("frequency"), "c_custkey")
+    wm = Window.orderBy(F.col("monetary"), "c_custkey")
+    s = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return s.withColumn(
+        "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

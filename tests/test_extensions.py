@@ -1708,3 +1708,21 @@ def test_text_index_persist_serve_matches_bm25(spark, sf_oracle, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan)
     assert m, "serve read is not partition-pruned by term bucket"
+
+
+def test_blocking_report_accounts_for_planted_corpus(spark):
+    """On a corpus of 3 near-identical names + 1 outlier: candidates
+    equal the verified matches (precision 100), no hot keys at a high
+    cap, and records/keys counts are exact."""
+    from spacex_data_pipeline_spark.operators.linkage import blocking_report
+
+    recs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdex"), (3, "abcdey"), (4, "zzzzzz")],
+        "k long, name string",
+    )
+    r = blocking_report(recs, "k", "name", max_gram_df=50).collect()[0]
+    assert r.n_records == 4
+    assert r.n_hot_keys == 0
+    assert r.n_candidates == 3  # (1,2),(1,3),(2,3) share positional grams
+    assert r.n_matched == 3     # all within dist 2
+    assert r.verify_precision_pct == 100.0

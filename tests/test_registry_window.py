@@ -48,6 +48,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "centroid_confusion_embeddings",
     "dau_wau_stickiness",
     "source_overlap_matrix",
+    "er_blocking_report",
+    "rfm_customer_segments",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
