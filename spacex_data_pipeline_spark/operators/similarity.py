@@ -1148,3 +1148,99 @@ def nearest_centroid_confusion(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred")
     )
+
+
+def label_compactness(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding compactness: each vector's cosine to its OWN
+    label centroid, averaged (and min'd) per label — the class-
+    tightness table read next to nearest_centroid_confusion's
+    separability one.
+
+    Exactness: nearest_centroid_confusion's quantized-geometry rail.
+    Components quantize to signed integers floor(x·10⁶) (centroid means
+    computed on SHIFTED values so truncating/flooring integer division
+    agree, then unshifted — exact); dot products and squared norms are
+    then BIGINT sums — groupBy-order-independent, unlike double sums —
+    and the float tail per row is the fixed tree
+    ``dot / (sqrt(na)·sqrt(nb))`` of correctly-rounded IEEE ops. The
+    per-label average casts each cosine to DECIMAL(18,12) before
+    summing (order-free), dividing once at the end.
+
+    Scale: one posexplode pass, a broadcast (labels×dim) centroid
+    table, and label-sized aggregates — no window, no cartesian."""
+    x = F.col("__x")
+    SHIFT = 1_000_000
+    q = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    ).select(
+        id_col,
+        "label",
+        "pos",
+        (
+            F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+            + F.lit(SHIFT)
+        ).alias("xqs"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        (F.expr("sum(xqs) div count(1)") - F.lit(SHIFT)).alias("cq")
+    )
+    per_vec = (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .select(
+            id_col,
+            "label",
+            ((F.col("xqs") - F.lit(SHIFT)) * F.col("cq")).alias("__xy"),
+            ((F.col("xqs") - F.lit(SHIFT)) * (F.col("xqs") - F.lit(SHIFT))).alias(
+                "__xx"
+            ),
+            (F.col("cq") * F.col("cq")).alias("__cc"),
+        )
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum("__xy").alias("dot"),
+            F.sum("__xx").alias("nx"),
+            F.sum("__cc").alias("nc"),
+        )
+        .select(
+            "label",
+            # zero-norm guard (cosine_sim's convention): a zero side
+            # forces dot == 0 too, so DuckDB computes 0/0 = NaN while
+            # Spark 4's ANSI mode would throw — pin NaN explicitly
+            F.when(
+                (F.col("nx") == 0) | (F.col("nc") == 0), F.lit(float("nan"))
+            )
+            .otherwise(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nx").cast("double"))
+                    * F.sqrt(F.col("nc").cast("double"))
+                )
+            )
+            .alias("cos"),
+        )
+    )
+    # zero-norm vectors carry cos = NaN; they count toward n_vecs but are
+    # excluded from the average (a decimal cast of NaN would throw under
+    # ANSI, and one degenerate vector should not poison its label's score)
+    from ..functions.numeric import nullif
+
+    ok = ~F.isnan(F.col("cos"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.when(ok, F.col("cos")).cast("decimal(18,12)")).cast("double")
+                / nullif(F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))), F.lit(0))
+            ).alias("avg_cos"),
+            F.min(F.when(ok, F.col("cos"))).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

@@ -6928,6 +6928,153 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_compactness",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, i.i - 1 AS pos,
+               CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                 + 1000000 AS xqs
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    c AS (SELECT label, pos, (SUM(xqs) // COUNT(*)) - 1000000 AS cq
+          FROM q GROUP BY 1, 2),
+    pv AS (SELECT q.vec_id, q.label,
+                 SUM((q.xqs - 1000000) * c.cq) AS dot,
+                 SUM((q.xqs - 1000000) * (q.xqs - 1000000)) AS nx,
+                 SUM(c.cq * c.cq) AS nc
+          FROM q JOIN c ON c.label = q.label AND c.pos = q.pos GROUP BY 1, 2),
+    cs AS (SELECT label,
+                 CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos
+          FROM pv)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN isnan(cos) THEN NULL
+                         ELSE CAST(cos AS DECIMAL(18,12)) END) AS DOUBLE)
+             / nullif(SUM(CASE WHEN isnan(cos) THEN 0 ELSE 1 END), 0) AS avg_cos,
+           MIN(CASE WHEN isnan(cos) THEN NULL ELSE cos END) AS min_cos
+    FROM cs GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "similarity", "eval"),
+)
+def embedding_label_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class tightness: each vector's cosine to its own label
+    centroid, averaged and min'd per label (similarity.label_compactness)
+    — read beside centroid_confusion_embeddings' separability matrix.
+    Quantized-integer geometry keeps every sum order-independent; the
+    per-label average sums DECIMAL-cast cosines (order-free) and
+    divides once."""
+    from .operators.similarity import label_compactness
+
+    return label_compactness(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "word_graph_stats",
+    oracle="""
+    WITH t AS (SELECT list_filter(__TOKS__,
+                 w -> length(w) >= 3 AND NOT list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], w)) AS fw
+               FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(fw)),
+                   i -> struct_pack(src := fw[i], dst := fw[i+1]))) AS e
+          FROM t WHERE len(fw) >= 2),
+    e1 AS (SELECT DISTINCT least(e.src, e.dst) AS a, greatest(e.src, e.dst) AS b
+           FROM b WHERE e.src <> e.dst),
+    deg AS (SELECT node, COUNT(*) AS d
+            FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+    tri AS (SELECT COUNT(*) AS n
+            FROM e1 x JOIN e1 y ON y.a = x.b
+                      JOIN e1 z ON z.a = x.a AND z.b = y.b),
+    agg AS (SELECT COUNT(*) AS n_nodes,
+                   CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS wedges
+            FROM deg)
+    SELECT CAST(agg.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges,
+           CAST(tri.n AS BIGINT) AS n_triangles,
+           CAST(agg.wedges AS BIGINT) AS n_wedges,
+           CASE WHEN agg.wedges = 0 THEN NULL
+                ELSE CAST(3 * tri.n AS DOUBLE) / CAST(agg.wedges AS DOUBLE)
+           END AS global_clustering
+    FROM agg, tri
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "graph"),
+)
+def word_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the content-word co-occurrence graph (the
+    TextRank substrate): nodes, distinct undirected edges, triangles,
+    wedges, and the global clustering coefficient 3T/wedges. Triangles
+    come from the canonical two-join on the a<b-oriented edge list —
+    each triangle counted exactly once, no cartesian; at scale the
+    orientation bounds the join's per-key fan-out by max out-degree
+    (orient by degree for the theoretical m^1.5 bound — noted, not
+    needed at this graph's size). Integer counts, one IEEE divide."""
+    from .functions.hashing import normalize_text
+    from .operators.text import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    fw = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda w: (F.length(w) >= 3) & ~w.isin(*STOPWORDS),
+    )
+    t = docs.select(fw.alias("__fw"))
+    w_ = F.col("__fw")
+    bi = (
+        t.filter(F.size(w_) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w_) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w_, i).alias("src"),
+                        F.element_at(w_, i + 1).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e.src") != F.col("e.dst"))
+        .select(
+            F.least("e.src", "e.dst").alias("a"),
+            F.greatest("e.src", "e.dst").alias("b"),
+        )
+        .distinct()
+    )
+    from .operators.dedup import materialize
+
+    e1 = materialize(bi)
+    deg = (
+        e1.select(F.col("a").alias("node"))
+        .union(e1.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    x, y, z = e1.alias("x"), e1.alias("y"), e1.alias("z")
+    tri = (
+        x.join(y, F.col("y.a") == F.col("x.b"))
+        .join(z, (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias("wedges"),
+    )
+    edges = e1.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n").alias("n_triangles"),
+            F.col("wedges").alias("n_wedges"),
+            F.when(F.col("wedges") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                (F.lit(3) * F.col("n")).cast("double")
+                / F.col("wedges").cast("double")
+            )
+            .alias("global_clustering"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -1726,3 +1726,42 @@ def test_blocking_report_accounts_for_planted_corpus(spark):
     assert r.n_candidates == 3  # (1,2),(1,3),(2,3) share positional grams
     assert r.n_matched == 3     # all within dist 2
     assert r.verify_precision_pct == 100.0
+
+
+def test_label_compactness_tight_vs_loose(spark):
+    """A tight cluster scores avg_cos ~1; an antipodal pair's centroid
+    cosines are symmetric and far below; singleton labels score exactly
+    1.0 (vector == its centroid up to quantization)."""
+    from spacex_data_pipeline_spark.operators.similarity import label_compactness
+
+    rows = (
+        [(i, [1.0] * 32 + [0.01 * (i % 3)] * 32, 0) for i in range(12)]
+        + [(100, [1.0] * 64, 1), (101, [-0.8] * 64, 1)]  # opposed directions
+        + [(200, [0.5] * 64, 2)]
+        + [(300, [0.0] * 64, 3)]  # zero vector: NaN cosine, excluded from avg
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in label_compactness(df).collect()}
+    assert got[0].n_vecs == 12 and got[0].avg_cos > 0.99
+    assert got[1].n_vecs == 2 and abs(got[1].avg_cos) < 0.05  # +1 and -1 average out
+    assert got[2].n_vecs == 1 and got[2].avg_cos > 0.999999
+    assert got[3].n_vecs == 1 and got[3].avg_cos is None and got[3].min_cos is None
+
+
+def test_word_graph_triangle_census_hand_built(spark):
+    """K3 plus a pendant edge: 1 triangle, 4 nodes, 4 edges, 5 wedges,
+    clustering 3/5 — counted from a corpus engineered to produce that
+    graph."""
+    import unittest.mock as um
+
+    import spacex_data_pipeline_spark.queries as Q
+
+    # adjacencies: aaa-bbb, bbb-ccc, ccc-aaa (triangle), ccc-ddd (pendant)
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc aaa"), (2, "ccc ddd")],
+        "doc_id long, text string",
+    )
+    with um.patch.object(Q, "_t", lambda s, d, n: docs):
+        r = Q.REGISTRY["word_graph_stats"].fn(spark, "x").collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
+    assert r.global_clustering == 3.0 / 5.0

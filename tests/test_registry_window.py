@@ -50,6 +50,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "source_overlap_matrix",
     "er_blocking_report",
     "rfm_customer_segments",
+    "embedding_label_compactness",
+    "word_graph_stats",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
