@@ -6981,9 +6981,12 @@ def embedding_label_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM b WHERE e.src <> e.dst),
     deg AS (SELECT node, COUNT(*) AS d
             FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+    eo AS (SELECT CASE WHEN da.d <= db.d THEN e1.a ELSE e1.b END AS u,
+                  CASE WHEN da.d <= db.d THEN e1.b ELSE e1.a END AS v
+           FROM e1 JOIN deg da ON da.node = e1.a JOIN deg db ON db.node = e1.b),
     tri AS (SELECT COUNT(*) AS n
-            FROM e1 x JOIN e1 y ON y.a = x.b
-                      JOIN e1 z ON z.a = x.a AND z.b = y.b),
+            FROM eo x JOIN eo y ON y.u = x.v
+                      JOIN eo z ON z.u = x.u AND z.v = y.v),
     agg AS (SELECT COUNT(*) AS n_nodes,
                    CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS wedges
             FROM deg)
@@ -7002,11 +7005,12 @@ def word_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the content-word co-occurrence graph (the
     TextRank substrate): nodes, distinct undirected edges, triangles,
     wedges, and the global clustering coefficient 3T/wedges. Triangles
-    come from the canonical two-join on the a<b-oriented edge list —
-    each triangle counted exactly once, no cartesian; at scale the
-    orientation bounds the join's per-key fan-out by max out-degree
-    (orient by degree for the theoretical m^1.5 bound — noted, not
-    needed at this graph's size). Integer counts, one IEEE divide."""
+    come from the canonical two-join on the DEGREE-ORIENTED edge list
+    (each edge points from its lower-(degree, name) endpoint — the
+    classic m^1.5 algorithm): every triangle is counted exactly once
+    and the join's per-key fan-out is bounded by the oriented
+    out-degree, O(√m), so one celebrity node cannot quadratically blow
+    up its join key. Integer counts, one IEEE divide."""
     from .functions.hashing import normalize_text
     from .operators.text import STOPWORDS
 
@@ -7046,10 +7050,24 @@ def word_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    x, y, z = e1.alias("x"), e1.alias("y"), e1.alias("z")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("__db"))
+    eo = (
+        e1.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("__da") <= F.col("__db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("__da") <= F.col("__db"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+    )
+    x, y, z = eo.alias("x"), eo.alias("y"), eo.alias("z")
     tri = (
-        x.join(y, F.col("y.a") == F.col("x.b"))
-        .join(z, (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")))
+        x.join(y, F.col("y.u") == F.col("x.v"))
+        .join(z, (F.col("z.u") == F.col("x.u")) & (F.col("z.v") == F.col("y.v")))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     agg = deg.agg(
