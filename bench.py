@@ -182,6 +182,26 @@ def _skewed_docs(spark, sf_dir):
     )
 
 
+def _er(spark, sf_dir, cap):
+    # Runs at sf0.01 regardless of the bench sf: at sf0.1 the UNCAPPED
+    # form took 530 s vs 9.5 s capped (56×, measured once) — the gap the
+    # guard exists for, but 9 idle minutes per round is not a bench.
+    # At sf0.01 the same shape measures ~2× and stays cheap.
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    sf_dir = "/root/testdata/sf0.01"
+    cust = catalog.table(spark, sf_dir, "customer").withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 50 == 0, F.lit("Customer#000000000")
+        ).otherwise(F.col("c_name")),
+    )
+    return blocked_fuzzy_pairs(cust, "c_custkey", "c_name", max_gram_df=cap)
+
+
 def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     """Capped-vs-uncapped wall time on the adversarial corpus — the
     timing evidence that the guards pay for themselves under skew."""
@@ -209,6 +229,14 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         # two-level aggregate+join form bounds every reducer.
         "skew_linededup_window": lambda: line_dedup_flags(docs),
         "skew_linededup_twolevel": lambda: line_dedup_flags(docs, two_level=True),
+        # r7: entity resolution under name collisions — 2% of customers
+        # share one name ⇒ every positional gram of that name is a hot
+        # blocking key with df = n/50; uncapped, each contributes
+        # (n/50)² candidate pairs before Levenshtein ever runs. Runs at
+        # sf0.01 (see _er — at sf0.1 the uncapped form costs 530 s, and
+        # at 20% dup density it did not finish inside 10 minutes).
+        "skew_er_uncapped": lambda: _er(spark, sf_dir, cap=10**9),
+        "skew_er_capped": lambda: _er(spark, sf_dir, cap=100),
     }
     out: dict[str, float] = {}
     for name, build in variants.items():

@@ -1323,3 +1323,43 @@ def search_text_index(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "score")
     )
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (bpe_learn_merges' output) to the
+    corpus: every word splits to characters, then each merge replays in
+    training order (the exact tokenizer-apply rule — order matters, a
+    later merge can consume an earlier merge's output). Returns
+    ``(id, n_words, n_tokens)`` where n_tokens is the corpus token
+    count under the learned vocabulary — the number a token budget
+    would use once the tokenizer is trained.
+
+    Scale: a pure narrow map — |merges| chained array folds per word,
+    zero shuffle; for production-sized merge tables (10k+) switch the
+    apply to an Arrow-batched pandas UDF wrapping a real tokenizer
+    (pandas_tokenizer_counter), which is the same trade the token-count
+    models document."""
+    toks = _with_tokens(docs, id_col, text_col)
+    syms_of = lambda w: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.substring(w, i, F.lit(1)),
+    )
+    per_word = F.transform(F.col("__toks"), lambda w: syms_of(w))
+    for _, left, right, _count in merges:
+        per_word_prev = per_word
+        per_word = F.transform(
+            per_word_prev, lambda s: _merge_pair(s, F.lit(left), F.lit(right))
+        )
+    n_tokens = F.aggregate(
+        F.transform(per_word, lambda s: F.size(s)), F.lit(0), lambda a, v: a + v
+    )
+    return toks.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).cast("int").alias("n_words"),
+        n_tokens.cast("int").alias("n_tokens"),
+    )

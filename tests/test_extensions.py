@@ -1765,3 +1765,47 @@ def test_word_graph_triangle_census_hand_built(spark):
         r = Q.REGISTRY["word_graph_stats"].fn(spark, "x").collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
     assert r.global_clustering == 3.0 / 5.0
+
+
+def test_bpe_apply_merges_matches_reference_and_shrinks(spark):
+    """Applying the learned merges reproduces a direct Python apply
+    (per-doc token counts) and each additional merge never increases
+    the corpus token count."""
+    from spacex_data_pipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+        word_vocab,
+    )
+
+    texts = ["the cat sat on the mat", "the bat and the cat", "a mat the cat sat on"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = bpe_learn_merges(word_vocab(docs), n_merges=4)
+    assert merges  # corpus has repeated pairs to merge
+
+    def py_apply(word, ms):
+        syms = list(word)
+        for _, l, r, _c in ms:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    prev_total = None
+    for upto in range(len(merges) + 1):
+        got = {
+            r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_apply_merges(docs, merges[:upto]).collect()
+        }
+        want = {
+            i: (len(t.split()), sum(py_apply(w, merges[:upto]) for w in t.split()))
+            for i, t in enumerate(texts)
+        }
+        assert got == want
+        total = sum(v[1] for v in got.values())
+        if prev_total is not None:
+            assert total <= prev_total
+        prev_total = total
