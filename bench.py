@@ -105,6 +105,7 @@ EXTENDED = [
     "dau_wau_stickiness",
     "source_overlap_matrix",
     "rfm_customer_segments",
+    "basket_part_pairs",
 ]
 
 

@@ -7093,6 +7093,111 @@ def word_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH first AS (SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INT) AS cohort
+                   FROM orders GROUP BY 1),
+    j AS (SELECT f.cohort, CAST(year(o.o_orderdate) AS INT) - f.cohort AS age,
+                 o.o_totalprice
+          FROM orders o JOIN first f ON f.o_custkey = o.o_custkey)
+    SELECT cohort, CAST(age AS INT) AS age,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("extension", "analytics"),
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime-value matrix: customers grouped by
+    first-order year, revenue accumulated by cohort age — the LTV
+    triangle finance reads. The cohort table is one per-customer
+    aggregate joined back to orders on the customer key (dimension-
+    sized broadcast at warehouse scale); revenue rides the decimal
+    exactness rail."""
+    ords = _t(spark, sf_dir, "orders")
+    first = ords.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("cohort")
+    )
+    j = ords.join(first, "o_custkey").select(
+        "cohort",
+        (F.year("o_orderdate") - F.col("cohort")).cast("int").alias("age"),
+        "o_totalprice",
+    )
+    return (
+        j.groupBy("cohort", "age")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(together AS BIGINT) AS together,
+           CAST(together * nb.n_baskets AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM p JOIN pc ca ON ca.l_partkey = part_a
+           JOIN pc cb ON cb.l_partkey = part_b, nb
+    ORDER BY together DESC, part_a, part_b LIMIT 50
+    """,
+    tags=("extension", "analytics", "mining"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts bought together in one order,
+    with the lift ratio together·N/(c_a·c_b) — bigram_collocations'
+    log-free PMI argument applied to baskets. The self-join fans out
+    per basket as items², naturally bounded by TPC-H's ≤7 lines per
+    order; at unbounded basket sizes cap items per basket first (the
+    hot-key discipline). Top-50 by the heap top-k."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    nb = li.agg(F.count_distinct(F.col("l_orderkey")).alias("n_baskets"))
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("__ca"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("__cb"))
+    out = (
+        p.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            (
+                (F.col("together") * F.col("n_baskets")).cast("double")
+                / (F.col("__ca") * F.col("__cb"))
+            ).alias("lift"),
+        )
+    )
+    return relational.topk(
+        out,
+        [F.col("together").desc(), F.col("part_a").asc(), F.col("part_b").asc()],
+        50,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -52,6 +52,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "rfm_customer_segments",
     "embedding_label_compactness",
     "word_graph_stats",
+    "cohort_ltv_matrix",
+    "basket_part_pairs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
