@@ -106,6 +106,17 @@ EXTENDED = [
     "source_overlap_matrix",
     "rfm_customer_segments",
     "basket_part_pairs",
+    # r7 TPC-H breadth (q1/q3/q5/q10 shapes are in HEADLINE already)
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q7_nation_trade_volume",
+    "q9_product_margin",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    # r7 semantic curation
+    "semantic_decontaminate_embeddings",
+    "cluster_quality_profile",
 ]
 
 
@@ -134,7 +145,18 @@ METHODOLOGY = {
     "timed_passes": 3,
     "reported": "min of timed passes",
     "sink": "noop (full execution, no driver collect)",
-    "skew_bench": "single pass, identical boilerplate page replacing 20% of documents",
+    "skew_bench": (
+        "single pass, identical boilerplate page replacing 20% of documents; "
+        "the skew_er pair plants one shared name on 2% of customers and runs "
+        "at sf0.01 (see _er)"
+    ),
+    "r7_late": (
+        "extended set grew by the TPC-H breadth entries (q4/q6/q7/q9/q14/"
+        "q18/q19) and the semantic-curation pair; "
+        "semantic_decontaminate_embeddings was reshaped from interpreted-"
+        "HOF scoring (13.0 s first measurement) to the packed-broadcast "
+        "BLAS argmax tile (~1.4 s) before first being recorded here"
+    ),
     "notes": (
         "r6: shingle_df_stats reshaped (GK sketch + exact histogram; the "
         "0-key exact percentile is gone from the plan); dedup_reports "

@@ -7199,6 +7199,484 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R. TPC-H benchmark breadth (r7): the classic shapes beyond q1/q3/q5/q10.
+# Each is the standard query adapted to the fixture schema (no
+# partsupp/commitdate/shipmode columns — adaptations noted per entry),
+# with the repo's decimal-exact money discipline throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(4,2))), 4) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg", "filter", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate — revenue increase if
+    discounts in a band were eliminated. The whole query is one parquet
+    scan with ALL four predicates pushed to the reader and a 0-key
+    partial+final agg; at 100 TB it is bandwidth-bound and embarrassingly
+    parallel (no shuffle beyond the 1-row partials). l_discount values
+    are exact hundredth-step doubles, so the BETWEEN band and the
+    DECIMAL(4,2) snap agree bit-for-bit across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec_money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "agg"),
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking). The fixture lacks
+    l_commitdate/l_receiptdate, so 'late' is adapted to: some line item
+    shipped more than 60 days after the order date. The EXISTS becomes a
+    LEFT SEMI join on the order key with the lateness condition inside
+    the join — one orderkey-partitioned shuffle, semi-join short-circuits
+    per key (no fan-out, no distinct needed), then a tiny
+    priority-cardinality aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 4) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("tpch", "join", "broadcast", "agg"),
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between every ordered
+    pair of distinct nations by ship year (the standard query fixes two
+    nations; the fixture keeps all pairs — same plan, |nations|²-bounded
+    output). Both nation lookups are broadcast — supplier→nation rides
+    the lineitem scan as a map-side join, customer→nation folds into a
+    broadcast (c_custkey, cust_nation) dim joined after the one
+    orders⋈lineitem shuffle. At 100 TB: one fact-fact shuffle, three
+    broadcasts, a (25·25·2)-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation")
+    supp_dim = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(dec_money("l_extendedprice") * dec_factor2(1 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "q9_product_margin",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                          - CAST(p_retailprice AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(3,0))), 4) AS DOUBLE) AS margin
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+    tags=("tpch", "join", "broadcast", "agg"),
+)
+def q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit). The fixture has no partsupp,
+    so cost is adapted to p_retailprice·l_quantity: margin = discounted
+    revenue − retail cost, by supplier nation × order year. part,
+    supplier, nation all broadcast into the lineitem scan; the single
+    shuffle is orders⋈lineitem for the year. The margin stays in exact
+    decimal end-to-end — (8,2)×(4,2) and (8,2)×(3,0) products both fit
+    the Long fast path, and the mixed-scale subtraction is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp_dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    margin = dec_money("l_extendedprice") * dec_factor2(
+        1 - F.col("l_discount")
+    ) - dec_money("p_retailprice") * F.col("l_quantity").cast("decimal(3,0)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(F.sum(margin).cast("decimal(38,4)").cast("double").alias("margin"))
+        .orderBy(F.col("supp_nation"), F.col("order_year").desc())
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                         ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_share_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT) AS promo_items,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("tpch", "join", "broadcast", "conditional-agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    from PROMO-type parts. part broadcasts into the filtered lineitem
+    scan (map-side join, zero fact shuffles); both sums are exact
+    decimals cast to double ONCE each, and the 100·promo/total chain is
+    two IEEE-correctly-rounded ops evaluated on the same tree in both
+    engines. The fixture's p_type is the bare class name, so the
+    standard LIKE 'PROMO%' collapses to equality."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = dec_money("l_extendedprice") * dec_factor2(1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(13,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_share_pct"),
+            F.sum(F.when(F.col("p_type") == "PROMO", 1).otherwise(0))
+            .cast("bigint")
+            .alias("promo_items"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "having", "join", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300, with their customer. Aggregation runs FIRST on lineitem
+    alone (one orderkey shuffle with map-side partials), the >300 HAVING
+    cuts the key set to a sliver, and only then do orders and customer
+    attach — orders by a key join against the tiny qualifying set, the
+    customer dim broadcast. The standard plan's 'aggregate before you
+    join' discipline; at 100 TB the post-HAVING set is thousands of rows
+    against billions scanned."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey", F.col("__qty").cast("double").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return relational.topk(
+        out, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 4) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "join", "broadcast", "disjunction"),
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive brackets): three
+    brand/size/quantity OR-branches spanning both join sides. part
+    broadcasts; Catalyst splits the disjunction into the single-side
+    conjuncts it can push (each branch's p_brand/p_size reaches the part
+    scan as an OR filter, l_quantity's 1..30 hull reaches lineitem) and
+    evaluates the full predicate post-join. One scan, no shuffle, 1-row
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#11") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#22") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#13") & size.between(1, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(dec_money("l_extendedprice") * dec_factor2(1 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S. Semantic curation (late r7): embedding-level decontamination and
+# cluster-level quality profiling — the SemDeDup-adjacent curation tables
+# n-gram decontamination can't provide (paraphrased benchmark leakage,
+# prune-whole-bad-clusters).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    oracle=f"""
+    WITH bench AS (
+      SELECT vec_id AS bid, embedding AS bv FROM embeddings
+      WHERE substring(md5('semdecon:' || CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+    corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE substring(md5('semdecon:' || CAST(vec_id AS VARCHAR)), 1, 1) <> '0'),
+    sc AS (
+      SELECT c.vec_id, c.label, b.bid,
+             {_COS_SQL.format(a="c.embedding", b="b.bv")} AS cosine
+      FROM corpus c, bench b
+      WHERE NOT isnan({_COS_SQL.format(a="c.embedding", b="b.bv")})),
+    m AS (
+      SELECT vec_id, label, max(cosine) AS max_cosine FROM sc GROUP BY 1, 2)
+    SELECT m.vec_id, m.label, m.max_cosine,
+           CAST(max(sc.bid) AS BIGINT) AS top_bench_id,
+           m.max_cosine >= 0.30 AS contaminated
+    FROM m JOIN sc ON sc.vec_id = m.vec_id AND sc.cosine = m.max_cosine
+    GROUP BY 1, 2, 3
+    """,
+    tags=("extension", "decontamination", "similarity"),
+)
+def semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: every training vector's max
+    cosine against a held-out benchmark subset (deterministic ~6% md5
+    split), with the ≥0.30 contamination flag — catches PARAPHRASED
+    benchmark leakage that exact n-gram decontamination
+    (decontaminate_docs) cannot see.
+
+    Scale shape: the benchmark set broadcasts (eval suites are small —
+    thousands of vectors against a billion-vector corpus), the corpus
+    never shuffles for scoring, and the per-vector argmax rides the
+    audited BLAS-prefilter + exact-LTR-rescore shape with a map-side
+    max(struct(cosine, bid)) AGGREGATE — no window over a bench-sized
+    frame (operators/similarity.bench_max_cosine; the interpreted-HOF
+    cross product this replaced measured 13.0 s vs ~1 s at sf0.1). The
+    oracle takes a DIFFERENT algorithm to the same answer
+    (max-then-equality-join-then-max-bid, the asof oracle's trick), so
+    the struct-max formulation is cross-checked, not transliterated.
+    Exact cosines are the same LTR fold both sides, so the 0.30 cut and
+    the equality join are engine-stable."""
+    from .operators.similarity import bench_max_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = F.substring(F.md5(F.concat(F.lit("semdecon:"), F.col("vec_id").cast("string"))), 1, 1)
+    bench = emb.filter(tag == "0").select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    corpus = emb.filter(tag != "0").select("vec_id", "label", "embedding")
+    best = bench_max_cosine(corpus, bench, carry=["label"])
+    return best.select(
+        "vec_id",
+        "label",
+        "max_cosine",
+        F.col("top_bench_id").cast("bigint").alias("top_bench_id"),
+        (F.col("max_cosine") >= 0.30).alias("contaminated"),
+    )
+
+
+@register(
+    "cluster_quality_profile",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    aff AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.cv")} AS aff
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM aff) t
+      WHERE rn = 1),
+    t AS (
+      SELECT doc_id, text, lang,
+             __TOKS__ AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lc,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dv,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+      FROM t),
+    q AS (
+      SELECT doc_id, lang,
+             round(lc * 0.4 + dv * 0.4 + (1.0 - pr) * 0.2, 6) AS quality
+      FROM c)
+    SELECT a.cell, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(q.quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
+           CAST(COUNT(DISTINCT q.lang) AS BIGINT) AS n_langs
+    FROM assigned a JOIN q ON q.doc_id = a.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "similarity", "text", "curation"),
+)
+def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-semantic-cluster quality profile: IVF cell assignment (the
+    audited deterministic-centroid BLAS map pass) joined to the text
+    quality score on the shared doc/vec id, rolled up per cell — docs,
+    exact-decimal mean quality, language spread. The
+    prune-or-downweight-whole-clusters decision table (SemDeDup / DC2
+    cluster-level curation): a cell full of low-quality boilerplate gets
+    dropped wholesale before any pairwise work runs.
+
+    Scale shape: assignment is a zero-shuffle map pass; the id join is
+    the one key shuffle (embeddings and documents co-partition /
+    co-bucket on the shared id at scale); the rollup is |cells|-sized
+    with map-side partials. Mean quality sums DECIMAL(10,6)-snapped
+    per-doc scores — order-independent, so the cross-engine hash holds."""
+    from .operators.similarity import ivf_assign_cells
+    from .operators.text import quality_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    assigned, _ = ivf_assign_cells(emb, 16)
+    q = quality_score(docs).select("doc_id", "quality")
+    langs = docs.select("doc_id", "lang")
+    return (
+        assigned.select("vec_id", "cell")
+        .join(q, F.col("doc_id") == F.col("vec_id"))
+        .join(langs, "doc_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #
 # The driver's correctness harness checks exactly the FIRST 50 entries of

@@ -1809,3 +1809,42 @@ def test_bpe_apply_merges_matches_reference_and_shrinks(spark):
         if prev_total is not None:
             assert total <= prev_total
         prev_total = total
+
+
+def test_bench_max_cosine_semantics(spark):
+    """Planted-geometry lock for the packed-broadcast argmax tile:
+    exact argmax and value, deterministic tie-break to the GREATEST bid
+    (struct-max), zero-norm corpus vectors vanish (all-NaN row), and
+    zero-norm bench vectors never win."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.similarity import bench_max_cosine
+
+    # bench: b0 = +x, b1 = +y, b2 = zero (NaN vs everything),
+    #        b3 = +x scaled (cosine-identical to b0 — a true tie)
+    bench = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [2.0, 0.0, 0.0, 0.0]),
+        ],
+        "bid long, bv array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "a", [3.0, 0.0, 0.0, 0.0]),   # ties b0/b3 at 1.0 -> bid 3
+            (11, "b", [0.0, 5.0, 0.1, 0.0]),   # clearly b1
+            (12, "c", [0.0, 0.0, 0.0, 0.0]),   # zero-norm: must vanish
+            (13, "d", [-1.0, 0.0, 0.0, 0.0]),  # max is still defined (-? b1=0 beats b0=-1)
+        ],
+        "vec_id long, tag string, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.tag, r.top_bench_id, round(r.max_cosine, 9))
+        for r in bench_max_cosine(corpus, bench, carry=["tag"]).collect()
+    }
+    assert set(got) == {10, 11, 13}  # 12 vanished (all-NaN)
+    assert got[10] == ("a", 3, 1.0)  # tie -> greatest bid
+    assert got[11][1] == 1 and got[11][2] < 1.0
+    assert got[13][1] == 1 and got[13][2] == 0.0  # orthogonal beats opposite

@@ -98,6 +98,8 @@ SANCTIONED_PYTHON = {
     "similarity_ivfpq_topk",  # BLAS cell assignment feeding the code probe (r7)
     "pq_recall_report",  # exact side rides cosine_topk's BLAS tile (r7)
     "hybrid_retrieval_rrf",  # vector side rides cosine_topk's BLAS tile (r7)
+    "cluster_quality_profile",  # BLAS cell assignment (ivf_assign_cells) (r7)
+    "semantic_decontaminate_embeddings",  # BLAS argmax tile (bench_max_cosine) (r7)
 }
 
 
@@ -427,3 +429,72 @@ def test_centroid_confusion_broadcasts_centroids(spark, sf):
     plan = plan_of(REGISTRY["centroid_confusion_embeddings"].fn(spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_pushes_all_four_predicates_to_scan(spark, sf):
+    """TPC-H Q6 is a pure scan-agg: every predicate must reach the parquet
+    reader, and the only exchange is the 1-row partial-agg gather."""
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].fn(spark, sf))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert plan.count("Exchange") <= 2  # SinglePartition gather only
+
+
+def test_q18_aggregates_before_joining(spark, sf):
+    """Q18's HAVING set must be computed from lineitem alone and then
+    BROADCAST to orders — joining facts first would shuffle orders for
+    rows the >300 filter discards."""
+    plan = plan_of(REGISTRY["q18_large_volume_customers"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2  # qualifying set + customer
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_splits_disjunction_to_both_scans(spark, sf):
+    """Catalyst must extract each side's OR-conjunct hull from the
+    bracket disjunction: brand/size filters onto the part scan, the
+    quantity hull onto lineitem."""
+    plan = plan_of(REGISTRY["q19_bracket_revenue"].fn(spark, sf))
+    li_read = [l for l in plan.splitlines() if "PushedFilters" in l and "l_quantity" in l]
+    pt_read = [l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l]
+    assert li_read and pt_read
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_broadcasts_both_nation_dims(spark, sf):
+    plan = plan_of(REGISTRY["q7_nation_trade_volume"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2  # supp dim + cust dim
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_never_fans_out(spark, sf):
+    plan = plan_of(REGISTRY["q4_late_shipment_priority"].fn(spark, sf))
+    assert "LeftSemi" in plan
+
+
+def test_semantic_decon_is_broadcast_and_aggregate(spark, sf):
+    """The benchmark side must broadcast (corpus never shuffles for
+    scoring) and the per-vector argmax must be an AGGREGATE with map-side
+    partials — a window here would sort a bench-sized frame per vector."""
+    plan = plan_of(REGISTRY["semantic_decontaminate_embeddings"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_cluster_quality_profile_no_corpus_window(spark, sf):
+    """IVF assignment must stay a map pass: the only window allowed is the
+    16-row centroid numbering, never a per-vector rank over cells."""
+    plan = plan_of(REGISTRY["cluster_quality_profile"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_and_q14_broadcast_their_dimensions(spark, sf):
+    p9 = plan_of(REGISTRY["q9_product_margin"].fn(spark, sf))
+    assert p9.count("BroadcastHashJoin") >= 2  # part + supplier-nation dim
+    assert "CartesianProduct" not in p9
+    p14 = plan_of(REGISTRY["q14_promo_revenue_share"].fn(spark, sf))
+    assert "BroadcastHashJoin" in p14
+    assert "SortMergeJoin" not in p14  # part rides map-side; no fact shuffle

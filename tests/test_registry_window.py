@@ -54,6 +54,15 @@ NEW_AWAITING_WINDOW: set[str] = {
     "word_graph_stats",
     "cohort_ltv_matrix",
     "basket_part_pairs",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q7_nation_trade_volume",
+    "q9_product_margin",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "semantic_decontaminate_embeddings",
+    "cluster_quality_profile",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
