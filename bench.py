@@ -117,6 +117,8 @@ EXTENDED = [
     # r7 semantic curation
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",
+    "range_join_event_windows",
+    "incremental_mart_refresh",
 ]
 
 

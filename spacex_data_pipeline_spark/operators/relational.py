@@ -180,6 +180,65 @@ def as_of_join(
     return out.drop("__m")
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: Sequence[str] = (),
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join ([start, end) containment, optional equi
+    keys) via time binning — the scalable form of a range join.
+
+    Spark plans a bare range condition as a nested-loop/cartesian
+    (|points|·|intervals| comparisons); the standard distributed fix
+    (the shape behind commercial engines' range-join hints) turns the
+    range into an EQUI join: every interval explodes to the bin ids it
+    covers (``sequence(floor(start/W), floor(end/W))``), every point
+    computes its single bin, the join runs on (keys…, bin), and the
+    exact ``start <= ts < end`` filter runs on the equi-matched pairs
+    only. Each matching (point, interval) pair meets in EXACTLY one bin
+    — the point's own — so no post-join dedup is needed; integer-second
+    bin arithmetic keeps point and interval bin ids consistent for any
+    sub-second timestamps (floor commutes with second-truncation for
+    whole-second bin widths).
+
+    Scale: shuffle moves |points| + Σ(interval bins) rows on narrow
+    (keys…, bin) keys; pick ``bin_seconds`` near the median interval
+    length so intervals explode to O(1) bins and each (key, bin)
+    partition holds only that slice of time. Cost of a too-small bin is
+    interval replication; of a too-big bin, false candidates killed by
+    the exact filter — both degrade gracefully, neither is quadratic.
+    A dimension-sized interval table broadcasts and skips the shuffle
+    entirely (AQE decides).
+    """
+    pb = points.withColumn(
+        "__bin",
+        F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bin_seconds)),
+    )
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / F.lit(bin_seconds)),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / F.lit(bin_seconds)),
+            )
+        ),
+    )
+    cond = pb["__bin"] == ib["__bin"]
+    for k in keys:
+        cond = cond & (pb[k] == ib[k])
+    cond = cond & (pb[point_ts] >= ib[start_ts]) & (pb[point_ts] < ib[end_ts])
+    out = pb.join(ib, cond)
+    # drop the helper bin and the interval side's duplicated key columns
+    out = out.drop(pb["__bin"]).drop(ib["__bin"])
+    for k in keys:
+        out = out.drop(ib[k])
+    return out
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -7676,6 +7676,127 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "range_join_event_windows",
+    oracle="""
+    WITH w AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+    iv AS (SELECT event_type, day,
+                  CAST(day AS TIMESTAMP) + INTERVAL 8 HOUR  AS ws,
+                  CAST(day AS TIMESTAMP) + INTERVAL 16 HOUR AS we
+           FROM w)
+    SELECT iv.event_type, iv.day, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM iv JOIN events e
+      ON e.event_type = iv.event_type AND e.ts >= iv.ws AND e.ts < iv.we
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("extension", "join", "range-join"),
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN via time binning
+    (operators/relational.range_join_binned): events landing inside each
+    (event_type, day)'s 08:00–16:00 audit window, rolled up to events +
+    distinct users per window. The interval table here derives from the
+    events themselves (distinct type×day), but the operator is the
+    general one — at 100 TB the interval side is campaigns / incident
+    windows / maintenance periods in the millions, and the bare range
+    condition Spark would otherwise plan is a nested loop. The binned
+    form joins on (event_type, 4h-bin) — pure equi-join, 3 bins per 8 h
+    interval — with the exact [ws, we) filter on equi-matched pairs
+    only; the oracle states the naive inequality join, so the binned
+    decomposition is proven equivalent, not transliterated."""
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .distinct()
+        .select(
+            "event_type",
+            "day",
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 8 HOURS")).alias("ws"),
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 16 HOURS")).alias("we"),
+        )
+    )
+    joined = relational.range_join_binned(
+        ev.select("event_type", "ts", "user_id"),
+        iv,
+        point_ts="ts",
+        start_ts="ws",
+        end_ts="we",
+        keys=["event_type"],
+        bin_seconds=4 * 3600,
+    )
+    return (
+        joined.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "incremental_mart_refresh",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)                          AS year,
+           COUNT(*)                                                AS launches,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS failures,
+           ROUND(100.0 * CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 / NULLIF(COUNT(*), 0), 2)                          AS success_rate_pct
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "incremental", "mart"),
+)
+def incremental_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialization of the reference mart: orders split
+    into a 'base' (already materialized) and an 'incoming batch'
+    (~12% md5 split standing in for the day's new partitions), each
+    reduced to PARTIAL aggregates, then merged by summing — the
+    dbt-incremental / streaming-state production pattern where a
+    nightly refresh touches only the delta, never the history. The
+    oracle is the FULL recompute over all orders, so the merge law
+    (count/sum are commutative monoids; the rate derives from merged
+    sums, never from merged rates) is hash-proven, not assumed.
+
+    Scale shape: each side is one scan + map-side partial agg on the
+    same narrow key; the merge union re-aggregates |years|-sized
+    partials. At 100 TB the base side's partials are a stored table a
+    few KB big — the whole refresh reads ONLY the new partitions (here
+    both sides scan because the fixture has no stored state)."""
+    o = _t(spark, sf_dir, "orders")
+    tag = F.substring(F.md5(F.concat(F.lit("incr:"), F.col("o_orderkey").cast("string"))), 1, 1)
+    base, delta = o.filter(~tag.isin("0", "1")), o.filter(tag.isin("0", "1"))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.year("o_orderdate").cast("int").alias("year")).agg(
+            F.count(F.lit(1)).alias("launches"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("successes"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1))
+            .cast("bigint")
+            .alias("failures"),
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("year")
+        .agg(
+            F.sum("launches").alias("launches"),
+            F.sum("successes").cast("bigint").alias("successes"),
+            F.sum("failures").cast("bigint").alias("failures"),
+        )
+    )
+    return merged.withColumn(
+        "success_rate_pct", pct_rate(F.col("successes"), F.col("launches"))
+    ).select(
+        "year", "launches", "successes", "failures", "success_rate_pct"
+    ).orderBy("year")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

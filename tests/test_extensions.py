@@ -1848,3 +1848,30 @@ def test_bench_max_cosine_semantics(spark):
     assert got[10] == ("a", 3, 1.0)  # tie -> greatest bid
     assert got[11][1] == 1 and got[11][2] < 1.0
     assert got[13][1] == 1 and got[13][2] == 0.0  # orthogonal beats opposite
+
+
+def test_range_join_binned_boundary_semantics(spark):
+    """[start, end) containment at exact bin boundaries, multi-bin
+    intervals, key scoping, and the no-duplicate-pairs guarantee."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.relational import range_join_binned
+
+    points = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 08:00:00"),  # == start: IN
+            (2, "a", "2024-01-01 15:59:59"),  # just inside: IN
+            (3, "a", "2024-01-01 16:00:00"),  # == end: OUT
+            (4, "a", "2024-01-01 07:59:59"),  # before: OUT
+            (5, "b", "2024-01-01 12:00:00"),  # wrong key: OUT
+            (6, "a", "2024-01-01 12:00:00"),  # mid-interval: IN
+        ],
+        "pid long, k string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [("a", "2024-01-01 08:00:00", "2024-01-01 16:00:00")],
+        "k string, ws string, we string",
+    ).withColumn("ws", F.to_timestamp("ws")).withColumn("we", F.to_timestamp("we"))
+    out = range_join_binned(points, iv, "ts", "ws", "we", keys=["k"], bin_seconds=3600)
+    got = sorted(r.pid for r in out.collect())
+    assert got == [1, 2, 6]  # each exactly once: no bin-duplicate pairs

@@ -498,3 +498,13 @@ def test_q9_and_q14_broadcast_their_dimensions(spark, sf):
     p14 = plan_of(REGISTRY["q14_promo_revenue_share"].fn(spark, sf))
     assert "BroadcastHashJoin" in p14
     assert "SortMergeJoin" not in p14  # part rides map-side; no fact shuffle
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf):
+    """The binned range join must compile to a hash equi-join on
+    (key, bin) — a bare range condition would plan as a nested loop over
+    |points|·|intervals|."""
+    plan = plan_of(REGISTRY["range_join_event_windows"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -63,6 +63,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q19_bracket_revenue",
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",
+    "range_join_event_windows",
+    "incremental_mart_refresh",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
