@@ -119,6 +119,8 @@ EXTENDED = [
     "cluster_quality_profile",
     "range_join_event_windows",
     "incremental_mart_refresh",
+    "pii_rates_by_source",
+    "profile_orders_columns",
 ]
 
 

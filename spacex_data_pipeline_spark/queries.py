@@ -7797,6 +7797,124 @@ def incremental_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("year")
 
 
+@register(
+    "pii_rates_by_source",
+    oracle=r"""
+    WITH f AS (
+      SELECT source,
+             CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END AS he,
+             CASE WHEN regexp_matches(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b') THEN 1 ELSE 0 END AS hp,
+             CASE WHEN regexp_matches(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') THEN 1 ELSE 0 END AS hi,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(he) AS BIGINT) AS docs_email,
+           CAST(SUM(hp) AS BIGINT) AS docs_phone,
+           CAST(SUM(hi) AS BIGINT) AS docs_ipv4,
+           CAST(SUM(ne) AS BIGINT) AS email_occurrences,
+           ROUND(100.0 * CAST(SUM(CASE WHEN he + hp + hi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 / NULLIF(COUNT(*), 0), 2) AS pct_any_pii
+    FROM f GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "text", "redaction", "report"),
+)
+def pii_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure report — the which-crawls-leak table read
+    BEFORE scheduling redaction (a source with 40% email-bearing pages
+    gets the scrub pass; a clean curated source may skip it). Same
+    RE2 ∩ Java patterns as text_redact_pii (operators/text.PII_PATTERNS),
+    so the report counts exactly what the scrubber would touch. Pure
+    narrow map + one |sources|-keyed aggregate with map-side partials —
+    fuses into the ingest scan at 100 TB."""
+    from .operators.text import PII_PATTERNS
+
+    docs = _t(spark, sf_dir, "documents")
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    f = docs.select(
+        "source",
+        F.col("text").rlike(pats["email"]).cast("int").alias("he"),
+        F.col("text").rlike(pats["phone"]).cast("int").alias("hp"),
+        F.col("text").rlike(pats["ipv4"]).cast("int").alias("hi"),
+        F.regexp_count(F.col("text"), F.lit(pats["email"])).alias("ne"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("he").cast("bigint").alias("docs_email"),
+            F.sum("hp").cast("bigint").alias("docs_phone"),
+            F.sum("hi").cast("bigint").alias("docs_ipv4"),
+            F.sum("ne").cast("bigint").alias("email_occurrences"),
+            pct_rate(
+                F.sum(((F.col("he") + F.col("hp") + F.col("hi")) > 0).cast("long")),
+                F.count(F.lit(1)),
+            ).alias("pct_any_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    ORDER BY col
+    """,
+    tags=("extension", "profiling", "report"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (the dbt-docs / data-catalog table): per
+    column — rows, nulls, exact distinct count — in ONE scan. All five
+    columns' aggregates run in a single groupBy-less aggregate; the
+    multi-column COUNT(DISTINCT) compiles to an Expand (one duplicated
+    stream per distinct spec) feeding one partial-aggregated shuffle,
+    and the 1-row result unpivots via ``stack`` (the
+    quality_filter_funnel shape). The oracle computes each column with
+    an independent scan+UNION — a different decomposition of the same
+    facts. At 100 TB swap exact distincts for HLL sketches per column
+    (one pass, no Expand) when ±2% suffices — exact is kept here
+    because the oracle must hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', __n_{c}, __nn_{c}, __nd_{c}" for c in cols)
+    return (
+        one.selectExpr(
+            f"stack({len(cols)}, {stack_expr}) AS (col, n, n_null, n_distinct)"
+        )
+        .select(
+            "col",
+            "n",
+            "n_null",
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -65,6 +65,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "cluster_quality_profile",
     "range_join_event_windows",
     "incremental_mart_refresh",
+    "pii_rates_by_source",
+    "profile_orders_columns",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
