@@ -543,3 +543,64 @@ def test_textrank_matches_python_reference(texts):
     want = {v: (r[v], deg[v]) for v in nodes}
     assert got == want
     assert all(score >= 150_000 for score, _ in got.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5000)),
+        min_size=0,
+        max_size=30,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 5000),
+            st.integers(0, 2500),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_s=st.sampled_from([60, 300, 3600]),
+)
+def test_range_join_binned_equals_naive_join(pts, ivs, bin_s):
+    """The binned decomposition must equal the naive inequality join for
+    ANY points/intervals/bin width — including bin-edge timestamps,
+    zero-length intervals, and multi-bin spans — with each matching pair
+    exactly once."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.relational import range_join_binned
+
+    spark = _get_spark()
+    epoch = dtm.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [
+            (i, k, epoch + dtm.timedelta(seconds=s))
+            for i, (k, s) in enumerate(pts)
+        ]
+        or [(0, "z", epoch)],
+        "pid long, k string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, k, epoch + dtm.timedelta(seconds=s), epoch + dtm.timedelta(seconds=s + d))
+            for j, (k, s, d) in enumerate(ivs)
+        ],
+        "iid long, k string, ws timestamp, we timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join_binned(
+            points, iv, "ts", "ws", "we", keys=["k"], bin_seconds=bin_s
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, ps) in enumerate(pts)
+        for j, (ik, is_, d) in enumerate(ivs)
+        if pk == ik and is_ <= ps < is_ + d
+    )
+    assert got == want
