@@ -114,6 +114,11 @@ EXTENDED = [
     "q14_promo_revenue_share",
     "q18_large_volume_customers",
     "q19_bracket_revenue",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_high_balance",
     # r7 semantic curation
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",

@@ -7528,6 +7528,295 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                    THEN CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                    ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS mkt_share,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                    THEN CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                    ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE) AS nation_volume,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS total_volume
+    FROM lineitem
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region    ON r_regionkey = cn.n_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("tpch", "join", "broadcast", "conditional-agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of one supplier
+    nation's revenue within everything sold into one customer region, by
+    order year. (The fixture's part table has no l_partkey filter worth
+    keeping — p_type is a 6-value class — so the part join is dropped;
+    the share algebra and join topology are Q8's.) supplier→nation folds
+    to a broadcast (s_suppkey, supp_nation) dim riding the lineitem scan;
+    customer→nation→region folds to a broadcast customer-key dim that is
+    also the region FILTER (customers outside the region never leave the
+    build side). One orders⋈lineitem fact shuffle, then a |years|-row
+    aggregate. Both sums stay exact decimal and are cast to double once;
+    the share is a single IEEE division evaluated on identical doubles in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    supp_dim = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    vol = dec_money("l_extendedprice") * dec_factor2(1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(13,4)")
+    )
+    return (
+        li.join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(nation_vol).cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "agg"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k qualifying orders, zero included. (The standard query
+    excludes orders by a comment pattern; the fixture has no o_comment,
+    so the exclusion predicate is o_orderpriority <> '1-URGENT' — same
+    filtered-LEFT-JOIN-then-count shape.) Instead of the literal
+    fan-out-then-count left join, orders pre-aggregate to one
+    (custkey, cnt) row each — a map-side-combined custkey shuffle —
+    and customers LEFT-join that collapsed table (second custkey
+    shuffle, no row ever duplicated), coalescing absent keys to 0.
+    COUNT(o_orderkey) over the filtered outer join equals that
+    pre-aggregated count exactly, including the 0 rows. The final
+    distribution groupBy has |distinct counts| keys (~dozens)."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select(F.coalesce(F.col("__cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "scalar-subquery", "agg"),
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue
+    over one quarter — the CREATE VIEW + scalar-MAX-subquery query. The
+    revenue view is one suppkey shuffle with map-side partials over the
+    date-pruned scan; its MAX is a 1-row aggregate broadcast back as a
+    filter (no second pass over lineitem, no window over the whole
+    view); only the argmax sliver — ties included, per spec — joins the
+    supplier dim. Revenue stays exact decimal through the MAX equality
+    (double would make 'equal to the max' 1-ulp-fragile), and casts to
+    double only in the output projection."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(dec_money("l_extendedprice") * dec_factor2(1 - F.col("l_discount")))
+        .cast("decimal(38,4)")
+        .alias("__rev")
+    )
+    best = revenue.agg(F.max("__rev").alias("__best"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    winners = revenue.join(F.broadcast(best)).filter(F.col("__rev") == F.col("__best"))
+    return (
+        s.join(F.broadcast(winners), s.s_suppkey == winners.l_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13'),
+    stats AS (
+      SELECT l_partkey AS pk, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) / 7.0 AS avg_weekly,
+           COUNT(*) AS n_items
+    FROM li JOIN stats ON pk = l_partkey
+    WHERE l_quantity * 5 * cnt < sum_qty
+    """,
+    tags=("tpch", "correlated-subquery", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from line items
+    whose quantity is below 20% of their part's average quantity. The
+    correlated AVG subquery becomes aggregate-then-join-back: the
+    brand-filtered lineitem (part broadcasts into the scan) aggregates
+    per partkey once, and the per-part (cnt, sum_qty) rejoins the same
+    filtered fact on partkey — two partkey-partitioned shuffles total;
+    AQE sees both sides shrunk by the brand filter and typically
+    broadcasts the stats side. The threshold comparison is division-free
+    integer algebra (qty < 0.2·sum/cnt ⇔ 5·qty·cnt < sum_qty):
+    l_quantity is integral and the products stay far below 2^53, so the
+    double arithmetic is exact in both engines — no decimal-division
+    rounding rules to reconcile. The one division (by 7.0) happens once,
+    on the final exact-decimal sum cast to double."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.pk)
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(dec_money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_weekly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE c_acctbal > (SELECT avg_bal FROM thr)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery", "agg"),
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances and no recent orders, rolled up to a
+    per-nation count + total. (The fixture has no c_phone, so the
+    country-code substring grouping becomes the nation dim, and — every
+    fixture customer having SOME order — 'no orders' becomes 'no orders
+    since 2000-01-01'; the scalar-AVG subquery + NOT EXISTS + rollup
+    skeleton is Q22's.) The average is a 1-row aggregate broadcast as a
+    filter, never collected; NOT EXISTS is a LEFT ANTI join against the
+    date-filtered orders keys (custkey shuffle — at 100 TB the anti
+    build side is only the recent slice, and the probe side has already
+    been cut by the balance filter); nation broadcasts. The threshold is
+    an exact decimal sum cast to double divided by a bigint count — the
+    identical IEEE division in both engines — and c_acctbal compares to
+    it as the raw parquet double on both sides."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(dec_money("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec_money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # S. Semantic curation (late r7): embedding-level decontamination and
 # cluster-level quality profiling — the SemDeDup-adjacent curation tables

@@ -474,6 +474,57 @@ def test_q4_semi_join_never_fans_out(spark, sf):
     assert "LeftSemi" in plan
 
 
+def test_q8_region_filter_rides_the_broadcast_dim(spark, sf):
+    """The region predicate must cut the customer dim on the BUILD side
+    (before broadcast), and the share query must keep exactly one fact
+    shuffle — supp/cust/nation/region all broadcast."""
+    plan = plan_of(REGISTRY["q8_market_share"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # r_name reaches a scan as a pushed filter, not a post-join one
+    assert any(
+        "PushedFilters" in l and "r_name" in l for l in plan.splitlines()
+    )
+
+
+def test_q13_counts_orders_before_the_outer_join(spark, sf):
+    """Q13 must pre-aggregate orders to (custkey, cnt) — the literal
+    filtered LEFT JOIN would fan every customer out by its order count
+    and immediately re-collapse it. Two hash aggregates (per-custkey,
+    then the distribution), no fan-out join above a raw orders scan."""
+    plan = plan_of(REGISTRY["q13_order_count_distribution"].fn(spark, sf))
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+    # the outer join consumes the AGGREGATED side: the priority filter
+    # sits below an aggregate, never inside the join condition
+    assert "o_orderpriority" not in plan.split("Join")[1].split("\n")[0]
+
+
+def test_q15_max_is_a_broadcast_filter_not_a_window(spark, sf):
+    """The scalar-MAX subquery must become a 1-row broadcast joined back
+    as a filter — a rank()/max() WINDOW over the revenue view would sort
+    the whole per-supplier table in one partition."""
+    plan = plan_of(REGISTRY["q15_top_supplier_revenue"].fn(spark, sf))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q17_threshold_is_division_free(spark, sf):
+    """The correlated-AVG rewrite must compare 5·qty·cnt < sum_qty — no
+    per-row division whose rounding the oracle would have to mirror."""
+    plan = plan_of(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf))
+    assert "Window" not in plan
+    # brand filter reaches the part scan
+    assert any(
+        "PushedFilters" in l and "p_brand" in l for l in plan.splitlines()
+    )
+
+
+def test_q22_not_exists_is_an_anti_join(spark, sf):
+    plan = plan_of(REGISTRY["q22_dormant_high_balance"].fn(spark, sf))
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+
+
 def test_semantic_decon_is_broadcast_and_aggregate(spark, sf):
     """The benchmark side must broadcast (corpus never shuffles for
     scoring) and the per-vector argmax must be an AGGREGATE with map-side

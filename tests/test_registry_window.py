@@ -67,6 +67,11 @@ NEW_AWAITING_WINDOW: set[str] = {
     "incremental_mart_refresh",
     "pii_rates_by_source",
     "profile_orders_columns",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_high_balance",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
