@@ -919,6 +919,122 @@ def contamination_flags(
     )
 
 
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Distributed Bloom-filter build over a key column: one row holding
+    ``map<int, bigint>`` — bit-word index → 64-bit word (absent word ≡ 0).
+
+    Spark's own runtime bloom (``bloom_filter_agg``/``might_contain``) is
+    optimizer-internal and not in the public function registry, so this
+    is the same structure from public primitives: each key sets
+    ``k_hashes`` bits at ``pmod(xxhash64(key, seed_i), m_bits)``; the
+    bitmap is assembled DISTRIBUTEDLY (explode → groupBy word index →
+    ``bit_or`` with map-side partials), so the build scales with
+    executors and only the final ≤ ``m_bits/64``-row word table passes
+    through one reducer into the map (bounded by m, never by |keys|).
+
+    Sizing is the standard calculus: FPR ≈ (1 - e^(-k·n/m))^k — 10 bits
+    per element with k=5 gives ~1 %. The 1-row map broadcasts at m/8
+    bytes: a 1-billion-key set at 10 bits/element is a 1.25 GB
+    broadcast where the exact distinct key-string set would be tens of
+    GB — the reason a bloom prefilter is the 100 TB shape.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("__pos")
+    words = (
+        keys.select(pos)
+        .select(
+            F.shiftright(F.col("__pos"), 6).cast("int").alias("__word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias(
+            "__bloom"
+        )
+    )
+
+
+def bloom_might_contain(key_col: str, m_bits: int, k_hashes: int):
+    """Column predicate testing ``key_col`` against a joined ``__bloom``
+    map (from :func:`bloom_build`, attached via a 1-row broadcast join).
+    True ⇢ maybe present (all k bits set); False ⇢ DEFINITELY absent —
+    the bloom guarantee: no false negatives, so an exact confirm join on
+    the survivors reproduces exact semantics. Pure JVM column ops: k
+    map lookups + bitwise tests, no shuffle, no UDF."""
+    checks = [
+        F.coalesce(
+            F.expr(
+                f"(element_at(__bloom, CAST(shiftright(pmod(xxhash64({key_col}, {i}), "
+                f"{m_bits}), 6) AS INT)) & shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(pmod(xxhash64({key_col}, {i}), {m_bits}), 64) AS INT))) != 0"
+            ),
+            F.lit(False),
+        )
+        for i in range(k_hashes)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def contamination_flags_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contamination_flags` with a Bloom prefilter — the 100 TB
+    decontamination topology. Identical output (the bloom admits false
+    positives but never false negatives, and every candidate is exactly
+    confirmed), different movement of bytes:
+
+    - :func:`contamination_flags` broadcasts the benchmark's distinct
+      shingle STRINGS (tens of bytes each) to every task — fine for one
+      benchmark, prohibitive when the held-out suite is itself large
+      (every eval set × every k) or memory-tight executors.
+    - Here the broadcast is the m/8-byte bitmap (10 bits ≈ 1.25 bytes
+      per shingle at 1 % FPR); the corpus-side shingle stream filters
+      against it with k in-map bit tests and NO shuffle, and only the
+      surviving ~FPR·|corpus shingles| + true hits enter the exact
+      confirm join. The confirm stays broadcast here (fixture-sized
+      benchmark); at a benchmark too big to broadcast raw it becomes a
+      shuffled semi join whose probe side the bloom has already cut by
+      ~100×.
+    """
+    bsh = shingle_docs(benchmark, id_col, text_col, k).select("shingle").distinct()
+    bloom = bloom_build(bsh, "shingle", m_bits, k_hashes)
+    tsh = shingle_docs(train, id_col, text_col, k)
+    candidates = tsh.join(F.broadcast(bloom)).filter(
+        bloom_might_contain("shingle", m_bits, k_hashes)
+    )
+    hits = (
+        candidates.join(F.broadcast(bsh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return train.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated"),
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -8204,6 +8204,48 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_bloom_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+    tags=("extension", "dedup", "text", "bloom"),
+)
+def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontaminate_docs` through a hand-rolled distributed Bloom
+    prefilter (operators/dedup.contamination_flags_bloom): the benchmark
+    shingle set compresses to an m-bit bitmap (map<word, bits> built with
+    bit_or partial aggregation, broadcast as ONE row) and the corpus
+    stream filters against it with k JVM bit tests before the exact
+    confirm join ever sees a row. Same oracle as decontaminate_docs —
+    the bloom has no false negatives and every candidate is exactly
+    confirmed, so the flags are identical; what changes is the 100 TB
+    byte movement (1.25 bytes/shingle broadcast vs tens, confirm-join
+    probe cut to ~FPR of the corpus). Spark's own runtime bloom
+    (bloom_filter_agg / might_contain) is optimizer-internal, not in the
+    public registry — this is the same structure from public primitives."""
+    from .operators.dedup import contamination_flags_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_flags_bloom(train, bench, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

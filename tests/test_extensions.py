@@ -439,6 +439,73 @@ def test_contamination_flags_empty_benchmark(spark):
     assert [(r.doc_id, r.contaminated) for r in out] == [(1, False)]
 
 
+def test_bloom_prefilter_matches_exact_operator(spark, sf_oracle):
+    """contamination_flags_bloom must produce byte-identical flags to the
+    broadcast-exact operator — the bloom admits false positives but the
+    confirm join removes them, and the no-false-negative guarantee means
+    nothing true is lost. Checked at the default sizing AND at an
+    absurdly small bitmap (m=256 bits for ~2k shingles → FPR ≈ 1) where
+    ONLY the confirm join keeps the answer right."""
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.dedup import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    exact = {
+        (r.doc_id, r.contaminated)
+        for r in contamination_flags(train, bench, k=5).collect()
+    }
+    assert exact == {
+        (r.doc_id, r.contaminated)
+        for r in contamination_flags_bloom(train, bench, k=5).collect()
+    }
+    assert exact == {
+        (r.doc_id, r.contaminated)
+        for r in contamination_flags_bloom(
+            train, bench, k=5, m_bits=256, k_hashes=2
+        ).collect()
+    }
+
+
+def test_bloom_build_and_probe_guarantees(spark):
+    """Structural bloom invariants: every word index lies in
+    [0, m/64); every INSERTED key passes might-contain (zero false
+    negatives, the property the exact-confirm design rests on); and a
+    generously-sized filter rejects most absent keys (FPR sanity, not
+    exactness — absent keys may collide)."""
+    from spacex_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, kh = 1 << 14, 5
+    keys = spark.range(500).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    bloom = bloom_build(keys, "k", m, kh)
+    words = bloom.collect()[0]["__bloom"]
+    assert all(0 <= w < m // 64 for w in words)
+    assert any(bits != 0 for bits in words.values())
+
+    members = keys.join(F.broadcast(bloom)).filter(
+        bloom_might_contain("k", m, kh)
+    )
+    assert members.count() == 500  # no false negatives, ever
+
+    absent = spark.range(500, 1500).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    fp = (
+        absent.join(F.broadcast(bloom))
+        .filter(bloom_might_contain("k", m, kh))
+        .count()
+    )
+    # 500 keys in 16384 bits ≈ 3.7 bits set per key · 5 probes → FPR ≪ 10%
+    assert fp < 100
+
+
 def test_kmeans_refine_survives_emptied_cluster(spark):
     """If a Lloyd round empties a cluster, the surviving cell ids are
     non-contiguous — assignment must map argmax results through the

@@ -197,6 +197,22 @@ def test_decontamination_broadcasts_benchmark_never_shuffles_corpus(spark, sf):
     assert _shuffle_count(plan) <= 2  # hit-id distinct (+ tiny flag join)
 
 
+def test_bloom_decontamination_probe_is_map_side(spark, sf):
+    """The bloom variant's corpus side must stay a MAP: the bitmap
+    attaches via a 1-row broadcast (nested-loop on a singleton, not a
+    CartesianProduct) and the bit tests are a plain Filter — the only
+    exchanges belong to the BENCHMARK side (its shingle distinct appears
+    in both the bloom-build and confirm subtrees, plus the word groupBy
+    and the 1-row map collect) and the hit-id distinct — never the
+    corpus shingle stream."""
+    plan = plan_of(REGISTRY["decontaminate_bloom_docs"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom attach
+    assert "BroadcastHashJoin" in plan  # exact confirm + flag join
+    # 2× bench distinct + word groupBy + map collect + hit distinct
+    assert _shuffle_count(plan) <= 5
+
+
 def test_shard_shuffle_is_single_exchange(spark, sf):
     """shard_and_shuffle: ONE shuffle, partitioned by the shard key —
     exactly the layout the shard files are written in."""

@@ -72,6 +72,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q15_top_supplier_revenue",
     "q17_small_quantity_revenue",
     "q22_dormant_high_balance",
+    "decontaminate_bloom_docs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
