@@ -218,3 +218,38 @@ def write_bucketed(
     if sort_by is not None:
         w = w.sortBy(sort_by)
     w.format("parquet").saveAsTable(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> int:
+    """Write parquet in GLOBALLY SORTED layout: range-repartition on the
+    sort key(s) (sampled range boundaries — one shuffle), sort within
+    each partition, write. The point is data-skipping: parquet stores
+    min/max statistics per row group, and a sorted layout makes those
+    intervals DISJOINT, so a predicate on the sort key prunes to the few
+    row groups whose range overlaps — the poor man's clustered index,
+    and the single highest-leverage layout decision for a 100 TB fact
+    table scanned by time ranges (cf. Delta/Iceberg OPTIMIZE ... ZORDER;
+    for ONE sort key a plain range sort dominates Z-ordering).
+
+    Scan-side nothing changes: the same pushed filter that always
+    reached the scan now skips whole row groups via the footer stats
+    instead of decoding pages — layout work moves the cost from every
+    query to one write. Returns the file count written. Choose
+    ``n_files`` so row groups land near the 128 MB default
+    (``spark.sql.files.maxPartitionBytes``); None lets the range
+    exchange keep the session's shuffle parallelism."""
+    parts = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(n_files, *parts)
+        if n_files is not None
+        else df.repartitionByRange(*parts)
+    )
+    out.sortWithinPartitions(*parts).write.mode("overwrite").parquet(path)
+    import os
+
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

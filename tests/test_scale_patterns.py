@@ -254,6 +254,9 @@ def test_hof_cosine_confined_to_sanctioned_call_sites():
         # final scoring of the SELECTED pairs only — |queries|·4 rows
         # (one positive + three negatives per query), never the corpus
         ("queries.py", "contrastive_pairs_embeddings"),
+        # exact LTR rescore of the BLAS-tile max's survivors — ~1 bench
+        # row per corpus row (ties within 1e-9), never corpus×bench
+        ("operators/similarity.py", "bench_max_cosine"),
     }
     pkg = pathlib.Path(pkg_mod.__file__).parent
     found = set()

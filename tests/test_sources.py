@@ -311,3 +311,66 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_oracle, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_sorted_layout_is_row_group_prunable(spark, sf_oracle, tmp_path):
+    """write_sorted must produce row groups whose min/max footer stats on
+    the sort key are (near-)disjoint, so a range predicate can skip most
+    of them — verified directly against the parquet footers with
+    pyarrow, and contrasted with an unsorted write of the SAME data
+    where nearly every row group straddles the probe range. This footer
+    property IS the data-skipping mechanism; no scan timing involved."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.sources.sinks import write_sorted
+
+    li = catalog.table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    sorted_path = str(tmp_path / "li_sorted")
+    plain_path = str(tmp_path / "li_plain")
+    n_files = write_sorted(li, sorted_path, ["l_shipdate"], n_files=8)
+    assert n_files >= 2  # pruning needs multiple ranges to choose between
+    li.repartition(8).write.mode("overwrite").parquet(plain_path)
+
+    def shipdate_ranges(path):
+        spans = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                col = next(
+                    rg.column(c)
+                    for c in range(rg.num_columns)
+                    if rg.column(c).path_in_schema == "l_shipdate"
+                )
+                assert col.statistics is not None and col.statistics.has_min_max
+                spans.append((col.statistics.min, col.statistics.max))
+        return spans
+
+    import datetime as dt
+
+    lo = dt.datetime(1995, 3, 1)
+    hi = dt.datetime(1995, 4, 1)
+    overlaps = lambda s: sum(1 for mn, mx in s if mn < hi and mx >= lo)  # noqa: E731
+
+    sorted_spans = shipdate_ranges(sorted_path)
+    plain_spans = shipdate_ranges(plain_path)
+    # unsorted: random layout ⇒ every row group spans ~the full 7-year
+    # history and straddles any one month
+    assert overlaps(plain_spans) == len(plain_spans)
+    # sorted: a one-month probe window touches at most the row groups
+    # whose range boundary lands inside it — a small minority
+    assert overlaps(sorted_spans) <= max(2, len(sorted_spans) // 3)
+    # and the sorted spans chain: sorted by min, each next min >= prev max
+    ordered = sorted(sorted_spans)
+    assert all(ordered[i + 1][0] >= ordered[i][1] for i in range(len(ordered) - 1))
+    # layout changed nothing semantically
+    assert (
+        spark.read.parquet(sorted_path).count()
+        == spark.read.parquet(plain_path).count()
+        == li.count()
+    )
