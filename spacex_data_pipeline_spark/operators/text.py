@@ -1233,6 +1233,12 @@ def persist_text_index(
     xxhash64, deliberately: the client must compute a term's bucket
     WITHOUT a Spark job (hashlib.md5 in plain Python matches), the same
     reason ANN serving computes probe cells client-side."""
+    _write_index_delta(docs, path, n_term_buckets, id_col, text_col, mode="overwrite")
+
+
+def _index_postings(docs, n_term_buckets, id_col, text_col):
+    """(postings with denormalized dl + term_bucket, doclens) for a doc
+    batch — the shared build step of persist and incremental update."""
     from .sampling import hash_bucket
 
     toks = _with_tokens(docs, id_col, text_col).select(
@@ -1243,13 +1249,145 @@ def persist_text_index(
     post = tf.join(dl, id_col).withColumn(
         "term_bucket", hash_bucket(F.col("term"), "tix", n_term_buckets).cast("int")
     )
-    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        path + "/postings"
+    # every indexed doc appears in doclens, even all-stopword/empty ones
+    # (dl=0) — doclens is the index's doc-id REGISTRY, consulted by the
+    # update collision guard and the tombstone path
+    doclens = (
+        docs.select(F.col(id_col))
+        .join(dl, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("dl"),
+            F.pmod(F.col(id_col), F.lit(n_term_buckets)).cast("int").alias(
+                "doc_bucket"
+            ),
+        )
     )
-    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        tf.agg(F.sum("tf").alias("tot_tokens"))
+    return post, doclens
+
+
+def _write_index_delta(docs, path, n_term_buckets, id_col, text_col, mode):
+    post, doclens = _index_postings(docs, n_term_buckets, id_col, text_col)
+    post.write.mode(mode).partitionBy("term_bucket").parquet(path + "/postings")
+    doclens.write.mode(mode).partitionBy("doc_bucket").parquet(path + "/doclens")
+    batch = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        post.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("tot_tokens"))
     )
-    stats.write.mode("overwrite").parquet(path + "/stats")
+    if mode == "overwrite":
+        stats = batch
+    else:
+        old = batch.sparkSession.read.parquet(path + "/stats").collect()[0]
+        new = batch.collect()[0]
+        stats = batch.sparkSession.createDataFrame(
+            [(old.n_docs + new.n_docs, old.tot_tokens + new.tot_tokens)],
+            "n_docs bigint, tot_tokens bigint",
+        )
+    # tiny 1-row table; for append the counts are pre-collected above, so
+    # the overwrite never reads the path it replaces
+    stats.write.mode("overwrite").parquet(path + "/stats.__new__")
+    import shutil
+
+    shutil.rmtree(path + "/stats", ignore_errors=True)
+    import os
+
+    os.rename(path + "/stats.__new__", path + "/stats")
+
+
+def update_text_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally ADD a doc batch to a persisted text index — the
+    nightly-crawl-delta path: only the new batch is tokenized; its
+    posting files APPEND into the term-bucket directories (existing
+    files never rewritten — object-store-append cheap) and the 1-row
+    stats table is replaced with the summed counts. df is derived from
+    postings AT SERVE TIME, so appended postings are correct
+    immediately, with no index-wide df rebuild.
+
+    Append-only by contract: an id already in the index (or tombstoned)
+    raises — updating a live doc is tombstone + re-add under a NEW id,
+    or a full rebuild; silently appending would double-count the doc in
+    df/tf. The guard reads ONLY the doclens partitions the new ids hash
+    to (partition-pruned doc-id registry), never the posting bodies."""
+    ids = new_docs.select(F.col(id_col)).distinct()
+    buckets = [
+        r[0]
+        for r in ids.select(
+            F.pmod(F.col(id_col), F.lit(n_term_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    import os
+
+    # tombstone guard first: a tombstoned id is still in the doclens
+    # registry, and "tombstoned" is the actionable diagnosis
+    if os.path.isdir(path + "/tombstones"):
+        n_dead = (
+            spark.read.parquet(path + "/tombstones")
+            .join(F.broadcast(ids), id_col, "left_semi")
+            .count()
+        )
+        if n_dead:
+            raise ValueError(
+                f"update_text_index: {n_dead} incoming id(s) are tombstoned — "
+                "the serve-time anti-join would hide the new postings; "
+                "compact the index or use fresh ids"
+            )
+    existing = (
+        spark.read.parquet(path + "/doclens")
+        .filter(F.col("doc_bucket").isin(buckets))
+        .join(F.broadcast(ids), id_col, "left_semi")
+    )
+    n_clash = existing.count()
+    if n_clash:
+        raise ValueError(
+            f"update_text_index: {n_clash} incoming id(s) already indexed — "
+            "tombstone first or rebuild; appending would double-count df/tf"
+        )
+    _write_index_delta(new_docs, path, n_term_buckets, id_col, text_col, mode="append")
+
+
+def tombstone_text_index(
+    spark,
+    path: str,
+    ids: list[int],
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> None:
+    """Logically DELETE docs from a persisted text index by appending
+    (doc_id, dl) tombstones — the Lucene deleted-docs move: no posting
+    file is touched; the serve path anti-joins the (tiny, broadcast)
+    tombstone set BEFORE computing df and subtracts (count, Σdl) from
+    the stats, so served scores are EXACTLY those of an index rebuilt
+    without the docs (test-pinned). Physical reclamation is a later
+    compaction (rebuild from the surviving corpus); tombstones are the
+    serving-correct bridge until then.
+
+    dl rides into the tombstone from the doclens registry (partition-
+    pruned by doc-id bucket) — the stats correction needs it, and the
+    posting bodies are never scanned. Unknown ids raise.
+    ``n_term_buckets`` must match the build's (it sets the doclens
+    partition modulus)."""
+    dl_reg = spark.read.parquet(path + "/doclens")
+    buckets = sorted({i % n_term_buckets for i in ids})
+    found = (
+        dl_reg.filter(F.col("doc_bucket").isin(buckets))
+        .filter(F.col(id_col).isin(ids))
+        .select(id_col, "dl")
+    )
+    rows = found.collect()
+    if len(rows) != len(set(ids)):
+        missing = set(ids) - {r[0] for r in rows}
+        raise ValueError(f"tombstone_text_index: ids not in index: {sorted(missing)}")
+    spark.createDataFrame(rows, f"{id_col} bigint, dl bigint").write.mode(
+        "append"
+    ).parquet(path + "/tombstones")
 
 
 def search_text_index(
@@ -1270,8 +1408,15 @@ def search_text_index(
     comes from the read postings themselves, and scoring is bit-
     identical to bm25_topk's (ratio idf, term-sorted LTR fold, exact
     two-level rank) — equivalence is test-pinned. Returns
-    (doc_id, rank, score)."""
+    (doc_id, rank, score).
+
+    Tombstones (:func:`tombstone_text_index`), when present, are
+    applied BEFORE the df computation — the anti-join removes dead
+    postings so df, n_docs and avgdl all equal an index rebuilt without
+    the dead docs, exactly (test-pinned); the tombstone set broadcasts
+    (deletes between compactions are small next to the corpus)."""
     import hashlib
+    import os
 
     from pyspark.sql import Window
 
@@ -1289,6 +1434,20 @@ def search_text_index(
         .filter(F.col("term").isin(terms))
     )
     stats = spark.read.parquet(path + "/stats")
+    if os.path.isdir(path + "/tombstones"):
+        # a doc may be tombstoned twice across appended batches
+        dead = spark.read.parquet(path + "/tombstones").groupBy(id_col).agg(
+            F.max("dl").alias("dl")
+        )
+        post = post.join(F.broadcast(dead), id_col, "left_anti")
+        corr = dead.agg(
+            F.count(F.lit(1)).alias("__dead_n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("__dead_toks"),
+        )
+        stats = stats.crossJoin(F.broadcast(corr)).select(
+            (F.col("n_docs") - F.col("__dead_n")).alias("n_docs"),
+            (F.col("tot_tokens") - F.col("__dead_toks")).alias("tot_tokens"),
+        )
     df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     m = (
         post.join(F.broadcast(df_), "term")

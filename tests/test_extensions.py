@@ -1777,6 +1777,94 @@ def test_text_index_persist_serve_matches_bm25(spark, sf_oracle, tmp_path):
     assert m, "serve read is not partition-pruned by term bucket"
 
 
+def test_text_index_incremental_update_equals_rebuild(spark, sf_oracle, tmp_path):
+    """Appending a doc batch with update_text_index must serve results
+    BIT-IDENTICAL to an index rebuilt from the union — df is derived at
+    serve time and the stats table is summed, so no score can drift.
+    Re-appending the same ids must refuse (the double-count guard)."""
+    import pytest as _pytest
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.text import (
+        persist_text_index,
+        search_text_index,
+        tokens,
+        update_text_index,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    persist_text_index(old, inc_path)
+    update_text_index(spark, new, inc_path)
+    persist_text_index(docs, full_path)
+
+    toks0 = docs.filter(F.col("doc_id") == 0).select(
+        tokens(F.col("text")).alias("t")
+    ).collect()[0].t
+    terms = list(dict.fromkeys(toks0))[:2]
+
+    got = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, inc_path, terms, k=10).collect()
+    }
+    want = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, full_path, terms, k=10).collect()
+    }
+    assert got == want and got
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        update_text_index(spark, new.limit(3), inc_path)
+
+
+def test_text_index_tombstones_equal_rebuild(spark, sf_oracle, tmp_path):
+    """Tombstoned docs must vanish from served results with df/n_docs/
+    avgdl corrections EXACTLY matching an index rebuilt without them —
+    same ranks, bit-identical scores. Unknown ids refuse; re-adding a
+    tombstoned id refuses (it would be invisible behind the anti-join)."""
+    import pytest as _pytest
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.text import (
+        persist_text_index,
+        search_text_index,
+        tokens,
+        tombstone_text_index,
+        update_text_index,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    dead_ids = [0, 7, 64]
+    live = docs.filter(~F.col("doc_id").isin(dead_ids))
+    tomb_path, rebuilt_path = str(tmp_path / "tomb"), str(tmp_path / "rebuilt")
+    persist_text_index(docs, tomb_path)
+    tombstone_text_index(spark, tomb_path, dead_ids)
+    persist_text_index(live, rebuilt_path)
+
+    toks1 = docs.filter(F.col("doc_id") == 1).select(
+        tokens(F.col("text")).alias("t")
+    ).collect()[0].t
+    terms = list(dict.fromkeys(toks1))[:2]
+
+    got = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, tomb_path, terms, k=10).collect()
+    }
+    want = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, rebuilt_path, terms, k=10).collect()
+    }
+    assert got == want and got
+    assert not set(dead_ids) & set(got)
+
+    with _pytest.raises(ValueError, match="not in index"):
+        tombstone_text_index(spark, tomb_path, [10**12])
+    with _pytest.raises(ValueError, match="tombstoned"):
+        update_text_index(spark, docs.filter(F.col("doc_id") == 7), tomb_path)
+
+
 def test_blocking_report_accounts_for_planted_corpus(spark):
     """On a corpus of 3 near-identical names + 1 outlier: candidates
     equal the verified matches (precision 100), no hot keys at a high
