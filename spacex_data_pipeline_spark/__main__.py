@@ -139,6 +139,24 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
     ps.add_argument("terms", nargs="+", help="query terms")
     ps.add_argument("--k", type=int, default=10, help="results to return")
 
+    pu = sub.add_parser(
+        "index-update",
+        help="append a doc-id-range delta batch to a persisted text "
+        "index (incremental: only the batch is tokenized)",
+    )
+    pu.add_argument("--sf-dir", default=None, help="fixture table directory")
+    pu.add_argument("--index", required=True, help="index directory")
+    pu.add_argument("--min-id", type=int, required=True, help="batch doc_id >= this")
+    pu.add_argument("--max-id", type=int, default=None, help="batch doc_id < this")
+
+    pd = sub.add_parser(
+        "index-tombstone",
+        help="logically delete doc ids from a persisted text index "
+        "(served scores exactly match a rebuild without them)",
+    )
+    pd.add_argument("--index", required=True, help="index directory")
+    pd.add_argument("ids", nargs="+", type=int, help="doc ids to delete")
+
     sub.add_parser("list-queries", help="list registered query names")
 
     pt = sub.add_parser(
@@ -343,6 +361,30 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
             search_text_index(spark, args.index, args.terms, k=args.k).show(
                 args.k, truncate=False
             )
+        elif args.cmd == "index-update":
+            from pyspark.sql import functions as F
+
+            from . import catalog
+            from .operators.text import update_text_index
+
+            sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
+            batch = catalog.table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") >= args.min_id
+            )
+            if args.max_id is not None:
+                batch = batch.filter(F.col("doc_id") < args.max_id)
+            n = batch.count()
+            update_text_index(spark, batch, args.index)
+            stats = spark.read.parquet(args.index + "/stats").collect()[0]
+            print(
+                f"index {args.index} += {n} docs "
+                f"(now n_docs={stats.n_docs}, tot_tokens={stats.tot_tokens})"
+            )
+        elif args.cmd == "index-tombstone":
+            from .operators.text import tombstone_text_index
+
+            tombstone_text_index(spark, args.index, args.ids)
+            print(f"index {args.index} -= {len(set(args.ids))} docs (tombstoned)")
         elif args.cmd == "explain":
             # the plan-inspection loop this repo's own tuning used
             # (tests/test_plans.py asserts the plans; this verb shows them)

@@ -889,8 +889,24 @@ def pq_encode(
     the chosen code is bit-identical to the SQL oracle's replica.
 
     Returns (id, subspace int, code int)."""
-    d = dim // m
     cbs = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    return pq_encode_with(embeddings, cbs, m, dim, id_col, vec_col)
+
+
+def pq_encode_with(
+    embeddings: DataFrame,
+    cbs: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_encode` against a GIVEN (subspace, code, cv) codebook —
+    the encode half split out so an incremental index update can encode
+    a new batch with the FROZEN codebooks of the persisted index
+    (re-deriving them from the batch would silently re-train the
+    quantizer and make old and new codes incomparable)."""
+    d = dim // m
     subs = F.array(
         *[
             F.struct(
@@ -1100,7 +1116,10 @@ def persist_ivfpq_index(
     reads n_probe directories, not the corpus — the storage layout
     SCALE.md promises), plus the tiny centroid and codebook tables.
     Build once per corpus snapshot; the search path
-    (:func:`search_ivfpq_index`) never touches the float corpus."""
+    (:func:`search_ivfpq_index`) never touches the float corpus.
+    Also writes an ``ids`` registry (partitioned by id bucket) so
+    :func:`update_ivfpq_index` can collision-check a delta batch with a
+    partition-pruned read instead of scanning the code bodies."""
     assigned, cents = ivf_assign_cells(embeddings, n_centroids, id_col, vec_col)
     codes = pq_encode(embeddings, m, n_codes, dim, id_col, vec_col)
     idx = assigned.select(F.col(id_col), "cell").join(codes, id_col)
@@ -1109,6 +1128,110 @@ def persist_ivfpq_index(
     pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(path + "/codebooks")
+    _ivfpq_id_registry(embeddings, id_col).write.mode("overwrite").partitionBy(
+        "id_bucket"
+    ).parquet(path + "/ids")
+
+
+def _ivfpq_id_registry(embeddings: DataFrame, id_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(64)).cast("int").alias("id_bucket"),
+    )
+
+
+def update_ivfpq_index(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ADD a vector batch to a persisted IVF-PQ index —
+    the standard production move (FAISS add-with-frozen-quantizer): the
+    batch is assigned against the index's FROZEN centroids and encoded
+    with its FROZEN codebooks (read back from the index, never
+    re-derived — re-training on the delta would make old and new codes
+    incomparable), and its code rows APPEND into the cell partition
+    directories; no existing file is rewritten and served results are
+    bit-identical to a full rebuild over the union (test-pinned, given
+    the same quantizer seeds). Quantizer drift — centroids that no
+    longer reflect the corpus after many appends — is a rebuild
+    decision, not an append-time one.
+
+    Append-only by contract: ids already indexed (or tombstoned) raise,
+    via the partition-pruned ids registry."""
+    import os
+
+    cents = spark.read.parquet(path + "/centroids")
+    cbs = spark.read.parquet(path + "/codebooks")
+    m = cbs.select("subspace").distinct().count()
+    dim = len(cbs.select("cv").first()["cv"]) * m
+
+    ids = new_embeddings.select(F.col(id_col)).distinct()
+    if os.path.isdir(path + "/tombstones"):
+        n_dead = (
+            spark.read.parquet(path + "/tombstones")
+            .join(F.broadcast(ids), id_col, "left_semi")
+            .count()
+        )
+        if n_dead:
+            raise ValueError(
+                f"update_ivfpq_index: {n_dead} incoming id(s) are tombstoned — "
+                "the serve-time anti-join would hide the new vectors; "
+                "rebuild the index or use fresh ids"
+            )
+    buckets = [
+        r[0]
+        for r in ids.select(F.pmod(F.col(id_col), F.lit(64)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    n_clash = (
+        spark.read.parquet(path + "/ids")
+        .filter(F.col("id_bucket").isin(buckets))
+        .join(F.broadcast(ids), id_col, "left_semi")
+        .count()
+    )
+    if n_clash:
+        raise ValueError(
+            f"update_ivfpq_index: {n_clash} incoming id(s) already indexed — "
+            "appending would duplicate them in every probe they land in"
+        )
+    assigned = assign_to_cells(new_embeddings, cents, id_col, vec_col)
+    codes = pq_encode_with(new_embeddings, cbs, m, dim, id_col, vec_col)
+    idx = assigned.select(F.col(id_col), "cell").join(codes, id_col)
+    idx.write.mode("append").partitionBy("cell").parquet(path + "/codes")
+    _ivfpq_id_registry(new_embeddings, id_col).write.mode("append").partitionBy(
+        "id_bucket"
+    ).parquet(path + "/ids")
+
+
+def tombstone_ivfpq_index(
+    spark, path: str, ids: list[int], id_col: str = "vec_id"
+) -> None:
+    """Logically DELETE vectors from a persisted IVF-PQ index: append
+    id tombstones; the serve path anti-joins them (broadcast — deletes
+    between rebuilds are small) BEFORE ranking, so served top-k equals
+    an index rebuilt without the vectors exactly — ADC scores are
+    per-vector (no corpus statistics), which makes the tombstone
+    equivalence trivial-exact, unlike BM25's df/avgdl corrections.
+    Unknown ids raise (checked against the partition-pruned registry)."""
+    buckets = sorted({i % 64 for i in ids})
+    found = {
+        r[0]
+        for r in spark.read.parquet(path + "/ids")
+        .filter(F.col("id_bucket").isin(buckets))
+        .filter(F.col(id_col).isin(ids))
+        .select(id_col)
+        .collect()
+    }
+    missing = set(ids) - found
+    if missing:
+        raise ValueError(f"tombstone_ivfpq_index: ids not in index: {sorted(missing)}")
+    spark.createDataFrame([(i,) for i in sorted(set(ids))], f"{id_col} bigint").write.mode(
+        "append"
+    ).parquet(path + "/tombstones")
 
 
 def search_ivfpq_index(
@@ -1147,6 +1270,11 @@ def search_ivfpq_index(
     probe_rows = probes.collect()  # |q|·n_probe rows — the client-side step
     cells = sorted({r.cell for r in probe_rows})
     codes = spark.read.parquet(path + "/codes").filter(F.col("cell").isin(cells))
+    import os
+
+    if os.path.isdir(path + "/tombstones"):
+        dead = spark.read.parquet(path + "/tombstones").select(id_col).distinct()
+        codes = codes.join(F.broadcast(dead), id_col, "left_anti")
 
     dim = len(cbs.select("cv").first()["cv"]) * cbs.select(
         "subspace"

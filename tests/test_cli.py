@@ -249,3 +249,38 @@ def test_cli_index_build_and_search(spark, sf_oracle, tmp_path, capsys):
     assert "doc_id" in out and "rank" in out and "score" in out
     # at least one ranked data row printed
     assert sum(1 for line in out.splitlines() if line.startswith("|")) >= 2
+
+
+def test_cli_index_update_and_tombstone(spark, sf_oracle, tmp_path, capsys):
+    """The incremental maintenance verbs: build on a partial corpus,
+    index-update appends the rest (stats sum to the full corpus),
+    index-tombstone logically deletes — and a tombstoned id is refused
+    by a later update."""
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.text import persist_text_index
+
+    idx = str(tmp_path / "tix")
+    docs = catalog.table(spark, sf_oracle, "documents")
+    n_total = docs.count()
+    persist_text_index(docs.filter(F.col("doc_id") < 300), idx)
+    assert (
+        main(
+            ["index-update", "--sf-dir", sf_oracle, "--index", idx, "--min-id", "300"],
+            _spark=spark,
+        )
+        == 0
+    )
+    assert f"n_docs={n_total}" in capsys.readouterr().out
+    assert main(["index-tombstone", "--index", idx, "301", "302"], _spark=spark) == 0
+    assert "-= 2 docs" in capsys.readouterr().out
+    # refused: 301 is tombstoned now
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tombstoned"):
+        main(
+            [
+                "index-update", "--sf-dir", sf_oracle, "--index", idx,
+                "--min-id", "301", "--max-id", "302",
+            ],
+            _spark=spark,
+        )
