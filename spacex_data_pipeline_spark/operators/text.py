@@ -1390,6 +1390,60 @@ def tombstone_text_index(
     ).parquet(path + "/tombstones")
 
 
+def compact_text_index(spark, path: str, id_col: str = "doc_id") -> int:
+    """Physically reclaim tombstoned docs: rewrite postings and doclens
+    WITHOUT the dead ids (keeping the partition layouts), fold the
+    serve-time stats corrections into the stored stats, and drop the
+    tombstone table — after which the index is byte-equivalent in served
+    results (same anti-join algebra, now applied at rest) and the dead
+    ids become re-addable. The tombstone → compact split is the standard
+    index lifecycle: deletes stay cheap at serve time, and the full
+    partition rewrite amortizes over a maintenance window. Returns the
+    number of docs reclaimed; no-op (0) without tombstones.
+
+    Staged-rename swap like sinks._staged_swap: a crash mid-compaction
+    leaves either the old layout (tombstones intact) or a complete new
+    one; the in-between rename gap is the documented non-atomicity of
+    path-based tables."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path + "/tombstones"):
+        return 0
+    dead = (
+        spark.read.parquet(path + "/tombstones")
+        .groupBy(id_col)
+        .agg(F.max("dl").alias("dl"))
+    )
+    corr = dead.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("toks")
+    ).collect()[0]
+    old_stats = spark.read.parquet(path + "/stats").collect()[0]
+
+    live_post = spark.read.parquet(path + "/postings").join(
+        F.broadcast(dead), id_col, "left_anti"
+    )
+    live_post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        path + "/postings.__new__"
+    )
+    live_dl = spark.read.parquet(path + "/doclens").join(
+        F.broadcast(dead), id_col, "left_anti"
+    )
+    live_dl.write.mode("overwrite").partitionBy("doc_bucket").parquet(
+        path + "/doclens.__new__"
+    )
+    spark.createDataFrame(
+        [(old_stats.n_docs - corr.n, old_stats.tot_tokens - corr.toks)],
+        "n_docs bigint, tot_tokens bigint",
+    ).write.mode("overwrite").parquet(path + "/stats.__new__")
+
+    for sub in ("postings", "doclens", "stats"):
+        shutil.rmtree(path + f"/{sub}")
+        os.rename(path + f"/{sub}.__new__", path + f"/{sub}")
+    shutil.rmtree(path + "/tombstones")
+    return int(corr.n)
+
+
 def search_text_index(
     spark,
     path: str,

@@ -1952,6 +1952,36 @@ def test_text_index_tombstones_equal_rebuild(spark, sf_oracle, tmp_path):
     with _pytest.raises(ValueError, match="tombstoned"):
         update_text_index(spark, docs.filter(F.col("doc_id") == 7), tomb_path)
 
+    # compaction: served results unchanged, tombstones gone, dead ids
+    # re-addable — the full lifecycle closes
+    from spacex_data_pipeline_spark.operators.text import compact_text_index
+
+    assert compact_text_index(spark, tomb_path) == len(dead_ids)
+    import os
+
+    assert not os.path.isdir(tomb_path + "/tombstones")
+    after = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, tomb_path, terms, k=10).collect()
+    }
+    assert after == want
+    update_text_index(spark, docs.filter(F.col("doc_id") == 7), tomb_path)
+    assert compact_text_index(spark, tomb_path) == 0  # no-op without tombstones
+    readded = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, tomb_path, terms, k=10).collect()
+    }
+    # doc 7 is back: results match an index over live + doc 7
+    live7_path = str(tmp_path / "live7")
+    persist_text_index(
+        docs.filter(~F.col("doc_id").isin([0, 64])), live7_path
+    )
+    want7 = {
+        r.doc_id: (r.rank, r.score)
+        for r in search_text_index(spark, live7_path, terms, k=10).collect()
+    }
+    assert readded == want7
+
 
 def test_blocking_report_accounts_for_planted_corpus(spark):
     """On a corpus of 3 near-identical names + 1 outlier: candidates

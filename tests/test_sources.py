@@ -374,3 +374,62 @@ def test_write_sorted_layout_is_row_group_prunable(spark, sf_oracle, tmp_path):
         == spark.read.parquet(plain_path).count()
         == li.count()
     )
+
+
+def test_write_zordered_prunes_on_both_columns(spark, sf_oracle, tmp_path):
+    """The Z-ordered layout must give row groups small min/max BOXES in
+    (a, b): a narrow predicate on col_b overlaps only a minority of row
+    groups — where the single-key sorted layout on col_a overlaps ALL of
+    them (b is uncorrelated with a, so every a-range spans b's domain) —
+    while staying competitive on col_a. Checked against the parquet
+    footers; no scan timing involved."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.sources.sinks import write_sorted, write_zordered
+
+    li = catalog.table(spark, sf_oracle, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z_path, a_path = str(tmp_path / "li_z"), str(tmp_path / "li_a")
+    n_z = write_zordered(li, z_path, "l_partkey", "l_suppkey", n_files=16)
+    assert n_z >= 8
+    write_sorted(li, a_path, ["l_partkey"], n_files=16)
+
+    def ranges(path, col):
+        spans = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                c = next(
+                    rg.column(i)
+                    for i in range(rg.num_columns)
+                    if rg.column(i).path_in_schema == col
+                )
+                spans.append((c.statistics.min, c.statistics.max))
+        return spans
+
+    lo = li.agg(F.min("l_suppkey")).collect()[0][0]
+    hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    width = max(1, (hi - lo) // 16)
+    probe_lo, probe_hi = lo, lo + width  # a ~1/16 slice of b's domain
+
+    overlaps = lambda s: sum(  # noqa: E731
+        1 for mn, mx in s if mn <= probe_hi and mx >= probe_lo
+    )
+    z_b, a_b = ranges(z_path, "l_suppkey"), ranges(a_path, "l_suppkey")
+    # a-sorted layout: b spans the whole domain in every group
+    assert overlaps(a_b) == len(a_b)
+    # z-order: the b-slice hits only the groups whose boxes cross it
+    assert overlaps(z_b) <= len(z_b) * 2 // 3
+    # and the a-axis still prunes too (boxes, not stripes)
+    a_lo = li.agg(F.min("l_partkey")).collect()[0][0]
+    a_hi_ = li.agg(F.max("l_partkey")).collect()[0][0]
+    a_probe = (a_lo, a_lo + max(1, (a_hi_ - a_lo) // 16))
+    z_a = ranges(z_path, "l_partkey")
+    in_a = sum(1 for mn, mx in z_a if mn <= a_probe[1] and mx >= a_probe[0])
+    assert in_a <= len(z_a) * 2 // 3
+    assert spark.read.parquet(z_path).count() == li.count()
