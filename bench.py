@@ -126,6 +126,9 @@ EXTENDED = [
     "incremental_mart_refresh",
     "pii_rates_by_source",
     "profile_orders_columns",
+    # r7 late: bloom-prefilter decontamination + resize plumbing
+    "decontaminate_bloom_docs",
+    "multimodal_resize_meta",
 ]
 
 

@@ -169,6 +169,98 @@ def real_decoder(payload: bytes) -> tuple[int, int]:
         return im.size
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, media binary, width int, height int, "
+    "out_width int, out_height int, out_bytes int"
+)
+
+
+def resize_image_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image-resize plumbing: cap the longer side at ``max_side``
+    preserving aspect ratio (the standard thumbnail/training-input
+    normalization), via the same Arrow ``mapInPandas`` batch shape a
+    Pillow ``Image.resize`` would run in.
+
+    The pixel work is STUBBED like decode_image_meta (no imaging libs in
+    this container): source dims come from the same deterministic
+    byte_len arithmetic, the scale rule is real —
+        scale      = min(1, max_side / max(w, h))
+        out_w/out_h = max(1, floor(w·scale)) / max(1, floor(h·scale))
+        out_bytes  = out_w · out_h  (1 byte/px fake payload)
+    — and the emitted payload is a deterministic out_bytes-long slice so
+    downstream code sees a real binary column of the post-resize size.
+    All of it integer arithmetic the DuckDB oracle replicates, so the
+    batch plumbing is verified end-to-end; with Pillow present the batch
+    loop body is the only line that changes. Map-only: at 100 TB resize
+    NEVER follows a shuffle — payloads stream scan→resize→sink."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blen = pdf["media"].map(len).astype("int64")
+            width = (blen % 640 + 1).astype("int64")
+            height = (blen % 480 + 1).astype("int64")
+            side = width.where(width >= height, height)
+            # integer floor(w*max_side/side), exact — no float rounding
+            # to mirror in SQL; no-op when already within bounds
+            out_w = (width * max_side // side).clip(lower=1).where(
+                side > max_side, width
+            )
+            out_h = (height * max_side // side).clip(lower=1).where(
+                side > max_side, height
+            )
+            out_bytes = (out_w * out_h).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        (bytes(m) * ((n // max(len(m), 1)) + 1))[:n]
+                        for m, n in zip(pdf["media"], out_bytes)
+                    ],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                    "out_bytes": out_bytes.astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def extract_byte_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """REAL feature extraction over the payload bytes (not a stub): an
+    L1-normalized ``n_bins``-bin byte-value histogram per payload — the
+    cheap content signature used for corruption triage, format
+    clustering, and near-dup blocking of binaries before any expensive
+    decode. numpy ``frombuffer``+``bincount`` per Arrow batch — the
+    exact compute shape a CNN-embedding extractor would use, with the
+    model swapped in for the histogram. Returns
+    (doc_id, features array<double>) — feed it straight into the
+    embedding near-dup / similarity operators. Map-only; features
+    (n_bins doubles) shuffle downstream, payloads never do."""
+    import numpy as np
+
+    width = 256 // n_bins
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for m in pdf["media"]:
+                arr = np.frombuffer(bytes(m), dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist = np.bincount(arr // width, minlength=n_bins).astype(
+                    np.float64
+                )
+                feats.append(list(hist / hist.sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.mapInPandas(
+        extract, schema="doc_id bigint, features array<double>"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video-frame-sampling plumbing: explode a deterministic frame index
     per payload (fake: one frame per 100 bytes), keep every nth — shows the

@@ -1268,6 +1268,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+    d AS (SELECT doc_id,
+                 blen % 640 + 1 AS w,
+                 blen % 480 + 1 AS h,
+                 greatest(blen % 640 + 1, blen % 480 + 1) AS side
+          FROM m)
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN side > 64 THEN greatest(w * 64 // side, 1) ELSE w END AS INT)
+             AS out_width,
+           CAST(CASE WHEN side > 64 THEN greatest(h * 64 // side, 1) ELSE h END AS INT)
+             AS out_height,
+           CAST(CASE WHEN side > 64 THEN greatest(w * 64 // side, 1) ELSE w END
+                * CASE WHEN side > 64 THEN greatest(h * 64 // side, 1) ELSE h END AS INT)
+             AS out_bytes
+    FROM d
+    """,
+    tags=("extension", "multimodal", "pandas-udf"),
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (multimodal.resize_image_plan):
+    the longer side caps at 64 px, scaling is exact integer
+    floor(dim·64/side) — no float rounding for the oracle to mirror —
+    and the operator emits a real post-resize binary payload the entry
+    projects away (the driver hashes the metadata; the payload bytes
+    are pinned by the out_bytes count plus the operator's unit test).
+    Map-only plan: resize runs scan-side before any shuffle could ever
+    move payload bytes."""
+    from .operators.multimodal import documents_as_media, resize_image_plan
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return resize_image_plan(media, max_side=64).select(
+        "doc_id", "width", "height", "out_width", "out_height", "out_bytes"
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH flagged AS (

@@ -439,6 +439,66 @@ def test_contamination_flags_empty_benchmark(spark):
     assert [(r.doc_id, r.contaminated) for r in out] == [(1, False)]
 
 
+def test_resize_plan_payload_and_meta_invariants(spark, sf_oracle):
+    """The resized payload's LENGTH must equal out_bytes exactly, output
+    dims never exceed max_side, aspect handling is exact-integer, and
+    already-small images pass through untouched (same dims, same
+    byte count)."""
+    from spacex_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        resize_image_plan,
+    )
+
+    media = documents_as_media(
+        catalog.table(spark, sf_oracle, "documents").limit(50)
+    )
+    rows = resize_image_plan(media, max_side=64).collect()
+    assert rows
+    for r in rows:
+        assert len(r.media) == r.out_bytes
+        assert max(r.out_width, r.out_height) <= max(64, min(r.width, r.height))
+        if max(r.width, r.height) <= 64:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        else:
+            side = max(r.width, r.height)
+            assert r.out_width == max(1, r.width * 64 // side)
+            assert r.out_height == max(1, r.height * 64 // side)
+
+
+def test_byte_features_match_python_reference(spark):
+    """extract_byte_features is REAL compute: its histogram must equal a
+    plain-Python reference over the same bytes, L1-normalize to 1, and
+    identical payloads must produce identical features (the property the
+    near-dup composition depends on)."""
+    from spacex_data_pipeline_spark.operators.multimodal import extract_byte_features
+
+    payloads = [
+        (0, bytes(range(256))),
+        (1, b"\x00" * 100),
+        (2, b"hello world"),
+        (3, b"hello world"),
+        (4, b""),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "doc_id long, media binary"
+    )
+    got = {r.doc_id: r.features for r in extract_byte_features(media, n_bins=16).collect()}
+
+    def ref(p):
+        if not p:
+            return [0.0] * 16
+        counts = [0] * 16
+        for b in p:
+            counts[b // 16] += 1
+        return [c / len(p) for c in counts]
+
+    for i, p in payloads:
+        assert got[i] == pytest.approx(ref(p), abs=1e-12)
+    assert got[2] == got[3]
+    assert abs(sum(got[0]) - 1.0) < 1e-12
+    assert got[0] == pytest.approx([1 / 16] * 16, abs=1e-12)
+
+
 def test_bloom_prefilter_matches_exact_operator(spark, sf_oracle):
     """contamination_flags_bloom must produce byte-identical flags to the
     broadcast-exact operator — the bloom admits false positives but the

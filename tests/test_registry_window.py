@@ -73,6 +73,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q17_small_quantity_revenue",
     "q22_dormant_high_balance",
     "decontaminate_bloom_docs",
+    "multimodal_resize_meta",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
