@@ -100,6 +100,7 @@ SANCTIONED_PYTHON = {
     "hybrid_retrieval_rrf",  # vector side rides cosine_topk's BLAS tile (r7)
     "cluster_quality_profile",  # BLAS cell assignment (ivf_assign_cells) (r7)
     "semantic_decontaminate_embeddings",  # BLAS argmax tile (bench_max_cosine) (r7)
+    "multimodal_resize_meta",  # Arrow-batched resize plumbing (r7)
 }
 
 

@@ -604,3 +604,40 @@ def test_range_join_binned_equals_naive_join(pts, ivs, bin_s):
         if pk == ik and is_ <= ps < is_ + d
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    m_bits=st.sampled_from([64, 256, 4096]),
+    k_hashes=st.integers(min_value=1, max_value=6),
+)
+def test_bloom_never_false_negative_for_any_keys(keys, m_bits, k_hashes):
+    """The bloom guarantee the exact-confirm design rests on, over
+    arbitrary unicode keys and adversarially tiny bitmaps: every
+    INSERTED key must pass might-contain — at m=64 bits the filter is
+    soaked (FPR→1) and the property must still hold bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bloom = bloom_build(df, "k", m_bits, k_hashes)
+    passed = (
+        df.join(F.broadcast(bloom))
+        .filter(bloom_might_contain("k", m_bits, k_hashes))
+        .count()
+    )
+    assert passed == len(keys)
