@@ -58,3 +58,42 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     if schema is not None:
         r = r.schema(schema)
     return r.parquet(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Read a path table whose files were written under EVOLVING schemas
+    (a long-lived ingest adds columns over the years; old files lack
+    them) and CONFORM every row to ``target``:
+
+    - columns missing from old files surface as their ``defaults`` value
+      (typed null when absent) — mergeSchema already nulls them per-file;
+      the coalesce makes the backfill policy explicit,
+    - columns not in ``target`` are dropped (projection),
+    - matching columns cast to the target type (widenings like int→long
+      ride the cast; ANSI makes a narrowing that loses data throw
+      rather than corrupt).
+
+    ``mergeSchema`` unions the file footers' schemas, which reads every
+    footer — fine per-partition, wasteful corpus-wide; at 100 TB the
+    declared schema lives in a metastore/table format and this is the
+    path-table fallback. The conform step is the part that stays: every
+    reader sees ONE stable schema no matter which era of file it hits."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    defaults = defaults or {}
+    cols = []
+    for f in target.fields:
+        if f.name in raw.columns:
+            c = F.col(f.name).cast(f.dataType)
+            if f.name in defaults:
+                c = F.coalesce(c, F.lit(defaults[f.name]).cast(f.dataType))
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name))
+    return raw.select(*cols)

@@ -17,7 +17,7 @@ the affected partitions of a 100 TB table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -253,6 +253,69 @@ def write_sorted(
     import os
 
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def write_with_quarantine(
+    df: DataFrame,
+    checks: dict[str, Column],
+    good_path: str,
+    quarantine_path: str,
+) -> tuple[int, int]:
+    """Route rows through named data-quality checks in ONE pass: rows
+    passing every check land at ``good_path``; failing rows land at
+    ``quarantine_path`` WITH a ``failed_checks`` column naming the rules
+    they broke — the standard ingest quarantine pattern (bad records are
+    triaged and replayed, never silently dropped, and never poison the
+    good table). Both outputs share one schema, so ``failed_checks``
+    rides along empty on good rows (readers of the good table can drop
+    it; rewriting it away would cost the second pass this op avoids).
+
+    Single job: the flag is computed once and the write partitions by it
+    (two directories, one scan, no double evaluation of the checks);
+    the partition dirs then promote into the two targets via renames.
+    Row counts come from the parquet FOOTERS (pyarrow metadata) — no
+    second Spark scan. Returns (n_good, n_quarantined)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    failed = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                    for name, cond in sorted(checks.items())
+                ]
+            )
+        ),
+    )
+    staging = good_path.rstrip("/") + ".__quarantine_split__"
+    (
+        df.withColumn("failed_checks", failed)
+        .withColumn("__ok", F.col("failed_checks") == "")
+        .write.mode("overwrite")
+        .partitionBy("__ok")
+        .parquet(staging)
+    )
+
+    def promote(src: str, dst: str) -> int:
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst)
+        n = 0
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                os.rename(os.path.join(src, f), os.path.join(dst, f))
+        for f in glob.glob(dst + "/*.parquet"):
+            n += pq.ParquetFile(f).metadata.num_rows
+        return n
+
+    n_good = promote(staging + "/__ok=true", good_path)
+    n_bad = promote(staging + "/__ok=false", quarantine_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_good, n_bad
 
 
 def write_zordered(

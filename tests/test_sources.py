@@ -376,6 +376,78 @@ def test_write_sorted_layout_is_row_group_prunable(spark, sf_oracle, tmp_path):
     )
 
 
+def test_read_parquet_evolved_conforms_every_file_era(spark, tmp_path):
+    """Three file 'eras' of one table — v1 lacks a column, v2 adds it,
+    v3 adds an extra column the reader no longer wants — must read back
+    as ONE stable target schema: missing column backfilled with the
+    declared default, extra column dropped, int widened to long."""
+    from pyspark.sql import types as T
+
+    from spacex_data_pipeline_spark.sources.files import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(
+        path + "/era=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 10)], "id int, name string, score int"
+    ).write.parquet(path + "/era=2")
+    spark.createDataFrame(
+        [(3, "c", 20, "junk")], "id int, name string, score int, debug string"
+    ).write.parquet(path + "/era=3")
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    out = read_parquet_evolved(spark, path, target, defaults={"score": -1})
+    # conformance = names + types (nullability tightens when a default
+    # guarantees the column, which is fine)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in target.fields
+    ]
+    got = {(r.id, r.name, r.score) for r in out.collect()}
+    assert got == {(1, "a", -1), (2, "b", 10), (3, "c", 20)}
+
+
+def test_write_with_quarantine_routes_and_names_rules(spark, tmp_path):
+    """Good rows and quarantined rows must partition the input exactly;
+    each quarantined row names every rule it broke (sorted rule order);
+    footer-derived counts match; an all-good batch leaves an empty
+    quarantine directory rather than failing."""
+    from spacex_data_pipeline_spark.sources.sinks import write_with_quarantine
+
+    rows = [
+        (1, 10.0, "A"),   # good
+        (2, -5.0, "A"),   # nonneg fails
+        (3, 7.0, None),   # grp_set fails
+        (4, -1.0, None),  # both fail
+    ]
+    df = spark.createDataFrame(rows, "id long, amount double, grp string")
+    checks = {
+        "nonneg_amount": F.col("amount") >= 0,
+        "grp_set": F.col("grp").isin("A", "B"),
+    }
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    n_good, n_bad = write_with_quarantine(df, checks, good, quar)
+    assert (n_good, n_bad) == (1, 3)  # only id 1 passes both rules
+    q = {r.id: r.failed_checks for r in spark.read.parquet(quar).collect()}
+    assert {r.id for r in spark.read.parquet(good).collect()} == {1}
+    assert set(q) == {2, 3, 4}
+    assert q[2] == "nonneg_amount"
+    assert q[3] == "grp_set"
+    assert q[4] == "grp_set,nonneg_amount"  # sorted rule order
+    # all-good batch: empty quarantine, no crash
+    ok_df = df.filter(F.col("id") == 1)
+    n_g2, n_b2 = write_with_quarantine(
+        ok_df, checks, str(tmp_path / "good2"), str(tmp_path / "quar2")
+    )
+    assert (n_g2, n_b2) == (1, 0)
+
+
 def test_write_zordered_prunes_on_both_columns(spark, sf_oracle, tmp_path):
     """The Z-ordered layout must give row groups small min/max BOXES in
     (a, b): a narrow predicate on col_b overlaps only a minority of row
