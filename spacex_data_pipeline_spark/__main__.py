@@ -85,6 +85,13 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
         help="Spark explain mode",
     )
+    pe.add_argument(
+        "--analyze",
+        action="store_true",
+        help="EXPLAIN ANALYZE: execute the plan and print per-node "
+        "runtime metrics (rows, shuffle bytes, spill, peak memory) "
+        "plus a rollup summary",
+    )
 
     pp = sub.add_parser(
         "prep-training",
@@ -396,12 +403,27 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 return 2
             sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
             df = REGISTRY[args.name].fn(spark, sf_dir)
-            jvm = spark._jvm
-            print(
-                df._jdf.queryExecution().explainString(
-                    jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+            if args.analyze:
+                from .plans.metrics import (
+                    format_metrics_tree,
+                    metrics_summary,
+                    run_with_metrics,
                 )
-            )
+
+                nodes = run_with_metrics(df)
+                print(format_metrics_tree(nodes))
+                print("-- summary --")
+                for k, v in metrics_summary(nodes).items():
+                    print(f"{k}: {v}")
+            else:
+                jvm = spark._jvm
+                print(
+                    df._jdf.queryExecution().explainString(
+                        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            args.mode
+                        )
+                    )
+                )
         return 0
     finally:
         if _spark is None:

@@ -92,6 +92,14 @@ def test_cli_explain_prints_physical_plan(spark, sf_oracle, capsys):
     out = capsys.readouterr().out
     assert "BroadcastHashJoin" in out and "Physical Plan" in out
     assert main(["explain", "nope_not_a_query"], _spark=spark) == 2
+    # EXPLAIN ANALYZE: executes and annotates with runtime metrics
+    assert main(
+        ["explain", "raw_count_orders", "--sf-dir", sf_oracle, "--analyze"],
+        _spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "-- summary --" in out and "rows_scanned: 15000" in out
+    assert "numOutputRows=" in out
 
 
 def test_cli_prep_training_writes_disjoint_shards(spark, sf_oracle, tmp_path, capsys):

@@ -198,6 +198,67 @@ def test_decontamination_broadcasts_benchmark_never_shuffles_corpus(spark, sf):
     assert _shuffle_count(plan) <= 2  # hit-id distinct (+ tiny flag join)
 
 
+def test_run_with_metrics_reads_real_runtime_numbers(spark, sf):
+    """EXPLAIN ANALYZE must report the EXECUTED plan's numbers — from
+    the SQLMetric accumulators of the very plan instance that ran (a
+    fresh QueryExecution would read zeros). On a sort-free aggregate the
+    counts are exact end to end."""
+    from spacex_data_pipeline_spark.plans.metrics import (
+        metrics_summary,
+        run_with_metrics,
+    )
+
+    nodes = run_with_metrics(REGISTRY["raw_count_orders"].fn(spark, sf))
+    s = metrics_summary(nodes)
+    assert s["rows_out"] == 1
+    assert s["rows_scanned"] == 15000  # full orders scan
+    assert s["spill_size_bytes"] == 0  # spill at sf0.01 would be a bug
+
+
+def test_run_with_metrics_exposes_global_sort_sampling_pass(spark, sf):
+    """The tool must reveal the global sort's HIDDEN cost: orderBy's
+    RangePartitioning samples boundaries by EXECUTING its child once
+    before the real exchange, so the pre-sort aggregate's cumulative
+    numOutputRows reads 2× the 7 year groups while the sort exchange
+    still writes exactly 7 records — precisely why hot paths here use
+    TakeOrderedAndProject / two-level ranks instead of orderBy, and how
+    a slipped-in global sort gets caught at runtime."""
+    from spacex_data_pipeline_spark.plans.metrics import run_with_metrics
+
+    nodes = run_with_metrics(REGISTRY["fct_orders_by_year"].fn(spark, sf))
+    aggs = [
+        n["metrics"]["numOutputRows"]
+        for n in nodes
+        if n["node"] == "HashAggregate" and "numOutputRows" in n["metrics"]
+    ]
+    assert 14 in aggs  # final agg executed twice: sampling + real pass
+    sort_exchanges = [
+        n["metrics"].get("shuffleRecordsWritten")
+        for n in nodes
+        if n["node"] == "Exchange"
+    ]
+    assert 7 in sort_exchanges  # the exchange itself ran once
+
+
+def test_run_with_metrics_broadcast_join_moves_no_shuffle_bytes(spark, sf):
+    """A pure broadcast-star query must execute with ZERO shuffle
+    write on the fact side path up to the aggregate — the metric twin of
+    the BroadcastHashJoin plan assertion (here the only exchange is the
+    final tiny aggregate, so its byte volume is ~KB, not fact-sized)."""
+    from spacex_data_pipeline_spark.plans.metrics import (
+        metrics_summary,
+        run_with_metrics,
+    )
+
+    s = metrics_summary(
+        run_with_metrics(REGISTRY["q5_nation_revenue"].fn(spark, sf))
+    )
+    # 25 nations; the final orderBy's sampling pass may double the
+    # cumulative count (see the sort-sampling test)
+    assert s["rows_out"] in (25, 50)
+    assert s["shuffle_bytes_written"] < 1_000_000  # agg partials only
+
+
 def test_bloom_decontamination_probe_is_map_side(spark, sf):
     """The bloom variant's corpus side must stay a MAP: the bitmap
     attaches via a 1-row broadcast (nested-loop on a singleton, not a
