@@ -57,6 +57,43 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_available_now_upsert(
+    stream_df: DataFrame, checkpoint: str, out_path: str, key: str
+) -> None:
+    """Streaming MERGE (the CDC-apply sink): every micro-batch UPSERTS
+    into a keyed parquet table via ``foreachBatch`` +
+    ``sinks.upsert_by_key`` — late corrections and re-sent records
+    REPLACE their key's row instead of appending a duplicate, which is
+    what an append sink would do with them. The first batch bootstraps
+    the table (empty write + upsert, so intra-batch dedupe runs on batch
+    one too).
+
+    Delivery semantics: the checkpoint makes each source file processed
+    once across restarts; WITHIN a batch, foreachBatch is at-least-once
+    on retry — safe here because upsert_by_key is IDEMPOTENT (same batch
+    re-applied selects the same deterministic survivor per key and
+    replaces the same rows), which is the standard recipe for
+    effectively-exactly-once through foreachBatch. The path-based
+    rewrite cost contract is upsert_by_key's (partition at 100 TB)."""
+    from ..sources.sinks import upsert_by_key
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if not os.path.isdir(out_path):
+            batch_df.limit(0).write.mode("overwrite").parquet(out_path)
+        upsert_by_key(spark, batch_df, out_path, key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now_to_parquet(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
     """Drain to a parquet sink with a RESUMABLE checkpoint — unlike the
     memory sink, this supports stop/restart across runs: re-invoking with

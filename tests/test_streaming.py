@@ -199,6 +199,53 @@ def test_stream_dedup_across_redelivered_files(spark, sf_oracle, tmp_path):
     assert got.select("event_id").distinct().count() == 2000
 
 
+def test_stream_upsert_applies_corrections_not_duplicates(spark, sf_oracle, tmp_path):
+    """The CDC-apply sink: a correction file re-sending known event_ids
+    with NEW values must REPLACE those rows (append would duplicate
+    them); unrelated rows survive; a later incremental run with the same
+    checkpoint processes only newly-arrived files and upserts them too."""
+    import os
+
+    from spacex_data_pipeline_spark.streaming.ingest import run_available_now_upsert
+
+    landed = str(tmp_path / "cdc_events")
+    os.makedirs(landed)
+    ev = catalog.table(spark, sf_oracle, "events").limit(1000)
+    ev.coalesce(1).write.mode("append").parquet(landed)  # initial load
+    # correction: 50 known ids re-sent with value bumped by 1000
+    corrections = (
+        ev.filter(F.col("event_id") < 50)
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    corrections.coalesce(1).write.mode("append").parquet(landed)
+
+    out, ck = str(tmp_path / "cdc_out"), str(tmp_path / "ck_cdc")
+    stream = stream_events_from_files(spark, landed, max_files_per_trigger=1)
+    run_available_now_upsert(stream, ck, out, key="event_id")
+
+    got = spark.read.parquet(out)
+    assert got.count() == 1000  # replaced, not appended
+    assert got.select("event_id").distinct().count() == 1000
+    base = {r.event_id: r.value for r in ev.collect()}
+    for r in got.filter(F.col("event_id") < 50).collect():
+        assert r.value == pytest.approx(base[r.event_id] + 1000.0)
+    # restart with the same checkpoint: only the NEW file is processed
+    late = (
+        ev.filter(F.col("event_id").isin([0, 1]))
+        .withColumn("value", F.lit(-1.0))
+    )
+    late.coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_upsert(
+        stream_events_from_files(spark, landed, max_files_per_trigger=1),
+        ck, out, key="event_id",
+    )
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 1000
+    assert {
+        r.value for r in got2.filter(F.col("event_id").isin([0, 1])).collect()
+    } == {-1.0}
+
+
 def test_stream_static_enrichment_matches_batch(spark, sf_oracle, landed_events, tmp_path):
     """Stream-static join: every micro-batch enriches against the static
     dimension with zero join state; replay equals the batch join."""
