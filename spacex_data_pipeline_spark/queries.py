@@ -8286,6 +8286,63 @@ def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags_bloom(train, bench, k=5)
 
 
+@register(
+    "hll_mergeable_distinct_users",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    ORDER BY day
+    """,
+    tags=("extension", "agg", "approx", "sketch"),
+)
+def hll_mergeable_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-day user sketches roll up to
+    the GLOBAL distinct count by merging the 30 stored sketches — no
+    second corpus pass, which is the whole point at 100 TB: the daily
+    mart stores a ~KB sketch per grain and any period's distinct count
+    is a union over sketches, where exact COUNT(DISTINCT) would rescan
+    the period (approx_count_distinct can't do this — its HLL++ value
+    is final, not storable/mergeable). Sketch bytes are engine-specific,
+    so the hash-compared output is the approx_distinct_parts pattern:
+    exact counts plus ``est_ok := |est − exact| ≤ 0.05·exact`` (default
+    lgConfigK=12 ⇒ ~1.6 % RSE, 3σ inside the bound; the sketch is
+    deterministic for fixed data). The exact counts here exist to power
+    the check; production stores only the sketch column."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("__sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    day_rows = daily.select(
+        F.col("__day").cast("string").alias("day"),
+        "exact_users",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(__sk)") - F.col("exact_users")
+            )
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sk))").alias("__g_est")
+    )
+    g_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    all_row = g_exact.join(F.broadcast(merged)).select(
+        F.lit("ALL").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("__g_est") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+    return day_rows.unionByName(all_row).orderBy("day")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -74,6 +74,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q22_dormant_high_balance",
     "decontaminate_bloom_docs",
     "multimodal_resize_meta",
+    "hll_mergeable_distinct_users",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
