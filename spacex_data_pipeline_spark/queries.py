@@ -7857,6 +7857,188 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q12_late_lines_by_status",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): for each
+    shipping class, how many late-shipped line items belonged to
+    high-priority orders vs the rest. (The fixture lacks
+    l_shipmode/l_commitdate/l_receiptdate, so the class axis is
+    l_linestatus and 'late' is the repo's standard shipdate > orderdate
+    + 60 days — the priority-split conditional-aggregate skeleton is
+    Q12's.) Plan: the shipdate year-window pushes to the lineitem scan,
+    one orderkey-partitioned fact-fact shuffle joins in
+    (o_orderdate, o_orderpriority), the lateness predicate filters
+    inside the join, and the output is a 2-group map-side-combined
+    conditional count — at 100 TB the only wide exchange is the one
+    orderkey shuffle both facts already need."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q16_supplier_relationship_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "distinct", "anti-join", "agg"),
+)
+def q16_supplier_relationship_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can provide each surviving (brand, type, size) bucket.
+    (The fixture has no partsupp table, so the observed DISTINCT
+    (l_partkey, l_suppkey) pairs from lineitem stand in for the
+    part-supplier relation; 'complaint' suppliers — a comment-text LIKE
+    in the standard — become the negative-balance suppliers.) Plan: the
+    pair-distinct is the one big shuffle (51k pairs at sf0.01, bounded
+    by |part|×|suppliers-per-part| not by lineitem rows at any scale);
+    the part dim broadcasts with its three predicates pushed to the dim
+    scan BEFORE the broadcast; the excluded-supplier set is a broadcast
+    LEFT ANTI (6 keys); the final count-distinct re-shuffles only the
+    surviving bucket-keyed pairs."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                      WHERE o3.o_orderkey = l3.l_orderkey
+                        AND l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1, 2, 3
+    ORDER BY numwait DESC, s_name, s_suppkey
+    LIMIT 100
+    """,
+    tags=("tpch", "semi-join", "anti-join", "topk"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count late
+    line items per supplier over finished multi-supplier orders where
+    that supplier was the ONLY late one. ('Late' adapts to shipdate >
+    orderdate + 60 days for the missing receipt/commit dates; the
+    standard's single fixed nation stays unfixed, so n_name rides the
+    output.)
+
+    Scale shape: the textbook EXISTS + NOT-EXISTS pair would walk
+    lineitem three times with two correlated joins; here both
+    quantifiers collapse into ONE orderkey-partitioned aggregate —
+    per order: distinct suppliers, distinct LATE suppliers, the late
+    supplier's key (max over a 1-distinct-value set), and its late-item
+    count. Orders qualify iff n_supp >= 2 AND n_late_supp == 1, then a
+    supplier-keyed second aggregate sums the blame. Two narrow shuffles
+    total (orderkey, then suppkey), each carrying a handful of BIGINTs
+    per key — the same answer as the correlated form, which the oracle
+    states in the standard EXISTS/NOT-EXISTS shape as an independent
+    derivation. TakeOrderedAndProject bounds the driver fetch at 100."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late_items"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.sum("n_late_items").alias("numwait"))
+        .join(F.broadcast(dim), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name", "s_suppkey")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # S. Semantic curation (late r7): embedding-level decontamination and
 # cluster-level quality profiling — the SemDeDup-adjacent curation tables

@@ -75,6 +75,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "decontaminate_bloom_docs",
     "multimodal_resize_meta",
     "hll_mergeable_distinct_users",
+    "q12_late_lines_by_status",
+    "q16_supplier_relationship_count",
+    "q21_suppliers_kept_waiting",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
