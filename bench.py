@@ -119,6 +119,9 @@ EXTENDED = [
     "q15_top_supplier_revenue",
     "q17_small_quantity_revenue",
     "q22_dormant_high_balance",
+    "q12_late_lines_by_status",
+    "q16_supplier_relationship_count",
+    "q21_suppliers_kept_waiting",
     # r7 semantic curation
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",

@@ -636,6 +636,42 @@ def test_q22_not_exists_is_an_anti_join(spark, sf):
     assert "Window" not in plan
 
 
+def test_q12_single_fact_shuffle_and_pushed_year_window(spark, sf):
+    """Q12's only wide exchange is the orderkey join; the ship-year
+    window must reach the lineitem scan as pushed filters."""
+    plan = plan_of(REGISTRY["q12_late_lines_by_status"].fn(spark, sf))
+    assert any(
+        "PushedFilters" in l and "l_shipdate" in l for l in plan.splitlines()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q16_dims_broadcast_and_part_predicates_push(spark, sf):
+    """Part's three predicates must cut the dim BEFORE its broadcast, and
+    the complaint-supplier exclusion must be a broadcast anti — the only
+    big shuffles are the pair-distinct and the final bucket count."""
+    plan = plan_of(REGISTRY["q16_supplier_relationship_count"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + anti
+    assert "LeftAnti" in plan
+    assert any(
+        "PushedFilters" in l and "p_brand" in l for l in plan.splitlines()
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_quantifiers_are_one_aggregate_not_three_scans(spark, sf):
+    """Both correlated quantifiers must collapse into the per-order
+    aggregate: exactly one lineitem scan, no semi/anti join back onto
+    lineitem, no window, and the supplier dim broadcast."""
+    plan = plan_of(REGISTRY["q21_suppliers_kept_waiting"].fn(spark, sf))
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_semantic_decon_is_broadcast_and_aggregate(spark, sf):
     """The benchmark side must broadcast (corpus never shuffles for
     scoring) and the per-vector argmax must be an AGGREGATE with map-side
