@@ -122,6 +122,8 @@ EXTENDED = [
     "q12_late_lines_by_status",
     "q16_supplier_relationship_count",
     "q21_suppliers_kept_waiting",
+    "cms_mergeable_user_counts",
+    "quantile_sketch_store_orders",
     # r7 semantic curation
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",

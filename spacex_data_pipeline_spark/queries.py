@@ -8525,6 +8525,197 @@ def hll_mergeable_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day_rows.unionByName(all_row).orderBy("day")
 
 
+_CMS_D, _CMS_W = 3, 64  # depth (hash rows) × width (buckets per row)
+
+
+@register(
+    "cms_mergeable_user_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day, seed,
+             ('0x' || substr(md5(seed::VARCHAR || ':' || user_id::VARCHAR), 1, 15))
+               ::UBIGINT::BIGINT % {_CMS_W} AS bucket,
+             COUNT(*) AS n
+      FROM events, unnest([0, 1, 2]) AS t(seed)
+      GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT seed, bucket, CAST(SUM(n) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2),
+    top_users AS (
+      SELECT user_id, COUNT(*) AS exact_n
+      FROM events GROUP BY 1
+      ORDER BY exact_n DESC, user_id LIMIT 20),
+    probes AS (
+      SELECT u.user_id, t.seed,
+             ('0x' || substr(md5(t.seed::VARCHAR || ':' || u.user_id::VARCHAR), 1, 15))
+               ::UBIGINT::BIGINT % {_CMS_W} AS bucket
+      FROM top_users u, unnest([0, 1, 2]) AS t(seed)),
+    est AS (
+      SELECT p.user_id, MIN(m.n) AS cms_est
+      FROM probes p JOIN merged m ON m.seed = p.seed AND m.bucket = p.bucket
+      GROUP BY 1)
+    SELECT u.user_id, u.exact_n, e.cms_est,
+           e.cms_est - u.exact_n AS overcount,
+           e.cms_est >= u.exact_n AS est_ok
+    FROM top_users u JOIN est e USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("extension", "agg", "approx", "sketch"),
+)
+def cms_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE count-min frequency sketches (Cormode-Muthukrishnan),
+    hand-rolled from public primitives because Spark's count_min_sketch
+    SQL aggregate emits opaque non-unionable bytes: each day's events
+    fold into a d×w grid of (seed, bucket)→count cells (d=3 md5-seeded
+    hash rows, w=64), the per-day grids MERGE BY ADDITION into any date
+    range's sketch — no event rescan, the same store-a-KB-per-grain
+    contract as hll_mergeable_distinct_users but for point frequencies —
+    and a key's estimate is min over rows of its merged cell
+    (est ≥ exact always; over by ≤ εN with prob 1−δ). Everything is
+    integer arithmetic on an engine-identical md5 bucket hash, so the
+    oracle reproduces the ESTIMATES bit-for-bit, not just a tolerance
+    bool. Scale shape: one map-side-combined shuffle of d·|days|·w
+    bounded cells (5.8k rows here), the probe side a broadcast of the
+    20 audited keys; the exact counts exist to power the driver check
+    (production stores cells only). The overcount column is the
+    collision cost made visible — w=64 < 150 users forces real
+    collisions so the est_ok ≥-invariant is exercised, not vacuous."""
+    ev = _t(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(seed: Column, key: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", seed.cast("string"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % _CMS_W
+
+    cells = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.explode(seeds).alias("seed"),
+            "user_id",
+        )
+        .groupBy("day", "seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = cells.groupBy("seed", "bucket").agg(F.sum("n").alias("n"))
+    top_users = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    probes = top_users.select(
+        "user_id", "exact_n", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", bucket(F.col("seed"), F.col("user_id")))
+    est = (
+        merged.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("est_ok"),
+    ).orderBy("user_id")
+
+
+_QSK_WIDTH = 1000.0  # totalprice bin width; domain [1000, 500000) → ≤500 bins
+
+
+@register(
+    "quantile_sketch_store_orders",
+    oracle=f"""
+    WITH store AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(o_totalprice / CAST({_QSK_WIDTH} AS DOUBLE)) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    merged AS (
+      SELECT bin, CAST(SUM(n) AS BIGINT) AS n FROM store GROUP BY 1),
+    cum AS (
+      SELECT bin, n,
+             CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n
+      FROM merged),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM merged),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+    ranks AS (
+      SELECT q, n_total,
+             CAST(ceil(q * n_total) AS BIGINT) AS rank_needed
+      FROM qs, tot),
+    hits AS (
+      SELECT r.q, r.n_total, r.rank_needed, MIN(c.bin) AS bin
+      FROM ranks r JOIN cum c ON c.cum_n >= r.rank_needed
+      GROUP BY 1, 2, 3)
+    SELECT h.q, h.n_total, h.rank_needed, h.bin,
+           h.bin * CAST({_QSK_WIDTH} AS DOUBLE) AS est_lo,
+           (h.bin + 1) * CAST({_QSK_WIDTH} AS DOUBLE) AS est_hi,
+           c.n AS bin_n
+    FROM hits h JOIN cum c ON c.bin = h.bin
+    ORDER BY q
+    """,
+    tags=("extension", "agg", "approx", "sketch"),
+)
+def quantile_sketch_store_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches as per-day fixed-bin histograms: each
+    day's orders fold into (day, bin)→count cells (bin = ⌊totalprice /
+    1000⌋, ≤500 bins over the price domain), per-day cells MERGE BY
+    ADDITION into any date range's histogram, and a quantile estimate is
+    the first bin whose cumulative count reaches ⌈q·N⌉ — the true
+    q-quantile provably lies in [est_lo, est_hi), a bin-width-bounded
+    answer with NO data rescan for any range, completing the sketch-
+    store trio (HLL distinct / CMS frequency / histogram quantiles).
+    Unlike percentile_approx's GK sketch, the stored cells are plain
+    BIGINT rows any engine can merge — the oracle recomputes the
+    identical integer bin arithmetic, so estimates hash-compare exactly
+    (the IEEE floor-divide and q·N products are engine-identical; a
+    pytest check pins exact percentiles inside each claimed bin). Scale
+    shape: ONE map-side-combined shuffle of |days|·|bins| bounded cells;
+    the cumulative window orders the ≤500-row merged bin table — a
+    bounded frame like the centroid/bin windows sanctioned elsewhere,
+    never data-sized. Production stores the `store` cells per grain;
+    exact columns here exist only to power the driver check."""
+    o = _t(spark, sf_dir, "orders")
+    store = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") / _QSK_WIDTH).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    merged = store.groupBy("bin").agg(F.sum("n").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select("bin", "n", F.sum("n").over(w).alias("cum_n"))
+    tot = merged.agg(F.sum("n").alias("n_total"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    ranks = qs.join(F.broadcast(tot)).select(
+        "q", "n_total", F.ceil(F.col("q") * F.col("n_total")).alias("rank_needed")
+    )
+    hits = (
+        cum.join(F.broadcast(ranks), F.col("cum_n") >= F.col("rank_needed"))
+        .groupBy("q", "n_total", "rank_needed")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hits.join(cum.select("bin", F.col("n").alias("bin_n")), "bin")
+        .select(
+            "q",
+            "n_total",
+            "rank_needed",
+            "bin",
+            (F.col("bin") * F.lit(_QSK_WIDTH)).alias("est_lo"),
+            ((F.col("bin") + 1) * F.lit(_QSK_WIDTH)).alias("est_hi"),
+            "bin_n",
+        )
+        .orderBy("q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -2208,3 +2208,48 @@ def test_range_join_binned_boundary_semantics(spark):
     out = range_join_binned(points, iv, "ts", "ws", "we", keys=["k"], bin_seconds=3600)
     got = sorted(r.pid for r in out.collect())
     assert got == [1, 2, 6]  # each exactly once: no bin-duplicate pairs
+
+
+def test_quantile_sketch_bins_contain_exact_percentiles(spark, sf_oracle):
+    """The docstring's bound made concrete: for each q, the EXACT
+    disc-percentile of o_totalprice (computed here, driver-side, over the
+    small fixture — never part of the registered plan) falls inside the
+    claimed [est_lo, est_hi) bin, and rank bookkeeping is consistent."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = {
+        r.q: r
+        for r in REGISTRY["quantile_sketch_store_orders"].fn(spark, sf_oracle).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    exact = {
+        q: con.execute(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM '{sf_oracle}/orders.parquet'"
+        ).fetchone()[0]
+        for q in (0.5, 0.9, 0.99)
+    }
+    assert set(rows) == {0.5, 0.9, 0.99}
+    for q, r in rows.items():
+        assert r.est_lo <= exact[q] < r.est_hi, (q, exact[q], r)
+        assert r.rank_needed <= r.n_total and r.bin_n >= 1
+
+
+def test_cms_estimates_dominate_exact_and_merge_is_additive(spark, sf_oracle):
+    """CMS invariants: est >= exact for every audited key (no-deletion
+    count-min guarantee), and the per-day cell store really is the merge
+    grain — summing stored daily cells equals the one-shot global grid."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.queries import REGISTRY, _CMS_D, _CMS_W
+
+    out = REGISTRY["cms_mergeable_user_counts"].fn(spark, sf_oracle).collect()
+    assert len(out) == 20
+    assert all(r.est_ok and r.cms_est >= r.exact_n and r.overcount >= 0 for r in out)
+    # w < |users| forces collisions: at least one audited key overcounts
+    ev = catalog.table(spark, sf_oracle, "events")
+    n_users = ev.select("user_id").distinct().count()
+    if n_users > _CMS_W:
+        assert any(r.overcount > 0 for r in out)

@@ -706,3 +706,27 @@ def test_range_join_is_equi_not_nested_loop(spark, sf):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_cells_are_one_bounded_shuffle_no_window(spark, sf):
+    """The sketch build must be a map-side-combined aggregate over the
+    d·|days|·w bounded cell grid — no window, no cartesian; the probe
+    side broadcasts."""
+    plan = plan_of(REGISTRY["cms_mergeable_user_counts"].fn(spark, sf))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_sketch_window_is_bin_bounded(spark, sf):
+    """The only window runs over the merged bin table (≤500 rows by
+    construction) — the orders fact itself must never be window-sorted:
+    the scan feeds a hash aggregate, not an exchange into Window."""
+    plan = plan_of(REGISTRY["quantile_sketch_store_orders"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    # facts aggregate first: at least the store and merged HashAggregates
+    assert plan.count("HashAggregate") >= 4
+    # the window input is the post-aggregate bin table, so the plan holds
+    # exactly one Window node and it sits above an aggregate, not a scan
+    assert plan.count("Window") >= 1

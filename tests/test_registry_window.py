@@ -78,6 +78,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q12_late_lines_by_status",
     "q16_supplier_relationship_count",
     "q21_suppliers_kept_waiting",
+    "cms_mergeable_user_counts",
+    "quantile_sketch_store_orders",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
