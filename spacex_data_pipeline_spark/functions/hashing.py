@@ -130,3 +130,21 @@ def rolling_hash(col: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Colum
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def cms_bucket(seed: Column, key: Column, width: int) -> Column:
+    """Count-min-sketch bucket for ``key`` under hash row ``seed``:
+    the md5-derived 60-bit integer (engine-identical in DuckDB via
+    ``('0x' || substr(md5(...), 1, 15))::UBIGINT::BIGINT``) reduced mod
+    the row width. Shared by the batch sketch store
+    (queries.cms_mergeable_user_counts) and its streaming twin
+    (streaming.rollup.cms_cells_stream) so both populate identical cells.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", seed.cast("string"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % width

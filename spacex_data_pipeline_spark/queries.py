@@ -8580,26 +8580,21 @@ def cms_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (production stores cells only). The overcount column is the
     collision cost made visible — w=64 < 150 users forces real
     collisions so the est_ok ≥-invariant is exercised, not vacuous."""
+    from .functions.hashing import cms_bucket
+
     ev = _t(spark, sf_dir, "events")
     seeds = F.array(*[F.lit(i) for i in range(_CMS_D)])
-
-    def bucket(seed: Column, key: Column) -> Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", seed.cast("string"), key.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        return h % _CMS_W
-
     cells = (
         ev.select(
             F.to_date("ts").alias("day"),
             F.explode(seeds).alias("seed"),
             "user_id",
         )
-        .groupBy("day", "seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket"))
+        .groupBy(
+            "day",
+            "seed",
+            cms_bucket(F.col("seed"), F.col("user_id"), _CMS_W).alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
     merged = cells.groupBy("seed", "bucket").agg(F.sum("n").alias("n"))
@@ -8611,7 +8606,7 @@ def cms_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = top_users.select(
         "user_id", "exact_n", F.explode(seeds).alias("seed")
-    ).withColumn("bucket", bucket(F.col("seed"), F.col("user_id")))
+    ).withColumn("bucket", cms_bucket(F.col("seed"), F.col("user_id"), _CMS_W))
     est = (
         merged.join(F.broadcast(probes), ["seed", "bucket"])
         .groupBy("user_id", "exact_n")

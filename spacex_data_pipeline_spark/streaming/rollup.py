@@ -76,3 +76,29 @@ def heavy_hitters_stream(events: DataFrame, key_col: str = "user_id") -> DataFra
     would force complete-mode output; keeping the stream as counts lets
     it run in update mode against a key-value sink at any scale."""
     return events.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("freq"))
+
+
+def cms_cells_stream(
+    events: DataFrame, key_col: str = "user_id", d: int = 3, w: int = 64
+) -> DataFrame:
+    """Streaming count-min sketch cell store — the on-arrival twin of the
+    batch per-day grid in queries.cms_mergeable_user_counts (same
+    functions.hashing.cms_bucket hash, so a replay populates IDENTICAL
+    cells — tested). Each arriving event increments its d cells; state is
+    one row per (day, seed, bucket) — bounded by d·|days|·w, never by
+    stream length — and the grid stays mergeable-by-addition, so the
+    serving layer answers any date range's frequency estimates from the
+    stored cells without replaying the stream. Update-mode friendly: no
+    sort, no global state."""
+    from ..functions.hashing import cms_bucket
+
+    seeds = F.array(*[F.lit(i) for i in range(d)])
+    return (
+        events.select(
+            F.to_date("ts").alias("day"), F.explode(seeds).alias("seed"), key_col
+        )
+        .groupBy(
+            "day", "seed", cms_bucket(F.col("seed"), F.col(key_col), w).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

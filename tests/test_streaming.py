@@ -520,3 +520,41 @@ def test_stream_heavy_hitter_counts_match_batch(spark, sf_oracle, landed_events,
         for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq")).collect()
     }
     assert got == want
+
+
+def test_stream_cms_cells_match_batch_grid(spark, sf_oracle, landed_events, tmp_path):
+    """A replay of the stream populates exactly the batch sketch's
+    per-day cell grid — so estimates served from streamed cells equal
+    estimates served from a batch backfill, the property that lets the
+    two paths share one store."""
+    from spacex_data_pipeline_spark.functions.hashing import cms_bucket
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now,
+        stream_events_from_files,
+    )
+    from spacex_data_pipeline_spark.streaming.rollup import cms_cells_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        cms_cells_stream(stream),
+        str(tmp_path / "ckpt_cms"),
+        "cms_out",
+        output_mode="complete",
+    )
+    got = {
+        (str(r.day), r.seed, r.bucket): r.n for r in spark.table("cms_out").collect()
+    }
+    ev = catalog.table(spark, sf_oracle, "events")
+    seeds = F.array(*[F.lit(i) for i in range(3)])
+    want = {
+        (str(r.day), r.seed, r.bucket): r.n
+        for r in ev.select(
+            F.to_date("ts").alias("day"), F.explode(seeds).alias("seed"), "user_id"
+        )
+        .groupBy(
+            "day", "seed", cms_bucket(F.col("seed"), F.col("user_id"), 64).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 100
