@@ -124,6 +124,7 @@ EXTENDED = [
     "q21_suppliers_kept_waiting",
     "cms_mergeable_user_counts",
     "quantile_sketch_store_orders",
+    "orders_global_running_total",
     # r7 semantic curation
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",

@@ -75,6 +75,61 @@ def running_total(
     return df.withColumn(alias, F.sum(value).over(w))
 
 
+def global_running_sum(
+    df: DataFrame,
+    grain: Column,
+    order: Sequence[Column],
+    value: Column,
+    value_alias: str = "running_sum",
+    count_alias: str = "running_n",
+) -> DataFrame:
+    """GLOBAL running sum/count over a total order — the distributed
+    two-phase prefix scan, because the naive ``Window.orderBy(...)`` with
+    no partition key funnels the entire table through ONE reducer (the
+    exact single-reducer shape this repo plan-asserts against elsewhere).
+
+    Phase 1 aggregates per ``grain`` bucket (a prefix of the total order
+    — e.g. ``date_trunc('month', ts)``) and computes each bucket's
+    EXCLUSIVE offset with a window over the bucket table, which is
+    bounded by the calendar, not the data (84 months here; never more
+    than |distinct grains| rows). Phase 2 broadcasts the offsets back
+    and runs the running sum WITHIN each grain partition, adding the
+    bucket offset. Identical to the one-window answer (unit-tested
+    against it) with every reducer bounded by the grain's row count —
+    pick the grain (month → day → hour) so a bucket fits an executor;
+    the offset table stays calendar-bounded either way.
+
+    ``value`` must be exact-typed (decimal/integer) if results feed a
+    hash-compared oracle: double addition is order-sensitive across the
+    per-bucket partials. ``order`` must be unique-total (include a
+    tiebreaker key) and must SORT CONSISTENTLY with ``grain`` (grain is
+    a prefix function of the first order column)."""
+    g = df.withColumn("__grain", grain)
+    per = g.groupBy("__grain").agg(
+        F.sum(value).alias("__gsum"), F.count(F.lit(1)).alias("__gn")
+    )
+    wg = (
+        Window.orderBy("__grain")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per.select(
+        "__grain",
+        (F.sum("__gsum").over(wg) - F.col("__gsum")).alias("__off_sum"),
+        (F.sum("__gn").over(wg) - F.col("__gn")).alias("__off_n"),
+    )
+    w = (
+        Window.partitionBy("__grain")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.join(F.broadcast(offsets), "__grain")
+        .withColumn(value_alias, F.col("__off_sum") + F.sum(value).over(w))
+        .withColumn(count_alias, F.col("__off_n") + F.count(F.lit(1)).over(w))
+        .drop("__grain", "__off_sum", "__off_n")
+    )
+
+
 def pivot_counts(
     df: DataFrame, group: str, pivot_col: str, values: Sequence[str]
 ) -> DataFrame:

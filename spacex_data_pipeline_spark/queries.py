@@ -8711,6 +8711,52 @@ def quantile_sketch_store_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_global_running_total",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) OVER w AS DOUBLE) AS running_revenue
+    FROM orders
+    WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    tags=("extension", "window", "scan"),
+)
+def orders_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order GLOBAL running revenue/count in (orderdate, orderkey)
+    order — the cumulative-bookings curve, computed as a distributed
+    two-phase prefix scan (operators/relational.global_running_sum):
+    month-bucket partials + a calendar-bounded offset window, then
+    per-bucket running sums with the broadcast offset added. The oracle
+    IS the naive single window — DuckDB can afford it at sf0.01 — which
+    independently proves the two-phase decomposition exact (decimal
+    money arithmetic keeps the cross-engine sums bit-identical; a unit
+    test additionally pins operator == one-window on a tiny frame). At
+    100 TB the naive form is one reducer sorting every order ever
+    placed; this shape bounds every reducer by a month's orders and the
+    offset table by the calendar."""
+    from .operators.relational import global_running_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", dec_money("o_totalprice").alias("__v")
+    )
+    out = global_running_sum(
+        o,
+        grain=F.date_trunc("month", F.col("o_orderdate")),
+        order=[F.col("o_orderdate"), F.col("o_orderkey")],
+        value=F.col("__v"),
+        value_alias="__run_v",
+        count_alias="running_n",
+    )
+    return out.select(
+        "o_orderkey",
+        "running_n",
+        F.col("__run_v").cast("double").alias("running_revenue"),
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -2253,3 +2253,39 @@ def test_cms_estimates_dominate_exact_and_merge_is_additive(spark, sf_oracle):
     n_users = ev.select("user_id").distinct().count()
     if n_users > _CMS_W:
         assert any(r.overcount > 0 for r in out)
+
+
+def test_global_running_sum_equals_single_window(spark):
+    """The two-phase prefix scan must equal the naive global window on a
+    frame with ties, bucket boundaries, and a bucket containing one row."""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark.operators.relational import global_running_sum
+
+    df = spark.createDataFrame(
+        [(k, d, v) for k, (d, v) in enumerate([
+            ("2024-01-05", 10), ("2024-01-05", 5), ("2024-01-31", 1),
+            ("2024-02-01", 7), ("2024-02-14", 2), ("2024-04-09", 20),
+        ])],
+        "k long, d string, v long",
+    ).withColumn("d", F.to_date("d"))
+    got = {
+        r.k: (r.running_n, r.running_sum)
+        for r in global_running_sum(
+            df,
+            grain=F.date_trunc("month", F.col("d")),
+            order=[F.col("d"), F.col("k")],
+            value=F.col("v"),
+        ).collect()
+    }
+    w = (
+        Window.orderBy("d", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.k: (r.n, r.s)
+        for r in df.select(
+            "k", F.count(F.lit(1)).over(w).alias("n"), F.sum("v").over(w).alias("s")
+        ).collect()
+    }
+    assert got == want

@@ -730,3 +730,18 @@ def test_quantile_sketch_window_is_bin_bounded(spark, sf):
     # the window input is the post-aggregate bin table, so the plan holds
     # exactly one Window node and it sits above an aggregate, not a scan
     assert plan.count("Window") >= 1
+
+
+def test_global_running_total_windows_are_grain_partitioned(spark, sf):
+    """The fact-side running window must carry the grain partition key —
+    the ONLY partition-less window allowed is the calendar-bounded offset
+    scan over month buckets; the offsets join back as a broadcast."""
+    plan = plan_of(REGISTRY["orders_global_running_total"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    # every Window node over the orders fact names __grain in its spec
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    partitioned = [s for s in win_specs if "__grain" in s]
+    assert partitioned, f"fact window lost its grain partition: {win_specs}"

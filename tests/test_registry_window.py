@@ -80,6 +80,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q21_suppliers_kept_waiting",
     "cms_mergeable_user_counts",
     "quantile_sketch_store_orders",
+    "orders_global_running_total",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
