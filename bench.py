@@ -125,6 +125,7 @@ EXTENDED = [
     "cms_mergeable_user_counts",
     "quantile_sketch_store_orders",
     "orders_global_running_total",
+    "dedup_jaccard_prefix_filtered",
     # r7 semantic curation
     "semantic_decontaminate_embeddings",
     "cluster_quality_profile",
@@ -223,6 +224,25 @@ def _skewed_docs(spark, sf_dir):
     )
 
 
+def _footer_docs(spark, sf_dir):
+    """Footer-skew corpus: the boilerplate APPENDED to 20% of documents
+    (shared legal footer on distinct bodies) — the shape where hot
+    tokens generate quadratic equi-join candidates that almost all FAIL
+    a high threshold; prefix filtering's textbook case."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+
+    boiler = " ".join(f"boilerplate{i} legal notice terms apply" for i in range(9))
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws(" ", F.col("text"), F.lit(boiler))
+        ).otherwise(F.col("text")),
+    )
+
+
 def _er(spark, sf_dir, cap):
     # Runs at sf0.01 regardless of the bench sf: at sf0.1 the UNCAPPED
     # form took 530 s vs 9.5 s capped (56×, measured once) — the gap the
@@ -247,6 +267,7 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     """Capped-vs-uncapped wall time on the adversarial corpus — the
     timing evidence that the guards pay for themselves under skew."""
     from spacex_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
         line_dedup_flags,
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -258,6 +279,21 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         "skew_ngram_uncapped": lambda: ngram_jaccard_pairs(docs, threshold=0.2),
         "skew_ngram_capped": lambda: ngram_jaccard_pairs(
             docs, threshold=0.2, max_shingle_df=50
+        ),
+        # r7 late: PPJoin prefix filtering vs the equi-join, both at the
+        # t=0.2 corpus threshold (where the replaced-page output is
+        # quadratic and equi-join's constant wins) and at t=0.8 on the
+        # footer shape (where candidate pruning is the whole game and
+        # prefix wins — the literature's high-threshold regime). Exact
+        # at any skew: no cap caveat on either prefix row.
+        "skew_jaccard_prefix": lambda: jaccard_pairs_prefix_filtered(
+            docs, threshold=0.2
+        ),
+        "skew_jaccard_hi_equijoin": lambda: ngram_jaccard_pairs(
+            _footer_docs(spark, sf_dir), threshold=0.8
+        ),
+        "skew_jaccard_hi_prefix": lambda: jaccard_pairs_prefix_filtered(
+            _footer_docs(spark, sf_dir), threshold=0.8
         ),
         "skew_minhash_uncapped": lambda: minhash_lsh_candidates(docs, threshold=0.2),
         "skew_minhash_capped": lambda: minhash_lsh_candidates(

@@ -81,6 +81,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "cms_mergeable_user_counts",
     "quantile_sketch_store_orders",
     "orders_global_running_total",
+    "dedup_jaccard_prefix_filtered",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {

@@ -333,3 +333,34 @@ def test_winnowing_fp_cap_drops_only_boilerplate_pairs(spark):
     }
     assert (100, 101) in capped          # rare-fp pair survives
     assert not any(a < 100 for a, _ in capped)  # hot boilerplate pairs gone
+
+
+def test_prefix_filtered_jaccard_equals_equijoin_exact(spark, sf_oracle):
+    """PPJoin prefix filtering must reproduce the equi-join path's exact
+    pairs — on the clean fixture AND on the boilerplate-skewed corpus
+    where the equi-join needs a df cap (prefix filtering's whole claim is
+    exactness without that cap)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+        ngram_jaccard_pairs,
+    )
+
+    docs = catalog.table(spark, sf_oracle, "documents").limit(200)
+    boiler = " ".join(f"boilerplate{i} legal notice terms apply" for i in range(9))
+    skewed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    for corpus in (docs, skewed):
+        want = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(corpus, threshold=0.2).collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in jaccard_pairs_prefix_filtered(corpus, threshold=0.2).collect()
+        }
+        assert got == want and len(want) > 0
