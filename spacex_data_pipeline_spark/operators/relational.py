@@ -130,6 +130,73 @@ def global_running_sum(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    grain: Column,
+    order: Sequence[Column],
+    alias: str = "global_rn",
+    total_alias: str | None = None,
+) -> DataFrame:
+    """GLOBAL ``row_number`` over a total order — the two-phase prefix
+    scan, same shape as :func:`global_running_sum`: the naive
+    ``Window.orderBy(...)`` with no partition key moves the ENTIRE table
+    through one reducer, which is the defining straggler at 100 TB.
+
+    Phase 1 counts rows per ``grain`` bucket (a prefix function of the
+    first order column — a calendar truncation for time, a value bucket
+    for numerics) and computes each bucket's EXCLUSIVE row offset with a
+    window over the bucket table only (bounded by |distinct grains|,
+    never by the data). Phase 2 broadcasts the offsets back and runs
+    ``row_number`` WITHIN each grain partition, adding the offset.
+    Identical to the one-window answer (unit-tested against it) with
+    every reducer bounded by its bucket's row count.
+
+    With ``total_alias`` set, the total row count rides along as a
+    broadcast 1-row cross join — from ``(rn, n)`` every global rank
+    statistic derives exactly for a unique total order:
+    ``rank = rn``, ``percent_rank = (rn-1)/(n-1)``, ``cume_dist = rn/n``,
+    and ``NTILE(k)`` via :func:`ntile_from_rank`.
+
+    ``order`` must be unique-total (include a tiebreaker) and must sort
+    consistently with ``grain`` (equal-order-prefix rows share a grain;
+    grain ascends exactly when the first order column does — for a
+    DESC ordering pass a negated bucket)."""
+    g = df.withColumn("__grain", grain)
+    per = g.groupBy("__grain").agg(F.count(F.lit(1)).alias("__gn"))
+    wg = (
+        Window.orderBy("__grain")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per.select(
+        "__grain",
+        (F.sum("__gn").over(wg) - F.col("__gn")).alias("__off"),
+    )
+    w = Window.partitionBy("__grain").orderBy(*order)
+    out = (
+        g.join(F.broadcast(offsets), "__grain")
+        .withColumn(alias, (F.col("__off") + F.row_number().over(w)).cast("long"))
+        .drop("__grain", "__off")
+    )
+    if total_alias is not None:
+        total = df.agg(F.count(F.lit(1)).cast("long").alias(total_alias))
+        out = out.crossJoin(F.broadcast(total))
+    return out
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """Exact ``NTILE(k)`` from a global row number and total count —
+    SQL-standard semantics: the first ``n % k`` tiles hold ``ceil(n/k)``
+    rows, the rest ``floor(n/k)``. Pure arithmetic on the two columns
+    (exact for any n below 2^53), so the tile assignment needs no window
+    at all once ``rn`` exists."""
+    q = F.floor(n / F.lit(k)).cast("long")
+    r = (n % F.lit(k)).cast("long")
+    big = r * (q + F.lit(1))  # rows covered by the (q+1)-sized tiles
+    return F.when(
+        rn <= big, F.floor((rn - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(r + F.floor((rn - big - 1) / q).cast("long") + 1)
+
+
 def pivot_counts(
     df: DataFrame, group: str, pivot_col: str, values: Sequence[str]
 ) -> DataFrame:
@@ -273,25 +340,43 @@ def range_join_binned(
         "__bin",
         F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bin_seconds)),
     )
-    ib = intervals.withColumn(
-        "__bin",
+    # Rename every interval-side join column to a private name BEFORE the
+    # join: when points and intervals share lineage (an interval table
+    # derived from the point table — a self-join), dataframe-qualified
+    # references like ``pb[k] == ib[k]`` can resolve both sides to the
+    # SAME attribute and degrade to a trivially-true predicate (Spark
+    # warns "Constructing trivially true equals predicate"). Distinct
+    # column names guarantee distinct attributes under any lineage.
+    ib = intervals
+    renames = {start_ts: "__iv_start", end_ts: "__iv_end"}
+    for k in keys:
+        renames[k] = f"__iv_{k}"
+    for old, new in renames.items():
+        ib = ib.withColumnRenamed(old, new)
+    ib = ib.withColumn(
+        "__ibin",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_ts)) / F.lit(bin_seconds)),
-                F.floor(F.unix_timestamp(F.col(end_ts)) / F.lit(bin_seconds)),
+                F.floor(F.unix_timestamp(F.col("__iv_start")) / F.lit(bin_seconds)),
+                F.floor(F.unix_timestamp(F.col("__iv_end")) / F.lit(bin_seconds)),
             )
         ),
     )
-    cond = pb["__bin"] == ib["__bin"]
+    cond = F.col("__bin") == F.col("__ibin")
     for k in keys:
-        cond = cond & (pb[k] == ib[k])
-    cond = cond & (pb[point_ts] >= ib[start_ts]) & (pb[point_ts] < ib[end_ts])
-    out = pb.join(ib, cond)
-    # drop the helper bin and the interval side's duplicated key columns
-    out = out.drop(pb["__bin"]).drop(ib["__bin"])
+        cond = cond & (F.col(k) == F.col(f"__iv_{k}"))
+    cond = (
+        cond
+        & (F.col(point_ts) >= F.col("__iv_start"))
+        & (F.col(point_ts) < F.col("__iv_end"))
+    )
+    out = pb.join(ib, cond).drop("__bin", "__ibin")
     for k in keys:
-        out = out.drop(ib[k])
-    return out
+        out = out.drop(f"__iv_{k}")
+    # restore the interval bound names for callers that project them
+    return out.withColumnRenamed("__iv_start", start_ts).withColumnRenamed(
+        "__iv_end", end_ts
+    )
 
 
 def salted_join(

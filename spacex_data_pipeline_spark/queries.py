@@ -1970,15 +1970,34 @@ def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a global price ordering
     (unique tiebreak ⇒ deterministic tiles; the ratios are single integer
-    divisions — engine-stable)."""
+    divisions — engine-stable).
+
+    The naive form is ONE unpartitioned window over the whole fact table
+    — a single reducer sorting every order. Registered here is the
+    two-phase prefix scan (relational.global_row_number): price-bucket
+    counts + exclusive offsets (bucket-table-sized window), then
+    row_number within each bucket + offset. With a unique total order,
+    rank == row_number, so percent_rank = (rn-1)/(n-1), cume_dist = rn/n
+    and NTILE(4) derive exactly (relational.ntile_from_rank) — the
+    oracle states the naive windows and the decomposition must match it
+    bit-for-bit."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    rn = relational.global_row_number(
+        o,
+        grain=F.floor(F.col("o_totalprice") / F.lit(10000.0)),
+        order=[F.col("o_totalprice"), F.col("o_orderkey")],
+        alias="__rn",
+        total_alias="__n",
+    )
+    rnc, nc = F.col("__rn"), F.col("__n")
+    return rn.select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).cast("int").alias("price_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cdist"),
+        relational.ntile_from_rank(rnc, nc, 4).cast("int").alias("price_quartile"),
+        F.when(nc == 1, F.lit(0.0))
+        .otherwise((rnc - 1).cast("double") / (nc - 1).cast("double"))
+        .alias("pct_rank"),
+        (rnc.cast("double") / nc.cast("double")).alias("cdist"),
     )
 
 
@@ -2522,24 +2541,29 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     """Running COUNT(DISTINCT user) over event time — not directly
     expressible as a window aggregate in any SQL engine; the scalable
     form is first-occurrence flagging (one shuffle on user) + a running
-    sum (one global time order). The global cumulative window is the
-    honest cost of a global running metric; per-key variants partition
-    it away."""
+    sum over the global time order. The running sum is registered as the
+    two-phase prefix scan (relational.global_running_sum, month grain):
+    per-month partials + exclusive offsets (calendar-bounded bucket
+    window), then the cumulative sum within each month partition — no
+    reducer ever sees more than one month of events, vs the naive
+    unpartitioned window that funnels every event through ONE task. The
+    oracle states the naive window; the decomposition must match it."""
     ev = _t(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
     )
-    return (
-        ev.withColumn(
-            "first_seen",
-            F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
-        )
-        .select(
-            "event_id",
-            "ts",
-            F.sum("first_seen").over(w_run).cast("long").alias("distinct_users_so_far"),
-        )
+    return relational.global_running_sum(
+        flagged,
+        grain=F.date_trunc("month", F.col("ts")),
+        order=[F.col("ts"), F.col("event_id")],
+        value=F.col("first_seen"),
+        value_alias="__run",
+    ).select(
+        "event_id",
+        "ts",
+        F.col("__run").cast("long").alias("distinct_users_so_far"),
     )
 
 
@@ -2870,18 +2894,29 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-decile average go through the exact-decimal-sum route;
     min/max pick already-snapped doubles.
 
-    Scale note: an unpartitioned NTILE is a single-task window — fine
-    here because the input is already one row per CUSTOMER (the
-    billions of fact rows were reduced by the groupBy first), but at
-    extreme key cardinality swap exact NTILE for approx_percentile
-    boundaries + a range bucket join."""
+    Even though groupBy reduced the fact rows to one per customer, at
+    100 TB that is still billions of customers — so the exact NTILE is
+    registered as the two-phase prefix scan (relational.
+    global_row_number over negated spend buckets, ascending grain ⟺
+    descending spend) + the arithmetic tile split (relational.
+    ntile_from_rank). No reducer sorts more than one spend bucket; the
+    oracle states the naive unpartitioned NTILE and the decomposition
+    matches it exactly."""
     spend = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice")).cast("double").alias("spend"))
     )
-    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    rn = relational.global_row_number(
+        spend,
+        grain=F.floor(-F.col("spend") / F.lit(50000.0)),
+        order=[F.col("spend").desc(), F.col("o_custkey")],
+        alias="__rn",
+        total_alias="__n",
+    )
+    tiled = rn.withColumn(
+        "decile", relational.ntile_from_rank(F.col("__rn"), F.col("__n"), 10)
+    )
     return (
         tiled.groupBy(F.col("decile").cast("int").alias("decile"))
         .agg(
@@ -6928,10 +6963,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     last order date), frequency, decimal-exact monetary, each scored
     into quintiles (5 = most recent / most frequent / highest spend)
     with the key as a deterministic tiebreak, composed into the
-    classic 3-digit segment code. The unpartitioned NTILE windows run
-    AFTER the groupBy reduced orders to one row per customer — the
-    customer_spend_deciles argument; at extreme customer cardinality
-    swap for approx-percentile boundaries + a range bucket join."""
+    classic 3-digit segment code. Even reduced to one row per customer
+    the table is billions of rows at 100 TB, so each of the three exact
+    quintiles runs as a two-phase prefix scan (relational.
+    global_row_number — recency negated so grain ascends with the DESC
+    order; frequency its own small-domain grain; monetary value-bucketed)
+    + the arithmetic tile split, never an unpartitioned NTILE window.
+    The oracle states the three naive NTILEs; all three decompositions
+    must match exactly."""
     ords = _t(spark, sf_dir, "orders")
     anchor = ords.agg(F.max("o_orderdate").alias("__ad"))
     base = (
@@ -6951,17 +6990,34 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
-    wf = Window.orderBy(F.col("frequency"), "c_custkey")
-    wm = Window.orderBy(F.col("monetary"), "c_custkey")
-    s = base.select(
+    s = relational.global_row_number(
+        base,
+        grain=(-F.col("recency_days")).cast("long"),
+        order=[F.col("recency_days").desc(), F.col("c_custkey")],
+        alias="__rn_r",
+        total_alias="__n",
+    )
+    s = relational.global_row_number(
+        s,
+        grain=F.col("frequency"),
+        order=[F.col("frequency"), F.col("c_custkey")],
+        alias="__rn_f",
+    )
+    s = relational.global_row_number(
+        s,
+        grain=F.floor(F.col("monetary") / F.lit(50000.0)),
+        order=[F.col("monetary"), F.col("c_custkey")],
+        alias="__rn_m",
+    )
+    nc = F.col("__n")
+    s = s.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(wr).alias("r"),
-        F.ntile(5).over(wf).alias("f"),
-        F.ntile(5).over(wm).alias("m"),
+        relational.ntile_from_rank(F.col("__rn_r"), nc, 5).cast("int").alias("r"),
+        relational.ntile_from_rank(F.col("__rn_f"), nc, 5).cast("int").alias("f"),
+        relational.ntile_from_rank(F.col("__rn_m"), nc, 5).cast("int").alias("m"),
     )
     return s.withColumn(
         "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")

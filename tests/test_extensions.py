@@ -2289,3 +2289,82 @@ def test_global_running_sum_equals_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("n_rows,k", [(1, 4), (3, 4), (7, 4), (8, 4), (23, 5), (40, 10)])
+def test_global_row_number_and_ntile_equal_single_window(spark, n_rows, k):
+    """The two-phase global row_number + arithmetic NTILE must equal the
+    naive unpartitioned window for every (n, k) split shape: n < k
+    (one-row tiles), n % k == 0 (even), n % k != 0 (remainder tiles),
+    plus ties in the order prefix and single-row buckets."""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark.operators.relational import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    # values with ties (v repeats) and a unique tiebreaker k-column
+    rows = [(i, (i * 7) % 5) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: (r.rn, r.tile, r.pr, r.cd)
+        for r in global_row_number(
+            df,
+            grain=F.col("v"),
+            order=[F.col("v"), F.col("id")],
+            alias="rn",
+            total_alias="n",
+        )
+        .select(
+            "id",
+            "rn",
+            ntile_from_rank(F.col("rn"), F.col("n"), k).cast("int").alias("tile"),
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double")
+            )
+            .alias("pr"),
+            (F.col("rn").cast("double") / F.col("n").cast("double")).alias("cd"),
+        )
+        .collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: (r.rn, r.tile, r.pr, r.cd)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(k).over(w).alias("tile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_descending_order_via_negated_grain(spark):
+    """DESC orderings use a negated grain: floor(-x/w) ascends exactly
+    when x descends, and equal x share a grain — rank must still equal
+    the naive DESC window."""
+    from pyspark.sql import Window
+
+    from spacex_data_pipeline_spark.operators.relational import global_row_number
+
+    rows = [(i, float((i * 37) % 11) * 13.5) for i in range(29)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df,
+            grain=F.floor(-F.col("x") / F.lit(20.0)),
+            order=[F.col("x").desc(), F.col("id")],
+            alias="rn",
+        ).collect()
+    }
+    w = Window.orderBy(F.col("x").desc(), "id")
+    want = {
+        r.id: r.rn
+        for r in df.select("id", F.row_number().over(w).cast("long").alias("rn")).collect()
+    }
+    assert got == want
