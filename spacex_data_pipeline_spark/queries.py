@@ -7190,6 +7190,159 @@ def word_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagerank_word_graph",
+    oracle="""
+    WITH t AS (SELECT list_filter(__TOKS__,
+                 w -> length(w) >= 3 AND NOT list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], w)) AS fw
+               FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(fw)),
+                   i -> struct_pack(src := fw[i], dst := fw[i+1]))) AS e
+          FROM t WHERE len(fw) >= 2),
+    e1 AS (SELECT DISTINCT least(e.src, e.dst) AS a, greatest(e.src, e.dst) AS b
+           FROM b WHERE e.src <> e.dst),
+    ed AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM ed GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (SELECT ed.v AS node,
+                  150000 + (85 * SUM(r0.r // deg.d)) // 100 AS r
+           FROM ed JOIN deg ON deg.node = ed.u JOIN r0 ON r0.node = ed.u
+           GROUP BY 1),
+    r2 AS (SELECT ed.v AS node,
+                  150000 + (85 * SUM(r1.r // deg.d)) // 100 AS r
+           FROM ed JOIN deg ON deg.node = ed.u JOIN r1 ON r1.node = ed.u
+           GROUP BY 1),
+    r3 AS (SELECT ed.v AS node,
+                  150000 + (85 * SUM(r2.r // deg.d)) // 100 AS r
+           FROM ed JOIN deg ON deg.node = ed.u JOIN r2 ON r2.node = ed.u
+           GROUP BY 1)
+    SELECT node AS word, CAST(r AS BIGINT) AS pr_micro
+    FROM r3 ORDER BY pr_micro DESC, word LIMIT 50
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "graph", "iterative"),
+)
+def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the content-word co-occurrence graph — the
+    fixed-point join/aggregate iteration Spark expresses natively, and
+    the standard importance prior for keyword/entity weighting in a
+    training-data pipeline (TextRank's underlying recurrence).
+
+    Ranks are INTEGER micro-units: r0 = 1e6 per node, and one step is
+    r'(v) = 150000 + (85 · Σ_{u→v} r(u) DIV deg(u)) DIV 100 — the 0.85
+    damping recurrence with every divide a truncating BIGINT op, so
+    three unrolled iterations hash-compare exactly against the SQL
+    oracle (float PageRank would drift by summation order). Every node
+    in the edge set has deg ≥ 1, so no dangling-mass term.
+
+    Scale shape: per iteration ONE shuffle — join the rank vector to the
+    directed edge list on the source key, partial-sum contributions,
+    groupBy destination (AQE handles hub skew; a celebrity word fans out
+    across reducers as map-side partial sums, never a single-task sort).
+    The edge list is built once (degree join included) and checkpointed
+    (materialize), so the three iterations reuse it instead of
+    recomputing the tokenize+distinct lineage; a production run swaps
+    checkpoint='reliable'. Iterations are data-independent in count —
+    the driver-facing entry pins 3 for the oracle; convergence looping
+    just extends the same plan."""
+    from .functions.hashing import normalize_text
+    from .operators.dedup import materialize
+    from .operators.text import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    fw = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda w: (F.length(w) >= 3) & ~w.isin(*STOPWORDS),
+    )
+    t = docs.select(fw.alias("__fw"))
+    w_ = F.col("__fw")
+    e1 = (
+        t.filter(F.size(w_) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w_) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w_, i).alias("src"),
+                        F.element_at(w_, i + 1).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e.src") != F.col("e.dst"))
+        .select(
+            F.least("e.src", "e.dst").alias("a"),
+            F.greatest("e.src", "e.dst").alias("b"),
+        )
+        .distinct()
+    )
+    ed = e1.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = ed.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # one edge table carrying the source degree, reused by every iteration
+    edd = materialize(
+        ed.join(deg, ed.u == deg.node).select("u", "v", "d")
+    )
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        ranks = (
+            edd.join(ranks, edd.u == ranks.node)
+            .select("v", F.expr("r DIV d").alias("__c"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                (F.lit(150000) + F.expr("85 * sum(__c) DIV 100"))
+                .cast("long")
+                .alias("r")
+            )
+        )
+    return relational.topk(
+        ranks.select(F.col("node").alias("word"), F.col("r").alias("pr_micro")),
+        [F.col("pr_micro").desc(), F.col("word")],
+        50,
+    )
+
+
+@register(
+    "curriculum_order_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS curriculum_rank,
+           CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS phase
+    FROM documents
+    """,
+    tags=("extension", "training-prep", "window"),
+)
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: a GLOBAL schedule position per
+    document by ascending length (the classic short-first curriculum;
+    swap n_chars for any difficulty score) plus the 4-phase bucket a
+    trainer consumes (warmup → late). A global total order over the
+    corpus is exactly the operation that cannot run as one window task
+    at 100 TB, so the rank rides the two-phase prefix scan
+    (relational.global_row_number, length-bucket grain) and the phase
+    derives arithmetically from (rank, total) via ntile_from_rank —
+    bit-identical to the oracle's naive row_number/ntile windows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rn = relational.global_row_number(
+        docs,
+        grain=F.floor(F.col("n_chars") / F.lit(100)),
+        order=[F.col("n_chars"), F.col("doc_id")],
+        alias="curriculum_rank",
+        total_alias="__n",
+    )
+    return rn.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "curriculum_rank",
+        relational.ntile_from_rank(F.col("curriculum_rank"), F.col("__n"), 4)
+        .cast("int")
+        .alias("phase"),
+    )
+
+
+@register(
     "cohort_ltv_matrix",
     oracle="""
     WITH first AS (SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INT) AS cohort
@@ -7490,6 +7643,61 @@ def q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(margin).cast("decimal(38,4)").cast("double").alias("margin"))
         .orderBy(F.col("supp_nation"), F.col("order_year").desc())
     )
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the top-20 customers by lost
+    revenue from returned lineitems in one quarter. The fixture's
+    customer table has no address/phone/comment, so the reported
+    attributes are the ones that exist (name, acctbal, nation) —
+    reference: README ad-hoc revenue checks generalized. Plan shape:
+    both fact filters (quarter, returnflag) push to the scans, the
+    orders⋈lineitem shuffle aggregates revenue DOWN TO o_custkey before
+    any dimension attaches — the customer attributes are functionally
+    dependent on the key, so grouping by the key alone moves orders of
+    magnitude fewer bytes than the SQL's group-by-all-columns, then the
+    customer join runs on the agg (customer-sized), nation broadcasts,
+    and a TakeOrderedAndProject heap keeps 20 rows per partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(dec_money("l_extendedprice") * dec_factor2(1 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    out = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+    return relational.topk(out, [F.col("revenue").desc(), F.col("c_custkey")], 20)
 
 
 @register(

@@ -82,6 +82,10 @@ NEW_AWAITING_WINDOW: set[str] = {
     "quantile_sketch_store_orders",
     "orders_global_running_total",
     "dedup_jaccard_prefix_filtered",
+    # -- r8 additions --
+    "q10_returned_item_customers",
+    "pagerank_word_graph",
+    "curriculum_order_docs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
