@@ -136,6 +136,17 @@ EXTENDED = [
     # r7 late: bloom-prefilter decontamination + resize plumbing
     "decontaminate_bloom_docs",
     "multimodal_resize_meta",
+    # new in r8: q10 + iterative PageRank + curriculum schedule, plus the
+    # three entries rewired from single-reducer windows onto the
+    # two-phase prefix scan (regression watch for the rewrite)
+    "q10_returned_item_customers",
+    "pagerank_word_graph",
+    "curriculum_order_docs",
+    "window_distribution_stats",
+    "customer_spend_deciles",
+    "window_running_distinct_users",
+    "quality_percentile_by_source",
+    "exact_order_statistics_orders",
 ]
 
 

@@ -1142,6 +1142,109 @@ def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_percentile_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             __TOKS__ AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                   + CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) * 0.4
+                   + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 0.2, 6) AS quality
+      FROM t)
+    SELECT doc_id, source, quality,
+           percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)
+             AS q_pct
+    FROM c
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "training-prep", "window"),
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quality percentile — the normalization that makes
+    quality thresholds comparable ACROSS sources before mixing (a fixed
+    absolute cutoff keeps 90% of a clean encyclopedia crawl and 4% of a
+    forum dump; a per-source percentile keeps the chosen fraction of
+    each). percent_rank is exact because (quality, doc_id) is a unique
+    total order per source. Scale shape: the window partitions by
+    source, so this is ONE shuffle with per-source reducers — nothing
+    global; a single giant source is the documented two-level escape
+    (bucket grain inside the source), same recipe as the global rank
+    entries."""
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    j = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return j.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.percent_rank().over(w).alias("q_pct"),
+    )
+
+
+@register(
+    "exact_order_statistics_orders",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+    r AS (SELECT o_totalprice, o_orderkey,
+                 row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+          FROM orders),
+    qs AS (SELECT CAST(unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS q),
+    rk AS (SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rank_needed
+           FROM qs, tot)
+    SELECT rk.q, rk.rank_needed, r.o_totalprice, r.o_orderkey
+    FROM rk JOIN r ON r.rn = rk.rank_needed
+    ORDER BY rk.q
+    """,
+    tags=("extension", "agg", "order-statistics"),
+)
+def exact_order_statistics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global order statistics (min / quartiles / median / max as
+    the rank-⌈q·n⌉ elements) WITHOUT a global sort: the two-phase prefix
+    scan assigns every row its global rank with per-bucket reducers, the
+    five needed ranks derive from one count, and a broadcast join picks
+    the five rows. approx_quantiles_lineitem is the sketch answer; this
+    is the exact one at the same scale shape — contrast with the naive
+    ORDER BY ... OFFSET plan, which sorts the entire table on one node.
+    The quantile levels are exact binary fractions so ceil(q·n) is
+    engine-identical IEEE arithmetic."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    rn = relational.global_row_number(
+        o,
+        grain=F.floor(F.col("o_totalprice") / F.lit(10000.0)),
+        order=[F.col("o_totalprice"), F.col("o_orderkey")],
+        alias="rn",
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.greatest(
+                            F.lit(1).cast("long"),
+                            F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                        ).alias("rank_needed"),
+                    )
+                    for q in (0.0, 0.25, 0.5, 0.75, 1.0)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.rank_needed")
+    return (
+        rn.join(F.broadcast(rk), rn.rn == rk.rank_needed)
+        .select("q", "rank_needed", "o_totalprice", "o_orderkey")
+        .orderBy("q")
+    )
+
+
+@register(
     "text_langid_docs",
     oracle="""
     WITH t AS (

@@ -86,6 +86,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q10_returned_item_customers",
     "pagerank_word_graph",
     "curriculum_order_docs",
+    "quality_percentile_by_source",
+    "exact_order_statistics_orders",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
