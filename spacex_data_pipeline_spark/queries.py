@@ -9192,59 +9192,60 @@ def orders_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- changed since their last driver row / new this round --
-    "contrastive_pairs_embeddings",
-    "url_canonicalize_docs",
-    "dedup_rates_by_domain",
-    "dedup_neardup_rates_by_domain",
-    "token_mass_models_by_source",
-    "dedup_lines_docs",
-    "dedup_lines_report",
-    "dedup_lines_by_source",
-    "dedup_reports",
-    "pack_documents_token_bins",
-    "length_bucketed_batches_docs",
-    # -- the 31 r4-era entries deferred by the r6 rotation --
-    "anti_customers_without_orders",
-    "approx_distinct_parts",
-    "approx_quantiles_lineitem",
-    "array_agg_nations_per_region",
-    "count_distinct_customers_by_status",
-    "cross_join_region_status",
-    "cube_lineitem_flags",
-    "embeddings_random_projection",
-    "embeddings_unit_norm",
-    "fct_events_by_day",
-    "filter_pushdown_lineitem",
-    "full_outer_year_activity",
-    "funnel_conversion_rates",
-    "having_active_customers",
-    "left_join_customer_order_stats",
-    "median_quantity_by_flag",
-    "pivot_priority_by_status",
-    "q3_unshipped_revenue",
-    "rollup_orders",
-    "scalar_dates_orders",
-    "scalar_functions_part",
-    "semi_customers_with_open_orders",
-    "setop_intersect_customers",
-    "stg_events_typed",
-    "string_predicates_part",
-    "subquery_above_nation_avg",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
-    "text_fingerprints_docs",
-    "text_langid_docs",
-    "dedup_latest_order_per_customer",
-    # -- new this round: no driver row exists yet --
-    "text_bm25_topk",
-    "dedup_ngram_span_stats",
-    "text_trigram_typicality",
-    "source_typicality_report",
-    "pq_encode_codes",
-    "similarity_topk_pq",
-    "mixture_temperature_sampling",
-    "scd2_customer_priority",
+    # -- changed since their last driver row (two-phase rank rewrite,
+    # -- range-join rename) or new this round --
+    "window_distribution_stats",
+    "customer_spend_deciles",
+    "window_running_distinct_users",
+    "rfm_customer_segments",
+    "range_join_event_windows",
+    "q10_returned_item_customers",
+    "pagerank_word_graph",
+    "curriculum_order_docs",
+    "quality_percentile_by_source",
+    "exact_order_statistics_orders",
+    # -- first-driver-row rotation: the oldest 40 of the entries that
+    # -- debuted after the r7 window was pinned --
+    "similarity_ivfpq_topk",
+    "hybrid_retrieval_rrf",
+    "pq_recall_report",
+    "dedup_span_savings",
+    "dedup_span_docs",
+    "event_transition_matrix",
+    "user_retention_cohorts",
+    "dedup_span_rates_by_source",
+    "text_clean_docs",
+    "event_rate_anomalies",
+    "text_trigram_typicality_by_lang",
+    "bpe_merge_candidates",
+    "er_fuzzy_pairs_customers",
+    "er_fuzzy_match_stats",
+    "key_skew_report_events",
+    "heavy_hitters_event_users",
+    "weighted_sample_docs",
+    "textrank_keywords",
+    "phrase_search_docs",
+    "unpivot_lineitem_measures",
+    "centroid_confusion_embeddings",
+    "dau_wau_stickiness",
+    "source_overlap_matrix",
+    "er_blocking_report",
+    "embedding_label_compactness",
+    "word_graph_stats",
+    "cohort_ltv_matrix",
+    "basket_part_pairs",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q7_nation_trade_volume",
+    "q9_product_margin",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "semantic_decontaminate_embeddings",
+    "cluster_quality_profile",
+    "incremental_mart_refresh",
+    "pii_rates_by_source",
+    "profile_orders_columns",
 )
 
 

@@ -12,173 +12,166 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r7: every registry entry outside the window has at least one green
-# driver CORRECTNESS row (r1-r6) under behavior-identical code - the
-# checkpoint-strategy threading kept localCheckpoint as the default and
-# the strategy-equivalence test proves identical results. Their gate
-# this round is the local replica, which is exactly as strict
-# (rows + schema + value multiset). With the r7 window (the 31 r4-era
-# entries + this round's changed/new set + the 8 stalest r5-era rows)
-# every entry's driver row is <=3 rounds old for the first time.
-# r7 late additions: the 50-slot window was already committed to the 31
-# r4-era rotations + this round's changed/new set when these landed, so
-# they debut in the r8 window; until then the local replica (exact same
-# strictness) is their gate.
+# r8 window: the 10 entries changed (two-phase rank rewrite, range-join
+# rename) or new this round, plus the 40 oldest entries that debuted
+# after the r7 window was pinned and so have never had a driver row.
+# The 15 left below are the youngest of that late-r7 batch plus the r8
+# stragglers — their gate this round is the local replica
+# (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
+# schema + canonical value multiset); they rotate into the r9 window.
+# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r7)
+# under behavior-identical code.
 NEW_AWAITING_WINDOW: set[str] = {
-    "similarity_ivfpq_topk",
-    "hybrid_retrieval_rrf",
-    "pq_recall_report",
-    "dedup_span_savings",
-    "dedup_span_docs",
-    "event_transition_matrix",
-    "user_retention_cohorts",
-    "dedup_span_rates_by_source",
-    "text_clean_docs",
-    "event_rate_anomalies",
-    "text_trigram_typicality_by_lang",
-    "bpe_merge_candidates",
-    "er_fuzzy_pairs_customers",
-    "er_fuzzy_match_stats",
-    "key_skew_report_events",
-    "heavy_hitters_event_users",
-    "weighted_sample_docs",
-    "textrank_keywords",
-    "phrase_search_docs",
-    "unpivot_lineitem_measures",
-    "centroid_confusion_embeddings",
-    "dau_wau_stickiness",
-    "source_overlap_matrix",
-    "er_blocking_report",
-    "rfm_customer_segments",
-    "embedding_label_compactness",
-    "word_graph_stats",
-    "cohort_ltv_matrix",
-    "basket_part_pairs",
-    "q6_forecast_revenue",
-    "q4_late_shipment_priority",
-    "q7_nation_trade_volume",
-    "q9_product_margin",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q19_bracket_revenue",
-    "semantic_decontaminate_embeddings",
-    "cluster_quality_profile",
-    "range_join_event_windows",
-    "incremental_mart_refresh",
-    "pii_rates_by_source",
-    "profile_orders_columns",
-    "q8_market_share",
+    "cms_mergeable_user_counts",
+    "decontaminate_bloom_docs",
+    "dedup_jaccard_prefix_filtered",
+    "hll_mergeable_distinct_users",
+    "multimodal_resize_meta",
+    "orders_global_running_total",
+    "q12_late_lines_by_status",
     "q13_order_count_distribution",
     "q15_top_supplier_revenue",
-    "q17_small_quantity_revenue",
-    "q22_dormant_high_balance",
-    "decontaminate_bloom_docs",
-    "multimodal_resize_meta",
-    "hll_mergeable_distinct_users",
-    "q12_late_lines_by_status",
     "q16_supplier_relationship_count",
+    "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
-    "cms_mergeable_user_counts",
+    "q22_dormant_high_balance",
+    "q8_market_share",
     "quantile_sketch_store_orders",
-    "orders_global_running_total",
-    "dedup_jaccard_prefix_filtered",
-    # -- r8 additions --
-    "q10_returned_item_customers",
-    "pagerank_word_graph",
-    "curriculum_order_docs",
-    "quality_percentile_by_source",
-    "exact_order_statistics_orders",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
-    # -- green in r5 or r6 under behavior-identical implementations --
-    # (the 8 r5-era rows displaced by r7's new operators are 2 rounds
-    # old — inside the ≤3-round freshness target)
-    "corpus_token_budget",
-    "decontaminate_docs",
-    "dedup_components_docs",
-    "dedup_cross_split_leakage",
-    "dedup_minhash_lsh_verify",
-    "knn_label_agreement",
-    "pipeline_training_data_prep",
-    "winnowing_near_pairs_docs",
+    "anti_customers_without_orders",
     "applyinpandas_zscore",
+    "approx_distinct_parts",
+    "approx_quantiles_lineitem",
+    "array_agg_nations_per_region",
     "array_functions_embeddings",
     "asof_join_last_purchase",
     "asof_join_next_purchase",
     "bigram_collocations_docs",
     "chunk_documents_overlap",
     "coalesce_case_scalar",
+    "contrastive_pairs_embeddings",
+    "corpus_token_budget",
     "corr_exact_by_flag",
-    "customer_spend_deciles",
+    "count_distinct_customers_by_status",
+    "cross_join_region_status",
+    "cube_lineitem_flags",
     "data_quality_orders",
     "data_quality_relationships",
     "date_arithmetic_orders",
+    "decontaminate_docs",
     "dedup_cluster_representatives",
+    "dedup_components_docs",
+    "dedup_cross_split_leakage",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",
     "dedup_exact_docs",
     "dedup_group_size_histogram",
     "dedup_incremental_snapshot",
+    "dedup_latest_order_per_customer",
+    "dedup_lines_by_source",
+    "dedup_lines_docs",
+    "dedup_lines_report",
+    "dedup_minhash_lsh_verify",
+    "dedup_neardup_rates_by_domain",
     "dedup_ngram_jaccard",
+    "dedup_ngram_span_stats",
+    "dedup_rates_by_domain",
     "dedup_rates_by_source",
+    "dedup_reports",
     "dedup_savings_report",
     "dedup_simhash",
     "distinct_status_priority",
     "embedding_quantization_error",
+    "embeddings_random_projection",
+    "embeddings_unit_norm",
     "events_hourly_rollup",
     "explode_token_table",
+    "fct_events_by_day",
     "fct_orders_by_year",
+    "filter_pushdown_lineitem",
+    "full_outer_year_activity",
+    "funnel_conversion_rates",
     "funnel_view_click_purchase",
     "grouping_sets_orders",
+    "having_active_customers",
     "histogram_order_totalprice",
     "hopping_window_event_counts",
     "interval_join_view_purchase",
+    "knn_label_agreement",
+    "left_join_customer_order_stats",
+    "length_bucketed_batches_docs",
     "map_functions_events",
+    "median_quantity_by_flag",
     "mixture_rebalance_plan",
+    "mixture_temperature_sampling",
     "mode_priority_per_status",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_media_meta",
     "order_nulls_and_offset",
+    "pack_documents_token_bins",
+    "pipeline_training_data_prep",
+    "pivot_priority_by_status",
+    "pq_encode_codes",
     "q1_pricing_summary",
+    "q3_unshipped_revenue",
     "q5_nation_revenue",
     "quality_filter_funnel",
     "raw_count_orders",
     "resample_user_daily_gapfill",
+    "rollup_orders",
     "salted_join_order_nations",
     "sample_orders_deterministic",
+    "scalar_dates_orders",
+    "scalar_functions_part",
+    "scd2_customer_priority",
+    "semi_customers_with_open_orders",
     "sessionize_events",
     "setop_except_customers",
+    "setop_intersect_customers",
     "setop_union_customers",
     "shard_documents_for_training",
     "shingle_df_stats",
     "similarity_ann_lsh",
     "similarity_ivf_topk",
     "similarity_topk_cosine",
+    "similarity_topk_pq",
     "similarity_topk_quantized",
     "snapshot_diff_orders",
     "source_mixture_report",
     "source_token_budget_cap",
+    "source_typicality_report",
     "split_contamination_stats",
     "split_documents_train_val_test",
     "sql_api_returned_revenue",
     "stddev_exact_by_flag",
+    "stg_events_typed",
     "stratified_sample_orders",
+    "string_predicates_part",
+    "subquery_above_nation_avg",
+    "text_bm25_topk",
+    "text_fingerprints_docs",
+    "text_langid_docs",
     "text_quality_docs",
     "text_redact_pii",
     "text_repetition_stats",
     "text_stats_docs",
     "text_term_frequencies",
     "text_tfidf_top_terms",
+    "text_trigram_typicality",
+    "token_mass_models_by_source",
     "top_years_desc",
     "udtf_chunk_documents",
     "union_all_order_events",
-    "window_distribution_stats",
+    "url_canonicalize_docs",
     "window_lag_lead_first",
     "window_range_frame_events",
-    "window_running_distinct_users",
+    "window_running_customer_spend",
+    "window_top3_orders_per_customer",
     "winnowing_fingerprints_docs",
+    "winnowing_near_pairs_docs",
 }
 
 
