@@ -147,6 +147,7 @@ EXTENDED = [
     "window_running_distinct_users",
     "quality_percentile_by_source",
     "exact_order_statistics_orders",
+    "embedding_gram_matrix",
 ]
 
 

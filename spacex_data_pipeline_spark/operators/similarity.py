@@ -1486,3 +1486,58 @@ def label_compactness(
         )
         .orderBy("label")
     )
+
+
+def gram_matrix_quantized(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT integer Gram (second-moment) matrix of the corpus:
+    G[i,j] = Σ_v q(v)[i]·q(v)[j] with q(x) = floor(x·scale) — the PCA /
+    whitening precursor (center by subtracting the mean outer product
+    downstream; eigendecomposition of a d×d matrix is a driver-side
+    scalar job, not a data job).
+
+    A float Gram is summation-order-dependent and can never hash-compare
+    across engines; quantizing to BIGINT first (the label_compactness
+    discipline) makes every partial sum exact and commutative, so the
+    distributed result is bit-equal to any serial reference. Overflow
+    headroom: |q| ≤ scale (unit-ish embeddings) ⇒ each product ≤ scale²
+    = 10¹², so ~9·10⁶ vectors fit int64 per cell — beyond that, raise to
+    two-level accumulation (per-shard Gram cells summed as DECIMAL(38,0)).
+
+    Scale shape: ONE pass — each Arrow batch computes its d×d partial
+    XᵀX with a single integer matmul (vectorized, no per-row Python),
+    emits the upper triangle (d(d+1)/2 bounded rows per batch), and the
+    only shuffle moves |batches|·d²/2 cells into a map-side-combined
+    SUM. The corpus itself never shuffles. Cost per batch is
+    O(batch·d²); nothing is quadratic in corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def gen(batches):
+        # nested def: cloudpickle ships it by value (module-level
+        # functions pickle by reference and break off-repo workers)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            g = x.T @ x  # exact: numpy integer matmul never goes through BLAS
+            yield pd.DataFrame(
+                {"i": iu[0].astype(np.int32), "j": iu[1].astype(np.int32), "g": g[iu]}
+            )
+
+    return (
+        embeddings.select(vec_col)
+        .mapInPandas(gen, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .orderBy("i", "j")
+    )

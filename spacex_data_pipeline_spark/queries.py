@@ -7167,6 +7167,32 @@ def embedding_label_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (SELECT vec_id, i.i - 1 AS pos,
+                      CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    g AS (SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS g
+          FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(g AS BIGINT) AS g
+    FROM g ORDER BY i, j
+    """,
+    tags=("extension", "similarity", "linear-algebra"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Gram (second-moment) matrix over quantized embeddings —
+    the input to PCA/whitening/low-rank compression of an embedding
+    store. Each Arrow batch contributes one exact integer XᵀX partial
+    (similarity.gram_matrix_quantized); only the d(d+1)/2 upper-triangle
+    cells shuffle. The oracle states the naive self-join over exploded
+    positions; the batched matmul must sum to the identical BIGINTs."""
+    from .operators.similarity import gram_matrix_quantized
+
+    return gram_matrix_quantized(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "word_graph_stats",
     oracle="""
     WITH t AS (SELECT list_filter(__TOKS__,

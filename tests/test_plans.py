@@ -101,6 +101,7 @@ SANCTIONED_PYTHON = {
     "cluster_quality_profile",  # BLAS cell assignment (ivf_assign_cells) (r7)
     "semantic_decontaminate_embeddings",  # BLAS argmax tile (bench_max_cosine) (r7)
     "multimodal_resize_meta",  # Arrow-batched resize plumbing (r7)
+    "embedding_gram_matrix",  # per-batch integer X^T X partials (r8)
 }
 
 

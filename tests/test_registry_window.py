@@ -37,6 +37,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q22_dormant_high_balance",
     "q8_market_share",
     "quantile_sketch_store_orders",
+    "embedding_gram_matrix",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
