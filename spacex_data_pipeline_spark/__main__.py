@@ -130,6 +130,15 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "score (the CCNet tail cut); the cutoff is a percentile of the "
         "post-dedup corpus",
     )
+    pp.add_argument(
+        "--curriculum-phases",
+        type=int,
+        default=None,
+        metavar="K",
+        help="annotate every doc with a curriculum phase 1..K (global "
+        "ascending-length NTILE via the two-phase prefix scan) so the "
+        "trainer can consume short-first; shard layout is unchanged",
+    )
 
     px = sub.add_parser(
         "index-build",
@@ -336,10 +345,30 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 clean, "doc_id", val_pct=args.val_pct, test_pct=args.test_pct
             )
             sharded = shard_and_shuffle(split, "doc_id", n_shards=args.shards)
-            (
-                sharded.select(
-                    "doc_id", "text", "lang", "source", "split", "shard", "pos"
+            out_cols = ["doc_id", "text", "lang", "source", "split", "shard", "pos"]
+            if args.curriculum_phases is not None:
+                # curriculum annotation rides the two-phase prefix scan
+                # (same machinery as curriculum_order_docs): global
+                # short-first rank over the FINAL kept text, phase =
+                # arithmetic NTILE — two narrow shuffles, no global sort
+                from .operators.relational import global_row_number, ntile_from_rank
+
+                ranked = global_row_number(
+                    sharded.withColumn("__len", F.length("text")),
+                    grain=F.floor(F.col("__len") / F.lit(100)),
+                    order=[F.col("__len"), F.col("doc_id")],
+                    alias="__crn",
+                    total_alias="__cn",
                 )
+                sharded = ranked.withColumn(
+                    "phase",
+                    ntile_from_rank(
+                        F.col("__crn"), F.col("__cn"), args.curriculum_phases
+                    ).cast("int"),
+                ).drop("__len", "__crn", "__cn")
+                out_cols.append("phase")
+            (
+                sharded.select(*out_cols)
                 .write.mode("overwrite")
                 .partitionBy("split", "shard")
                 .parquet(args.out)

@@ -210,6 +210,42 @@ def test_cli_prep_training_span_dedup_flag(spark, sf_oracle, tmp_path):
     assert again.filter(F.col("n_dup_grams") > 0).count() == 0
 
 
+def test_cli_prep_training_curriculum_flag(spark, sf_oracle, tmp_path):
+    """--curriculum-phases 4: every shard row carries a phase in 1..4,
+    phases partition the corpus into NTILE-sized groups (first phases
+    at most one row larger), and phase order respects length order —
+    the max text length of phase p never exceeds the min of phase p+1
+    (modulo the doc_id tiebreak inside one length value)."""
+    out = str(tmp_path / "cur_shards")
+    assert (
+        main(
+            [
+                "prep-training", "--sf-dir", sf_oracle, "--out", out,
+                "--shards", "4", "--curriculum-phases", "4",
+            ],
+            _spark=spark,
+        )
+        == 0
+    )
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert n > 0
+    sizes = {
+        r.phase: r.n
+        for r in back.groupBy("phase").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    bounds = {
+        r.phase: (r.lo, r.hi)
+        for r in back.groupBy("phase")
+        .agg(F.min(F.length("text")).alias("lo"), F.max(F.length("text")).alias("hi"))
+        .collect()
+    }
+    for p in (1, 2, 3):
+        assert bounds[p][1] <= bounds[p + 1][0] + 0, (p, bounds)
+
+
 def test_cli_prep_training_typicality_tail_cut(spark, sf_oracle, tmp_path):
     """--typicality-tail-pct 20 drops roughly the bottom fifth of docs
     by trigram-LM typicality: shard count shrinks vs the no-cut run,
