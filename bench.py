@@ -179,7 +179,10 @@ METHODOLOGY = {
     "skew_bench": (
         "single pass, identical boilerplate page replacing 20% of documents; "
         "the skew_er pair plants one shared name on 2% of customers and runs "
-        "at sf0.01 (see _er)"
+        "at sf0.01 (see _er); the r8 skew_globalrank pair times the "
+        "unpartitioned-window NTILE vs the two-phase prefix scan on orders — "
+        "at bench sf both fit one task, so the delta is the two-phase form's "
+        "constant overhead, not its scale behavior"
     ),
     "r7_late": (
         "extended set grew by the TPC-H breadth entries (q4/q6/q7/q9/q14/"
@@ -275,6 +278,44 @@ def _er(spark, sf_dir, cap):
     return blocked_fuzzy_pairs(cust, "c_custkey", "c_name", max_gram_df=cap)
 
 
+def _globalrank_naive(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+
+    o = catalog.table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).cast("int").alias("price_quartile")
+    )
+
+
+def _globalrank_twophase(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.relational import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    o = catalog.table(spark, sf_dir, "orders")
+    rn = global_row_number(
+        o,
+        grain=F.floor(F.col("o_totalprice") / F.lit(10000.0)),
+        order=[F.col("o_totalprice"), F.col("o_orderkey")],
+        alias="__rn",
+        total_alias="__n",
+    )
+    return rn.select(
+        "o_orderkey",
+        ntile_from_rank(F.col("__rn"), F.col("__n"), 4).cast("int").alias(
+            "price_quartile"
+        ),
+    )
+
+
 def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     """Capped-vs-uncapped wall time on the adversarial corpus — the
     timing evidence that the guards pay for themselves under skew."""
@@ -326,6 +367,13 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         # at 20% dup density it did not finish inside 10 minutes).
         "skew_er_uncapped": lambda: _er(spark, sf_dir, cap=10**9),
         "skew_er_capped": lambda: _er(spark, sf_dir, cap=100),
+        # r8: exact global rank — ONE unpartitioned window reducer vs the
+        # two-phase prefix scan. At bench sf both fit one task, so this
+        # measures the two-phase form's constant-factor overhead (the
+        # price paid for bounded reducers at 100 TB, where the naive form
+        # is a single task sorting the whole table and does not finish).
+        "skew_globalrank_naive": lambda: _globalrank_naive(spark, sf_dir),
+        "skew_globalrank_twophase": lambda: _globalrank_twophase(spark, sf_dir),
     }
     out: dict[str, float] = {}
     for name, build in variants.items():
