@@ -148,6 +148,7 @@ EXTENDED = [
     "quality_percentile_by_source",
     "exact_order_statistics_orders",
     "embedding_gram_matrix",
+    "session_sequences_events",
 ]
 
 

@@ -19,14 +19,15 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dsum
 
 
-def sessionize(
+def session_events(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
 ) -> DataFrame:
-    """Assign session ids per user (new session when the gap from the
-    previous event exceeds ``gap_minutes``) and aggregate per session."""
+    """Per-EVENT session assignment: lag → gap flag → running sum. Both
+    windows and any downstream per-session aggregation share the single
+    user_id shuffle (Catalyst reuses the partitioning)."""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     gap_s = gap_minutes * 60
     prev_ts = F.lag(F.col(ts_col)).over(w)
@@ -35,13 +36,28 @@ def sessionize(
         | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_s),
         1,
     ).otherwise(0)
-    sessions = events.withColumn("__new", is_new).withColumn(
-        "session_id",
-        F.sum("__new").over(
-            Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    return (
+        events.withColumn("__new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__new")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids per user (new session when the gap from the
+    previous event exceeds ``gap_minutes``) and aggregate per session."""
+    sessions = session_events(events, user_col, ts_col, gap_minutes)
     return (
         sessions.groupBy(user_col, "session_id")
         .agg(

@@ -1443,6 +1443,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_sequences_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_seconds,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=("extension", "sessionize", "training-prep"),
+)
+def session_sequences_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence training corpus: one example per (user,
+    session) with the time-ordered event-type sequence as text — the
+    clickstream analogue of document assembly for sequence models.
+    Composition of the per-event sessionizer (operators/sessionize.
+    session_events) and an ordered aggregation: collect the (ts,
+    event_id, type) structs per session, array_sort gives the in-session
+    order deterministically (event_id tiebreak), transform+array_join
+    emits the sequence string. ONE shuffle on user_id serves the session
+    windows AND the groupBy (partitioning reuse); session size bounds
+    the collect_list, not corpus size."""
+    from .operators.sessionize import session_events
+
+    se = session_events(_t(spark, sf_dir, "events"))
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        " ",
+    )
+    return se.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("bigint").alias("dur_seconds"),
+        seq.alias("seq"),
+    )
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

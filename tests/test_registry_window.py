@@ -38,6 +38,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q8_market_share",
     "quantile_sketch_store_orders",
     "embedding_gram_matrix",
+    "session_sequences_events",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
