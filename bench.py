@@ -149,6 +149,7 @@ EXTENDED = [
     "exact_order_statistics_orders",
     "embedding_gram_matrix",
     "session_sequences_events",
+    "embedding_covariance_matrix",
 ]
 
 

@@ -1541,3 +1541,60 @@ def gram_matrix_quantized(
         .agg(F.sum("g").alias("g"))
         .orderBy("i", "j")
     )
+
+
+def covariance_matrix_quantized(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT covariance matrix of the quantized embedding corpus:
+    cov[i,j] = (n·G[i,j] − s_i·s_j) / n² / scale², from the one-pass Gram
+    cells (:func:`gram_matrix_quantized`) plus the d column sums — the
+    centering identity, so no second data-sized pass and no mean
+    broadcast into the matmul. The numerator is computed in exact
+    DECIMAL (both factors fit well inside 38 digits at any plausible
+    corpus size), cast to DOUBLE once, then divided by the three exact
+    scalars left-to-right — a deterministic IEEE chain both engines
+    evaluate identically.
+
+    Scale shape: the Gram pass as before (corpus never shuffles) + one
+    map-side-combined per-position sum (n·d narrow rows reduced to d) +
+    two broadcast joins of d-row tables. Eigen-decomposing the d×d
+    result for PCA is a driver-side scalar job.
+    """
+    g = gram_matrix_quantized(embeddings, vec_col, dim, scale)
+    q = embeddings.select(
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale).cast("long"),
+            )
+        ).alias("pos", "x")
+    )
+    s = q.groupBy("pos").agg(F.sum("x").alias("s"))
+    n = embeddings.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    num = (
+        F.col("n").cast("decimal(12,0)") * F.col("g").cast("decimal(24,0)")
+        - F.col("si").cast("decimal(18,0)") * F.col("sj").cast("decimal(18,0)")
+    )
+    sa = s.select(F.col("pos").alias("i"), F.col("s").alias("si"))
+    sb = s.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+    return (
+        g.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                num.cast("double")
+                / F.col("n").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(scale))
+                / F.lit(float(scale))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

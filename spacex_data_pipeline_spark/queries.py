@@ -7248,6 +7248,42 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance_matrix",
+    oracle="""
+    WITH q AS (SELECT vec_id, i.i - 1 AS pos,
+                      CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    g AS (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+          FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2),
+    s AS (SELECT pos, CAST(SUM(x) AS BIGINT) AS s FROM q GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+           CAST(CAST(CAST(n.n AS HUGEINT) * g.g
+                     - CAST(sa.s AS HUGEINT) * sb.s AS DOUBLE)
+                / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE)
+                / 1000000.0 / 1000000.0 AS DOUBLE) AS cov
+    FROM g JOIN s sa ON sa.pos = g.i JOIN s sb ON sb.pos = g.j
+    CROSS JOIN n
+    ORDER BY i, j
+    """,
+    tags=("extension", "similarity", "linear-algebra"),
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus covariance via the centering identity
+    (n·G − s·sᵀ)/n²/scale² — composes the one-pass Gram cells with the d
+    column sums, so centering costs two broadcast joins of d-row tables
+    instead of a second corpus pass (similarity.
+    covariance_matrix_quantized). The numerator stays in exact integer
+    arithmetic (DECIMAL here, HUGEINT in the oracle) and crosses to
+    DOUBLE once, then three exact-scalar divisions in a fixed
+    left-to-right chain — IEEE-identical in both engines."""
+    from .operators.similarity import covariance_matrix_quantized
+
+    return covariance_matrix_quantized(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "word_graph_stats",
     oracle="""
     WITH t AS (SELECT list_filter(__TOKS__,

@@ -102,6 +102,7 @@ SANCTIONED_PYTHON = {
     "semantic_decontaminate_embeddings",  # BLAS argmax tile (bench_max_cosine) (r7)
     "multimodal_resize_meta",  # Arrow-batched resize plumbing (r7)
     "embedding_gram_matrix",  # per-batch integer X^T X partials (r8)
+    "embedding_covariance_matrix",  # rides the Gram pass (r8)
 }
 
 

@@ -39,6 +39,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "quantile_sketch_store_orders",
     "embedding_gram_matrix",
     "session_sequences_events",
+    "embedding_covariance_matrix",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
