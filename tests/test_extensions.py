@@ -2368,3 +2368,55 @@ def test_global_row_number_descending_order_via_negated_grain(spark):
         for r in df.select("id", F.row_number().over(w).cast("long").alias("rn")).collect()
     }
     assert got == want
+
+
+def test_gram_matrix_quantized_matches_naive_on_negatives(spark):
+    """floor() rounds toward -inf in numpy, Spark and DuckDB alike — the
+    quantized Gram must agree with a naive per-pair computation on
+    vectors with negative components and zero vectors."""
+    import math
+
+    from spacex_data_pipeline_spark.operators.similarity import (
+        covariance_matrix_quantized,
+        gram_matrix_quantized,
+    )
+
+    dim = 4
+    vecs = [
+        [0.5, -0.5, 0.000001, -0.000001],
+        [-1.0, 1.0, -0.3333333, 0.25],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.1, 0.2, -0.7, 0.9999999],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    # reference: quantize exactly like the operator (float32 -> float64
+    # -> *1e6 -> floor) and sum products in Python ints (exact)
+    import numpy as np
+
+    qs = [
+        [int(math.floor(float(np.float32(x)) * 1_000_000)) for x in v] for v in vecs
+    ]
+    want = {
+        (i, j): sum(q[i] * q[j] for q in qs)
+        for i in range(dim)
+        for j in range(i, dim)
+    }
+    got = {
+        (r.i, r.j): r.g
+        for r in gram_matrix_quantized(df, dim=dim).collect()
+    }
+    assert got == want
+    # covariance composition: centering identity vs the direct formula
+    n = len(vecs)
+    s = [sum(q[i] for q in qs) for i in range(dim)]
+    want_cov = {
+        (i, j): float(n * want[(i, j)] - s[i] * s[j]) / n / n / 1e6 / 1e6
+        for (i, j) in want
+    }
+    got_cov = {
+        (r.i, r.j): r.cov
+        for r in covariance_matrix_quantized(df, dim=dim).collect()
+    }
+    assert got_cov == want_cov
