@@ -66,6 +66,36 @@ def session_rollup_stream(events: DataFrame, gap: str = "30 minutes", watermark:
     )
 
 
+def session_sequences_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch ``session_sequences_events`` query:
+    one time-ordered event-type sequence string per (user, session),
+    assembled ON ARRIVAL. collect_list's cross-micro-batch order is
+    arrival order, so the canonical in-session order is restored at emit
+    by array_sort over (ts, event_id, type) structs — replay therefore
+    yields exactly the batch twin's sequences (tested). State per open
+    session is the session's own events (bounded by session length,
+    evicted by the watermark), never stream length."""
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        " ",
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            seq.alias("seq"),
+        )
+        .select("user_id", "first_ts", "n_events", "seq")
+    )
+
+
 def heavy_hitters_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Streaming running key-frequency table — the on-arrival twin of
     checks.heavy_hitters' count stage. A plain streaming groupBy count:

@@ -126,6 +126,40 @@ def test_stream_sessions_match_batch_sessionize(spark, sf_oracle, landed_events,
     assert got == want
 
 
+def test_stream_session_sequences_match_batch(spark, sf_oracle, landed_events, tmp_path):
+    """On-arrival sequence assembly == the batch session_sequences_events
+    query: same (user, session-start, n_events, sequence) tuples — the
+    array_sort at emit erases collect_list's arrival-order dependence."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.rollup import session_sequences_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        session_sequences_stream(stream, gap="30 minutes"),
+        str(tmp_path / "ckpt_seq"),
+        "seq_out",
+        output_mode="complete",
+    )
+    got = {
+        (r.user_id, r.first_ts, r.n_events, r.seq)
+        for r in spark.table("seq_out").collect()
+    }
+    batch = REGISTRY["session_sequences_events"].fn(spark, sf_oracle)
+    # the batch twin keys sessions by per-user ordinal and reports
+    # duration; compare on the shared identity (user, start ts) instead
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    b = batch  # (user_id, session_id, n_events, dur_seconds, seq)
+    sess_start = REGISTRY["sessionize_events"].fn(spark, sf_oracle).select(
+        "user_id", "session_id", "session_start"
+    )
+    joined = b.join(sess_start, ["user_id", "session_id"])
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.seq) for r in joined.collect()
+    }
+    assert got == want
+
+
 def test_incremental_catchup(spark, sf_oracle, landed_events, tmp_path):
     """availableNow with a persistent checkpoint: a second run over the same
     files processes nothing new (exactly-once file tracking)."""
