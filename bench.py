@@ -150,6 +150,7 @@ EXTENDED = [
     "embedding_gram_matrix",
     "session_sequences_events",
     "embedding_covariance_matrix",
+    "er_entity_golden_records",
 ]
 
 

@@ -6676,6 +6676,62 @@ def er_fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_entity_golden_records",
+    oracle=f"""
+    WITH RECURSIVE {_ER_CAND_SQL},
+    m AS (SELECT a_key, b_key FROM v WHERE d <= 2),
+    edges AS (SELECT a_key AS a, b_key AS b FROM m
+              UNION ALL SELECT b_key, a_key FROM m),
+    reach(node, lbl) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, MIN(lbl) AS entity_id FROM reach GROUP BY node),
+    ge AS (SELECT entity_id, COUNT(*) AS n_members FROM comp
+           GROUP BY 1 HAVING COUNT(*) >= 2)
+    SELECT ge.entity_id, CAST(ge.n_members AS BIGINT) AS n_members,
+           c.c_name AS rep_name
+    FROM ge JOIN customer c ON c.c_custkey = ge.entity_id
+    ORDER BY entity_id
+    """,
+    tags=("extension", "linkage", "iterative"),
+)
+def er_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER ladder's last rung: fuzzy match pairs → transitive closure
+    → one golden entity per cluster. Reuses the audited CC fixpoint
+    (operators/dedup.connected_components — min-label propagation,
+    checkpointed lineage) over the Levenshtein-verified pair graph, then
+    reports each merged entity (≥2 members) with its canonical key (min
+    custkey) and representative name. The oracle derives the same
+    closure by recursive CTE — a genuinely different algorithm, so the
+    iteration is cross-checked, not transliterated. Scale: pairs are
+    df-capped blocked candidates (never all-pairs); CC rounds = cluster
+    diameter (near-cliques ⇒ 2–3); the report is a component-keyed
+    groupBy + one dimension join."""
+    from .operators.dedup import connected_components
+    from .operators.linkage import blocked_fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = blocked_fuzzy_pairs(cust, "c_custkey", "c_name")
+    comp = connected_components(
+        cust.select(F.col("c_custkey").alias("doc_id")),
+        pairs.select(
+            F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
+        ),
+    )
+    g = (
+        comp.groupBy(F.col("component").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    return (
+        g.join(cust, g.entity_id == cust.c_custkey)
+        .select("entity_id", "n_members", F.col("c_name").alias("rep_name"))
+        .orderBy("entity_id")
+    )
+
+
+@register(
     "key_skew_report_events",
     oracle="""
     WITH c AS (SELECT user_id, COUNT(*) AS freq FROM events GROUP BY 1),

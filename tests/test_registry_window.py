@@ -40,6 +40,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "embedding_gram_matrix",
     "session_sequences_events",
     "embedding_covariance_matrix",
+    "er_entity_golden_records",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
