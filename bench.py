@@ -151,6 +151,7 @@ EXTENDED = [
     "session_sequences_events",
     "embedding_covariance_matrix",
     "er_entity_golden_records",
+    "winsorized_order_totals",
 ]
 
 

@@ -1245,6 +1245,86 @@ def exact_order_statistics_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "winsorized_order_totals",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+    r AS (SELECT o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+          FROM orders),
+    cuts AS (SELECT
+      (SELECT o_totalprice FROM r, tot
+        WHERE rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))) AS lo,
+      (SELECT o_totalprice FROM r, tot
+        WHERE rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))) AS hi)
+    SELECT CAST(n AS BIGINT) AS n, lo AS lo_cut, hi AS hi_cut,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS mean_raw,
+           CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
+                         AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS mean_winsorized
+    FROM orders, cuts, tot GROUP BY n, lo, hi
+    """,
+    tags=("extension", "agg", "order-statistics"),
+)
+def winsorized_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean — the outlier-robust aggregate a metrics pipeline
+    clips with: values below the exact p05 (above the exact p95) order
+    statistic snap to it, then the mean is an exact decimal sum. The two
+    cut values come from the two-phase global rank + a broadcast pick
+    (no global sort, same machinery as exact_order_statistics_orders);
+    the clip is LEAST/GREATEST on the raw doubles before the decimal
+    snap, identical expression trees in both engines."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    rn = relational.global_row_number(
+        o,
+        grain=F.floor(F.col("o_totalprice") / F.lit(10000.0)),
+        order=[F.col("o_totalprice"), F.col("o_orderkey")],
+        alias="rn",
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = tot.select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.lit(0.05) * F.col("n")).cast("long")
+        ).alias("k_lo"),
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.lit(0.95) * F.col("n")).cast("long")
+        ).alias("k_hi"),
+    )
+    cuts = (
+        rn.crossJoin(F.broadcast(ranks))
+        .filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
+        .groupBy("n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("k_lo"), F.col("o_totalprice"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("k_hi"), F.col("o_totalprice"))
+            ).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy("n", "lo", "hi")
+        .agg(
+            (F.sum(dec("o_totalprice")).cast("double") / F.col("n").cast("double"))
+            .alias("mean_raw"),
+            (F.sum(dec(clipped)).cast("double") / F.col("n").cast("double"))
+            .alias("mean_winsorized"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").alias("lo_cut"),
+            F.col("hi").alias("hi_cut"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )
+
+
+@register(
     "text_langid_docs",
     oracle="""
     WITH t AS (

@@ -41,6 +41,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "session_sequences_events",
     "embedding_covariance_matrix",
     "er_entity_golden_records",
+    "winsorized_order_totals",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
