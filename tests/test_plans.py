@@ -731,6 +731,9 @@ def test_global_rank_entries_use_two_phase_prefix_scan(spark, sf):
         "customer_spend_deciles",
         "rfm_customer_segments",
         "window_running_distinct_users",
+        "curriculum_order_docs",
+        "exact_order_statistics_orders",
+        "winsorized_order_totals",
     ):
         plan = plan_of(REGISTRY[name].fn(spark, sf))
         assert re.search(r"windowspecdefinition\(__grain#\d+", plan), (
@@ -738,6 +741,24 @@ def test_global_rank_entries_use_two_phase_prefix_scan(spark, sf):
         )
         assert "ntile(" not in plan, f"{name}: physical ntile survived the rewrite"
         assert "percent_rank(" not in plan, f"{name}: physical percent_rank survived"
+
+
+def test_q10_aggregates_before_dimension_joins(spark, sf):
+    """Q10's revenue must reduce orders⋈lineitem down to o_custkey BEFORE
+    customer attaches (the group-by-the-key rewrite) — the plan carries a
+    partial/final aggregate below the customer join, nation broadcasts,
+    and the top-20 is a heap, not a global sort."""
+    plan = plan_of(REGISTRY["q10_returned_item_customers"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the aggregate keys on o_custkey alone (never the name/acctbal
+    # attribute columns — grouping by attributes would shuffle them)
+    import re
+
+    assert re.search(r"Keys \[1\]: \[o_custkey#\d+L?\]", plan) or re.search(
+        r"keys=\[o_custkey#\d+L?\]", plan
+    ), "revenue aggregate is not keyed on o_custkey alone"
 
 
 def test_cms_cells_are_one_bounded_shuffle_no_window(spark, sf):
