@@ -152,6 +152,7 @@ EXTENDED = [
     "embedding_covariance_matrix",
     "er_entity_golden_records",
     "winsorized_order_totals",
+    "multimodal_byte_features",
 ]
 
 

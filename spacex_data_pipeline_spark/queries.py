@@ -1491,6 +1491,49 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_byte_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    e AS (
+      SELECT doc_id, n,
+             ((strpos('0123456789ABCDEF', substring(hx, 2 * i.i - 1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substring(hx, 2 * i.i, 1)) - 1)) // 16
+               AS bin
+      FROM b, unnest(range(1, n + 1)) AS i(i)),
+    h AS (SELECT doc_id, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    grid AS (SELECT b.doc_id, b.n, gb.b AS bin
+             FROM b, unnest(range(0, 16)) AS gb(b))
+    SELECT grid.doc_id, CAST(grid.bin AS INT) AS bin,
+           CASE WHEN grid.n = 0 THEN 0.0
+                ELSE CAST(COALESCE(h.c, 0) AS DOUBLE) / grid.n END AS share
+    FROM grid LEFT JOIN h ON h.doc_id = grid.doc_id AND h.bin = grid.bin
+    """,
+    tags=("extension", "multimodal", "pandas-udf"),
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level feature extraction over binary payloads, now
+    oracle-checked: the L1-normalized 16-bin byte histogram per payload
+    (multimodal.extract_byte_features — numpy frombuffer+bincount per
+    Arrow batch, the exact compute shape of a CNN-embedding extractor
+    with the model swapped out), emitted as (doc_id, bin, share) scalar
+    rows. numpy's c/n divide and the oracle's CAST(c AS DOUBLE)/n are
+    the same single IEEE operation on exact integers, so shares
+    hash-compare exactly; the oracle rebuilds byte values from hex
+    pairs — a wholly different byte-access path. Map-only over payloads
+    (features shuffle, bytes never do)."""
+    from .operators.multimodal import documents_as_media, extract_byte_features
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_byte_features(media.select("doc_id", "media"), n_bins=16)
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("bin", "share"),
+    ).select("doc_id", F.col("bin").cast("int").alias("bin"), "share")
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH flagged AS (

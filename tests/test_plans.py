@@ -103,6 +103,7 @@ SANCTIONED_PYTHON = {
     "multimodal_resize_meta",  # Arrow-batched resize plumbing (r7)
     "embedding_gram_matrix",  # per-batch integer X^T X partials (r8)
     "embedding_covariance_matrix",  # rides the Gram pass (r8)
+    "multimodal_byte_features",  # Arrow-batched frombuffer+bincount (r8)
 }
 
 

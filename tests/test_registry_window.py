@@ -42,6 +42,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "embedding_covariance_matrix",
     "er_entity_golden_records",
     "winsorized_order_totals",
+    "multimodal_byte_features",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
