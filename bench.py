@@ -153,6 +153,7 @@ EXTENDED = [
     "er_entity_golden_records",
     "winsorized_order_totals",
     "multimodal_byte_features",
+    "conversion_latency_stats",
 ]
 
 

@@ -2887,6 +2887,89 @@ def interval_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conversion_latency_stats",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+    m AS (SELECT p.event_id, p.ts, MAX(v.v_ts) AS vts
+          FROM p JOIN v ON v.user_id = p.user_id AND v.v_ts <= p.ts
+          GROUP BY 1, 2),
+    l AS (SELECT date_diff('second', vts, ts) AS lat, event_id FROM m),
+    tot AS (SELECT COUNT(*) AS n, SUM(lat) AS s FROM l),
+    r AS (SELECT lat, row_number() OVER (ORDER BY lat, event_id) AS rn FROM l)
+    SELECT CAST(tot.n AS BIGINT) AS n_conversions,
+           CAST(CAST(tot.s AS DOUBLE) / tot.n AS DOUBLE) AS mean_latency_s,
+           CAST(r.lat AS BIGINT) AS median_latency_s
+    FROM tot JOIN r ON r.rn = GREATEST(1, CAST(ceil(0.5 * tot.n) AS BIGINT))
+    """,
+    tags=("extension", "asof", "order-statistics", "analytics"),
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every purchase, the seconds since that user's
+    most recent prior view, rolled up to count, exact mean, and EXACT
+    median — two flagship operators composed: the union+window AS-OF
+    join attributes each purchase to its view (one user_id shuffle, no
+    range blowup), and the exact median is the rank-⌈n/2⌉ element picked
+    by the two-phase global rank + broadcast (no global sort; latencies
+    are integer seconds, so the value at a sorted position is
+    deterministic under ties). The oracle derives the attribution by
+    relational max-ts algebra and the median by a naive rank window —
+    both sides different algorithms, same numbers."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    m = relational.as_of_join(
+        p,
+        v,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="v_ts",
+        payload=["v_ts"],
+    )
+    lat = (
+        m.filter(F.col("asof_v_ts").isNotNull())
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_v_ts"))
+            .cast("long")
+            .alias("lat"),
+            "event_id",
+        )
+    )
+    tot = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lat").cast("long").alias("s"),
+    )
+    rn = relational.global_row_number(
+        lat,
+        grain=F.floor(F.col("lat") / F.lit(3600)),
+        order=[F.col("lat"), F.col("event_id")],
+        alias="rn",
+    )
+    k = tot.select(
+        "n",
+        "s",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+        ).alias("k"),
+    )
+    return (
+        rn.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") == F.col("k"))
+        .select(
+            F.col("n").alias("n_conversions"),
+            (F.col("s").cast("double") / F.col("n")).alias("mean_latency_s"),
+            F.col("lat").cast("long").alias("median_latency_s"),
+        )
+    )
+
+
+@register(
     "asof_join_last_purchase",
     oracle="""
     WITH r AS (

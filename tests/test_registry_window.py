@@ -43,6 +43,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "er_entity_golden_records",
     "winsorized_order_totals",
     "multimodal_byte_features",
+    "conversion_latency_stats",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
