@@ -132,6 +132,17 @@ def rolling_hash(col: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Colum
     )
 
 
+def md5_int60(col: Column) -> Column:
+    """Engine-identical 60-bit non-negative integer of a string column:
+    the first 15 hex chars of md5 parsed base-16. DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT``. This is the
+    hash to reach for whenever the SQL oracle must REPLAY the hash value
+    itself (feature hashing, deterministic bucket membership); xxhash64
+    stays the choice when only Spark consumes the value — it is
+    codegen'd and several times cheaper, but has no DuckDB twin."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def cms_bucket(seed: Column, key: Column, width: int) -> Column:
     """Count-min-sketch bucket for ``key`` under hash row ``seed``:
     the md5-derived 60-bit integer (engine-identical in DuckDB via

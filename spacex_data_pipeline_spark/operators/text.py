@@ -1576,3 +1576,55 @@ def bpe_apply_merges(
         F.size(F.col("__toks")).cast("int").alias("n_words"),
         n_tokens.cast("int").alias("n_tokens"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    dims: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signed: bool = True,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """Hashing-trick bag-of-words features (Weinberger et al. 2009): every
+    token hashes to ``bucket = h % dims`` with a sign drawn from the next
+    hash bit (``h % 2*dims >= dims`` → −1), and per-(doc, bucket) weights
+    are the signed occurrence sums — the fixed-width, vocabulary-free
+    feature map every large-scale linear model / DSIR-style selector
+    consumes. Returns ``(id, *extra, bucket, weight)`` sparse rows;
+    with ``signed=True`` exact-zero weights (sign cancellations) are
+    dropped — they are indistinguishable from absent features in a
+    sparse representation. ``signed=False`` yields plain tf counts
+    (naive-Bayes-style consumers).
+
+    The hash is the md5-derived 60-bit integer (functions/hashing.
+    md5_int60) so a SQL oracle replays bucket AND sign bit exactly.
+
+    Scale shape: token explode (narrow) → ONE map-side-combined shuffle
+    on (id, bucket) whose key cardinality is |docs|·dims regardless of
+    vocabulary size — feature hashing's whole point at 100 TB: no
+    vocabulary build pass, no OOV handling, bounded width. ``extra``
+    columns (labels/source) ride the same shuffle instead of joining a
+    corpus-sized table back on afterwards."""
+    from ..functions.hashing import md5_int60
+
+    extra = extra or []
+    t = _with_tokens(docs, id_col, text_col, extra).select(
+        F.col(id_col), *extra, F.explode("__toks").alias("__tok")
+    )
+    t = t.select(
+        F.col(id_col), *extra, md5_int60(F.col("__tok")).alias("__h")
+    ).select(
+        F.col(id_col),
+        *extra,
+        (F.col("__h") % dims).alias("bucket"),
+        (
+            F.when(F.col("__h") % (2 * dims) >= dims, F.lit(-1)).otherwise(F.lit(1))
+            if signed
+            else F.lit(1)
+        ).alias("__s"),
+    )
+    out = t.groupBy(F.col(id_col), *extra, F.col("bucket")).agg(
+        F.sum("__s").cast("long").alias("weight")
+    )
+    return out.filter(F.col("weight") != 0) if signed else out

@@ -9534,6 +9534,201 @@ def orders_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@register(
+    "feature_hash_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS hv
+      FROM toks)
+    SELECT doc_id,
+           hv % 32 AS bucket,
+           CAST(SUM(CASE WHEN hv % 64 >= 32 THEN -1 ELSE 1 END) AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2
+    HAVING SUM(CASE WHEN hv % 64 >= 32 THEN -1 ELSE 1 END) <> 0
+    ORDER BY doc_id, bucket
+    """,
+    tags=("extension", "text", "features", "ml-prep"),
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (signed) bag-of-words features, 32 buckets — the
+    vocabulary-free fixed-width feature map linear classifiers and
+    DSIR-style data selectors consume (operators/text.hashed_features).
+    bucket = md5₆₀(token) % 32, sign = the next hash bit, weight = the
+    signed per-doc sum; exact-zero cancellations drop (indistinguishable
+    from absent in a sparse vector). At 100 TB this is the whole appeal:
+    no vocabulary build pass, no OOV path, ONE map-side-combined shuffle
+    keyed (doc_id, bucket) whatever the token diversity; the oracle
+    replays bucket and sign bit from the same md5 arithmetic."""
+    from .operators.text import hashed_features
+
+    return hashed_features(
+        _t(spark, sf_dir, "documents"), dims=32, signed=True
+    ).orderBy("doc_id", "bucket")
+
+
+@register(
+    "hashed_nb_lang_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT % 32 AS bucket
+      FROM toks),
+    tf AS (
+      SELECT doc_id, is_en, bucket, COUNT(*) AS w FROM h GROUP BY 1, 2, 3),
+    model AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_en = 1 THEN w ELSE 0 END) AS pos_b,
+             SUM(CASE WHEN is_en = 0 THEN w ELSE 0 END) AS neg_b
+      FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(pos_b) AS t_pos, SUM(neg_b) AS t_neg FROM model),
+    wt AS (
+      SELECT bucket, CAST(pos_b * t_neg - neg_b * t_pos AS BIGINT) AS w_b
+      FROM model, tot),
+    sc AS (
+      SELECT tf.doc_id, tf.is_en,
+             CAST(SUM(tf.w * wt.w_b) AS BIGINT) AS score
+      FROM tf JOIN wt USING (bucket) GROUP BY 1, 2)
+    SELECT is_en                                         AS actual_en,
+           CASE WHEN score > 0 THEN 1 ELSE 0 END         AS pred_en,
+           CAST(COUNT(*) AS BIGINT)                      AS n_docs,
+           CAST(SUM(score) AS BIGINT)                    AS sum_score
+    FROM sc GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("extension", "text", "features", "ml-prep", "classifier"),
+)
+def hashed_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/language filtering, integer-exact end to end: a
+    naive-Bayes-style linear discriminant over hashed unigram tf counts
+    (w_b = pos_b·N_neg − neg_b·N_pos — the cross-multiplied difference of
+    class-conditional frequencies, the log-free twin of the NB log-odds
+    weight), scored by Σ tf·w_b and reported as the resubstitution
+    confusion matrix for lang='en'. This is the fastText-classifier
+    SHAPE of CCNet/Llama-style quality filters with the model fit kept
+    exact so the oracle can replay it (real deployments drop in learned
+    float weights behind the same broadcast join). On this synthetic
+    fixture token↛lang signal is near-chance — the matrix itself is the
+    deterministic artifact under test. Scale: tokens shuffle ONCE keyed
+    (doc_id, bucket); the model is dims-sized (32 rows) — aggregated
+    map-side, broadcast back; per-doc scoring re-shuffles only the
+    sparse tf rows. Exactness bound: w_b products need token masses
+    < 2³¹ per class — beyond that, pre-scale the frequencies to
+    DECIMAL(38) or normalize per 10⁹ tokens (documented trade, same
+    plan)."""
+    from .operators.text import hashed_features
+
+    tf = hashed_features(
+        _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["lang"]
+    ).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        "bucket",
+        F.col("weight").alias("w"),
+    )
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_en") == 1, F.col("w")).otherwise(0)).alias("pos_b"),
+        F.sum(F.when(F.col("is_en") == 0, F.col("w")).otherwise(0)).alias("neg_b"),
+    )
+    tot = model.agg(
+        F.sum("pos_b").alias("t_pos"), F.sum("neg_b").alias("t_neg")
+    )
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
+        .cast("long")
+        .alias("w_b"),
+    )
+    sc = (
+        tf.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "is_en")
+        .agg(F.sum(F.col("w") * F.col("w_b")).cast("long").alias("score"))
+    )
+    return (
+        sc.groupBy(
+            F.col("is_en").alias("actual_en"),
+            (F.col("score") > 0).cast("int").alias("pred_en"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("actual_en", "pred_en")
+    )
+
+
+@register(
+    "dsir_importance_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT % 32 AS bucket
+      FROM toks),
+    tf AS (
+      SELECT doc_id, source, bucket, COUNT(*) AS w FROM h GROUP BY 1, 2, 3),
+    model AS (
+      SELECT bucket,
+             SUM(CASE WHEN source = 'src0' THEN w ELSE 0 END) AS t_b,
+             SUM(w) AS r_b
+      FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(t_b) AS t_tot, SUM(r_b) AS r_tot FROM model),
+    wt AS (
+      SELECT bucket, CAST(t_b * r_tot - r_b * t_tot AS BIGINT) AS w_b
+      FROM model, tot)
+    SELECT tf.doc_id, tf.source,
+           CAST(SUM(tf.w * wt.w_b) AS BIGINT) AS importance
+    FROM tf JOIN wt USING (bucket)
+    GROUP BY 1, 2 ORDER BY tf.doc_id
+    """,
+    tags=("extension", "text", "features", "ml-prep", "sampling"),
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document's
+    affinity to a target distribution (here source='src0' stands in for
+    the high-quality target corpus) using hashed unigram models of the
+    target vs the raw corpus. The published estimator weights each
+    feature by log(p_target/p_raw); this keeps the decision DIRECTION
+    with the exact-integer cross-difference w_b = t_b·R − r_b·T (>0 iff
+    the bucket is target-enriched — the same sign as the log-ratio,
+    oracle-replayable with no libm dependency), and scores
+    Σ tf·w_b per doc. The output is the per-example importance column a
+    resampler (weighted_sample_docs) keys on. Scale: both unigram
+    models are dims-sized map-side aggregates broadcast back; documents
+    never pairwise-interact — ONE (doc_id, bucket) shuffle + one
+    doc-keyed score aggregation, linear in corpus size."""
+    from .operators.text import hashed_features
+
+    tf = hashed_features(
+        _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["source"]
+    ).select("doc_id", "source", "bucket", F.col("weight").alias("w"))
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("w")).otherwise(0)).alias(
+            "t_b"
+        ),
+        F.sum("w").alias("r_b"),
+    )
+    tot = model.agg(F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot"))
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
+        .cast("long")
+        .alias("w_b"),
+    )
+    return (
+        tf.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("w") * F.col("w_b")).cast("long").alias("importance"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

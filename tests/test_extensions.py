@@ -2420,3 +2420,130 @@ def test_gram_matrix_quantized_matches_naive_on_negatives(spark):
         for r in covariance_matrix_quantized(df, dim=dim).collect()
     }
     assert got_cov == want_cov
+
+
+def test_hashed_features_invariants(spark):
+    """Hashing-trick invariants on a hand corpus: unsigned weights sum to
+    the token count; the signed table is the unsigned one with per-token
+    signs applied (|weight| ≤ tf); empty docs vanish; extra columns ride
+    through; buckets stay inside [0, dims)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma", "en"),
+            (2, "beta beta beta", "fr"),
+            (3, "", "en"),
+            (4, "   ", "es"),
+            (5, "delta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    tf = hashed_features(docs, dims=8, signed=False, extra=["lang"])
+    rows = tf.collect()
+    assert sum(r.weight for r in rows) == 4 + 3 + 0 + 0 + 1
+    assert {r.doc_id for r in rows} == {1, 2, 5}  # blank docs drop
+    assert all(0 <= r.bucket < 8 for r in rows)
+    assert all(r.lang in {"en", "fr"} for r in rows)
+
+    signed = hashed_features(docs, dims=8, signed=True).collect()
+    tf_by_key = {(r.doc_id, r.bucket): r.weight for r in rows}
+    for r in signed:
+        assert r.weight != 0  # cancellations are filtered
+        assert abs(r.weight) <= tf_by_key[(r.doc_id, r.bucket)]
+    # same token always hashes to the same (bucket, sign): a doc with one
+    # distinct token has |weight| == tf exactly
+    beta_only = [r for r in signed if r.doc_id == 2]
+    assert len(beta_only) == 1 and abs(beta_only[0].weight) == 3
+
+
+def test_hashed_classifier_confusion_is_complete_and_exact(spark, sf_oracle):
+    """The confusion matrix covers every non-empty doc exactly once, and
+    a planted perfectly-separable corpus classifies perfectly."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["hashed_nb_lang_classifier"].fn(spark, sf_oracle).collect()
+    n_docs = sum(r.n_docs for r in out)
+    from spacex_data_pipeline_spark import catalog
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    nonempty = docs.filter(F.trim(F.col("text")) != "").count()
+    assert n_docs == nonempty
+    # planted separable corpus: en docs say only "cat", others only "chien"
+    from spacex_data_pipeline_spark.operators.text import hashed_features
+
+    planted = spark.createDataFrame(
+        [(i, "cat cat cat", "en") for i in range(10)]
+        + [(i + 10, "chien chien", "fr") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    tf = hashed_features(planted, dims=8, signed=False, extra=["lang"]).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        "bucket",
+        F.col("weight").alias("w"),
+    )
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_en") == 1, F.col("w")).otherwise(0)).alias("pos_b"),
+        F.sum(F.when(F.col("is_en") == 0, F.col("w")).otherwise(0)).alias("neg_b"),
+    )
+    tot = model.agg(F.sum("pos_b").alias("t_pos"), F.sum("neg_b").alias("t_neg"))
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
+        .cast("long")
+        .alias("w_b"),
+    )
+    sc = (
+        tf.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "is_en")
+        .agg(F.sum(F.col("w") * F.col("w_b")).cast("long").alias("score"))
+        .collect()
+    )
+    for r in sc:
+        assert (r.score > 0) == (r.is_en == 1)
+
+
+def test_dsir_importance_favors_target_like_docs(spark):
+    """Docs written in the target source's vocabulary outscore docs written
+    in a disjoint vocabulary, and target docs themselves score positive."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.text import hashed_features
+
+    rows = (
+        [(i, "good clean prose text", "src0") for i in range(20)]
+        + [(100 + i, "good clean prose text", "srcA") for i in range(5)]
+        + [(200 + i, "zz yy xx ww vv uu", "srcB") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tf = hashed_features(docs, dims=32, signed=False, extra=["source"]).select(
+        "doc_id", "source", "bucket", F.col("weight").alias("w")
+    )
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("w")).otherwise(0)).alias(
+            "t_b"
+        ),
+        F.sum("w").alias("r_b"),
+    )
+    tot = model.agg(F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot"))
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
+        .cast("long")
+        .alias("w_b"),
+    )
+    sc = {
+        r.doc_id: r.importance
+        for r in tf.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("w") * F.col("w_b")).cast("long").alias("importance"))
+        .collect()
+    }
+    assert sc[100] > sc[200]  # target-vocab doc beats off-vocab doc
+    assert sc[0] > 0  # target docs are target-enriched
+    assert sc[200] < 0  # disjoint-vocab docs are target-depleted

@@ -44,6 +44,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "winsorized_order_totals",
     "multimodal_byte_features",
     "conversion_latency_stats",
+    "feature_hash_docs",
+    "hashed_nb_lang_classifier",
+    "dsir_importance_scores",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
