@@ -457,3 +457,50 @@ def snapshot_diff(
         .otherwise(F.lit("update"))
     )
     return j.select(F.col("__k").alias(key), change.alias("change_type"))
+
+
+def bloom_prefilter_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    m: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """LEFT SEMI join with an explicit broadcast Bloom pre-filter: the
+    build side's keys set k md5-derived bit positions in an m-bit filter
+    (materialized as the distinct-position array of ONE aggregated row),
+    the filter broadcasts, and probe rows whose k positions aren't all
+    set drop BEFORE the join's shuffle. Blooms have no false negatives,
+    so the result is EXACTLY ``probe.join(build, key, "left_semi")`` —
+    the filter only cuts shuffle volume.
+
+    Spark's optimizer injects the same shape itself (runtime row-level
+    filtering) when statistics justify it; the explicit operator exists
+    for when the build side is known-selective up front, or when the
+    filter should be BUILT ONCE and reused across many probe queries
+    (persist the one-row position-array DF — it is engine-portable plain
+    data, unlike Spark's internal BloomFilter binary).
+
+    Scale: the build side reduces to ≤m distinct positions (a ≤m-element
+    int array, ~32 KB at the 8192 default — broadcastable at any build
+    cardinality); the probe side evaluates k array_contains per row
+    map-side. False-positive rate follows the standard (1-e^(-kn/m))^k —
+    size m ≥ ~10 bits/key for ~1% FP; survivors still pass through the
+    exact semi join, so FP only costs shuffle bytes, never correctness.
+    """
+    from ..functions.hashing import md5_int60
+
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    positions = lambda c: F.transform(  # noqa: E731
+        seeds, lambda s: md5_int60(F.concat(s.cast("string"), F.lit(":"), c.cast("string"))) % m
+    )
+    bf = (
+        build.select(F.explode(positions(F.col(key))).alias("__p"))
+        .agg(F.collect_set("__p").alias("__bf"))
+    )
+    pre = (
+        probe.crossJoin(F.broadcast(bf))
+        .filter(F.forall(positions(F.col(key)), lambda p: F.array_contains(F.col("__bf"), p)))
+        .drop("__bf")
+    )
+    return pre.join(build.select(key), key, "left_semi")

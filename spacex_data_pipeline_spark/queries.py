@@ -9729,6 +9729,103 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_kfold_components",
+    oracle=_CC_SQL
+    + """,
+    f AS (
+      SELECT c.doc_id, c.component,
+             CAST(('0x' || substr(md5(CAST(c.component AS VARCHAR) || 'kfold'),
+                   1, 8))::UBIGINT % 5 AS BIGINT) AS fold
+      FROM comp c)
+    SELECT f.fold,
+           CAST(COUNT(DISTINCT f.component) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT)              AS chars_total
+    FROM f JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "dedup", "iterative", "ml-prep", "split"),
+)
+def group_kfold_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware K-fold assignment (sklearn GroupKFold at corpus
+    scale): cross-validation folds keyed on the DEDUP COMPONENT, not the
+    document — every member of a near-dup cluster lands in the same fold
+    by construction, so CV scores can't be inflated by a val doc whose
+    twin sits in train (the cross-split-leakage failure
+    dedup_cross_split_leakage measures, prevented rather than audited).
+    fold = md5-bucket(component label) — singleton docs are their own
+    group, deterministic and replayable. Reports per-fold group/doc/char
+    balance (5 rows). Scale: fold assignment is a narrow map on the
+    (doc_id, component) table the CC fixpoint already produces; the
+    rollup is |folds|-sized. The expensive part — pairs + CC — is the
+    SAME audited machinery every other component consumer shares."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+    from .operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    folded = comp.select(
+        "doc_id",
+        "component",
+        hash_bucket(F.col("component"), "kfold", 5).alias("fold"),
+    )
+    return (
+        folded.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("component").cast("long").alias("n_groups"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "bloom_semi_lineitem_high_value",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS gross_revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > 400000)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "join", "semi", "bloom", "scale"),
+)
+def bloom_semi_lineitem_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag item count + gross revenue of lineitems belonging to
+    high-value orders (totalprice > 400k), with the semi join routed
+    through relational.bloom_prefilter_semi_join: the selective build
+    side's keys fold into a broadcast ≤8192-position bloom array and
+    probe rows failing the k=4 membership probes drop BEFORE the join
+    shuffle. Blooms have no false negatives, so the oracle is the plain
+    EXISTS — the driver hash proves the pre-filter changes BYTES MOVED,
+    never the answer. This is the explicit, persistable form of Spark's
+    own runtime row-level bloom injection; at 100 TB the win is the
+    probe-side shuffle dropping to ~the matching fraction (here the
+    fact table is the probe, the filtered order keys the build)."""
+    li = _t(spark, sf_dir, "lineitem")
+    build = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    sj = relational.bloom_prefilter_semi_join(li, build, "l_orderkey")
+    return (
+        sj.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(dec_money("l_extendedprice")).cast("double").alias("gross_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

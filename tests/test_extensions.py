@@ -2547,3 +2547,72 @@ def test_dsir_importance_favors_target_like_docs(spark):
     assert sc[100] > sc[200]  # target-vocab doc beats off-vocab doc
     assert sc[0] > 0  # target docs are target-enriched
     assert sc[200] < 0  # disjoint-vocab docs are target-depleted
+
+
+def test_bloom_prefilter_semi_join_exact_and_pruning(spark):
+    """The bloom-prefiltered semi join equals the plain left-semi result,
+    and the pre-filter alone prunes most non-matching probe rows (no
+    false negatives; bounded false positives)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.functions.hashing import md5_int60
+    from spacex_data_pipeline_spark.operators.relational import (
+        bloom_prefilter_semi_join,
+    )
+
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    build = spark.range(0, 100).select((F.col("id") * 20).alias("k"))  # 5% match
+    got = sorted(r.k for r in bloom_prefilter_semi_join(probe, build, "k").collect())
+    want = sorted(r.k for r in probe.join(build, "k", "left_semi").collect())
+    assert got == want and len(want) == 100
+
+    # measure the pre-filter's survivor count (re-derive the filter stage)
+    m, k = 8192, 4
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    pos = lambda c: F.transform(  # noqa: E731
+        seeds,
+        lambda s: md5_int60(F.concat(s.cast("string"), F.lit(":"), c.cast("string")))
+        % m,
+    )
+    bf = build.select(F.explode(pos(F.col("k"))).alias("p")).agg(
+        F.collect_set("p").alias("bf")
+    )
+    survivors = (
+        probe.crossJoin(F.broadcast(bf))
+        .filter(F.forall(pos(F.col("k")), lambda p: F.array_contains(F.col("bf"), p)))
+        .count()
+    )
+    # 100 true + FP: with n=100 keys, m=8192, k=4 the FP rate is ~1e-5 —
+    # allow a loose bound so the assertion is about pruning, not exact FP
+    assert 100 <= survivors <= 120
+
+
+def test_group_kfold_keeps_dup_clusters_together(spark, sf_oracle):
+    """Every dedup component lands in exactly one fold, and fold counts
+    cover the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from spacex_data_pipeline_spark.operators.sampling import hash_bucket
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    folded = comp.select(
+        "component", hash_bucket(F.col("component"), "kfold", 5).alias("fold")
+    )
+    straddlers = (
+        folded.groupBy("component")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    report = REGISTRY["group_kfold_components"].fn(spark, sf_oracle).collect()
+    assert sum(r.n_docs for r in report) == docs.count()
+    assert {r.fold for r in report} <= {0, 1, 2, 3, 4}

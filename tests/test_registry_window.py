@@ -47,6 +47,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "feature_hash_docs",
     "hashed_nb_lang_classifier",
     "dsir_importance_scores",
+    "group_kfold_components",
+    "bloom_semi_lineitem_high_value",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
