@@ -9826,6 +9826,138 @@ def bloom_semi_lineitem_high_value(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "mad_outliers_orders",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS dev, m.med
+      FROM orders o JOIN med m USING (o_orderpriority)),
+    mad AS (
+      SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY 1)
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                        AS n_orders,
+           MAX(d.med)                                      AS median_price,
+           MAX(m2.mad)                                     AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_outliers,
+           ROUND(100.0 * CAST(SUM(CASE WHEN d.dev > 3 * m2.mad THEN 1 ELSE 0 END)
+                 AS BIGINT) / NULLIF(COUNT(*), 0), 2)      AS outlier_pct
+    FROM d JOIN mad m2 USING (o_orderpriority)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "percentile", "robust-stats", "quality"),
+)
+def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median absolute
+    deviation (MAD) flags orders with |price − median| > 3·MAD — the
+    estimator that, unlike mean±kσ, a few extreme rows cannot drag (50%
+    breakdown point; the data-quality screen that survives the corrupted
+    batch it is trying to catch). Two exact interpolated medians compose:
+    the group median, broadcast back (|groups| rows), then the median of
+    the absolute deviations. Every float step is a single IEEE op
+    (subtract, interpolation midpoint, one 3·mad product), so both
+    engines agree bitwise. Scale: F.percentile is an exact per-group
+    sort-aggregate — fine while groups are few and group rows fit a
+    reducer (5 priorities here); at 100 TB swap percentile_approx or the
+    mergeable histogram store (quantile_sketch_store_orders) into the
+    SAME two-pass shape."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    d = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad = d.groupBy("o_orderpriority").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    out = (
+        d.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("med").alias("median_price"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        "median_price",
+        "mad",
+        "n_outliers",
+        pct_rate(F.col("n_outliers"), F.col("n_orders")).alias("outlier_pct"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "gini_customer_spend",
+    oracle="""
+    WITH sp AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM sp)
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_customers,
+           CAST(CAST(SUM(cents) AS DOUBLE) / 100 AS DOUBLE) AS total_spend,
+           CAST(CAST(SUM(2 * i * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+                / (COUNT(*) * SUM(cents)) AS DOUBLE)      AS gini
+    FROM r
+    """,
+    tags=("extension", "agg", "window", "analytics", "order-statistics"),
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the one-number
+    inequality measure (0 = uniform, →1 = one whale) feeding
+    revenue-concentration and data-mixture-skew dashboards. Uses the
+    rank formula G = (Σ(2i−n−1)·xᵢ)/(n·Σx) over spend sorted ascending
+    (custkey tiebreak): with spend held as exact integer CENTS the
+    numerator and denominator are exact BIGINTs and the single final
+    IEEE divide is engine-identical. The global rank is the two-phase
+    row_number (operators/relational.global_row_number — value-bucket
+    grain), NOT a one-reducer window sort; the per-customer reduction
+    shrinks the fact table to |customers| rows first. Integer headroom:
+    Σ 2i·cents needs n·max_spend_cents·n < 2⁶³ — beyond ~10⁹ customers
+    promote the products to DECIMAL(38,0), same plan."""
+    from .operators.relational import global_row_number
+
+    sp = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(dec_money("o_totalprice")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    r = global_row_number(
+        sp,
+        grain=F.floor(F.col("cents") / F.lit(10_000_000)),
+        order=[F.col("cents"), F.col("o_custkey")],
+        alias="i",
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("cents").cast("double") / 100).alias("total_spend"),
+        (
+            (F.sum(2 * F.col("i") * F.col("cents")) - (F.count(F.lit(1)) + 1) * F.sum("cents")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cents"))
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

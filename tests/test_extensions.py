@@ -2616,3 +2616,62 @@ def test_group_kfold_keeps_dup_clusters_together(spark, sf_oracle):
     report = REGISTRY["group_kfold_components"].fn(spark, sf_oracle).collect()
     assert sum(r.n_docs for r in report) == docs.count()
     assert {r.fold for r in report} <= {0, 1, 2, 3, 4}
+
+
+def test_mad_outlier_semantics_planted(spark):
+    """A planted extreme value is flagged by the 3·MAD rule while the rest
+    of a tight cluster is not, and MAD itself ignores the outlier (robust
+    breakdown — the mean±3σ rule on the same data would NOT flag it as
+    cleanly because σ is dragged)."""
+    from pyspark.sql import functions as F
+
+    vals = [100.0 + i for i in range(-5, 6)] + [10_000.0]
+    df = spark.createDataFrame(
+        [("P", float(v)) for v in vals], "o_orderpriority string, o_totalprice double"
+    )
+    med = df.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    d = df.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", F.abs(F.col("o_totalprice") - F.col("med")).alias("dev")
+    )
+    mad = d.groupBy("o_orderpriority").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    flagged = (
+        d.join(F.broadcast(mad), "o_orderpriority")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .count()
+    )
+    assert flagged == 1  # only the planted 10_000
+
+
+def test_gini_hand_cases(spark):
+    """Gini = 0 for perfectly uniform spend; (n-1)/n when one customer has
+    everything (the rank-formula closed forms)."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.relational import global_row_number
+
+    def gini_of(cents_list):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents_list)], "o_custkey long, cents long"
+        )
+        r = global_row_number(
+            df,
+            grain=F.floor(F.col("cents") / F.lit(1000)),
+            order=[F.col("cents"), F.col("o_custkey")],
+            alias="i",
+        )
+        row = r.agg(
+            (
+                (
+                    F.sum(2 * F.col("i") * F.col("cents"))
+                    - (F.count(F.lit(1)) + 1) * F.sum("cents")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.sum("cents"))
+            ).alias("g")
+        ).collect()[0]
+        return row.g
+
+    assert gini_of([500] * 10) == 0.0
+    n = 8
+    assert gini_of([0] * (n - 1) + [9999]) == (n - 1) / n

@@ -49,6 +49,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "dsir_importance_scores",
     "group_kfold_components",
     "bloom_semi_lineitem_high_value",
+    "mad_outliers_orders",
+    "gini_customer_spend",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
