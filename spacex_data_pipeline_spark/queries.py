@@ -5728,9 +5728,12 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bm25_topk",
-    oracle="""
+# Shared BM25 oracle prefix (through the per-(query, doc) score table g).
+# ``__QIDS__`` is the query-doc id list; text_bm25_topk substitutes
+# "0, 1, 2" so its oracle stays byte-identical to the r7-green text,
+# and bm25_self_retrieval_mrr reuses the same scoring algebra over a
+# wider query set — one definition, no drift (the _CC_SQL rule).
+_BM25_G_SQL = """
     WITH t AS (SELECT doc_id, __TOKS__ AS toks FROM documents),
     tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
@@ -5745,7 +5748,7 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY list_position(t.toks, f.term), f.term) AS qrn
         FROM t JOIN (SELECT DISTINCT doc_id, term FROM tf) f
                ON f.doc_id = t.doc_id
-        WHERE t.doc_id IN (0, 1, 2)) z
+        WHERE t.doc_id IN (__QIDS__)) z
       WHERE qrn <= 3),
     s AS (
       SELECT qt.query_id, tf.doc_id, qt.term,
@@ -5763,13 +5766,23 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, doc_id,
              list_reduce(list_prepend(0.0, list(score_t ORDER BY term)),
                          (a, b) -> a + b) AS score
-      FROM s GROUP BY query_id, doc_id)
+      FROM s GROUP BY query_id, doc_id)"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=(
+        _BM25_G_SQL
+        + """
     SELECT query_id, doc_id, CAST(rk AS INT) AS rank, score FROM (
       SELECT query_id, doc_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS rk
       FROM g) z WHERE rk <= 10
-    """.replace("__TOKS__", _TOKS_SQL),
+    """
+    )
+    .replace("__QIDS__", "0, 1, 2")
+    .replace("__TOKS__", _TOKS_SQL),
     tags=("extension", "text", "retrieval"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9956,6 +9969,129 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.sum("cents"))
         ).alias("gini"),
     )
+
+
+_MRR_QIDS = tuple(range(20))
+
+
+@register(
+    "bm25_self_retrieval_mrr",
+    oracle=(
+        _BM25_G_SQL
+        + """,
+    r AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM g),
+    sr AS (
+      SELECT q.query_id, r.rk
+      FROM (SELECT DISTINCT query_id FROM qt) q
+      LEFT JOIN r ON r.query_id = q.query_id AND r.doc_id = q.query_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_self_top1,
+           CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_self_in_top10,
+           CAST(CAST(SUM(CASE WHEN rk <= 10 THEN 2520 // rk ELSE 0 END) AS DOUBLE)
+                / (2520.0 * COUNT(*)) AS DOUBLE) AS mrr_at_10
+    FROM sr
+    """
+    )
+    .replace("__QIDS__", ", ".join(str(i) for i in _MRR_QIDS))
+    .replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "retrieval", "eval"),
+)
+def bm25_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: self-retrieval MRR@10 of the BM25 engine —
+    each of 20 query docs queries the corpus with its own first 3 terms,
+    and the metric is the mean reciprocal rank of the SOURCE doc in its
+    own result list (the standard retriever sanity probe: a healthy
+    index puts self at/near rank 1; near-dups and boilerplate push it
+    down, making this also an indirect redundancy signal). MRR stays
+    exact across engines by summing the INTEGER 2520/rank (2520 =
+    lcm(1..10), so every reciprocal is exact; integer-valued partials
+    sum associatively) and dividing once at the end. Scale: reuses
+    bm25_topk's audited shape unchanged (broadcast query probe of the
+    inverted index, two-level exact top-k); the eval adds only a
+    |queries|-sized join + rollup. The oracle replays the whole BM25
+    algebra from the SAME _BM25_G_SQL prefix as text_bm25_topk."""
+    from .operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, list(_MRR_QIDS), k=10)
+    selfr = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    qdf = spark.createDataFrame([(i,) for i in _MRR_QIDS], "query_id long")
+    j = qdf.join(selfr, "query_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_top1"),
+        F.sum(F.when(F.col("rank").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_in_top10"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rank").isNotNull(),
+                    F.floor(2520 / F.col("rank")).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / (F.lit(2520.0) * F.count(F.lit(1)))
+        ).alias("mrr_at_10"),
+    )
+
+
+@register(
+    "join_size_forecast_orders_lineitem",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+    m AS (SELECT a.k, a.ca * b.cb AS prod FROM a JOIN b USING (k)),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+                 CAST(SUM(prod) AS BIGINT) AS forecast_rows,
+                 CAST(MAX(prod) AS BIGINT) AS max_single_key_rows
+          FROM m),
+    act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT f.n_keys_common, f.forecast_rows, f.max_single_key_rows,
+           act.actual_rows
+    FROM f, act
+    """,
+    tags=("extension", "join", "scale", "diagnostics"),
+)
+def join_size_forecast_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality forecast WITHOUT running the join: the exact output
+    size of orders ⋈ lineitem on orderkey is Σ_k cnt_a(k)·cnt_b(k) over
+    the per-key count tables — the pre-flight number that decides
+    whether a planned join will explode (and, with max_single_key_rows,
+    whether it needs salting first; pairs with key_skew_report_events).
+    At 100 TB the count tables are map-side-combined aggregates orders
+    of magnitude smaller than the join they predict — this query costs
+    two aggs + a key join of the summaries. The actual join count rides
+    along here ONLY to let the driver hash prove forecast == actual from
+    two independent derivations; production runs the forecast alone."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    m = a.join(b, "k").select("k", (F.col("ca") * F.col("cb")).alias("prod"))
+    f = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_common"),
+        F.sum("prod").cast("long").alias("forecast_rows"),
+        F.max("prod").cast("long").alias("max_single_key_rows"),
+    )
+    act = (
+        o.select(F.col("o_orderkey").alias("k"))
+        .join(li.select(F.col("l_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return f.crossJoin(F.broadcast(act))
 
 
 # ---------------------------------------------------------------------------

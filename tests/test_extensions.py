@@ -2675,3 +2675,28 @@ def test_gini_hand_cases(spark):
     assert gini_of([500] * 10) == 0.0
     n = 8
     assert gini_of([0] * (n - 1) + [9999]) == (n - 1) / n
+
+
+def test_bm25_self_retrieval_mrr_planted(spark):
+    """On a corpus of unique-vocabulary docs every query retrieves itself
+    at rank 1 (MRR = 1); duplicating a query doc pushes self to a
+    rank ≤ 2 tie broken by doc_id, degrading MRR deterministically."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.text import bm25_topk
+
+    uniq = [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(6)]
+    docs = spark.createDataFrame(uniq, "doc_id long, text string")
+    ranked = bm25_topk(docs, [0, 1, 2], k=10, checkpoint="none")
+    selfr = {r.query_id: r.rank for r in ranked.collect() if r.doc_id == r.query_id}
+    assert selfr == {0: 1, 1: 1, 2: 1}
+
+    # doc 99 is a verbatim copy of doc 0: identical score, doc_id tiebreak
+    # keeps 0 first (0 < 99), so self still ranks 1 — but 99 now occupies
+    # rank 2 of query 0's list
+    dup = docs.union(spark.createDataFrame([(99, uniq[0][1])], "doc_id long, text string"))
+    r0 = {
+        r.rank: r.doc_id
+        for r in bm25_topk(dup, [0], k=10, checkpoint="none").collect()
+    }
+    assert r0[1] == 0 and r0[2] == 99

@@ -51,6 +51,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "bloom_semi_lineitem_high_value",
     "mad_outliers_orders",
     "gini_customer_spend",
+    "bm25_self_retrieval_mrr",
+    "join_size_forecast_orders_lineitem",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
