@@ -375,3 +375,81 @@ def write_zordered(
     import os
 
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def delete_by_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+) -> dict:
+    """Hard-delete every row whose ``key`` appears in ``keys`` — the
+    GDPR/CCPA right-to-be-forgotten primitive a path-based warehouse
+    needs (appends and upserts never remove; erasure requests demand a
+    rewrite of the files that contain the subject).
+
+    With ``partition_col`` set the rewrite is PARTITION-SCOPED: a
+    broadcast semi-join finds which partitions contain tombstoned keys,
+    and ONLY those directories are rewritten (each through the same
+    verified staged swap as :func:`compact`); untouched partitions'
+    files stay byte-identical on disk — at 100 TB an erasure batch
+    touching 0.1% of days rewrites 0.1% of the table. The affected-
+    partition list is collected to the driver: it is bounded by
+    |partitions| (dimension-sized, the sanctioned collect class), never
+    by rows. Without ``partition_col`` the whole table rewrites (the
+    small-table / building-block form, like upsert_by_key).
+
+    The anti-join is NULL-SAFE (eqNullSafe) for the same reason
+    upsert_by_key's is: a NULL key in the tombstone set must delete
+    NULL-key rows, not silently miss them. Deletion is idempotent —
+    re-running the same tombstones deletes 0 further rows.
+
+    Returns ``{"rows_deleted", "partitions_rewritten",
+    "partitions_total"}`` (partition counts are -1 for the whole-table
+    form). NOTE: parquet rewrite removes the rows; physical residue on
+    previously-deleted-then-backed-up media is the storage layer's
+    problem, and compaction backups (``.__delete_old__``) are dropped
+    on success as part of the swap."""
+    existing = spark.read.parquet(path)
+    tomb = keys.select(F.col(key).alias("__k")).distinct()
+    cond = existing[key].eqNullSafe(F.col("__k"))
+    n_del = existing.join(F.broadcast(tomb), cond, "left_semi").count()
+    if partition_col is None:
+        if n_del:
+            kept = existing.join(F.broadcast(tomb), cond, "left_anti")
+            _staged_swap(kept, path, stem="delete")
+        return {
+            "rows_deleted": n_del,
+            "partitions_rewritten": -1,
+            "partitions_total": -1,
+        }
+    import os
+
+    parts_total = len(
+        [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
+    )
+    affected = [
+        r[0]
+        for r in existing.join(F.broadcast(tomb), cond, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    import shutil
+
+    for v in affected:
+        sub = f"{path.rstrip('/')}/{partition_col}={v}"
+        part = spark.read.parquet(sub)
+        kept = part.join(F.broadcast(tomb), part[key].eqNullSafe(F.col("__k")), "left_anti")
+        if kept.isEmpty():
+            # every row of this partition was tombstoned — drop the
+            # directory itself (an empty parquet dir breaks readers)
+            shutil.rmtree(sub)
+        else:
+            _staged_swap(kept, sub, stem="delete")
+    return {
+        "rows_deleted": n_del,
+        "partitions_rewritten": len(affected),
+        "partitions_total": parts_total,
+    }

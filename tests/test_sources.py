@@ -505,3 +505,89 @@ def test_write_zordered_prunes_on_both_columns(spark, sf_oracle, tmp_path):
     in_a = sum(1 for mn, mx in z_a if mn <= a_probe[1] and mx >= a_probe[0])
     assert in_a <= len(z_a) * 2 // 3
     assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_delete_by_keys_partition_scoped(spark, tmp_path):
+    """Erasure rewrites ONLY partitions containing tombstoned keys:
+    untouched partition files stay byte-identical (same names, sizes,
+    mtimes), the subject's rows disappear everywhere, everyone else
+    survives, and re-running the same tombstones is a no-op. A fully
+    tombstoned partition's directory is dropped outright."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.sources.sinks import delete_by_keys
+
+    path = str(tmp_path / "events")
+    rows = [(d, u, d * 100 + u) for d in range(4) for u in range(10)]
+    rows += [(4, 7, 999)]  # day 4 contains ONLY user 7
+    df = spark.createDataFrame(rows, "day int, user_id long, payload long")
+    df.write.partitionBy("day").parquet(path)
+
+    def listing(day):
+        p = f"{path}/day={day}"
+        return sorted(
+            (f, os.path.getsize(f"{p}/{f}"), os.path.getmtime(f"{p}/{f}"))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before_d1 = listing(1)
+    tomb = spark.createDataFrame([(7,)], "user_id long")
+    # delete user 7 only from days 2, 3 and 4 — day 0/1 keep them? no:
+    # tombstones are key-wide; all partitions containing user 7 rewrite
+    rep = delete_by_keys(spark, path, tomb, "user_id", partition_col="day")
+    assert rep["rows_deleted"] == 5  # 4 days with user 7 + the day-4 row
+    assert rep["partitions_rewritten"] == 5
+    assert rep["partitions_total"] == 5
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") == 7).count() == 0
+    assert back.count() == 4 * 9  # day 4 vanished entirely
+    assert not os.path.exists(f"{path}/day=4")
+
+    # idempotent re-run: nothing further deleted, nothing rewritten
+    rep2 = delete_by_keys(spark, path, tomb, "user_id", partition_col="day")
+    assert rep2["rows_deleted"] == 0
+    assert rep2["partitions_rewritten"] == 0
+
+    # whole-table (unpartitioned) form
+    flat = str(tmp_path / "flat")
+    df.write.parquet(flat)
+    rep3 = delete_by_keys(spark, flat, tomb, "user_id")
+    assert rep3["rows_deleted"] == 5
+    assert spark.read.parquet(flat).filter(F.col("user_id") == 7).count() == 0
+    _ = before_d1  # day-level byte-identity asserted below for clarity
+
+
+def test_delete_by_keys_leaves_untouched_partitions_byte_identical(spark, tmp_path):
+    """A tombstone confined to one partition leaves every other
+    partition's files untouched on disk."""
+    import os
+
+    from spacex_data_pipeline_spark.sources.sinks import delete_by_keys
+
+    path = str(tmp_path / "t")
+    rows = [(0, 1, 10), (0, 2, 20), (1, 3, 30), (1, 4, 40)]
+    spark.createDataFrame(rows, "day int, user_id long, v long").write.partitionBy(
+        "day"
+    ).parquet(path)
+
+    def listing(day):
+        p = f"{path}/day={day}"
+        return sorted(
+            (f, os.path.getsize(f"{p}/{f}"), os.path.getmtime(f"{p}/{f}"))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before_d1 = listing(1)
+    tomb = spark.createDataFrame([(1,)], "user_id long")  # lives in day 0 only
+    rep = delete_by_keys(spark, path, tomb, "user_id", partition_col="day")
+    assert rep["partitions_rewritten"] == 1
+    assert listing(1) == before_d1  # byte-identical: never rewritten
+    got = sorted(
+        (r.day, r.user_id) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(0, 2), (1, 3), (1, 4)]
