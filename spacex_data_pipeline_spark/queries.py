@@ -10094,6 +10094,153 @@ def join_size_forecast_orders_lineitem(spark: SparkSession, sf_dir: str) -> Data
     return f.crossJoin(F.broadcast(act))
 
 
+@register(
+    "lorenz_curve_customer_spend",
+    oracle="""
+    WITH sp AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(cents) OVER () AS tot
+      FROM sp),
+    d AS (
+      SELECT CAST(CEIL(10.0 * i / n) AS BIGINT) AS decile, cents, tot
+      FROM r),
+    g AS (
+      SELECT decile, MAX(tot) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents
+      FROM d GROUP BY 1)
+    SELECT decile, n_customers,
+           CAST(CAST(decile_cents AS DOUBLE) / 100 AS DOUBLE) AS decile_spend,
+           CAST(CAST(100 * SUM(decile_cents) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / tot AS DOUBLE) AS cum_share_pct
+    FROM g ORDER BY decile
+    """,
+    tags=("extension", "agg", "window", "analytics", "order-statistics"),
+)
+def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve companion to gini_customer_spend: customers sorted
+    ascending by spend, cut into rank deciles, each row reporting the
+    decile's spend and the CUMULATIVE share of total spend — the
+    '"bottom 50% of customers hold X% of revenue"' table (and, for data
+    mixtures, the how-concentrated-is-my-corpus curve). Exactness: spend
+    is integer cents; 100·cum_cents stays an exact BIGINT and the single
+    divide by the total is engine-identical IEEE. Scale: ranks come from
+    the two-phase global_row_number (no whole-table window sort); the
+    only data-sized steps are the per-customer reduction and the rank;
+    the cumulative window runs over TEN decile rows. The oracle uses the
+    naive one-window ranking — an independent derivation of the same
+    deciles."""
+    from .operators.relational import global_row_number
+
+    sp = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg((F.sum(dec_money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    r = global_row_number(
+        sp,
+        grain=F.floor(F.col("cents") / F.lit(10_000_000)),
+        order=[F.col("cents"), F.col("o_custkey")],
+        alias="i",
+        total_alias="n",
+    )
+    tot = sp.agg(F.sum("cents").alias("tot"))
+    d = r.crossJoin(F.broadcast(tot)).select(
+        F.ceil(F.lit(10.0) * F.col("i") / F.col("n")).cast("long").alias("decile"),
+        "cents",
+        "tot",
+    )
+    g = d.groupBy("decile").agg(
+        F.max("tot").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n_customers",
+        (F.col("decile_cents").cast("double") / 100).alias("decile_spend"),
+        (
+            (100 * F.sum("decile_cents").over(w)).cast("double") / F.col("tot")
+        ).alias("cum_share_pct"),
+    ).orderBy("decile")
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    fd AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+    dr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    dd AS (SELECT doc_id, CAST(CEIL(10.0 * rn / n) AS BIGINT) AS decile FROM dr),
+    nt AS (
+      SELECT dd.decile, CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM fd JOIN dd ON dd.doc_id = fd.first_doc GROUP BY 1),
+    base AS (SELECT DISTINCT decile FROM dd)
+    SELECT base.decile,
+           CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY base.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM base LEFT JOIN nt USING (decile) ORDER BY base.decile
+    """,
+    tags=("extension", "text", "analytics", "tokenizer"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: the corpus in doc_id-rank deciles,
+    each row reporting how many NEVER-SEEN-BEFORE terms that slice
+    introduces and the cumulative vocabulary size — the curve that sizes
+    a tokenizer vocabulary and predicts marginal vocab gain from more
+    crawl (flattening curve ⇒ vocabulary saturated; with this fixture's
+    ~31-token synthetic vocab it flattens immediately, which is the
+    curve's point). Each term contributes at its FIRST document (one
+    min-aggregate over the token table); doc deciles come from the
+    two-phase global rank; the cumulative window runs over ten rows.
+    Everything is integer counts — no float anywhere."""
+    from .operators.relational import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens as _tokens
+
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    fd = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    dr = global_row_number(
+        docs.select("doc_id"),
+        grain=F.floor(F.col("doc_id") / F.lit(64)),
+        order=[F.col("doc_id")],
+        alias="rn",
+        total_alias="n",
+    )
+    dd = dr.select(
+        "doc_id",
+        F.ceil(F.lit(10.0) * F.col("rn") / F.col("n")).cast("long").alias("decile"),
+    )
+    nt = (
+        fd.join(dd.withColumnRenamed("doc_id", "first_doc"), "first_doc")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    base = dd.select("decile").distinct()
+    j = base.join(nt, "decile", "left").select(
+        "decile", F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "decile",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("decile")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

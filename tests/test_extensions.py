@@ -2700,3 +2700,44 @@ def test_bm25_self_retrieval_mrr_planted(spark):
         for r in bm25_topk(dup, [0], k=10, checkpoint="none").collect()
     }
     assert r0[1] == 0 and r0[2] == 99
+
+
+def test_lorenz_curve_monotone_and_consistent_with_gini(spark, sf_oracle):
+    """Lorenz shares are monotone in decile, end at 100%, and decile
+    spends sum to the Gini entry's total."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["lorenz_curve_customer_spend"].fn(spark, sf_oracle).collect()
+    shares = [r.cum_share_pct for r in sorted(rows, key=lambda r: r.decile)]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 100.0) < 1e-9
+    g = REGISTRY["gini_customer_spend"].fn(spark, sf_oracle).collect()[0]
+    assert abs(sum(r.decile_spend for r in rows) - g.total_spend) < 1e-6
+    assert sum(r.n_customers for r in rows) == g.n_customers
+
+
+def test_vocab_growth_curve_totals(spark, sf_oracle):
+    """The final vocab_size equals the corpus' distinct-term count, and
+    new_terms are non-negative with a monotone cumulative sum."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.text import tokens
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["vocab_growth_curve"].fn(spark, sf_oracle).collect(),
+        key=lambda r: r.decile,
+    )
+    docs = catalog.table(spark, sf_oracle, "documents")
+    n_vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].vocab_size == n_vocab
+    assert all(r.new_terms >= 0 for r in rows)
+    assert [r.vocab_size for r in rows] == [
+        sum(x.new_terms for x in rows[: i + 1]) for i in range(len(rows))
+    ]

@@ -53,6 +53,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "gini_customer_spend",
     "bm25_self_retrieval_mrr",
     "join_size_forecast_orders_lineitem",
+    "lorenz_curve_customer_spend",
+    "vocab_growth_curve",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
