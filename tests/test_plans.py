@@ -799,3 +799,40 @@ def test_global_running_total_windows_are_grain_partitioned(spark, sf):
     assert win_specs, plan
     partitioned = [s for s in win_specs if "__grain" in s]
     assert partitioned, f"fact window lost its grain partition: {win_specs}"
+
+
+def test_concentration_curves_use_two_phase_rank(spark, sf):
+    """gini/lorenz/vocab-growth rank via the two-phase prefix scan: a
+    __grain-partitioned window does the data-sized work; the only
+    unpartitioned windows left run over decile/bucket tables (≤10s of
+    rows). The naive full-table rank must not appear."""
+    import re
+
+    for name in (
+        "gini_customer_spend",
+        "lorenz_curve_customer_spend",
+        "vocab_growth_curve",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, sf))
+        assert re.search(r"windowspecdefinition\(__grain#\d+", plan), (
+            f"{name}: no __grain-partitioned window — two-phase scan missing"
+        )
+
+
+def test_bloom_semi_join_filters_before_the_join(spark, sf):
+    """The bloom entry's plan must carry the broadcast membership
+    pre-filter (a forall over the position array) AND still end in a
+    real left-semi join — the filter cuts shuffle volume, the join
+    guarantees exactness."""
+    plan = plan_of(REGISTRY["bloom_semi_lineitem_high_value"].fn(spark, sf))
+    assert "forall" in plan, "bloom membership pre-filter missing from plan"
+    assert "LeftSemi" in plan, "exact left-semi join missing from plan"
+
+
+def test_feature_hash_is_one_hash_shuffle(spark, sf):
+    """feature_hash_docs must aggregate in ONE hash-partitioned shuffle
+    keyed (doc_id, bucket); the only other exchange permitted is the
+    output orderBy's range partitioning."""
+    plan = plan_of(REGISTRY["feature_hash_docs"].fn(spark, sf))
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange (") <= 2  # the agg shuffle + output orderBy
