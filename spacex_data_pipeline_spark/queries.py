@@ -10241,6 +10241,127 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+@register(
+    "model_curation_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT % 32 AS bucket
+      FROM toks),
+    tf AS (
+      SELECT doc_id, lang, source, bucket, COUNT(*) AS w
+      FROM h GROUP BY 1, 2, 3, 4),
+    model AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN w ELSE 0 END)    AS pos_b,
+             SUM(CASE WHEN lang <> 'en' THEN w ELSE 0 END)   AS neg_b,
+             SUM(CASE WHEN source = 'src0' THEN w ELSE 0 END) AS t_b,
+             SUM(w)                                           AS r_b
+      FROM tf GROUP BY 1),
+    tot AS (
+      SELECT SUM(pos_b) AS t_pos, SUM(neg_b) AS t_neg,
+             SUM(t_b) AS t_tot, SUM(r_b) AS r_tot
+      FROM model),
+    wt AS (
+      SELECT bucket,
+             CAST(pos_b * t_neg - neg_b * t_pos AS BIGINT) AS w_cls,
+             CAST(t_b * r_tot - r_b * t_tot AS BIGINT)     AS w_dsir
+      FROM model, tot),
+    sc AS (
+      SELECT tf.doc_id, tf.source,
+             CAST(SUM(tf.w) AS BIGINT)            AS n_tokens,
+             CAST(SUM(tf.w * wt.w_cls) AS BIGINT) AS s_cls,
+             CAST(SUM(tf.w * wt.w_dsir) AS BIGINT) AS s_dsir
+      FROM tf JOIN wt USING (bucket) GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                                    AS n_docs,
+           CAST(SUM(CASE WHEN s_cls > 0 THEN 1 ELSE 0 END) AS BIGINT)  AS n_pred_en,
+           CAST(SUM(CASE WHEN s_dsir > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+           CAST(SUM(CASE WHEN s_cls > 0 AND s_dsir > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                       AS n_selected,
+           CAST(SUM(CASE WHEN s_cls > 0 AND s_dsir > 0 THEN n_tokens ELSE 0 END)
+                AS BIGINT)                                             AS selected_tokens
+    FROM sc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "text", "features", "ml-prep", "pipeline", "report"),
+)
+def model_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of model-based curation: extract hashed
+    features ONCE, then apply EVERY model to the same feature table —
+    here the NB-style en-classifier and the DSIR target-affinity weights
+    merge into one dims-sized weight table (bucket, w_cls, w_dsir), one
+    broadcast join scores both per doc, and the per-source report counts
+    docs passing each gate and both (the actual selection rule) plus the
+    surviving token mass. Compare running hashed_nb_lang_classifier and
+    dsir_importance_scores standalone: two full token passes; this is
+    one (the dedup_reports materialize-once pattern applied to the
+    model-scoring layer). At 100 TB the token explode dominates
+    everything — k models cost the same pass as one. All arithmetic is
+    the same exact-integer algebra as the standalone entries, so the
+    driver hash doubles as a consistency proof between the composed and
+    standalone forms."""
+    from .operators.text import hashed_features
+
+    tf = hashed_features(
+        _t(spark, sf_dir, "documents"),
+        dims=32,
+        signed=False,
+        extra=["lang", "source"],
+    ).select("doc_id", "lang", "source", "bucket", F.col("weight").alias("w"))
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("w")).otherwise(0)).alias("pos_b"),
+        F.sum(F.when(F.col("lang") != "en", F.col("w")).otherwise(0)).alias("neg_b"),
+        F.sum(F.when(F.col("source") == "src0", F.col("w")).otherwise(0)).alias(
+            "t_b"
+        ),
+        F.sum("w").alias("r_b"),
+    )
+    tot = model.agg(
+        F.sum("pos_b").alias("t_pos"),
+        F.sum("neg_b").alias("t_neg"),
+        F.sum("t_b").alias("t_tot"),
+        F.sum("r_b").alias("r_tot"),
+    )
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
+        .cast("long")
+        .alias("w_cls"),
+        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
+        .cast("long")
+        .alias("w_dsir"),
+    )
+    sc = (
+        tf.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("w").cast("long").alias("n_tokens"),
+            F.sum(F.col("w") * F.col("w_cls")).cast("long").alias("s_cls"),
+            F.sum(F.col("w") * F.col("w_dsir")).cast("long").alias("s_dsir"),
+        )
+    )
+    sel = (F.col("s_cls") > 0) & (F.col("s_dsir") > 0)
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("s_cls") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred_en"),
+            F.sum(F.when(F.col("s_dsir") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_like"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("selected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

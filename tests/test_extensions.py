@@ -2741,3 +2741,21 @@ def test_vocab_growth_curve_totals(spark, sf_oracle):
     assert [r.vocab_size for r in rows] == [
         sum(x.new_terms for x in rows[: i + 1]) for i in range(len(rows))
     ]
+
+
+def test_model_curation_report_consistent_with_standalone_models(spark, sf_oracle):
+    """The composed report's per-gate counts equal what the standalone
+    classifier and DSIR entries imply — the materialize-once composition
+    changes the pass count, never the decisions."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    report = REGISTRY["model_curation_report"].fn(spark, sf_oracle).collect()
+    dsir = REGISTRY["dsir_importance_scores"].fn(spark, sf_oracle).collect()
+    n_target_like = sum(1 for r in dsir if r.importance > 0)
+    assert sum(r.n_target_like for r in report) == n_target_like
+    cls = REGISTRY["hashed_nb_lang_classifier"].fn(spark, sf_oracle).collect()
+    n_pred_en = sum(r.n_docs for r in cls if r.pred_en == 1)
+    assert sum(r.n_pred_en for r in report) == n_pred_en
+    assert all(r.n_selected <= min(r.n_pred_en, r.n_target_like) for r in report)

@@ -55,6 +55,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "join_size_forecast_orders_lineitem",
     "lorenz_curve_customer_spend",
     "vocab_growth_curve",
+    "model_curation_report",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
