@@ -154,6 +154,19 @@ EXTENDED = [
     "winsorized_order_totals",
     "multimodal_byte_features",
     "conversion_latency_stats",
+    # second r8 push: model-based data selection + planning tables
+    "feature_hash_docs",
+    "hashed_nb_lang_classifier",
+    "dsir_importance_scores",
+    "group_kfold_components",
+    "bloom_semi_lineitem_high_value",
+    "mad_outliers_orders",
+    "gini_customer_spend",
+    "lorenz_curve_customer_spend",
+    "bm25_self_retrieval_mrr",
+    "join_size_forecast_orders_lineitem",
+    "vocab_growth_curve",
+    "model_curation_report",
 ]
 
 
@@ -292,6 +305,30 @@ def _er(spark, sf_dir, cap):
     return blocked_fuzzy_pairs(cust, "c_custkey", "c_name", max_gram_df=cap)
 
 
+def _semijoin(spark, sf_dir, bloom: bool):
+    """Plain vs bloom-prefiltered left-semi: lineitems of the very top
+    orders (totalprice > 450k ⇒ ~0.6% of orders). The bloom's win is
+    probe-shuffle BYTES at cluster scale; single-JVM local[] has no
+    network, so this measures the filter's constant overhead against
+    whatever shuffle-volume saving survives in-process."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.relational import (
+        bloom_prefilter_semi_join,
+    )
+
+    li = catalog.table(spark, sf_dir, "lineitem")
+    build = (
+        catalog.table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    if bloom:
+        return bloom_prefilter_semi_join(li, build, "l_orderkey")
+    return li.join(build, "l_orderkey", "left_semi")
+
+
 def _globalrank_naive(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -388,6 +425,13 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         # is a single task sorting the whole table and does not finish).
         "skew_globalrank_naive": lambda: _globalrank_naive(spark, sf_dir),
         "skew_globalrank_twophase": lambda: _globalrank_twophase(spark, sf_dir),
+        # r8 late: explicit bloom pre-filter vs the plain left-semi on a
+        # highly selective build side (see _semijoin — local[] has no
+        # network, so the delta is the filter's constant cost vs the
+        # in-process shuffle-volume saving; at cluster scale the saved
+        # probe-shuffle bytes are the point).
+        "skew_semijoin_plain": lambda: _semijoin(spark, sf_dir, bloom=False),
+        "skew_semijoin_bloom": lambda: _semijoin(spark, sf_dir, bloom=True),
     }
     out: dict[str, float] = {}
     for name, build in variants.items():

@@ -131,6 +131,15 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "post-dedup corpus",
     )
     pp.add_argument(
+        "--model-filter",
+        default=None,
+        metavar="TARGET_SRC",
+        help="apply the model-based curation gate: keep only docs whose "
+        "corpus-fit language-classifier score AND DSIR affinity to "
+        "TARGET_SRC are both positive (one shared hashed-feature pass; "
+        "see model_curation_report for the per-source decision table)",
+    )
+    pp.add_argument(
         "--curriculum-phases",
         type=int,
         default=None,
@@ -336,6 +345,19 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                     .crossJoin(F.broadcast(cut))
                     .filter(F.col("typicality") >= F.col("__cut"))
                     .drop("typicality", "__cut")
+                )
+            if args.model_filter is not None:
+                # model gate AFTER the dedup ladder (scores should see the
+                # text that would train) and BEFORE decontamination: both
+                # models are corpus-fit on the surviving docs themselves
+                from .operators.text import model_scores
+
+                ms = model_scores(kept, target_source=args.model_filter)
+                kept = kept.join(
+                    ms.filter(
+                        (F.col("s_cls") > 0) & (F.col("s_dsir") > 0)
+                    ).select("doc_id"),
+                    "doc_id",
                 )
             flags = contamination_flags(kept, bench, k=5)
             clean = kept.join(

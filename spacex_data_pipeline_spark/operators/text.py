@@ -1628,3 +1628,63 @@ def hashed_features(
         F.sum("__s").cast("long").alias("weight")
     )
     return out.filter(F.col("weight") != 0) if signed else out
+
+
+def model_scores(
+    docs: DataFrame,
+    target_source: str,
+    dims: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    positive_lang: str = "en",
+) -> DataFrame:
+    """Per-document scores from the two corpus-fit linear models over ONE
+    shared hashed-feature pass (the queries.model_curation_report
+    composition, exposed for pipeline/CLI use): the NB-style
+    ``positive_lang`` discriminant (s_cls) and the DSIR-style
+    ``target_source`` affinity (s_dsir), both exact-integer cross-
+    difference weights (see hashed_nb_lang_classifier /
+    dsir_importance_scores for the algebra and its headroom bound).
+    Returns ``(id, source, n_tokens, s_cls, s_dsir)`` — a doc passes the
+    standard curation gate when BOTH scores are positive. Scale: one
+    (id, bucket) shuffle for tf, one dims-sized model broadcast back,
+    one id-keyed score aggregation; k models share the single pass."""
+    tf = hashed_features(
+        docs, dims=dims, id_col=id_col, text_col=text_col,
+        signed=False, extra=[lang_col, source_col],
+    ).select(
+        F.col(id_col), F.col(lang_col), F.col(source_col),
+        "bucket", F.col("weight").alias("w"),
+    )
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col(lang_col) == positive_lang, F.col("w")).otherwise(0)).alias("pos_b"),
+        F.sum(F.when(F.col(lang_col) != positive_lang, F.col("w")).otherwise(0)).alias("neg_b"),
+        F.sum(F.when(F.col(source_col) == target_source, F.col("w")).otherwise(0)).alias("t_b"),
+        F.sum("w").alias("r_b"),
+    )
+    tot = model.agg(
+        F.sum("pos_b").alias("t_pos"),
+        F.sum("neg_b").alias("t_neg"),
+        F.sum("t_b").alias("t_tot"),
+        F.sum("r_b").alias("r_tot"),
+    )
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
+        .cast("long")
+        .alias("w_cls"),
+        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
+        .cast("long")
+        .alias("w_dsir"),
+    )
+    return (
+        tf.join(F.broadcast(wt), "bucket")
+        .groupBy(F.col(id_col), F.col(source_col))
+        .agg(
+            F.sum("w").cast("long").alias("n_tokens"),
+            F.sum(F.col("w") * F.col("w_cls")).cast("long").alias("s_cls"),
+            F.sum(F.col("w") * F.col("w_dsir")).cast("long").alias("s_dsir"),
+        )
+    )

@@ -10302,46 +10302,9 @@ def model_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact-integer algebra as the standalone entries, so the
     driver hash doubles as a consistency proof between the composed and
     standalone forms."""
-    from .operators.text import hashed_features
+    from .operators.text import model_scores
 
-    tf = hashed_features(
-        _t(spark, sf_dir, "documents"),
-        dims=32,
-        signed=False,
-        extra=["lang", "source"],
-    ).select("doc_id", "lang", "source", "bucket", F.col("weight").alias("w"))
-    model = tf.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", F.col("w")).otherwise(0)).alias("pos_b"),
-        F.sum(F.when(F.col("lang") != "en", F.col("w")).otherwise(0)).alias("neg_b"),
-        F.sum(F.when(F.col("source") == "src0", F.col("w")).otherwise(0)).alias(
-            "t_b"
-        ),
-        F.sum("w").alias("r_b"),
-    )
-    tot = model.agg(
-        F.sum("pos_b").alias("t_pos"),
-        F.sum("neg_b").alias("t_neg"),
-        F.sum("t_b").alias("t_tot"),
-        F.sum("r_b").alias("r_tot"),
-    )
-    wt = model.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
-        .cast("long")
-        .alias("w_cls"),
-        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
-        .cast("long")
-        .alias("w_dsir"),
-    )
-    sc = (
-        tf.join(F.broadcast(wt), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("w").cast("long").alias("n_tokens"),
-            F.sum(F.col("w") * F.col("w_cls")).cast("long").alias("s_cls"),
-            F.sum(F.col("w") * F.col("w_dsir")).cast("long").alias("s_dsir"),
-        )
-    )
+    sc = model_scores(_t(spark, sf_dir, "documents"), target_source="src0")
     sel = (F.col("s_cls") > 0) & (F.col("s_dsir") > 0)
     return (
         sc.groupBy("source")

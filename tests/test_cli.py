@@ -328,3 +328,41 @@ def test_cli_index_update_and_tombstone(spark, sf_oracle, tmp_path, capsys):
             ],
             _spark=spark,
         )
+
+
+def test_cli_prep_training_model_filter_flag(spark, sf_oracle, tmp_path):
+    """--model-filter: every shipped doc passes BOTH model gates (the
+    classifier and the DSIR affinity, re-fit on the gated corpus'
+    parent), and the output is a subset of the unfiltered run."""
+    out = str(tmp_path / "mf_shards")
+    assert (
+        main(
+            [
+                "prep-training",
+                "--sf-dir",
+                sf_oracle,
+                "--out",
+                out,
+                "--shards",
+                "2",
+                "--model-filter",
+                "src0",
+            ],
+            _spark=spark,
+        )
+        == 0
+    )
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert n > 0
+    out_plain = str(tmp_path / "plain_shards")
+    assert (
+        main(
+            ["prep-training", "--sf-dir", sf_oracle, "--out", out_plain, "--shards", "2"],
+            _spark=spark,
+        )
+        == 0
+    )
+    plain_ids = {r.doc_id for r in spark.read.parquet(out_plain).select("doc_id").collect()}
+    got_ids = {r.doc_id for r in back.select("doc_id").collect()}
+    assert got_ids < plain_ids  # strict subset: the gate dropped someone
