@@ -1630,6 +1630,59 @@ def hashed_features(
     return out.filter(F.col("weight") != 0) if signed else out
 
 
+def model_weights(
+    docs: DataFrame,
+    target_source: str,
+    dims: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    positive_lang: str = "en",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """The dims-sized weight table both corpus-fit linear models share:
+    ``(bucket, w_cls, w_dsir)`` — the classifier cross-difference and the
+    DSIR affinity cross-difference (see model_scores). Fit ONCE on a
+    corpus snapshot, then broadcast to batch scorers (model_scores) or
+    pack into one row for the stateless streaming gate
+    (streaming.filters.pack_model_weights / model_gate_stream).
+
+    ``tf`` may pass a precomputed hashed-feature table
+    ``(id, lang, source, bucket, w)`` so fit and scoring share one
+    subtree (model_scores does — the identical exchange is then reused
+    by Spark instead of re-tokenizing)."""
+    if tf is None:
+        tf = hashed_features(
+            docs, dims=dims, id_col=id_col, text_col=text_col,
+            signed=False, extra=[lang_col, source_col],
+        ).select(
+            F.col(id_col), F.col(lang_col), F.col(source_col),
+            "bucket", F.col("weight").alias("w"),
+        )
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col(lang_col) == positive_lang, F.col("w")).otherwise(0)).alias("pos_b"),
+        F.sum(F.when(F.col(lang_col) != positive_lang, F.col("w")).otherwise(0)).alias("neg_b"),
+        F.sum(F.when(F.col(source_col) == target_source, F.col("w")).otherwise(0)).alias("t_b"),
+        F.sum("w").alias("r_b"),
+    )
+    tot = model.agg(
+        F.sum("pos_b").alias("t_pos"),
+        F.sum("neg_b").alias("t_neg"),
+        F.sum("t_b").alias("t_tot"),
+        F.sum("r_b").alias("r_tot"),
+    )
+    return model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
+        .cast("long")
+        .alias("w_cls"),
+        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
+        .cast("long")
+        .alias("w_dsir"),
+    )
+
+
 def model_scores(
     docs: DataFrame,
     target_source: str,
@@ -1658,26 +1711,10 @@ def model_scores(
         F.col(id_col), F.col(lang_col), F.col(source_col),
         "bucket", F.col("weight").alias("w"),
     )
-    model = tf.groupBy("bucket").agg(
-        F.sum(F.when(F.col(lang_col) == positive_lang, F.col("w")).otherwise(0)).alias("pos_b"),
-        F.sum(F.when(F.col(lang_col) != positive_lang, F.col("w")).otherwise(0)).alias("neg_b"),
-        F.sum(F.when(F.col(source_col) == target_source, F.col("w")).otherwise(0)).alias("t_b"),
-        F.sum("w").alias("r_b"),
-    )
-    tot = model.agg(
-        F.sum("pos_b").alias("t_pos"),
-        F.sum("neg_b").alias("t_neg"),
-        F.sum("t_b").alias("t_tot"),
-        F.sum("r_b").alias("r_tot"),
-    )
-    wt = model.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
-        .cast("long")
-        .alias("w_cls"),
-        (F.col("t_b") * F.col("r_tot") - F.col("r_b") * F.col("t_tot"))
-        .cast("long")
-        .alias("w_dsir"),
+    wt = model_weights(
+        docs, target_source, dims=dims, id_col=id_col, text_col=text_col,
+        lang_col=lang_col, source_col=source_col, positive_lang=positive_lang,
+        tf=tf,
     )
     return (
         tf.join(F.broadcast(wt), "bucket")

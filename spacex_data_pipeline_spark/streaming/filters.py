@@ -143,3 +143,76 @@ def typicality_stream(
             / (F.col("__tt").cast("double") * n.cast("double")),
         ).alias("typicality"),
     )
+
+
+def pack_model_weights(weights: DataFrame, dims: int = 32) -> DataFrame:
+    """ONE row holding both model weight vectors as dims-element arrays
+    (position = bucket) — the broadcastable form of
+    ``operators.text.model_weights``'s output for the stateless
+    streaming gate. Fit offline on a corpus snapshot, pack once, reuse
+    across micro-batches (the pack_benchmark_shingles pattern). Buckets
+    absent from the fit corpus weigh 0."""
+    filled = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.map_from_entries(F.col("__m")), b), F.lit(0).cast("long")
+        ),
+    )
+    packed = weights.agg(
+        F.collect_list(F.struct(F.col("bucket").cast("long"), F.col("w_cls"))).alias(
+            "__m"
+        ),
+        F.collect_list(
+            F.struct(F.col("bucket").cast("long"), F.col("w_dsir"))
+        ).alias("__m2"),
+    )
+    return packed.select(
+        filled.alias("w_cls_arr"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.map_from_entries(F.col("__m2")), b),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("w_dsir_arr"),
+    )
+
+
+def model_gate_stream(
+    docs: DataFrame,
+    weights_packed: DataFrame,
+    dims: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based curation ON ARRIVAL: each document's classifier and
+    DSIR scores computed as a PER-ROW fold over its tokens against the
+    broadcast packed weight vectors — no per-doc groupBy, no state, no
+    watermark; restarts are free (the training_filter_stream
+    discipline). Emits ``(id, s_cls, s_dsir, keep)`` with
+    keep := both scores positive — the same gate prep-training's
+    --model-filter applies in batch.
+
+    Exactness: Σ_token w[bucket(token)] ≡ Σ_bucket tf·w_b — integer
+    addition is associative, so the per-row fold equals the batch
+    aggregation EXACTLY for any token order (replay == batch proven in
+    tests/test_streaming.py). The md5 bucket is the same
+    oracle-replayable hash the batch path uses."""
+    from ..functions.hashing import md5_int60
+    from ..operators.text import tokens
+
+    t = docs.withColumn("__toks", tokens(F.col(text_col)))
+    buckets = F.transform(
+        F.col("__toks"), lambda tok: (md5_int60(tok) % dims).cast("int")
+    )
+    t = t.crossJoin(F.broadcast(weights_packed)).withColumn("__b", buckets)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        F.col("__b"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(F.col(arr), b + 1),
+    )
+    return t.select(
+        F.col(id_col),
+        fold("w_cls_arr").alias("s_cls"),
+        fold("w_dsir_arr").alias("s_dsir"),
+    ).withColumn("keep", (F.col("s_cls") > 0) & (F.col("s_dsir") > 0))

@@ -592,3 +592,45 @@ def test_stream_cms_cells_match_batch_grid(spark, sf_oracle, landed_events, tmp_
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_model_gate_matches_batch(spark, sf_oracle, tmp_path):
+    """The stateless per-row model gate replays the batch model_scores
+    decisions EXACTLY on arrival: offline-fit weights packed into one
+    broadcast row, scores folded per document token — integer addition
+    is associative, so stream == batch bit-for-bit; docs with no tokens
+    score (0, 0) and are dropped by the gate the same way the batch
+    filter drops them (no positive score)."""
+    from spacex_data_pipeline_spark.operators.text import model_scores, model_weights
+    from spacex_data_pipeline_spark.streaming.filters import (
+        model_gate_stream,
+        pack_model_weights,
+    )
+    from spacex_data_pipeline_spark.streaming.ingest import run_available_now
+
+    docs = catalog.table(spark, sf_oracle, "documents")
+    packed = pack_model_weights(model_weights(docs, "src0"))
+
+    land = str(tmp_path / "docs_gate")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(land)
+    )
+    out = model_gate_stream(stream, packed)
+    assert out.isStreaming
+    run_available_now(out, str(tmp_path / "ck_gate"), "gate_out")
+
+    got = {
+        r.doc_id: (r.s_cls, r.s_dsir, r.keep) for r in spark.table("gate_out").collect()
+    }
+    want = {
+        r.doc_id: (r.s_cls, r.s_dsir)
+        for r in model_scores(docs, "src0").collect()
+    }
+    assert len(got) == docs.count()
+    for did, (s_cls, s_dsir) in want.items():
+        g = got[did]
+        assert (g[0], g[1]) == (s_cls, s_dsir)
+        assert g[2] == (s_cls > 0 and s_dsir > 0)
