@@ -463,44 +463,39 @@ def bloom_prefilter_semi_join(
     probe: DataFrame,
     build: DataFrame,
     key: str,
-    m: int = 8192,
+    m: int = 1 << 16,
     k: int = 4,
 ) -> DataFrame:
     """LEFT SEMI join with an explicit broadcast Bloom pre-filter: the
-    build side's keys set k md5-derived bit positions in an m-bit filter
-    (materialized as the distinct-position array of ONE aggregated row),
-    the filter broadcasts, and probe rows whose k positions aren't all
-    set drop BEFORE the join's shuffle. Blooms have no false negatives,
-    so the result is EXACTLY ``probe.join(build, key, "left_semi")`` —
-    the filter only cuts shuffle volume.
+    build side's keys fold into an m-bit word-packed bitmap
+    (dedup.bloom_build — distributed bit_or assembly, ONE broadcast row
+    of ``map<int, bigint>``), and probe rows failing the k bit tests
+    drop BEFORE the join's shuffle. Blooms have no false negatives, so
+    the result is EXACTLY ``probe.join(build, key, "left_semi")`` — the
+    filter only cuts shuffle volume.
 
     Spark's optimizer injects the same shape itself (runtime row-level
     filtering) when statistics justify it; the explicit operator exists
     for when the build side is known-selective up front, or when the
     filter should be BUILT ONCE and reused across many probe queries
-    (persist the one-row position-array DF — it is engine-portable plain
-    data, unlike Spark's internal BloomFilter binary).
+    (persist the one-row word-map DF — plain data any engine can read,
+    unlike Spark's internal BloomFilter binary).
 
-    Scale: the build side reduces to ≤m distinct positions (a ≤m-element
-    int array, ~32 KB at the 8192 default — broadcastable at any build
-    cardinality); the probe side evaluates k array_contains per row
-    map-side. False-positive rate follows the standard (1-e^(-kn/m))^k —
-    size m ≥ ~10 bits/key for ~1% FP; survivors still pass through the
-    exact semi join, so FP only costs shuffle bytes, never correctness.
-    """
-    from ..functions.hashing import md5_int60
+    The probe test is O(k) per row — k map lookups + bitwise ANDs
+    (dedup.bloom_might_contain), never a scan of the filter. The first
+    cut of this operator kept the set positions as a plain array and
+    probed with array_contains: an O(m) scan per probe that benched at
+    50 s vs ~1 s for the plain join at sf0.1 — the word-packed bitmap
+    is not an optimization but the difference between a filter and a
+    self-inflicted cross product. FPR follows (1-e^(-kn/m))^k — size
+    m ≥ ~10 bits/key; false positives still pass the exact semi join,
+    so they cost shuffle bytes, never correctness."""
+    from .dedup import bloom_build, bloom_might_contain
 
-    seeds = F.array(*[F.lit(i) for i in range(k)])
-    positions = lambda c: F.transform(  # noqa: E731
-        seeds, lambda s: md5_int60(F.concat(s.cast("string"), F.lit(":"), c.cast("string"))) % m
-    )
-    bf = (
-        build.select(F.explode(positions(F.col(key))).alias("__p"))
-        .agg(F.collect_set("__p").alias("__bf"))
-    )
+    bf = bloom_build(build, key, m_bits=m, k_hashes=k)
     pre = (
         probe.crossJoin(F.broadcast(bf))
-        .filter(F.forall(positions(F.col(key)), lambda p: F.array_contains(F.col("__bf"), p)))
-        .drop("__bf")
+        .filter(bloom_might_contain(key, m_bits=m, k_hashes=k))
+        .drop("__bloom")
     )
     return pre.join(build.select(key), key, "left_semi")

@@ -2567,22 +2567,19 @@ def test_bloom_prefilter_semi_join_exact_and_pruning(spark):
     assert got == want and len(want) == 100
 
     # measure the pre-filter's survivor count (re-derive the filter stage)
-    m, k = 8192, 4
-    seeds = F.array(*[F.lit(i) for i in range(k)])
-    pos = lambda c: F.transform(  # noqa: E731
-        seeds,
-        lambda s: md5_int60(F.concat(s.cast("string"), F.lit(":"), c.cast("string")))
-        % m,
+    from spacex_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
     )
-    bf = build.select(F.explode(pos(F.col("k"))).alias("p")).agg(
-        F.collect_set("p").alias("bf")
-    )
+
+    m, k = 1 << 16, 4
+    bf = bloom_build(build, "k", m_bits=m, k_hashes=k)
     survivors = (
         probe.crossJoin(F.broadcast(bf))
-        .filter(F.forall(pos(F.col("k")), lambda p: F.array_contains(F.col("bf"), p)))
+        .filter(bloom_might_contain("k", m_bits=m, k_hashes=k))
         .count()
     )
-    # 100 true + FP: with n=100 keys, m=8192, k=4 the FP rate is ~1e-5 —
+    # 100 true + FP: with n=100 keys, m=65536, k=4 the FP rate is ~1e-9 —
     # allow a loose bound so the assertion is about pruning, not exact FP
     assert 100 <= survivors <= 120
 

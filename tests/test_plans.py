@@ -821,11 +821,14 @@ def test_concentration_curves_use_two_phase_rank(spark, sf):
 
 def test_bloom_semi_join_filters_before_the_join(spark, sf):
     """The bloom entry's plan must carry the broadcast membership
-    pre-filter (a forall over the position array) AND still end in a
-    real left-semi join — the filter cuts shuffle volume, the join
-    guarantees exactness."""
+    pre-filter — k O(1) word-map bit tests (element_at on the __bloom
+    map), NEVER an O(m) array scan (the array_contains first cut
+    benched 50× slower than the plain join) — AND still end in a real
+    left-semi join: the filter cuts shuffle volume, the join guarantees
+    exactness."""
     plan = plan_of(REGISTRY["bloom_semi_lineitem_high_value"].fn(spark, sf))
-    assert "forall" in plan, "bloom membership pre-filter missing from plan"
+    assert "element_at(__bloom" in plan, "bloom word-map bit test missing"
+    assert "array_contains" not in plan, "O(m) array-scan probe regressed"
     assert "LeftSemi" in plan, "exact left-semi join missing from plan"
 
 
