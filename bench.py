@@ -167,6 +167,7 @@ EXTENDED = [
     "join_size_forecast_orders_lineitem",
     "vocab_growth_curve",
     "model_curation_report",
+    "cusum_changepoint_events",
 ]
 
 

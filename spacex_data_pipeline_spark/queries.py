@@ -10325,6 +10325,78 @@ def model_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tot AS (SELECT SUM(c) AS t, CAST(COUNT(*) AS BIGINT) AS h_n FROM hc),
+    d AS (
+      SELECT hc.hour, CAST(hc.c * tot.h_n - tot.t AS BIGINT) AS dev,
+             tot.h_n, CAST(tot.t AS BIGINT) AS total_events
+      FROM hc, tot),
+    s AS (
+      SELECT hour, h_n, total_events,
+             CAST(SUM(dev) OVER (ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cusum
+      FROM d)
+    SELECT hour AS changepoint_hour, cusum,
+           CAST(abs(cusum) AS BIGINT) AS abs_cusum,
+           h_n AS n_hours, total_events
+    FROM s ORDER BY abs(cusum) DESC, hour LIMIT 1
+    """,
+    tags=("extension", "agg", "window", "timeseries", "analytics"),
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate for the event stream: hourly counts'
+    scaled deviations from the global mean (dev_h = c_h·H − T — integer
+    cross-multiplication instead of subtracting a fractional mean, so
+    the cumulative sum is an exact BIGINT that provably returns to 0)
+    accumulate left-to-right, and the hour where |cusum| peaks is the
+    classic estimate of WHERE the rate shifted (complements
+    event_rate_anomalies' trailing-window z-scores, which find local
+    spikes but not the sustained level change). Scale: the raw stream
+    reduces map-side to the HOURLY table first — |hours| rows is
+    calendar-bounded (≈9k/year) at any data size, so the ordered
+    cumulative window runs on a dimension-sized frame, the sanctioned
+    bounded-window class (dau_wau discipline); the top-1 is
+    TakeOrderedAndProject. One data-sized shuffle total (the hourly
+    groupBy)."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hc.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).cast("long").alias("h_n")
+    )
+    d = hc.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        (F.col("c") * F.col("h_n") - F.col("t")).cast("long").alias("dev"),
+        "h_n",
+        F.col("t").cast("long").alias("total_events"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    s = d.select(
+        "hour",
+        "h_n",
+        "total_events",
+        F.sum("dev").over(w).cast("long").alias("cusum"),
+    )
+    return (
+        s.select(
+            F.col("hour").alias("changepoint_hour"),
+            "cusum",
+            F.abs(F.col("cusum")).cast("long").alias("abs_cusum"),
+            F.col("h_n").alias("n_hours"),
+            "total_events",
+        )
+        .orderBy(F.col("abs_cusum").desc(), "changepoint_hour")
+        .limit(1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

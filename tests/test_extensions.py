@@ -2756,3 +2756,37 @@ def test_model_curation_report_consistent_with_standalone_models(spark, sf_oracl
     n_pred_en = sum(r.n_docs for r in cls if r.pred_en == 1)
     assert sum(r.n_pred_en for r in report) == n_pred_en
     assert all(r.n_selected <= min(r.n_pred_en, r.n_target_like) for r in report)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """A stream whose rate doubles halfway through has its |CUSUM| peak
+    exactly at the last pre-shift hour, and the deviations provably sum
+    to zero (the exact-integer cross-multiplication)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 2 if h < 24 else 4  # rate doubles at hour 24
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hc.agg(F.sum("c").alias("t"), F.count(F.lit(1)).cast("long").alias("h_n"))
+    d = hc.crossJoin(F.broadcast(tot)).select(
+        "hour", (F.col("c") * F.col("h_n") - F.col("t")).cast("long").alias("dev")
+    )
+    assert d.agg(F.sum("dev")).collect()[0][0] == 0
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    s = d.select("hour", F.sum("dev").over(w).alias("cusum")).collect()
+    peak = max(s, key=lambda r: (abs(r.cusum), -r.hour.timestamp()))
+    assert peak.hour == base + dt.timedelta(hours=23)  # last pre-shift hour

@@ -641,3 +641,40 @@ def test_bloom_never_false_negative_for_any_keys(keys, m_bits, k_hashes):
         .count()
     )
     assert passed == len(keys)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hashed_features_match_python_reference(texts):
+    """For ANY corpus, the signed hashing-trick table equals a direct
+    Python model of bucket = md5₆₀(token) % dims / sign = next hash bit —
+    the md5 arithmetic, the signed sum, and the zero-cancellation drop
+    all replayed independently."""
+    import hashlib
+    from collections import defaultdict
+
+    from spacex_data_pipeline_spark.operators.text import hashed_features
+
+    dims = 8
+    spark = _get_spark()
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bucket): r.weight
+        for r in hashed_features(docs, dims=dims, signed=True).collect()
+    }
+
+    want: dict = defaultdict(int)
+    for did, text in enumerate(texts):
+        toks = text.split()
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            sign = -1 if h % (2 * dims) >= dims else 1
+            want[(did, h % dims)] += sign
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want

@@ -56,6 +56,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "lorenz_curve_customer_spend",
     "vocab_growth_curve",
     "model_curation_report",
+    "cusum_changepoint_events",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
