@@ -10397,6 +10397,99 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ab_grp(user: F.Column) -> F.Column:
+    """Deterministic 2-arm experiment assignment — sampling.hash_bucket
+    with the 'ab' seed (pure function of the unit id)."""
+    from .operators.sampling import hash_bucket
+
+    return hash_bucket(user, "ab", 2)
+
+
+@register(
+    "ab_test_purchase_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS grp,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+             MAX(CASE WHEN grp = 0 THEN c END) AS c0,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN c END) AS c1
+      FROM g)
+    SELECT n0 AS n_control, c0 AS conv_control,
+           n1 AS n_treat,   c1 AS conv_treat,
+           CAST(CAST(c0 AS DOUBLE) / n0 AS DOUBLE) AS rate_control,
+           CAST(CAST(c1 AS DOUBLE) / n1 AS DOUBLE) AS rate_treat,
+           CAST((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                              * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                              * (1.0 / n0 + 1.0 / n1)), 0) AS DOUBLE) AS z_score
+    FROM w
+    """,
+    tags=("extension", "agg", "analytics", "experiment"),
+)
+def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis as a query: users deterministically bucketed
+    into control/treatment by the md5 assignment hash (the SAME
+    bucketing discipline every deterministic sampler here uses — at
+    100 TB assignment must be a pure function of the unit id, never a
+    stored table), per-user conversion = any purchase event, and the
+    two-proportion pooled z-score. Float discipline: every step — the
+    two rates, the pooled p̂, the variance product, sqrt, the final
+    divide — is a single correctly-rounded IEEE op on an expression
+    tree written IDENTICALLY in both engines, so the z hash-compares
+    exactly (sqrt is correctly rounded per IEEE 754, the
+    mixture_temperature_sampling precedent). Scale: one (user) shuffle
+    for the per-user reduction, a 2-row group table, a 1-row pivot —
+    everything after the first aggregate is constant-sized."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv")
+        )
+        .select(_ab_grp(F.col("user_id")).alias("grp"), "conv")
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("c"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    phat = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        phat * (F.lit(1.0) - phat) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    z = (p1 - p0) / F.nullif(se, F.lit(0.0))
+    return w.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treat"),
+        F.col("c1").alias("conv_treat"),
+        p0.alias("rate_control"),
+        p1.alias("rate_treat"),
+        z.alias("z_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #
