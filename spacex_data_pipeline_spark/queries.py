@@ -10490,6 +10490,339 @@ def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chi_square_arm_event_mix",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS arm,
+             event_type FROM events),
+    cells AS (
+      SELECT arm, event_type, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY 1, 2),
+    tot AS (
+      SELECT arm, event_type, o,
+             SUM(o) OVER (PARTITION BY arm) AS r,
+             SUM(o) OVER (PARTITION BY event_type) AS c,
+             SUM(o) OVER () AS n FROM cells),
+    terms AS (
+      SELECT arm, event_type, o,
+             CAST(n * o - r * c AS DOUBLE) AS t,
+             CAST(n AS DOUBLE) AS nd, CAST(r AS DOUBLE) AS rd,
+             CAST(c AS DOUBLE) AS cd
+      FROM tot)
+    SELECT CAST(SUM(o) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT arm) - 1)
+                * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+           CAST(list_reduce(
+                  list_transform(
+                    list_sort(list({'a': arm, 'e': event_type,
+                                    't': t * t / (nd * rd * cd)})),
+                    s -> s.t),
+                  (x, y) -> x + y) AS DOUBLE) AS chi2
+    FROM terms
+    """,
+    tags=("extension", "agg", "analytics", "experiment"),
+)
+def chi_square_arm_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between the deterministic
+    A/B arm and the event-type mix — the assignment-health check (an
+    SRM-style screen: a healthy hash assignment should NOT predict what
+    users do). Exactness discipline: every cell's contribution is the
+    integer-algebra form (N·O − r·c)² / (N·r·c) — the observed counts,
+    margins and their products stay exact BIGINTs, and each cell's term
+    is then a fixed 4-op double tree. The χ² sum itself folds LEFT TO
+    RIGHT over the cells sorted by (arm, event_type) — the dot_ltr
+    discipline (float addition is order-sensitive; a plain SUM would be
+    partition-order nondeterministic), so both engines produce the same
+    bits. Scale: one shuffle to the |arms|×|types| cell table (bounded
+    by the vocabulary, never the data); margins attach as broadcast
+    joins of 2- and 5-row tables; the fold runs over ≤10 cells."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(_ab_grp(F.col("user_id")).alias("arm"), "event_type")
+        .groupBy("arm", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    r = cells.groupBy("arm").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("event_type").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    t = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    term = (t * t) / (
+        F.col("n").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(r), "arm")
+        .join(F.broadcast(c), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "arm", "event_type", "o",
+            F.struct(
+                F.col("arm").alias("a"),
+                F.col("event_type").alias("e"),
+                term.alias("t"),
+            ).alias("cell"),
+        )
+    )
+    return terms.agg(
+        F.sum("o").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("arm") - 1) * (F.countDistinct("event_type") - 1)
+        ).cast("long").alias("dof"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list("cell")), lambda s: s["t"]
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "cuped_adjusted_lift_spend",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS grp,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN CAST(o_totalprice AS DECIMAL(8,2))
+                           ELSE CAST(0 AS DECIMAL(8,2)) END) * 100 AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                           THEN CAST(o_totalprice AS DECIMAL(8,2))
+                           ELSE CAST(0 AS DECIMAL(8,2)) END) * 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+             SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      FROM o GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+             MAX(CASE WHEN grp = 0 THEN sx END) AS sx0,
+             MAX(CASE WHEN grp = 0 THEN sy END) AS sy0,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN sx END) AS sx1,
+             MAX(CASE WHEN grp = 1 THEN sy END) AS sy1,
+             CAST(SUM(n) AS DOUBLE) AS nd,
+             CAST(SUM(sx) AS DOUBLE) AS sxd,
+             CAST(SUM(sy) AS DOUBLE) AS syd,
+             CAST(SUM(sxy) AS DOUBLE) AS sxyd,
+             CAST(SUM(sxx) AS DOUBLE) AS sxxd
+      FROM g)
+    SELECT n0 AS n_control, n1 AS n_treat,
+           CAST((nd * sxyd - sxd * syd)
+                / NULLIF(nd * sxxd - sxd * sxd, 0) AS DOUBLE) AS theta,
+           CAST(CAST(sy1 AS DOUBLE) / n1
+                - CAST(sy0 AS DOUBLE) / n0 AS DOUBLE) AS raw_lift_cents,
+           CAST((CAST(sy1 AS DOUBLE) / n1
+                 - ((nd * sxyd - sxd * syd)
+                    / NULLIF(nd * sxxd - sxd * sxd, 0))
+                   * (CAST(sx1 AS DOUBLE) / n1 - sxd / nd))
+                - (CAST(sy0 AS DOUBLE) / n0
+                   - ((nd * sxyd - sxd * syd)
+                      / NULLIF(nd * sxxd - sxd * sxd, 0))
+                     * (CAST(sx0 AS DOUBLE) / n0 - sxd / nd))
+                AS DOUBLE) AS cuped_lift_cents
+    FROM w
+    """,
+    tags=("extension", "agg", "analytics", "experiment"),
+)
+def cuped_adjusted_lift_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced lift estimate (Deng et al., WSDM'13 —
+    public methodology): per-customer post-period spend adjusted by the
+    pre-period covariate, θ = cov(x,y)/var(x), lift = difference of
+    adjusted arm means. Exactness: spend folds to integer CENTS through
+    the DECIMAL(8,2) money snap, the five sufficient statistics (n, Σx,
+    Σy, Σxy, Σx²) aggregate as exact integers/decimals (the cross
+    products widen through DECIMAL(18,0)² so no 2^63 overflow), and θ /
+    the adjusted means are scalar double trees written identically in
+    both engines — the aggregate-exactly-then-float-once discipline
+    every stats entry here follows. Scale: one custkey shuffle for the
+    per-unit reduction, a 2-row arm table, a 1-row pivot; the covariate
+    adjustment costs nothing extra at 100 TB because the sufficient
+    statistics ride the same aggregate."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") < cutoff, dec_money("o_totalprice")
+                    ).otherwise(F.lit(0).cast("decimal(8,2)"))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("x"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= cutoff, dec_money("o_totalprice")
+                    ).otherwise(F.lit(0).cast("decimal(8,2)"))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(_ab_grp(F.col("o_custkey")).alias("grp"), "x", "y")
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("grp") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sy"))).alias("sy1"),
+        F.sum("n").cast("double").alias("nd"),
+        F.sum("sx").cast("double").alias("sxd"),
+        F.sum("sy").cast("double").alias("syd"),
+        F.sum("sxy").cast("double").alias("sxyd"),
+        F.sum("sxx").cast("double").alias("sxxd"),
+    )
+    theta = (F.col("nd") * F.col("sxyd") - F.col("sxd") * F.col("syd")) / F.nullif(
+        F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd"), F.lit(0.0)
+    )
+    xbar = F.col("sxd") / F.col("nd")
+    y0m = F.col("sy0").cast("double") / F.col("n0")
+    y1m = F.col("sy1").cast("double") / F.col("n1")
+    x0m = F.col("sx0").cast("double") / F.col("n0")
+    x1m = F.col("sx1").cast("double") / F.col("n1")
+    return w.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        theta.alias("theta"),
+        (y1m - y0m).alias("raw_lift_cents"),
+        (
+            (y1m - theta * (x1m - xbar)) - (y0m - theta * (x0m - xbar))
+        ).alias("cuped_lift_cents"),
+    )
+
+
+@register(
+    "mann_whitney_spend_by_arm",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS grp,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    vals AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(grp) AS BIGINT) AS cnt1
+      FROM u GROUP BY 1),
+    ranked AS (
+      SELECT v, cnt, cnt1,
+             CAST(SUM(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cnt AS BIGINT) AS cum_before
+      FROM vals),
+    s AS (
+      SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+             CAST(SUM(cnt - cnt1) AS BIGINT) AS n0,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt1 * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2_1,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM ranked)
+    SELECT n0 AS n_control, n1 AS n_treat,
+           CAST(CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS DOUBLE) AS u_stat,
+           CAST((CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 - CAST(n1 * n0 AS DOUBLE) / 2.0)
+                / NULLIF(sqrt((CAST(n1 * n0 AS DOUBLE) / 12.0)
+                              * (CAST(n + 1 AS DOUBLE)
+                                 - CAST(tie3 AS DOUBLE)
+                                   / CAST(n * (n - 1) AS DOUBLE))), 0)
+                AS DOUBLE) AS z_score
+    FROM s
+    """,
+    tags=("extension", "agg", "analytics", "experiment", "window"),
+)
+def mann_whitney_spend_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on per-customer total spend between
+    the deterministic A/B arms — the nonparametric companion to the
+    CUPED/z entries for metrics too skewed for a mean test. Exactness:
+    spend folds to integer cents; ranks never materialize per row —
+    tie groups carry (cnt, cnt_treat) and the doubled average rank
+    2·r̄(v) = 2·cum_before + cnt + 1 stays an exact BIGINT, so the treat
+    rank-sum, U, and the tie-correction Σ(t³−t) are exact integers; the
+    normal-approximation z is the one scalar double tree at the end.
+    Scale: per-customer reduction (one custkey shuffle) → tie-group
+    table keyed by distinct spend (bounded by |distinct values| ≤
+    |customers|) → the cumulative count runs through
+    relational.global_running_sum's two-phase prefix scan (grain =
+    10k-dollar spend bucket), NOT an unpartitioned window — every
+    reducer bounded by a bucket, the offset table by the value range."""
+    u = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(dec_money("o_totalprice")) * 100).cast("long").alias("v")
+        )
+        .select(_ab_grp(F.col("o_custkey")).alias("grp"), "v")
+    )
+    vals = u.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("grp").cast("long").alias("cnt1"),
+    )
+    ranked = relational.global_running_sum(
+        vals,
+        grain=F.floor(F.col("v") / F.lit(1_000_000)),
+        order=[F.col("v")],
+        value=F.col("cnt"),
+        value_alias="__run",
+        count_alias="__rn",
+    ).withColumn("cum_before", (F.col("__run") - F.col("cnt")).cast("long"))
+    s = ranked.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n0"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt1") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2_1"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    u_stat = (F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / F.lit(
+        2.0
+    )
+    mu = (F.col("n1") * F.col("n0")).cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        ((F.col("n1") * F.col("n0")).cast("double") / F.lit(12.0))
+        * (
+            (F.col("n") + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        )
+    )
+    return s.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        u_stat.alias("u_stat"),
+        ((u_stat - mu) / F.nullif(sigma, F.lit(0.0))).alias("z_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

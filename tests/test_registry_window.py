@@ -57,6 +57,10 @@ NEW_AWAITING_WINDOW: set[str] = {
     "vocab_growth_curve",
     "model_curation_report",
     "cusum_changepoint_events",
+    "ab_test_purchase_conversion",
+    "chi_square_arm_event_mix",
+    "cuped_adjusted_lift_spend",
+    "mann_whitney_spend_by_arm",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
