@@ -10823,6 +10823,279 @@ def mann_whitney_spend_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_CELLS_SQL = """
+    b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT)
+               // 5000000 AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+               AS period
+      FROM orders),
+    cells AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM b GROUP BY 1),
+    t AS (
+      SELECT bucket, a, d,
+             SUM(a) OVER () AS n, SUM(d) OVER () AS m
+      FROM cells)"""
+
+
+def _drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared head of the drift entries: orders bucketed by exact price
+    cents (50k-dollar bands) × early/late period, with the two period
+    totals attached as a broadcast 1-row cross join."""
+    o = _t(spark, sf_dir, "orders").select(
+        ((dec_money("o_totalprice") * 100).cast("long") / F.lit(5_000_000))
+        .cast("long")
+        .alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    cells = o.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    totals = cells.agg(
+        F.sum("a").cast("long").alias("n"), F.sum("d").cast("long").alias("m")
+    )
+    return cells.crossJoin(F.broadcast(totals))
+
+
+@register(
+    "distribution_drift_orders",
+    oracle="WITH "
+    + _DRIFT_CELLS_SQL
+    + """
+    SELECT bucket, a AS n_early, d AS n_late,
+           CAST(CAST(a AS DOUBLE) / n AS DOUBLE) AS share_early,
+           CAST(CAST(d AS DOUBLE) / m AS DOUBLE) AS share_late,
+           CAST(abs(a * m - d * n) AS BIGINT) AS abs_diff_scaled
+    FROM t ORDER BY bucket
+    """,
+    tags=("extension", "agg", "quality", "drift", "report"),
+)
+def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket distribution drift between the early (<1998) and late
+    order cohorts: exact integer counts per 50k-dollar price band, the
+    two shares (each ONE double division), and the cross-multiplied
+    |a·m − d·n| drift numerator kept as an exact BIGINT — the common
+    denominator n·m is deferred to the summary entry so nothing here
+    rounds at all. This is the training-data drift monitor shape: price
+    bands stand in for any bucketed feature (token-length bands, quality
+    deciles, language shares) and the bucket table is bounded by the
+    band vocabulary, never the data. One shuffle to the bucket cells;
+    totals ride a broadcast 1-row cross join."""
+    t = _drift_cells(spark, sf_dir)
+    return (
+        t.select(
+            "bucket",
+            F.col("a").alias("n_early"),
+            F.col("d").alias("n_late"),
+            (F.col("a").cast("double") / F.col("n")).alias("share_early"),
+            (F.col("d").cast("double") / F.col("m")).alias("share_late"),
+            F.abs(F.col("a") * F.col("m") - F.col("d") * F.col("n"))
+            .cast("long")
+            .alias("abs_diff_scaled"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "drift_summary_orders",
+    oracle="WITH "
+    + _DRIFT_CELLS_SQL
+    + """,
+    terms AS (
+      SELECT bucket, a, d, n, m,
+             CAST(abs(a * m - d * n) AS BIGINT) AS num,
+             CAST(a * m - d * n AS DOUBLE) AS e,
+             CAST(a + d AS DOUBLE) AS cd,
+             CAST(n AS DOUBLE) AS nd, CAST(m AS DOUBLE) AS md
+      FROM t)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_early,
+           CAST(MAX(m) AS BIGINT) AS n_late,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(CAST(SUM(num) AS DOUBLE)
+                / (2.0 * (CAST(MAX(n) AS DOUBLE) * CAST(MAX(m) AS DOUBLE)))
+                AS DOUBLE) AS tvd,
+           CAST(list_reduce(
+                  list_transform(
+                    list_sort(list({'b': bucket,
+                                    't': e * e / (cd * nd * md)})),
+                    s -> s.t),
+                  (x, y) -> x + y) AS DOUBLE) AS chi2
+    FROM terms
+    """,
+    tags=("extension", "agg", "quality", "drift", "scalar"),
+)
+def drift_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row drift verdict over the same bucket cells: total variation
+    distance ½·Σ|p−q| computed as the exact-integer Σ|a·m − d·n| with
+    ONE double division at the end, and the two-sample chi-square whose
+    per-bucket term (a·m − d·n)² / ((a+d)·n·m) keeps every
+    product an exact integer difference cast once — no PSI here on
+    purpose: PSI's per-bucket ln() is a transcendental whose last ulp
+    differs between libm and the JVM, so it cannot be hash-compared;
+    TVD + χ² carry the same signal in exact arithmetic. The χ² folds
+    left-to-right over buckets sorted by id (dot_ltr discipline).
+    Scale: identical to distribution_drift_orders — band-bounded cells,
+    broadcast totals, a ≤20-element fold."""
+    t = _drift_cells(spark, sf_dir)
+    e = (F.col("a") * F.col("m") - F.col("d") * F.col("n")).cast("double")
+    term = (
+        e
+        * e
+        / (
+            (F.col("a") + F.col("d")).cast("double")
+            * F.col("n").cast("double")
+            * F.col("m").cast("double")
+        )
+    )
+    terms = t.select(
+        "a",
+        "d",
+        "n",
+        "m",
+        F.abs(F.col("a") * F.col("m") - F.col("d") * F.col("n"))
+        .cast("long")
+        .alias("num"),
+        F.struct(F.col("bucket").alias("b"), term.alias("t")).alias("cell"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_early"),
+        F.max("m").cast("long").alias("n_late"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        (
+            F.sum("num").cast("double")
+            / (
+                F.lit(2.0)
+                * (F.max("n").cast("double") * F.max("m").cast("double"))
+            )
+        ).alias("tvd"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list("cell")), lambda s: s["t"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "ks_drift_order_prices",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+               AS period
+      FROM orders),
+    vals AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM b GROUP BY 1),
+    r AS (
+      SELECT CAST(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_a,
+             CAST(SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_b
+      FROM vals),
+    s AS (
+      SELECT MAX(run_a) AS n, MAX(run_b) AS m,
+             CAST(MAX(abs(run_a * (SELECT MAX(run_b) FROM r)
+                          - run_b * (SELECT MAX(run_a) FROM r))) AS BIGINT)
+               AS max_diff
+      FROM r)
+    SELECT n AS n_early, m AS n_late, max_diff AS max_diff_scaled,
+           CAST(CAST(max_diff AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS DOUBLE) AS ks_stat
+    FROM s
+    """,
+    tags=("extension", "agg", "quality", "drift", "window", "scalar"),
+)
+def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between early and late
+    order prices — sup|F̂_a − F̂_b| over the pooled support, computed
+    WITHOUT ever forming a float CDF: at each distinct price (exact
+    cents) the cross-multiplied |cum_a·m − cum_b·n| is an exact BIGINT,
+    its max is exact, and the single division by n·m happens once on
+    the final scalar (the bm25 2520//rk exactness trick, applied to
+    CDFs). Scale: the two cumulative counts run through
+    relational.global_running_sum's two-phase prefix scan (grain =
+    10k-dollar bucket) over the distinct-value table — no unpartitioned
+    window; the max is an ordinary aggregate. The scaled max stays
+    below 2^63 while n·m·max_price < 9e18 — beyond that, swap the
+    BIGINT for DECIMAL(38,0) in the same shape."""
+    b = _t(spark, sf_dir, "orders").select(
+        (dec_money("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    vals = b.groupBy("v").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    grain = F.floor(F.col("v") / F.lit(1_000_000))
+    r1 = relational.global_running_sum(
+        vals,
+        grain=grain,
+        order=[F.col("v")],
+        value=F.col("ca"),
+        value_alias="run_a",
+        count_alias="__rn_a",
+    )
+    r2 = relational.global_running_sum(
+        r1,
+        grain=grain,
+        order=[F.col("v")],
+        value=F.col("cb"),
+        value_alias="run_b",
+        count_alias="__rn_b",
+    ).select(F.col("run_a").cast("long").alias("run_a"), F.col("run_b").cast("long").alias("run_b"))
+    totals = r2.agg(
+        F.max("run_a").cast("long").alias("n"),
+        F.max("run_b").cast("long").alias("m"),
+    )
+    s = (
+        r2.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("m").cast("long").alias("m"),
+            F.max(
+                F.abs(F.col("run_a") * F.col("m") - F.col("run_b") * F.col("n"))
+            )
+            .cast("long")
+            .alias("max_diff"),
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_early"),
+        F.col("m").alias("n_late"),
+        F.col("max_diff").alias("max_diff_scaled"),
+        (
+            F.col("max_diff").cast("double")
+            / (F.col("n").cast("double") * F.col("m").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -839,3 +839,30 @@ def test_feature_hash_is_one_hash_shuffle(spark, sf):
     plan = plan_of(REGISTRY["feature_hash_docs"].fn(spark, sf))
     assert plan.count("hashpartitioning(doc_id") == 1
     assert plan.count("Exchange (") <= 2  # the agg shuffle + output orderBy
+
+
+def test_rank_statistics_use_two_phase_prefix_scan(spark, sf):
+    """mann_whitney / ks_drift rank CDFs via global_running_sum's
+    two-phase prefix scan: the data-sized cumulative window must be
+    __grain-partitioned (the only unpartitioned window is the
+    value-range-bounded bucket-offset scan), and the offsets must join
+    back as a broadcast."""
+    import re
+
+    for name in ("mann_whitney_spend_by_arm", "ks_drift_order_prices"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf))
+        assert re.search(r"windowspecdefinition\(__grain#\d+", plan), (
+            f"{name}: no __grain-partitioned window — two-phase scan missing"
+        )
+        assert "BroadcastHashJoin" in plan, f"{name}: offsets not broadcast"
+
+
+def test_experiment_and_drift_scalars_are_window_free_folds(spark, sf):
+    """chi_square / drift_summary reduce to scalar statistics through
+    bounded broadcast joins and a sorted-array left-to-right fold —
+    no Window node at all (the margins attach as broadcast joins, the
+    χ² fold is an array aggregate over the ≤|vocabulary| cell list)."""
+    for name in ("chi_square_arm_event_mix", "drift_summary_orders"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf))
+        assert "Window" not in plan, f"{name}: unexpected Window node"
+        assert "aggregate(" in plan or "Aggregate" in plan, name

@@ -61,6 +61,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "chi_square_arm_event_mix",
     "cuped_adjusted_lift_spend",
     "mann_whitney_spend_by_arm",
+    "distribution_drift_orders",
+    "drift_summary_orders",
+    "ks_drift_order_prices",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
