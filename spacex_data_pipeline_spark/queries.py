@@ -11096,6 +11096,176 @@ def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    p AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(8,2)) AS val
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, ts, 1 AS side, event_id, NULL AS ttype,
+             CAST(NULL AS TIMESTAMP) AS tts, val FROM p
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, event_type, ts,
+             CAST(NULL AS DECIMAL(8,2)) FROM t),
+    f AS (
+      SELECT user_id, ts, side, val,
+             last_value(ttype IGNORE NULLS) OVER w AS atype,
+             last_value(tts IGNORE NULLS) OVER w AS ats
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    a AS (
+      SELECT CASE WHEN ats IS NULL OR ats < ts - INTERVAL 1 HOUR
+                  THEN 'direct' ELSE atype END AS attributed_type,
+             CASE WHEN ats IS NULL OR ats < ts - INTERVAL 1 HOUR
+                  THEN NULL
+                  ELSE date_diff('microsecond', ats, ts) END AS lat_us,
+             val
+      FROM f WHERE side = 1)
+    SELECT attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(val * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(CAST(SUM(lat_us) AS DOUBLE)
+                / NULLIF(COUNT(lat_us), 0) / 1000000.0 AS DOUBLE)
+             AS mean_latency_sec
+    FROM a GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "asof", "analytics", "sessionize"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the most
+    recent view/click by the same user within a 1-hour lookback, else
+    'direct'. Rides relational.as_of_join's union+ordered-window shape —
+    ONE user-keyed shuffle moving |touches|+|purchases| rows, a running
+    last-value window, no range join — with the touch timestamp carried
+    in the payload struct so the attribution latency needs no second
+    join. Exactness: latency sums as exact BIGINT microseconds with one
+    double division; revenue folds to cents through the money snap.
+    Scale: the same shape attributes a trillion events — the window is
+    per-user and the tolerance is a post-filter, never a join widener."""
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.col("ts").alias("touch_ts"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").cast("decimal(8,2)").alias("val"),
+    )
+    m = relational.as_of_join(
+        purchases,
+        touches,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "event_type", "touch_ts"],
+        direction="backward",
+        tolerance_seconds=3600,
+    )
+    attributed = F.coalesce(F.col("asof_event_type"), F.lit("direct"))
+    lat = F.when(
+        F.col("asof_touch_ts").isNotNull(),
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_touch_ts")),
+    )
+    return (
+        m.select(attributed.alias("attributed_type"), lat.alias("lat_us"), "val")
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum((F.col("val") * 100).cast("long")).cast("long").alias(
+                "revenue_cents"
+            ),
+            (
+                F.sum("lat_us").cast("double")
+                / F.nullif(F.count("lat_us"), F.lit(0)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_latency_sec"),
+        )
+        .orderBy("attributed_type")
+    )
+
+
+@register(
+    "snapshot_fingerprint_orders",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                    o_orderstatus,
+                    CAST(CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100
+                         AS BIGINT) AS VARCHAR),
+                    CAST(epoch_us(o_orderdate) AS VARCHAR),
+                    o_orderpriority)), 1, 15))::UBIGINT AS BIGINT) AS rh
+      FROM orders)
+    SELECT o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_fingerprint,
+           CAST(SUM(rh) % 4611686018427387904 AS BIGINT) AS sum_fingerprint
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "quality", "audit"),
+)
+def snapshot_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition table fingerprint — the cheap
+    cross-cluster equality check for 100 TB snapshots: each row folds to
+    a 60-bit md5-derived hash of its CANONICAL serialization (keys and
+    cents as decimal strings, the date as epoch micros — never raw
+    float formatting, which differs between engines), and each
+    year-partition reduces to (count, XOR, sum) of those hashes. XOR is
+    order- and partition-independent (commutative group), so two
+    snapshots written by different clusters with different partitioning
+    compare byte-equal per partition without sorting a single row; the
+    additive sum (exact via a decimal accumulator, cast once to double)
+    catches the XOR blind spot where a row pair flips the same bits
+    (duplicated row XORs to zero); the sum reduces mod 2^62 so it stays
+    an exact BIGINT in any engine (a raw double cast differs in the
+    last ulp between int128 and BigDecimal conversions). Map-side
+    combine does almost all the work; the shuffle carries |years|
+    rows."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        (dec_money("o_totalprice") * 100).cast("long").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("o_year"), rh.alias("rh")
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("rh").cast("long").alias("xor_fingerprint"),
+            F.pmod(
+                F.sum(F.col("rh").cast("decimal(38,0)")),
+                F.lit(4611686018427387904).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("sum_fingerprint"),
+        )
+        .orderBy("o_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

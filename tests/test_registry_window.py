@@ -64,6 +64,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "distribution_drift_orders",
     "drift_summary_orders",
     "ks_drift_order_prices",
+    "attribution_last_touch",
+    "snapshot_fingerprint_orders",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
