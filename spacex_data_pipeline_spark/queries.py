@@ -11266,6 +11266,86 @@ def snapshot_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "experiment_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS grp,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+             MAX(CASE WHEN grp = 0 THEN c END) AS c0,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN c END) AS c1
+      FROM g)
+    SELECT LEAST(n0, n1) AS n_per_arm,
+           CAST(CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS DOUBLE) AS pooled_rate,
+           CAST((1.959963984540054 + 0.8416212335729143)
+                * sqrt(2.0 * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       / LEAST(n0, n1)) AS DOUBLE) AS mde_abs,
+           CAST(((1.959963984540054 + 0.8416212335729143)
+                 * sqrt(2.0 * (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        / LEAST(n0, n1)))
+                / NULLIF(CAST(c0 + c1 AS DOUBLE) / (n0 + n1), 0)
+             AS DOUBLE) AS mde_rel
+    FROM w
+    """,
+    tags=("extension", "agg", "analytics", "experiment", "scalar"),
+)
+def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment PLANNING as a query: the minimum detectable effect the
+    running conversion experiment can resolve at α=5% / 80% power —
+    MDE = (z_{α/2}+z_β)·√(2·p̂(1−p̂)/n) with the two normal quantiles as
+    double literals (they are design constants, not data), p̂ the pooled
+    conversion rate from exact counts, n the smaller arm. This is the
+    pre-registration number a growth team reads BEFORE shipping: if the
+    effect they hope for is under mde_abs, the experiment is underpowered
+    and no amount of dashboard-watching fixes that. Same execution shape
+    as ab_test_purchase_conversion — one user shuffle, 2-row arm table,
+    scalar IEEE tree; at 100 TB power analysis costs one count."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("conv")
+        )
+        .select(_ab_grp(F.col("user_id")).alias("grp"), "conv")
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("c"))).alias("c1"),
+    )
+    phat = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    n_min = F.least(F.col("n0"), F.col("n1"))
+    z_sum = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    mde = z_sum * F.sqrt(
+        F.lit(2.0) * phat * (F.lit(1.0) - phat) / n_min
+    )
+    return w.select(
+        n_min.alias("n_per_arm"),
+        phat.alias("pooled_rate"),
+        mde.alias("mde_abs"),
+        (mde / F.nullif(phat, F.lit(0.0))).alias("mde_rel"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

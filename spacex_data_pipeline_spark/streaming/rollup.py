@@ -132,3 +132,37 @@ def cms_cells_stream(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def ab_conversion_stream(
+    events: DataFrame, dedup_watermark: str | None = None
+) -> DataFrame:
+    """Streaming per-arm conversion counters — the on-arrival twin of
+    ``queries.ab_test_purchase_conversion``'s sufficient statistics: the
+    arm comes from the SAME ``sampling.hash_bucket(user_id, 'ab', 2)``
+    pure function (assignment must reproduce on any executor, any day —
+    never a stored table), conversion is first-purchase-per-user
+    (``dropDuplicates`` keyed on user), and the output is the 2-row
+    per-arm converted-user count a serving layer combines with the
+    exposure denominator to run the z-test continuously.
+
+    Replay semantics: re-delivered purchase events dedup against the
+    user key, so an at-least-once source cannot inflate conversions
+    (tested — a second replay adds nothing). State is one key per
+    CONVERTED user — bounded by converted-user cardinality, not stream
+    length; pass ``dedup_watermark`` to bound it further when the
+    product allows conversion-window semantics (state then drops for
+    users idle past the horizon — the standard state/semantics trade)."""
+    from ..operators.sampling import hash_bucket
+
+    p = events.filter(F.col("event_type") == "purchase")
+    if dedup_watermark is not None:
+        p = p.withWatermark("ts", dedup_watermark)
+        deduped = p.dropDuplicatesWithinWatermark(["user_id"])
+    else:
+        deduped = p.dropDuplicates(["user_id"])
+    return (
+        deduped.select(hash_bucket(F.col("user_id"), "ab", 2).alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("converted_users"))
+    )

@@ -66,6 +66,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "ks_drift_order_prices",
     "attribution_last_touch",
     "snapshot_fingerprint_orders",
+    "experiment_power_mde",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {

@@ -634,3 +634,42 @@ def test_streaming_model_gate_matches_batch(spark, sf_oracle, tmp_path):
         g = got[did]
         assert (g[0], g[1]) == (s_cls, s_dsir)
         assert g[2] == (s_cls > 0 and s_dsir > 0)
+
+
+def test_stream_ab_conversion_matches_batch_and_replay_adds_nothing(
+    spark, sf_oracle, landed_events, tmp_path
+):
+    """The streaming per-arm converted-user counters equal the batch
+    ab_test sufficient statistics after a replay in which EVERY file is
+    delivered twice (the at-least-once shape) — the user-keyed dedup
+    absorbs duplicate deliveries, so counts match one batch pass."""
+    import os
+
+    from spacex_data_pipeline_spark.operators.sampling import hash_bucket
+    from spacex_data_pipeline_spark.streaming.rollup import ab_conversion_stream
+
+    # land every event file TWICE — the at-least-once re-delivery shape
+    doubled = str(tmp_path / "events_doubled")
+    os.makedirs(doubled)
+    ev = catalog.table(spark, sf_oracle, "events")
+    ev.coalesce(2).write.mode("append").parquet(doubled)
+    ev.coalesce(2).write.mode("append").parquet(doubled)
+
+    stream = stream_events_from_files(spark, doubled)
+    run_available_now(
+        ab_conversion_stream(stream),
+        str(tmp_path / "ckpt_ab"),
+        "ab_out",
+        output_mode="complete",
+    )
+    got = {r.arm: r.converted_users for r in spark.table("ab_out").collect()}
+    batch = catalog.table(spark, sf_oracle, "events")
+    want = {
+        r.arm: r.converted_users
+        for r in batch.filter(F.col("event_type") == "purchase")
+        .select(hash_bucket(F.col("user_id"), "ab", 2).alias("arm"), "user_id")
+        .groupBy("arm")
+        .agg(F.countDistinct("user_id").alias("converted_users"))
+        .collect()
+    }
+    assert got == want
