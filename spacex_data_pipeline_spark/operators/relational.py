@@ -379,6 +379,77 @@ def range_join_binned(
     )
 
 
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: Sequence[str] = (),
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (closed bounds: overlap iff
+    ``l_start <= r_end AND r_start <= l_end``, optional equi keys) via
+    time binning — the interval-interval sibling of
+    :func:`range_join_binned`'s point-in-interval shape.
+
+    A bare overlap predicate plans as a nested loop (|L|·|R|
+    comparisons). Binned, BOTH sides explode to the integer bins their
+    span covers and meet on an EQUI key (keys…, bin); the exact overlap
+    predicate then runs on equi-matched candidates only. An overlapping
+    pair shares EVERY bin its intersection covers, so a naive bin join
+    would duplicate it — instead of a post-join ``distinct`` (a second
+    data-sized shuffle), each pair is kept only in its RESPONSIBILITY
+    bin, the bin of ``max(l_start, r_start)`` (the intersection's first
+    bin — always shared by both sides): exactly-once survival for free.
+
+    Scale: shuffle moves Σ(left bins) + Σ(right bins) rows on narrow
+    keys; pick ``bin_seconds`` near the median interval length so each
+    side explodes to O(1) bins. Replication degrades linearly with
+    too-small bins, false candidates die in the exact filter with
+    too-big bins — neither is quadratic. The interval-side columns are
+    renamed before the join (the self-join lineage trap documented in
+    range_join_binned) and restored after."""
+    w = F.lit(bin_seconds)
+    ls = F.unix_timestamp(F.col(left_start))
+    le = F.unix_timestamp(F.col(left_end))
+    lb = left.withColumn("__lbin", F.explode(F.sequence(F.floor(ls / w), F.floor(le / w))))
+    rb = right
+    renames = {right_start: "__iv_start", right_end: "__iv_end"}
+    for k in keys:
+        renames[k] = f"__iv_{k}"
+    for old, new in renames.items():
+        rb = rb.withColumnRenamed(old, new)
+    rs = F.unix_timestamp(F.col("__iv_start"))
+    re_ = F.unix_timestamp(F.col("__iv_end"))
+    rb = rb.withColumn(
+        "__rbin", F.explode(F.sequence(F.floor(rs / w), F.floor(re_ / w)))
+    )
+    cond = F.col("__lbin") == F.col("__rbin")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__iv_{k}"))
+    overlap = (F.col(left_start) <= F.col("__iv_end")) & (
+        F.col("__iv_start") <= F.col(left_end)
+    )
+    responsible = (
+        F.floor(
+            F.greatest(
+                F.unix_timestamp(F.col(left_start)),
+                F.unix_timestamp(F.col("__iv_start")),
+            )
+            / w
+        )
+        == F.col("__lbin")
+    )
+    out = lb.join(rb, cond & overlap & responsible).drop("__lbin", "__rbin")
+    for k in keys:
+        out = out.drop(f"__iv_{k}")
+    return out.withColumnRenamed("__iv_start", right_start).withColumnRenamed(
+        "__iv_end", right_end
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -11346,6 +11346,98 @@ def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_incident_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM flagged),
+    s AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess GROUP BY 1, 2),
+    eh AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_err
+      FROM events WHERE event_type = 'error' GROUP BY 1),
+    m AS (SELECT CAST(SUM(n_err) AS DOUBLE) / COUNT(*) AS mean_err FROM eh),
+    inc AS (SELECT h, n_err FROM eh, m WHERE CAST(n_err AS DOUBLE) > mean_err)
+    SELECT inc.h AS incident_start,
+           CAST(MAX(inc.n_err) AS BIGINT) AS n_errors,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM inc JOIN s
+      ON s.session_start <= inc.h + INTERVAL 1 HOUR
+     AND inc.h <= s.session_end
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "join", "range", "sessionize", "analytics"),
+)
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident blast-radius report: for every above-average-error hour
+    (the deterministic, scale-free incident definition), how many user
+    sessions and distinct users were live during it. The session ×
+    incident-window match is a true INTERVAL-OVERLAP join routed through
+    relational.interval_overlap_join_binned: both interval sets explode
+    to hour bins, meet on the bin EQUI key, and each overlapping pair
+    survives exactly once via its responsibility bin (the bin of
+    max(start, start)) — no nested loop, no post-join distinct; the
+    oracle is the bare overlap predicate, so the driver hash proves the
+    binned rewrite changes the PLAN, never the answer. Closed bounds on
+    both sides (a session touching the incident's exact end instant
+    counts — stated, and identical in both engines). Scale: sessions
+    shuffle once to sessionize, once to bins; the incident table is
+    hours × above-mean filter — calendar-bounded, broadcast by AQE."""
+    from .operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev).select("user_id", "session_start", "session_end")
+    eh = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_err"))
+    )
+    m = eh.agg(
+        (F.sum("n_err").cast("double") / F.count(F.lit(1))).alias("mean_err")
+    )
+    inc = (
+        eh.crossJoin(F.broadcast(m))
+        .filter(F.col("n_err").cast("double") > F.col("mean_err"))
+        .select(
+            F.col("h").alias("incident_start"),
+            (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("incident_end"),
+            "n_err",
+        )
+    )
+    j = relational.interval_overlap_join_binned(
+        sessions,
+        inc,
+        left_start="session_start",
+        left_end="session_end",
+        right_start="incident_start",
+        right_end="incident_end",
+        bin_seconds=3600,
+    )
+    return (
+        j.groupBy("incident_start")
+        .agg(
+            F.max("n_err").cast("long").alias("n_errors"),
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("incident_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

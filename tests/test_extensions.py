@@ -2790,3 +2790,35 @@ def test_cusum_finds_planted_level_shift(spark):
     s = d.select("hour", F.sum("dev").over(w).alias("cusum")).collect()
     peak = max(s, key=lambda r: (abs(r.cusum), -r.hour.timestamp()))
     assert peak.hour == base + dt.timedelta(hours=23)  # last pre-shift hour
+
+
+def test_interval_overlap_join_binned_semantics(spark):
+    """Closed-bound overlap semantics, the exactly-once responsibility-bin
+    guarantee across multi-bin overlaps, and key scoping."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.relational import (
+        interval_overlap_join_binned,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 08:30:00", "2024-01-01 11:30:00"),  # 3-bin overlap: once
+            (2, "a", "2024-01-01 09:00:00", "2024-01-01 09:10:00"),  # contained: once
+            (3, "a", "2024-01-01 10:00:00", "2024-01-01 10:00:00"),  # zero-length inside: once
+            (4, "a", "2024-01-01 12:00:00", "2024-01-01 12:30:00"),  # l_start == r_end: IN (closed)
+            (5, "a", "2024-01-01 12:00:01", "2024-01-01 13:00:00"),  # past end: OUT
+            (6, "a", "2024-01-01 07:00:00", "2024-01-01 07:59:59"),  # before start: OUT
+            (7, "b", "2024-01-01 09:00:00", "2024-01-01 10:00:00"),  # wrong key: OUT
+        ],
+        "lid long, k string, s string, e string",
+    ).select("lid", "k", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 08:00:00", "2024-01-01 12:00:00")],
+        "k string, rs string, re string",
+    ).select("k", F.to_timestamp("rs").alias("rs"), F.to_timestamp("re").alias("re"))
+    out = interval_overlap_join_binned(
+        left, right, "s", "e", "rs", "re", keys=["k"], bin_seconds=3600
+    )
+    got = sorted(r.lid for r in out.collect())
+    assert got == [1, 2, 3, 4]  # each exactly once, no bin duplicates

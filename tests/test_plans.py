@@ -866,3 +866,13 @@ def test_experiment_and_drift_scalars_are_window_free_folds(spark, sf):
         plan = plan_of(REGISTRY[name].fn(spark, sf))
         assert "Window" not in plan, f"{name}: unexpected Window node"
         assert "aggregate(" in plan or "Aggregate" in plan, name
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf):
+    """session_incident_overlap's interval×interval join must compile to
+    a hash equi-join on the bin key with the overlap + responsibility
+    predicates as post-join filters — never a nested loop over
+    |sessions|·|incidents|."""
+    plan = plan_of(REGISTRY["session_incident_overlap"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -67,6 +67,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "attribution_last_touch",
     "snapshot_fingerprint_orders",
     "experiment_power_mde",
+    "session_incident_overlap",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
