@@ -11438,6 +11438,239 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH es AS (
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    pp AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_type = 'STANDARD' AND p_size <= 25),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(8,2))) AS mp
+      FROM lineitem JOIN pp ON p_partkey = l_partkey
+                    JOIN es ON s_suppkey = l_suppkey
+      GROUP BY 1, 2),
+    pm AS (SELECT l_partkey AS pk, MIN(mp) AS best FROM ps GROUP BY 1)
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(mp AS DOUBLE) AS min_price
+    FROM ps JOIN pm ON pk = l_partkey AND mp = best
+            JOIN pp ON p_partkey = l_partkey
+            JOIN es ON s_suppkey = l_suppkey
+    ORDER BY 1, 3
+    """,
+    tags=("tpch", "correlated-subquery", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's SHAPE, adapted partsupp-free (the test schema carries
+    no partsupp table, so supply cost is proxied by the minimum observed
+    line price per (part, supplier) — stated, not hidden): for STANDARD
+    parts up to size 25, the EUROPE supplier(s) matching each part's
+    minimum price. The correlated MIN subquery becomes
+    aggregate-then-join-back (the q15/q17 rewrite): (part, supplier)
+    minimums in one shuffle over the dimension-pruned fact scan — part
+    and the region-filtered supplier chain broadcast INTO the scan — a
+    per-part best table, and an equality join that keeps ties exactly
+    like the SQL form. Prices stay exact decimal through the equality
+    (double would make 'equals the min' 1-ulp-fragile); double only in
+    the output projection."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    es = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    pp = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = (
+        li.join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(es), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec_money("l_extendedprice")).alias("__mp"))
+    )
+    pm = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("__mp").alias("__best")
+    )
+    winners = ps.join(
+        pm,
+        (F.col("l_partkey") == F.col("__pk")) & (F.col("__mp") == F.col("__best")),
+    )
+    return (
+        winners.join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(es), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("__mp").cast("double").alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q11_important_part_share",
+    oracle="""
+    WITH asup AS (
+      SELECT s_suppkey
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'),
+    v AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS val
+      FROM lineitem JOIN asup ON s_suppkey = l_suppkey
+      GROUP BY 1),
+    t AS (SELECT CAST(SUM(val) AS DECIMAL(38,2)) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts FROM v)
+    SELECT l_partkey AS p_partkey, p_name,
+           CAST(val AS DOUBLE) AS part_value,
+           CAST(CAST(val AS DOUBLE) / CAST(total AS DOUBLE) AS DOUBLE) AS share
+    FROM v JOIN part ON p_partkey = l_partkey, t
+    WHERE CAST(val AS DECIMAL(28,2)) * n_parts > 2 * total
+    ORDER BY 1
+    """,
+    tags=("tpch", "agg", "having", "scalar-subquery"),
+)
+def q11_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's SHAPE, adapted partsupp-free (no availqty/supplycost
+    in the test schema — stock value is proxied by ASIA-supplied line
+    revenue per part): parts whose value exceeds TWICE the average part
+    share — the group-aggregate-HAVING-against-a-global-scalar query.
+    The threshold is scale-free and EXACT: ``val·n_parts > 2·total``
+    compares exact decimals/integers (the fraction form val/total >
+    2/n_parts would put a double rounding boundary inside the filter);
+    the 1-row total rides a broadcast cross join, never a second fact
+    pass. Shares cast to double only in the projection. One l_partkey
+    shuffle; the region-filtered supplier set broadcasts into the
+    scan."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    asup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(asup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec_money("l_extendedprice")).alias("__val"))
+    )
+    t = v.agg(
+        F.sum("__val").cast("decimal(38,2)").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__n_parts"),
+    )
+    pp = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("__val").cast("decimal(28,2)") * F.col("__n_parts")
+            > F.lit(2) * F.col("__total")
+        )
+        .join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("__val").cast("double").alias("part_value"),
+            (F.col("__val").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN promo ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    pt AS (
+      SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nsupp
+      FROM ps GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+           CAST(SUM(qty) AS BIGINT) AS excess_qty
+    FROM ps JOIN pt ON pk = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty * nsupp > 2 * tot
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("tpch", "exists", "agg"),
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's SHAPE, adapted partsupp-free (no availqty — 'excess
+    stock' is proxied by shipped-quantity concentration): suppliers who
+    in 1997 shipped MORE THAN TWICE a PROMO part's average per-supplier
+    quantity, with how many such parts and their total quantity. The
+    nested EXISTS-with-aggregate-threshold becomes two stacked
+    aggregates and an integer-exact join-back filter
+    (``qty·nsupp > 2·tot`` — quantities are integral, so the average
+    comparison needs no division at all). One (part, supplier) shuffle
+    over the date+type-pruned scan, a part-keyed reduction of THAT
+    (never the fact again), and the supplier dim broadcasts onto the
+    surviving sliver."""
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    ps = (
+        li.join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("qty").cast("long").alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("__nsupp"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(pt, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("qty") * F.col("__nsupp") > F.lit(2) * F.col("__tot"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_excess_parts"),
+            F.sum("qty").cast("long").alias("excess_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

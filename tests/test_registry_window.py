@@ -68,6 +68,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "snapshot_fingerprint_orders",
     "experiment_power_mde",
     "session_incident_overlap",
+    "q2_min_cost_supplier",
+    "q11_important_part_share",
+    "q20_excess_share_suppliers",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
