@@ -168,6 +168,23 @@ EXTENDED = [
     "vocab_growth_curve",
     "model_curation_report",
     "cusum_changepoint_events",
+    # third r8 push: experiment statistics, drift suite, attribution,
+    # fingerprints, interval-overlap, TPC-H q2/q11/q20 adaptations
+    "ab_test_purchase_conversion",
+    "chi_square_arm_event_mix",
+    "cuped_adjusted_lift_spend",
+    "mann_whitney_spend_by_arm",
+    "experiment_power_mde",
+    "distribution_drift_orders",
+    "drift_summary_orders",
+    "ks_drift_order_prices",
+    "attribution_last_touch",
+    "snapshot_fingerprint_orders",
+    "session_incident_overlap",
+    "q2_min_cost_supplier",
+    "q11_important_part_share",
+    "q20_excess_share_suppliers",
+    "partition_coverage_report",
 ]
 
 
@@ -243,7 +260,12 @@ METHODOLOGY = {
         "three bounded two-phase prefix scans (skew_globalrank_* "
         "quantifies the per-scan constant: 0.34 naive vs 0.61 two-"
         "phase at a scale where one task holds everything — the form "
-        "that still terminates when one task cannot)."
+        "that still terminates when one task cannot). r8 third push: "
+        "the experiment-statistics / drift / attribution / fingerprint "
+        "/ interval-overlap entries and the q2/q11/q20 adaptations are "
+        "first-timed; a stale pre-fix bloom_semi figure (50.5 s, the "
+        "O(m) array-scan probe) was re-measured at ~1.3 s after the "
+        "word-map bit-test fix."
     ),
 }
 

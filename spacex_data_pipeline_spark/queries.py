@@ -11671,6 +11671,71 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partition_coverage_report",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch(date_trunc('hour', MIN(ts))) // 3600 AS h0,
+             epoch(date_trunc('hour', MAX(ts))) // 3600 AS h1
+      FROM events),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+               AS present_hours,
+             MIN(ts) AS first_seen, MAX(ts) AS last_seen
+      FROM events GROUP BY 1)
+    SELECT event_type,
+           CAST(h1 - h0 + 1 AS BIGINT) AS expected_hours,
+           present_hours,
+           CAST(h1 - h0 + 1 - present_hours AS BIGINT) AS missing_hours,
+           ROUND(100.0 * present_hours / NULLIF(h1 - h0 + 1, 0), 2)
+             AS coverage_pct,
+           first_seen, last_seen
+    FROM per, bounds ORDER BY 1
+    """,
+    tags=("extension", "agg", "quality", "report"),
+)
+def partition_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness report — the catchup/backfill planner's input
+    (the reference schedules its pipeline with Airflow; this is the
+    query that tells the scheduler WHAT is missing): per event type, how
+    many hour partitions exist between the table's global first and last
+    hour, how many are missing, and the coverage rate. Hour identity is
+    integer epoch-hours (epoch // 3600 — never float date math), the
+    expected span is a pure function of two global scalars riding a
+    broadcast cross join, and the only division is the audited
+    pct_rate rounding. Scale: one event_type shuffle with map-side
+    distinct partials; the bounds aggregate is a 1-row reduction —
+    coverage over a 100 TB table costs one pass, and a sparse
+    event type's missing hours surface without listing a single file."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+    bounds = ev.agg(
+        F.min(hr).cast("long").alias("__h0"), F.max(hr).cast("long").alias("__h1")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct(F.date_trunc("hour", F.col("ts")))
+        .cast("long")
+        .alias("present_hours"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    expected = (F.col("__h1") - F.col("__h0") + 1).cast("long")
+    return (
+        per.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            expected.alias("expected_hours"),
+            "present_hours",
+            (expected - F.col("present_hours")).cast("long").alias("missing_hours"),
+            pct_rate(F.col("present_hours"), expected).alias("coverage_pct"),
+            "first_seen",
+            "last_seen",
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -2822,3 +2822,117 @@ def test_interval_overlap_join_binned_semantics(spark):
     )
     got = sorted(r.lid for r in out.collect())
     assert got == [1, 2, 3, 4]  # each exactly once, no bin duplicates
+
+
+def test_experiment_statistics_match_pure_python_reference(spark, sf_oracle):
+    """Third-implementation check for the experiment/drift statistics:
+    an independent pure-Python computation (pandas read of the same
+    parquet, the same exact-integer-then-scalar-float discipline)
+    reproduces the Spark answers BIT-FOR-BIT — the expression trees are
+    written identically, so agreement is exact equality, not tolerance.
+    This guards the class of error the DuckDB oracle cannot: a formula
+    transcribed wrong the same way in both SQL and Spark."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    ev = pd.read_parquet(f"{sf_oracle}/events.parquet")
+
+    def arm(uid: int) -> int:
+        return int(hashlib.md5(f"{uid}ab".encode()).hexdigest()[:8], 16) % 2
+
+    # --- ab_test_purchase_conversion ---
+    conv = ev.assign(p=(ev.event_type == "purchase").astype(int)).groupby("user_id")[
+        "p"
+    ].max()
+    n = [0, 0]
+    c = [0, 0]
+    for uid, cv in conv.items():
+        g = arm(uid)
+        n[g] += 1
+        c[g] += int(cv)
+    p0, p1 = c[0] / n[0], c[1] / n[1]
+    phat = (c[0] + c[1]) / (n[0] + n[1])
+    se = math.sqrt(phat * (1.0 - phat) * (1.0 / n[0] + 1.0 / n[1]))
+    z = (p1 - p0) / se if se != 0 else None
+    row = REGISTRY["ab_test_purchase_conversion"].fn(spark, sf_oracle).collect()[0]
+    assert (row.n_control, row.conv_control, row.n_treat, row.conv_treat) == (
+        n[0],
+        c[0],
+        n[1],
+        c[1],
+    )
+    assert row.rate_control == p0 and row.rate_treat == p1
+    assert row.z_score == z
+
+    # --- chi_square_arm_event_mix ---
+    cells: dict[tuple[int, str], int] = {}
+    for uid, et in zip(ev.user_id, ev.event_type):
+        k = (arm(uid), et)
+        cells[k] = cells.get(k, 0) + 1
+    ntot = sum(cells.values())
+    r = {}
+    col = {}
+    for (a, e), o in cells.items():
+        r[a] = r.get(a, 0) + o
+        col[e] = col.get(e, 0) + o
+    chi2 = 0.0
+    for a, e in sorted(cells):  # same LTR order as the sorted-array fold
+        o = cells[(a, e)]
+        t = float(ntot * o - r[a] * col[e])
+        chi2 = chi2 + t * t / (float(ntot) * float(r[a]) * float(col[e]))
+    row = REGISTRY["chi_square_arm_event_mix"].fn(spark, sf_oracle).collect()[0]
+    assert row.n_events == ntot and row.n_cells == len(cells)
+    assert row.dof == (len(r) - 1) * (len(col) - 1)
+    assert row.chi2 == chi2
+
+    # --- mann_whitney_spend_by_arm (exact integer parts) ---
+    orders = pd.read_parquet(f"{sf_oracle}/orders.parquet")
+    cents = (
+        orders.assign(
+            c=(orders.o_totalprice.map(lambda v: round(v * 100)))
+        )
+        .groupby("o_custkey")["c"]
+        .sum()
+    )
+    vals: dict[int, list[int]] = {}
+    for uid, v in cents.items():
+        g = arm(uid)
+        vals.setdefault(int(v), [0, 0])[g] += 1
+    n0 = sum(a for a, _ in vals.values())
+    n1 = sum(b for _, b in vals.values())
+    cum = 0
+    r2_1 = 0
+    tie3 = 0
+    for v in sorted(vals):
+        cnt = sum(vals[v])
+        r2_1 += vals[v][1] * (2 * cum + cnt + 1)
+        tie3 += cnt**3 - cnt
+        cum += cnt
+    row = REGISTRY["mann_whitney_spend_by_arm"].fn(spark, sf_oracle).collect()[0]
+    assert (row.n_control, row.n_treat) == (n0, n1)
+    assert row.u_stat == float(r2_1 - n1 * (n1 + 1)) / 2.0
+
+    # --- ks_drift_order_prices (exact integer max) ---
+    early: dict[int, int] = {}
+    late: dict[int, int] = {}
+    cut = pd.Timestamp("1998-01-01")
+    for ts, v in zip(orders.o_orderdate, orders.o_totalprice):
+        cents_v = round(v * 100)
+        (early if ts < cut else late).setdefault(cents_v, 0)
+        (early if ts < cut else late)[cents_v] += 1
+    ntot_a = sum(early.values())
+    ntot_b = sum(late.values())
+    ca = 0
+    cb = 0
+    best = 0
+    for v in sorted(set(early) | set(late)):
+        ca += early.get(v, 0)
+        cb += late.get(v, 0)
+        best = max(best, abs(ca * ntot_b - cb * ntot_a))
+    row = REGISTRY["ks_drift_order_prices"].fn(spark, sf_oracle).collect()[0]
+    assert (row.n_early, row.n_late, row.max_diff_scaled) == (ntot_a, ntot_b, best)
+    assert row.ks_stat == float(best) / (float(ntot_a) * float(ntot_b))

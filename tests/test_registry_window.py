@@ -71,6 +71,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q2_min_cost_supplier",
     "q11_important_part_share",
     "q20_excess_share_suppliers",
+    "partition_coverage_report",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
