@@ -185,6 +185,8 @@ EXTENDED = [
     "q11_important_part_share",
     "q20_excess_share_suppliers",
     "partition_coverage_report",
+    "benford_first_digit_orders",
+    "ab_funnel_stage_rates",
 ]
 
 
@@ -390,6 +392,61 @@ def _globalrank_twophase(spark, sf_dir):
     )
 
 
+def _overlap_inputs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.sessionize import sessionize
+
+    ev = catalog.table(spark, sf_dir, "events")
+    sessions = sessionize(ev).select("user_id", "session_start", "session_end")
+    eh = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    m = eh.agg((F.sum("n_err") / F.count(F.lit(1))).alias("mean_err"))
+    inc = (
+        eh.crossJoin(F.broadcast(m))
+        .filter(F.col("n_err") > F.col("mean_err"))
+        .select(
+            F.col("h").alias("incident_start"),
+            (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("incident_end"),
+        )
+    )
+    return sessions, inc
+
+
+def _overlap_naive(spark, sf_dir):
+    """Bare overlap predicate — Spark plans it as a broadcast nested
+    loop: |sessions|·|incidents| comparisons."""
+    from pyspark.sql import functions as F
+
+    sessions, inc = _overlap_inputs(spark, sf_dir)
+    return sessions.join(
+        inc,
+        (F.col("session_start") <= F.col("incident_end"))
+        & (F.col("incident_start") <= F.col("session_end")),
+    )
+
+
+def _overlap_binned(spark, sf_dir):
+    from spacex_data_pipeline_spark.operators.relational import (
+        interval_overlap_join_binned,
+    )
+
+    sessions, inc = _overlap_inputs(spark, sf_dir)
+    return interval_overlap_join_binned(
+        sessions,
+        inc,
+        "session_start",
+        "session_end",
+        "incident_start",
+        "incident_end",
+        bin_seconds=3600,
+    )
+
+
 def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     """Capped-vs-uncapped wall time on the adversarial corpus — the
     timing evidence that the guards pay for themselves under skew."""
@@ -455,6 +512,12 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         # probe-shuffle bytes are the point).
         "skew_semijoin_plain": lambda: _semijoin(spark, sf_dir, bloom=False),
         "skew_semijoin_bloom": lambda: _semijoin(spark, sf_dir, bloom=True),
+        # r8 third push: interval-overlap — bare predicate (nested loop,
+        # |sessions|·|incidents| comparisons) vs the binned equi join
+        # with responsibility-bin dedup. Same output rows (oracle-pinned
+        # on the registry entry); the delta is the join algorithm.
+        "skew_overlap_naive": lambda: _overlap_naive(spark, sf_dir),
+        "skew_overlap_binned": lambda: _overlap_binned(spark, sf_dir),
     }
     out: dict[str, float] = {}
     for name, build in variants.items():

@@ -11736,6 +11736,185 @@ def partition_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benford_first_digit_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT) > 0),
+    o AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+    e AS (
+      SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+             unnest([3.010299956639812e-1, 1.7609125905568124e-1,
+                     1.2493873660829993e-1, 9.691001300805642e-2,
+                     7.918124604762482e-2, 6.694678963061322e-2,
+                     5.799194697768673e-2, 5.115252244738129e-2,
+                     4.575749056067514e-2]) AS p),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o),
+    j AS (
+      SELECT e.digit, COALESCE(o.observed, 0) AS observed, e.p, t.n,
+             CAST(t.n AS DOUBLE) * e.p AS expected
+      FROM e LEFT JOIN o ON o.digit = e.digit, t)
+    SELECT digit, observed,
+           CAST(expected AS DOUBLE) AS expected,
+           CAST((CAST(observed AS DOUBLE) - expected)
+                * (CAST(observed AS DOUBLE) - expected)
+                / expected AS DOUBLE) AS chi2_term
+    FROM j ORDER BY digit
+    """,
+    tags=("extension", "agg", "quality", "audit"),
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    fabricated-data / corrupted-feed detector: observed first-digit
+    counts (taken from the DECIMAL cents' exact string form — never
+    float formatting) against the Benford expectation, with the nine
+    log10(1+1/d) probabilities as hard literals (they are mathematical
+    constants; embedding them keeps the plan transcendental-free, the
+    same reason the drift suite avoids PSI's runtime ln(); the SQL side
+    writes them in scientific notation because DuckDB parses plain
+    decimal literals through DECIMAL — one ulp off the correctly-rounded
+    double both Python and the JVM produce). Per-digit
+    χ² terms are emitted row-wise so the consumer picks its own
+    rejection threshold; each term is a fixed 4-op double tree on exact
+    integers. Synthetic TPC-H prices are near-uniform, so this table
+    SHOWS a violation — which is the point: the screen flags
+    non-Benford feeds, it does not assume conformance. One 9-key
+    shuffle with map-side combine; the digit dimension is a 9-row
+    literal table joined broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (dec_money("o_totalprice") * 100).cast("long")
+    obs = (
+        o.select(cents.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(F.substring(F.col("__c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    benford = [
+        (1, 0.3010299956639812), (2, 0.17609125905568124),
+        (3, 0.12493873660829993), (4, 0.09691001300805642),
+        (5, 0.07918124604762482), (6, 0.06694678963061322),
+        (7, 0.05799194697768673), (8, 0.05115252244738129),
+        (9, 0.04575749056067514),
+    ]
+    e = spark.createDataFrame(benford, "digit long, p double")
+    t = obs.agg(F.sum("observed").cast("long").alias("__n"))
+    j = (
+        e.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            (F.col("__n").cast("double") * F.col("p")).alias("expected"),
+        )
+    )
+    dev = F.col("observed").cast("double") - F.col("expected")
+    return j.select(
+        "digit",
+        "observed",
+        "expected",
+        (dev * dev / F.col("expected")).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+@register(
+    "ab_funnel_stage_rates",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS grp,
+             event_type, user_id
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY 1, 2, 3),
+    c AS (
+      SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS users
+      FROM s GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'),
+                        1, 8))::UBIGINT % 2 AS BIGINT) = 0)),
+    t1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'),
+                        1, 8))::UBIGINT % 2 AS BIGINT) = 1)),
+    w AS (
+      SELECT event_type,
+             MAX(CASE WHEN grp = 0 THEN users ELSE 0 END) AS u0,
+             MAX(CASE WHEN grp = 1 THEN users ELSE 0 END) AS u1
+      FROM c GROUP BY 1)
+    SELECT event_type AS stage, u0 AS users_control, u1 AS users_treat,
+           CAST(CAST(u0 AS DOUBLE) / n0 AS DOUBLE) AS rate_control,
+           CAST(CAST(u1 AS DOUBLE) / n1 AS DOUBLE) AS rate_treat,
+           CAST((CAST(u1 AS DOUBLE) / n1 - CAST(u0 AS DOUBLE) / n0)
+                / NULLIF(sqrt((CAST(u0 + u1 AS DOUBLE) / (n0 + n1))
+                              * (1.0 - CAST(u0 + u1 AS DOUBLE) / (n0 + n1))
+                              * (1.0 / n0 + 1.0 / n1)), 0) AS DOUBLE) AS z_score
+    FROM w, t, t1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "analytics", "experiment", "funnel"),
+)
+def ab_funnel_stage_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage A/B read-out across the view/click/purchase funnel:
+    distinct users reaching each stage per arm, stage rates against the
+    arm's full exposed population, and a per-stage pooled z — the
+    experiment × funnel cross (a treatment that helps clicks but not
+    purchases shows up HERE, not in the single-metric test). Exactness:
+    stage reach is a distinct-user count (exact), denominators are the
+    exposed distinct-user counts riding a broadcast cross join, and
+    each stage's z is the same scalar IEEE tree as
+    ab_test_purchase_conversion evaluated row-wise on exact integers.
+    Scale: one (user, stage) dedup shuffle, a stage×arm cell table
+    bounded by the funnel vocabulary, two 1-row denominators."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            _ab_grp(F.col("user_id")).alias("grp"), "event_type", "user_id"
+        )
+        .distinct()
+    )
+    c = s.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("users")
+    )
+    exposed = ev.select(_ab_grp(F.col("user_id")).alias("grp"), "user_id").distinct()
+    t = exposed.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tn = t.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("n1"),
+    )
+    w = c.groupBy("event_type").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("users")).otherwise(0))
+        .cast("long")
+        .alias("u0"),
+        F.max(F.when(F.col("grp") == 1, F.col("users")).otherwise(0))
+        .cast("long")
+        .alias("u1"),
+    )
+    j = w.crossJoin(F.broadcast(tn))
+    r0 = F.col("u0").cast("double") / F.col("n0")
+    r1 = F.col("u1").cast("double") / F.col("n1")
+    phat = (F.col("u0") + F.col("u1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        phat
+        * (F.lit(1.0) - phat)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return j.select(
+        F.col("event_type").alias("stage"),
+        F.col("u0").alias("users_control"),
+        F.col("u1").alias("users_treat"),
+        r0.alias("rate_control"),
+        r1.alias("rate_treat"),
+        ((r1 - r0) / F.nullif(se, F.lit(0.0))).alias("z_score"),
+    ).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r7).
 #

@@ -72,6 +72,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "q11_important_part_share",
     "q20_excess_share_suppliers",
     "partition_coverage_report",
+    "benford_first_digit_orders",
+    "ab_funnel_stage_rates",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
