@@ -187,6 +187,7 @@ EXTENDED = [
     "partition_coverage_report",
     "benford_first_digit_orders",
     "ab_funnel_stage_rates",
+    "session_pattern_stats",
 ]
 
 

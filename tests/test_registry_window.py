@@ -74,6 +74,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "partition_coverage_report",
     "benford_first_digit_orders",
     "ab_funnel_stage_rates",
+    "session_pattern_stats",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
