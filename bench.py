@@ -188,6 +188,8 @@ EXTENDED = [
     "benford_first_digit_orders",
     "ab_funnel_stage_rates",
     "session_pattern_stats",
+    "zorder_skipping_report",
+    "skyline_parts",
 ]
 
 

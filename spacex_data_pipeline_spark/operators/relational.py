@@ -570,3 +570,45 @@ def bloom_prefilter_semi_join(
         .drop("__bloom")
     )
     return pre.join(build.select(key), key, "left_semi")
+
+
+def skyline_2d(df: DataFrame, x: str, y: str, bucket_shift: int = 10) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier, minimize ``x`` then ``y``) — the
+    preference-query operator relational engines expose as
+    ``SKYLINE OF x MIN, y MIN``: keep exactly the rows no other row
+    dominates (another row ≤ in both dimensions and < in at least one;
+    ties on BOTH dimensions all survive — equality is not dominance).
+
+    The naive form is the quadratic NOT-EXISTS self-join; the 2-D
+    structure collapses it to a prefix scan: a row is dominated iff the
+    minimum ``y`` among STRICTLY-cheaper ``x`` groups is ≤ its own
+    ``y``, or a same-``x`` row has strictly smaller ``y``. Both facts
+    come from the ``x``-group table (|distinct x| rows, bounded by the
+    value domain, never by the data): per-group min, then a strict
+    exclusive prefix min across groups via the same two-phase scan as
+    :func:`global_running_sum` — per-bucket mins (``x >> bucket_shift``),
+    an exclusive cross-bucket min over the bucket table only, and a
+    within-bucket exclusive window, so no reducer ever sees more than
+    one bucket's groups. One group shuffle + one attach join; the
+    quadratic dominance test never runs. ``x`` must be integral and
+    non-negative (bucket identity is a bit shift)."""
+    g = df.groupBy(x).agg(F.min(y).alias("__gmin"))
+    gb = g.withColumn("__b", F.shiftright(F.col(x).cast("long"), bucket_shift))
+    per = gb.groupBy("__b").agg(F.min("__gmin").alias("__bmin"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select("__b", F.min("__bmin").over(wb).alias("__pbmin"))
+    wg = (
+        Window.partitionBy("__b")
+        .orderBy(x)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m1 = (
+        gb.join(F.broadcast(off), "__b")
+        .withColumn("__wmin", F.min("__gmin").over(wg))
+        .withColumn("__m1", F.least("__wmin", "__pbmin"))
+        .select(x, "__gmin", "__m1")
+    )
+    dominated = (
+        F.col("__m1").isNotNull() & (F.col("__m1") <= F.col(y))
+    ) | (F.col("__gmin") < F.col(y))
+    return df.join(m1, x).filter(~dominated).drop("__gmin", "__m1")

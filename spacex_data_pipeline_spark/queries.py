@@ -12018,6 +12018,212 @@ def session_pattern_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Morton interleave of two 16-bit scaled keys (px on even bits, sx on
+# odd) as a flat SQL expression — generated once so the Spark column
+# tree and the DuckDB oracle share the exact bit algebra.
+_Z16_SQL = " + ".join(
+    f"(((px >> {k}) & 1) << {2 * k}) + (((sx >> {k}) & 1) << {2 * k + 1})"
+    for k in range(16)
+)
+
+
+@register(
+    "zorder_skipping_report",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+             MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi,
+             MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+      FROM lineitem),
+    s AS (
+      SELECT ((l_partkey - plo) * 65535) // GREATEST(phi - plo, 1) AS px,
+             ((l_suppkey - slo) * 65535) // GREATEST(shi - slo, 1) AS sx,
+             ((l_orderkey - olo) * 65535) // GREATEST(ohi - olo, 1) AS ox,
+             l_partkey, l_suppkey
+      FROM lineitem, b),
+    z AS (
+      SELECT l_partkey, l_suppkey, ox >> 10 AS f_nat, px >> 10 AS f_srt,
+             (__Z16__) >> 26 AS f_z
+      FROM s),
+    u AS (
+      SELECT 'natural' AS layout, f_nat AS file_id, l_partkey, l_suppkey FROM z
+      UNION ALL
+      SELECT 'sorted_partkey', f_srt, l_partkey, l_suppkey FROM z
+      UNION ALL
+      SELECT 'zorder', f_z, l_partkey, l_suppkey FROM z),
+    f AS (
+      SELECT layout, file_id,
+             MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY 1, 2)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(100.0 * CAST(SUM(pmax - pmin + 1) AS BIGINT)
+                 / NULLIF(COUNT(*) * (phi - plo + 1), 0), 2)
+             AS partkey_scan_pct,
+           ROUND(100.0 * CAST(SUM(smax - smin + 1) AS BIGINT)
+                 / NULLIF(COUNT(*) * (shi - slo + 1), 0), 2)
+             AS suppkey_scan_pct
+    FROM f, b
+    GROUP BY layout, phi, plo, shi, slo
+    ORDER BY layout
+    """.replace("__Z16__", _Z16_SQL),
+    tags=("extension", "layout", "report", "scale"),
+)
+def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor for data-skipping — quantifies, per candidate
+    physical layout, how much of each probe dimension's domain a
+    point predicate must still scan (the decision input behind
+    ``sinks.write_zordered``): rows are bucketed into 64 simulated
+    files under three layouts — arrival order (scaled l_orderkey
+    prefix), single-key sort (scaled l_partkey prefix), and Morton
+    Z-ORDER over (partkey, suppkey) — and each layout reports the
+    expected fraction of files a uniform point probe on either
+    dimension has to read, which is exactly the mean per-file min/max
+    span over the dimension's domain (parquet row-group pruning reads
+    a file iff its [min,max] straddles the probe). The Morton key is
+    the same shift/mask algebra as the writer, emitted from ONE
+    generated expression string so Spark and the oracle share it bit
+    for bit; key scaling is pure BIGINT ``div`` (never float — a
+    bucket edge that rounds differently across engines would move
+    rows between files). Expected: arrival order prunes nothing
+    (~100% both dims), the sort key wins its own dimension (~1.6%)
+    and loses the other, Z-order bounds BOTH (~12.5% each at 64
+    files) — the √-split the Delta/Iceberg OPTIMIZE ZORDER docs
+    promise, here measured instead of asserted. Scale: one 1-row
+    bounds agg, a 3×-exploded narrow projection into ONE
+    (layout, file) shuffle with map-side min/max/count partials, then
+    a 192-row rollup — the report on a 100 TB table costs one pass,
+    and the same expressions ARE the write path (repartitionByRange
+    on the emitted key), so advisor and writer cannot drift."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("__plo"),
+        F.max("l_partkey").alias("__phi"),
+        F.min("l_suppkey").alias("__slo"),
+        F.max("l_suppkey").alias("__shi"),
+        F.min("l_orderkey").alias("__olo"),
+        F.max("l_orderkey").alias("__ohi"),
+    )
+    s = li.crossJoin(F.broadcast(b))
+    px = F.expr("((l_partkey - __plo) * 65535) div greatest(__phi - __plo, 1)")
+    sx = F.expr("((l_suppkey - __slo) * 65535) div greatest(__shi - __slo, 1)")
+    ox = F.expr("((l_orderkey - __olo) * 65535) div greatest(__ohi - __olo, 1)")
+    z = F.lit(0).cast("long")
+    for k in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(px, k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(F.shiftright(sx, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    u = s.select(
+        "l_partkey",
+        "l_suppkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.shiftright(ox, 10).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("sorted_partkey").alias("layout"),
+                    F.shiftright(px, 10).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(z, 26).alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    )
+    f = u.groupBy(
+        F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    ).agg(
+        F.min("l_partkey").alias("__pmin"),
+        F.max("l_partkey").alias("__pmax"),
+        F.min("l_suppkey").alias("__smin"),
+        F.max("l_suppkey").alias("__smax"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    out = f.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(F.col("__pmax") - F.col("__pmin") + 1).cast("long").alias("__psp"),
+        F.sum(F.col("__smax") - F.col("__smin") + 1).cast("long").alias("__ssp"),
+    )
+    return (
+        out.crossJoin(F.broadcast(b))
+        .select(
+            "layout",
+            "n_files",
+            "n_rows",
+            pct_rate(
+                F.col("__psp"),
+                F.col("n_files") * (F.col("__phi") - F.col("__plo") + 1),
+            ).alias("partkey_scan_pct"),
+            pct_rate(
+                F.col("__ssp"),
+                F.col("n_files") * (F.col("__shi") - F.col("__slo") + 1),
+            ).alias("suppkey_scan_pct"),
+        )
+        .orderBy("layout")
+    )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             CAST(CAST(p_retailprice AS DECIMAL(8,2)) * 100 AS BIGINT)
+               AS price_cents,
+             p_size
+      FROM part)
+    SELECT p_partkey, p_name, price_cents, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
+    ORDER BY price_cents, p_size, p_partkey
+    """,
+    tags=("extension", "relational", "skyline"),
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto-frontier preference query — the parts no other
+    part beats on BOTH price and size (cheapest-and-smallest frontier;
+    the operator behind "best tradeoff" product queries, here the
+    sourcing shortlist). The oracle states the semantics as the
+    textbook quadratic NOT EXISTS; the engine runs
+    ``relational.skyline_2d`` — dominance in 2-D collapses to a strict
+    exclusive prefix-min of size over the price-group table, computed
+    with the house two-phase scan (per-group min → per-bucket min →
+    cross-bucket exclusive min over the bucket table only), so the
+    self-join never happens and no reducer sees more than one price
+    bucket's groups. Prices compare in exact DECIMAL cents (float
+    price equality would split tie groups across engines). Equal
+    (price, size) twins all survive — equality is not dominance —
+    which the oracle's strictness clause pins. Scale: one price-group
+    shuffle + one attach join on a domain-bounded table; the naive
+    form is O(n²) and this is O(n) past the group-by — the difference
+    between a skyline over 100 TB and one that never finishes."""
+    from .operators.relational import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        (dec_money("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return skyline_2d(p, "price_cents", "p_size").select(
+        "p_partkey", "p_name", "price_cents", "p_size"
+    ).orderBy("price_cents", "p_size", "p_partkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

@@ -678,3 +678,41 @@ def test_hashed_features_match_python_reference(texts):
             want[(did, h % dims)] += sign
     want = {k: v for k, v in want.items() if v != 0}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    shift=st.sampled_from([0, 3, 10]),
+)
+def test_skyline_2d_matches_quadratic_reference(pts, shift):
+    """skyline_2d == the O(n²) dominance definition for ANY point set,
+    at several bucket granularities (shift=0 → every x its own bucket;
+    large shift → one bucket, degrading to the plain window form).
+    Duplicates of a frontier (x, y) pair must ALL survive."""
+    from spacex_data_pipeline_spark.operators.relational import skyline_2d
+
+    spark = _get_spark()
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "rid long, x long, y long")
+    if not rows:
+        df = df.filter("rid < 0")
+    got = sorted(
+        (r.rid, r.x, r.y)
+        for r in skyline_2d(df, "x", "y", bucket_shift=shift).collect()
+    )
+    want = sorted(
+        (i, x, y)
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y)) for (x2, y2) in pts
+        )
+    )
+    assert got == want

@@ -75,6 +75,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "benford_first_digit_orders",
     "ab_funnel_stage_rates",
     "session_pattern_stats",
+    "zorder_skipping_report",
+    "skyline_parts",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
