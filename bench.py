@@ -190,6 +190,8 @@ EXTENDED = [
     "session_pattern_stats",
     "zorder_skipping_report",
     "skyline_parts",
+    "time_weighted_value_events",
+    "autocorr_daily_events",
 ]
 
 

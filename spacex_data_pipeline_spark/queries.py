@@ -12224,6 +12224,154 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("price_cents", "p_size", "p_partkey")
 
 
+@register(
+    "time_weighted_value_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(value AS DECIMAL(8,2)) AS val,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events),
+    d AS (
+      SELECT event_type, val,
+             CAST(date_diff('second', ts, nts) AS BIGINT) AS dt
+      FROM s WHERE nts IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS held_seconds,
+           CAST(CAST(SUM(val * dt) AS DOUBLE)
+                / NULLIF(CAST(SUM(dt) AS DOUBLE), 0) AS DOUBLE)
+             AS time_weighted_avg,
+           CAST(CAST(SUM(val) AS DOUBLE) / COUNT(*) AS DOUBLE) AS simple_avg
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "timeseries", "analytics"),
+)
+def time_weighted_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB ``time_weight`` staple,
+    last-observation-carried-forward form) of the event metric, grouped
+    by the type of the event that set the value: each reading holds
+    until the user's NEXT event, so its weight is that holding interval
+    in integer seconds — the honest mean for irregularly-sampled
+    gauges, where the plain row average over-counts chatty periods
+    (``simple_avg`` is emitted alongside precisely to show the gap).
+    Exactness: values snap to DECIMAL(8,2) (the generated metric's
+    true scale), weights are integer seconds from the same
+    floor-to-epoch algebra as sessionize, so the weighted mass is an
+    exact decimal·integer sum; each average is ONE IEEE divide on two
+    exactly-summed operands. Scale: a user-partitioned lead (bounded
+    per-user frames, the sessionize shuffle shape) into an event-type
+    groupBy with map-side-combining decimal partials — two narrow
+    shuffles, no unpartitioned window, no floats until the final
+    scalar divide."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(8,2)").alias("__val"),
+        F.unix_timestamp("ts").alias("__t"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("__nt"),
+    ).filter(F.col("__nt").isNotNull())
+    d = s.select(
+        "event_type", "__val", (F.col("__nt") - F.col("__t")).alias("__dt")
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("__dt").cast("long").alias("held_seconds"),
+        F.sum(F.col("__val") * F.col("__dt")).alias("__wsum"),
+        F.sum("__val").alias("__vsum"),
+    )
+    return g.select(
+        "event_type",
+        "n_intervals",
+        "held_seconds",
+        (
+            F.col("__wsum").cast("double")
+            / nullif(F.col("held_seconds").cast("double"), F.lit(0.0))
+        ).alias("time_weighted_avg"),
+        (F.col("__vsum").cast("double") / F.col("n_intervals")).alias(
+            "simple_avg"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "autocorr_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    p AS (
+      SELECT a.c AS x, b.c AS y
+      FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p)
+    SELECT n_pairs, sx, sy, sxy, sxx, syy,
+           (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / n_pairs)
+           / NULLIF(sqrt(CAST(sxx AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n_pairs)
+                    * sqrt(CAST(syy AS DOUBLE)
+                           - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / n_pairs), 0) AS r_lag1
+    FROM s
+    """,
+    tags=("extension", "agg", "timeseries", "stats"),
+)
+def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event count — the one-number
+    seasonality/momentum probe that decides whether yesterday predicts
+    today (the input to alert thresholds and capacity forecasts; a
+    strongly periodic feed shows r≈1, white noise r≈0). Lag pairing is
+    a calendar self-join (day, day+1) on the day-count table — never a
+    lag window over the raw events — so the big table is touched once
+    by an ordinary count groupBy and everything after operates on a
+    calendar-bounded table. The six sufficient statistics are exact
+    BIGINTs (daily counts and their pairwise products can't overflow
+    until a single day exceeds 3·10⁹ events); Pearson is then the
+    corr_exact_by_flag fixed IEEE tree on individually-cast operands,
+    emitted alongside the raw moments so a consumer can re-derive or
+    pool across shards. Scale: one day-keyed shuffle with map-side
+    partials; the join and the final reduce see only |days| rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = d.select(F.col("day").alias("__d"), F.col("c").alias("x"))
+    b = d.select(F.col("day").alias("__d2"), F.col("c").alias("y"))
+    p = a.join(
+        F.broadcast(b), F.col("__d2") == F.date_add(F.col("__d"), 1)
+    ).select("x", "y")
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    r = (sxy - (sx * sy) / n) / nullif(
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n), F.lit(0.0)
+    )
+    return s.select(
+        "n_pairs", "sx", "sy", "sxy", "sxx", "syy", r.alias("r_lag1")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

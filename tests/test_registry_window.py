@@ -77,6 +77,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "session_pattern_stats",
     "zorder_skipping_report",
     "skyline_parts",
+    "time_weighted_value_events",
+    "autocorr_daily_events",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
