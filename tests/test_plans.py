@@ -876,3 +876,53 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf):
     plan = plan_of(REGISTRY["session_incident_overlap"].fn(spark, sf))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_report_is_one_fact_pass_two_shuffles(spark, sf):
+    """zorder_skipping_report: the fact table is scanned once; the only
+    data-sized exchange is the (layout, file) hash partitioning after
+    the explode (the 192-row layout rollup and the 1-row bounds agg are
+    the rest); the bounds attach as a broadcast, and nothing sorts the
+    fact table."""
+    plan = plan_of(REGISTRY["zorder_skipping_report"].fn(spark, sf))
+    # formatted plans print each node twice (tree + details); the three
+    # logical scans are the fact pass plus the two 1-row bounds aggs
+    # (production feeds bounds from table metadata instead)
+    assert plan.count("Scan parquet") <= 6
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "layout simulation must not rank rows"
+
+
+def test_skyline_windows_are_group_table_bounded(spark, sf):
+    """skyline_parts: every Window sits on the price-GROUP table after
+    its aggregate (never the raw part rows), and the only unpartitioned
+    window is the cross-bucket offset scan over the bucket table; the
+    quadratic dominance self-join must not appear (no more than the
+    group-attach joins, no CartesianProduct)."""
+    import re
+
+    plan = plan_of(REGISTRY["skyline_parts"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    # the within-bucket window is partitioned by the bucket column
+    assert re.search(r"windowspecdefinition\(__b#\d+", plan), (
+        "within-bucket prefix-min window missing or unpartitioned"
+    )
+
+
+def test_phash_shuffles_hashes_never_payloads(spark, sf):
+    """multimodal_phash_neardup: the media payload column must be pruned
+    before the band join — only (id, 8-byte hash, band) rows reach an
+    exchange. The Arrow-batched hash stage is the single Python
+    boundary; the verify is JVM bit algebra."""
+    plan = plan_of(REGISTRY["multimodal_phash_neardup"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "media" not in m.group(1), "payload bytes reached a shuffle key"
+    # the mapInPandas hash is the ONLY Python boundary (it appears once
+    # per join side in the self-join, twice each in formatted output)
+    assert "MapInPandas" in plan
+    assert plan.count("MapInPandas") <= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
