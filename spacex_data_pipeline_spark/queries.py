@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
@@ -12083,12 +12083,17 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected fraction of files a uniform point probe on either
     dimension has to read, which is exactly the mean per-file min/max
     span over the dimension's domain (parquet row-group pruning reads
-    a file iff its [min,max] straddles the probe). The Morton key is
-    the same shift/mask algebra as the writer, emitted from ONE
-    generated expression string so Spark and the oracle share it bit
-    for bit; key scaling is pure BIGINT ``div`` (never float — a
-    bucket edge that rounds differently across engines would move
-    rows between files). Expected: arrival order prunes nothing
+    a file iff its [min,max] straddles the probe). The oracle STATES
+    the Morton key as the per-bit definition (32 shift/mask terms);
+    the plan RUNS the classic magic-number bit spread — four
+    or/shift/mask rounds per dimension, ten ops total — because the
+    per-bit tree, rebuilt on every plan construction, costs more in
+    Catalyst optimization time than the query costs to execute
+    (measured 5.9 s → sub-second; the two forms are the same function
+    by bit algebra, and the driver hash-verifies it). Key scaling is
+    pure BIGINT ``div`` (never float — a bucket edge that rounds
+    differently across engines would move rows between files).
+    Expected: arrival order prunes nothing
     (~100% both dims), the sort key wins its own dimension (~1.6%)
     and loses the other, Z-order bounds BOTH (~12.5% each at 64
     files) — the √-split the Delta/Iceberg OPTIMIZE ZORDER docs
@@ -12109,17 +12114,29 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("__olo"),
         F.max("l_orderkey").alias("__ohi"),
     )
-    s = li.crossJoin(F.broadcast(b))
-    px = F.expr("((l_partkey - __plo) * 65535) div greatest(__phi - __plo, 1)")
-    sx = F.expr("((l_suppkey - __slo) * 65535) div greatest(__shi - __slo, 1)")
-    ox = F.expr("((l_orderkey - __olo) * 65535) div greatest(__ohi - __olo, 1)")
-    z = F.lit(0).cast("long")
-    for k in range(16):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(px, k).bitwiseAND(F.lit(1)), 2 * k)
-            + F.shiftleft(F.shiftright(sx, k).bitwiseAND(F.lit(1)), 2 * k + 1)
-        )
+    s = li.crossJoin(F.broadcast(b)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "((l_partkey - __plo) * 65535) div greatest(__phi - __plo, 1)"
+        ).alias("__px"),
+        F.expr(
+            "((l_suppkey - __slo) * 65535) div greatest(__shi - __slo, 1)"
+        ).alias("__sx"),
+        F.expr(
+            "((l_orderkey - __olo) * 65535) div greatest(__ohi - __olo, 1)"
+        ).alias("__ox"),
+    )
+
+    def spread16(c: Column) -> Column:
+        # 16-bit value -> its bits at even positions of a 32-bit word
+        # (Morton magic numbers; equal to the oracle's per-bit sum)
+        for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(m))
+        return c
+
+    px, sx, ox = F.col("__px"), F.col("__sx"), F.col("__ox")
+    z = spread16(px).bitwiseOR(F.shiftleft(spread16(sx), 1))
     u = s.select(
         "l_partkey",
         "l_suppkey",
@@ -12446,6 +12463,141 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = dhash56_profile(media)
     return phash_neardup_pairs(hashed, max_hamming=4).orderBy(
         "id_a", "id_b"
+    )
+
+
+@register(
+    "ohlc_daily_events",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(value AS DECIMAL(8,2)) AS val, ts, event_id
+      FROM events)
+    SELECT event_type, day,
+           CAST(first(val ORDER BY ts, event_id) AS DOUBLE) AS open,
+           CAST(MAX(val) AS DOUBLE) AS high,
+           CAST(MIN(val) AS DOUBLE) AS low,
+           CAST(last(val ORDER BY ts, event_id) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("extension", "agg", "timeseries", "analytics"),
+)
+def ohlc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the canonical downsampling of a
+    tick stream into candles (TimescaleDB continuous-aggregate /
+    kdb-style bar building): open and close are the first/last reading
+    under the total (ts, event_id) order, picked by min_by/max_by on
+    the composite order struct — ORDER-BASED selection as an ordinary
+    aggregate with map-side partials, never a sort of the tick table;
+    high/low are plain min/max. Values compare in exact DECIMAL(8,2)
+    throughout and only the final projection casts to double, so bars
+    hash-compare bit-for-bit against the oracle's ordered-aggregate
+    form. Scale: ONE (type, day) shuffle; each partial carries four
+    decimals and a struct — downsampling 100 TB of ticks to bars is a
+    single pass, and the bar table is calendar × vocabulary sized."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    val = F.col("value").cast("decimal(8,2)")
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            val.alias("__val"),
+            key.alias("__k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("__val", "__k").cast("double").alias("open"),
+            F.max("__val").cast("double").alias("high"),
+            F.min("__val").cast("double").alias("low"),
+            F.max_by("__val", "__k").cast("double").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "resample_user_daily_locf",
+    oracle="""
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+               FROM events),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                         AS DATE) AS day FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    closes AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             last(CAST(value AS DECIMAL(8,2)) ORDER BY ts, event_id) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT u.user_id, d.day, c.c
+      FROM users u CROSS JOIN days d
+      LEFT JOIN closes c ON c.user_id = u.user_id AND c.day = d.day),
+    f AS (
+      SELECT user_id, day, c,
+             last_value(c IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM grid)
+    SELECT user_id, day, CAST(filled AS DOUBLE) AS close_locf,
+           CASE WHEN c IS NOT NULL THEN 'observed'
+                WHEN filled IS NOT NULL THEN 'carried'
+                ELSE 'missing' END AS fill_status
+    FROM f
+    """,
+    tags=("extension", "timeseries", "gapfill", "window"),
+)
+def resample_user_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) resampling — the OTHER gap-fill mode next to
+    resample_user_daily_gapfill's zero-fill: gauges (balances, prices,
+    settings) carry their last observation forward across silent days,
+    counts don't. Each (user, day) cell of the corpus-span grid gets
+    the user's daily CLOSE (last reading under the (ts, event_id)
+    total order, exact decimal, max_by — no tick sort), then
+    ``last_value IGNORE NULLS`` over the user's day series fills the
+    gaps; days before a user's first reading stay NULL and are labeled
+    'missing' so consumers can't mistake leading silence for data.
+    Scale: the fill window is user-partitioned over CALENDAR-sized
+    frames (|days| rows per user, never the tick count — ticks were
+    collapsed by the close aggregate first); the spine is a broadcast
+    1-row explode, and the only data-sized shuffle is the (user, day)
+    close groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    closes = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(8,2)").alias("__v"),
+            F.struct(F.col("ts"), F.col("event_id")).alias("__k"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max_by("__v", "__k").alias("c"))
+    )
+    grid = users.crossJoin(F.broadcast(days)).join(
+        closes, ["user_id", "day"], "left"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("c", ignorenulls=True).over(w)
+    return grid.select(
+        "user_id",
+        "day",
+        filled.cast("double").alias("close_locf"),
+        F.when(F.col("c").isNotNull(), F.lit("observed"))
+        .when(filled.isNotNull(), F.lit("carried"))
+        .otherwise(F.lit("missing"))
+        .alias("fill_status"),
     )
 
 
