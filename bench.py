@@ -193,6 +193,8 @@ EXTENDED = [
     "time_weighted_value_events",
     "autocorr_daily_events",
     "multimodal_phash_neardup",
+    "ohlc_daily_events",
+    "resample_user_daily_locf",
 ]
 
 

@@ -80,6 +80,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "time_weighted_value_events",
     "autocorr_daily_events",
     "multimodal_phash_neardup",
+    "ohlc_daily_events",
+    "resample_user_daily_locf",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
