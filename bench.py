@@ -195,6 +195,8 @@ EXTENDED = [
     "multimodal_phash_neardup",
     "ohlc_daily_events",
     "resample_user_daily_locf",
+    "dedup_threshold_sweep",
+    "rolling_median_daily_events",
 ]
 
 

@@ -12601,6 +12601,115 @@ def resample_user_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_threshold_sweep",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.2")
+    + """
+    , dims AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9]) AS k10),
+    sw AS (
+      SELECT d.k10, jp.doc_a, jp.doc_b
+      FROM jp, dims d
+      WHERE jp.jaccard >= CAST(d.k10 AS DOUBLE) / 10),
+    agg AS (
+      SELECT k10, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_removed
+      FROM sw GROUP BY 1)
+    SELECT CAST(dims.k10 AS BIGINT) AS threshold_x10,
+           COALESCE(agg.n_pairs, 0) AS n_pairs,
+           COALESCE(agg.n_removed, 0) AS n_removed_keep_smallest
+    FROM dims LEFT JOIN agg ON agg.k10 = dims.k10
+    ORDER BY 1
+    """,
+    tags=("extension", "dedup", "report", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for near-dup dedup — the tuning table
+    every production dedup rollout needs before picking its Jaccard
+    cutoff: pair count and removable-document count at every candidate
+    threshold 0.2…0.9, all derived from ONE exact-pairs computation at
+    the loosest threshold (the dedup_reports materialize-once shape —
+    8 thresholds cost one pairs run plus a table-sized explode, not 8
+    pairs runs). Removability uses the keep-if-no-smaller-duplicate
+    policy (distinct doc_b over surviving pairs) — the deterministic
+    per-pair estimate that needs no connected components, stated as
+    such in the column name. Threshold comparison is
+    CAST(k AS DOUBLE)/10 — the identical single IEEE divide on both
+    engines, never a decimal literal (the benford one-ulp lesson).
+    Scale: the sweep adds one |pairs|×8 narrow explode and a
+    vocabulary-sized groupBy on top of the audited shingle join;
+    the missing-threshold rows come from a broadcast dimension
+    left-join so empty cutoffs still report zeros."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    dims = spark.createDataFrame([(k,) for k in range(2, 10)], "k10 long")
+    sw = pairs.crossJoin(F.broadcast(dims)).filter(
+        F.col("jaccard") >= F.col("k10").cast("double") / 10
+    )
+    agg = sw.groupBy("k10").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("long").alias("n_removed"),
+    )
+    return (
+        dims.join(agg, "k10", "left")
+        .select(
+            F.col("k10").alias("threshold_x10"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed_keep_smallest"),
+        )
+        .orderBy("threshold_x10")
+    )
+
+
+@register(
+    "rolling_median_daily_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n_events,
+             list(n_events) OVER (ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS win
+      FROM d)
+    SELECT day, n_events,
+           CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT) AS median_7d
+    FROM w ORDER BY day
+    """,
+    tags=("extension", "timeseries", "window", "stats"),
+)
+def rolling_median_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling median of the daily event count — the robust
+    smoother that a single spike day cannot drag (the moving AVERAGE
+    chases outliers; the median is the standard denominator for
+    spike-detection ratios). The median of a ≤7-element frame is
+    computed literally: collect the frame into an array, sort it, take
+    the lower-median element — exact integers end to end, and because
+    the array is SORTED before indexing, the collect order (which
+    Spark does not contractually pin) cannot affect the result. The
+    one unpartitioned window runs over the DAY table — calendar-
+    bounded, |days| rows, the same sanctioned shape as every
+    bucket-offset scan — after the raw events collapse in a one-pass
+    count groupBy. At 100 TB the smoother costs exactly what the daily
+    rollup costs."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = F.array_sort(F.collect_list("n_events").over(w))
+    med = F.element_at(
+        win, ((F.size(win) + 1) / 2).cast("int")
+    ).cast("long")
+    return d.select("day", "n_events", med.alias("median_7d")).orderBy("day")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

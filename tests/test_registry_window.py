@@ -82,6 +82,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "multimodal_phash_neardup",
     "ohlc_daily_events",
     "resample_user_daily_locf",
+    "dedup_threshold_sweep",
+    "rolling_median_daily_events",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
