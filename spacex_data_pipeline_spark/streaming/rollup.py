@@ -166,3 +166,39 @@ def ab_conversion_stream(
         .groupBy("arm")
         .agg(F.count(F.lit(1)).cast("long").alias("converted_users"))
     )
+
+
+def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``ohlc_daily_events`` entry: daily
+    OHLC bars per event type built incrementally as ticks arrive —
+    open/close are min_by/max_by on the (ts, event_id) order struct,
+    which are ordinary declarative aggregates, so the state store
+    carries four decimals and a struct per open bar (never the ticks)
+    and late data within the watermark amends the bar in place. The
+    exchange-feed shape: bars are queryable all day and finalize when
+    the watermark passes midnight."""
+    val = F.col("value").cast("decimal(8,2)")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts", "event_type", val.alias("__val"), key.alias("__k")
+        )
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(
+            F.min_by("__val", "__k").cast("double").alias("open"),
+            F.max("__val").cast("double").alias("high"),
+            F.min("__val").cast("double").alias("low"),
+            F.max_by("__val", "__k").cast("double").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.to_date(F.col("window.start")).alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

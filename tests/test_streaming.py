@@ -673,3 +673,29 @@ def test_stream_ab_conversion_matches_batch_and_replay_adds_nothing(
         .collect()
     }
     assert got == want
+
+
+def test_stream_ohlc_matches_batch_entry(spark, sf_oracle, landed_events, tmp_path):
+    """Streaming daily OHLC bars == the oracle-checked batch entry
+    (stream → batch → DuckDB loop): open/close via min_by/max_by on the
+    (ts, event_id) struct must pick the same ticks incrementally that
+    the batch aggregate picks in one pass."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.rollup import ohlc_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        ohlc_stream(stream),
+        str(tmp_path / "ckpt_ohlc"),
+        "ohlc_out",
+        output_mode="complete",
+    )
+    got = {
+        (r.day, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in spark.table("ohlc_out").collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in REGISTRY["ohlc_daily_events"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want
