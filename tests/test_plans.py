@@ -921,8 +921,10 @@ def test_phash_shuffles_hashes_never_payloads(spark, sf):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "media" not in m.group(1), "payload bytes reached a shuffle key"
-    # the mapInPandas hash is the ONLY Python boundary (it appears once
-    # per join side in the self-join, twice each in formatted output)
-    assert "MapInPandas" in plan
-    assert plan.count("MapInPandas") <= 4
+    # the hash table is materialized ONCE (dedup.materialize) before the
+    # band self-join, so the visible plan reads the checkpointed
+    # (id, hash) RDD on both sides and contains NO Python stage at all —
+    # the single mapInPandas ran during materialization
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
