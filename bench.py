@@ -537,25 +537,53 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     return out
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i
+    return s
+
+
 def machine_calibration() -> dict:
-    """Fixed single-thread CPU reference workload, timed min-of-3 —
-    recorded so CROSS-ROUND bench comparisons can separate plan
-    regressions from host-speed drift. Round-7 observation: three
-    same-code bench runs hours apart moved 12.3 → 14.6 → 16.2 s
-    headline with every query (including trivially unchanged scans)
-    scaling by the same factor — ambient host variance, invisible in
-    /proc (no steal, fixed 2.6 GHz, idle). Dividing per-query times by
-    this scalar makes rounds comparable; a real regression changes the
-    RATIO, not just the wall time."""
+    """Fixed CPU reference workloads, timed min-of-3 — recorded so
+    CROSS-ROUND bench comparisons can separate plan regressions from
+    host-speed drift. Round-7 observation: three same-code bench runs
+    hours apart moved 12.3 → 14.6 → 16.2 s headline with every query
+    (including trivially unchanged scans) scaling by the same factor —
+    ambient host variance, invisible in /proc (no steal, fixed
+    2.6 GHz, idle). Round-8 finding: the SINGLE-thread loop stayed flat
+    (0.32–0.36 s) across a 12 → 16.4 s headline drift, so the drift
+    lives in PARALLEL throughput (shared memory bandwidth / L3 /
+    neighbor load — a 32-thread Spark stage feels it, a cache-resident
+    single loop doesn't; measured 32-way scaling efficiency 0.61 during
+    the slow run). Hence the second probe: 32 concurrent copies of the
+    same loop — ``par_over_single`` is 1.0 on an idle exclusive host
+    and grows with contention. Divide per-query times by the parallel
+    factor to compare rounds; a real regression changes the RATIO."""
     best = float("inf")
     s = 0
     for _ in range(3):
         t0 = time.perf_counter()
-        s = 0
-        for i in range(10_000_000):
-            s += i
+        s = _burn(10_000_000)
         best = min(best, time.perf_counter() - t0)
-    return {"py_loop_10m_sec": round(best, 4), "loop_check": s}
+    import multiprocessing as mp
+
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+    par = float("inf")
+    try:
+        with mp.Pool(n) as pool:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pool.map(_burn, [10_000_000] * n)
+                par = min(par, time.perf_counter() - t0)
+    except Exception:
+        par = float("nan")
+    return {
+        "py_loop_10m_sec": round(best, 4),
+        "py_loop_10m_x32_wall_sec": round(par, 4),
+        "par_over_single": round(par / best, 3) if par == par else None,
+        "loop_check": s,
+    }
 
 
 def main() -> None:
