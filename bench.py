@@ -197,6 +197,8 @@ EXTENDED = [
     "resample_user_daily_locf",
     "dedup_threshold_sweep",
     "rolling_median_daily_events",
+    "bitmap_distinct_users_daily",
+    "event_disorder_report",
 ]
 
 

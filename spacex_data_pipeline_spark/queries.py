@@ -12710,6 +12710,136 @@ def rolling_median_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("day", "n_events", med.alias("median_7d")).orderBy("day")
 
 
+@register(
+    "bitmap_distinct_users_daily",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id // 62 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT day,
+           CAST(SUM(bit_count(bm)) AS BIGINT) AS distinct_users_bitmap,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "bitmap", "scale"),
+)
+def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users via bitmap aggregation — the third
+    point on the distinct-count spectrum this repo ships (countDistinct
+    shuffles raw ids; hll_mergeable_distinct_users is approximate and
+    mergeable; THIS is exact AND mergeable): users pack into 62-bit
+    words (``word = id div 62``, ``bit = id mod 62`` — 62 not 64
+    because DuckDB range-checks ``1 << 63`` and the sign bit buys
+    nothing), each (day, word) cell ORs its members' bit masks
+    map-side, and the day's exact distinct count is the sum of
+    popcounts. Bitmap words are a commutative-monoid state, so
+    partition partials combine associatively and yesterday's words OR
+    with today's for incremental multi-day distincts — the
+    roaring-bitmap warehouse pattern as two plain aggregates. Scale:
+    the shuffle carries at most |id-space|/62 words per day instead of
+    one row per (day, user) — for a dense id space that is a 62×
+    reduction with NO approximation; for sparse ids you'd dict-encode
+    first (stated, not hidden)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.expr("user_id div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("__m"),
+        )
+        .groupBy("day", "word")
+        .agg(
+            F.bit_or("__m").alias("__bm"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    )
+    return (
+        w.groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("__bm"))).cast("long").alias(
+                "distinct_users_bitmap"
+            ),
+            F.sum("__n").cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "event_disorder_report",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prior_max
+      FROM events),
+    l AS (
+      SELECT event_type,
+             CASE WHEN prior_max IS NOT NULL AND ts < prior_max
+                  THEN date_diff('second', ts, prior_max)
+                  ELSE 0 END AS late_s,
+             CASE WHEN prior_max IS NOT NULL AND ts < prior_max
+                  THEN 1 ELSE 0 END AS is_late
+      FROM s)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_out_of_order,
+           ROUND(100.0 * SUM(is_late) / NULLIF(COUNT(*), 0), 2)
+             AS out_of_order_pct,
+           CAST(MAX(late_s) AS BIGINT) AS max_lateness_seconds
+    FROM l GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "quality", "streaming", "report"),
+)
+def event_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the table that SETS the streaming
+    watermark: per event type, how many events arrived (event_id =
+    ingest sequence) with an event time EARLIER than something already
+    seen for that user, and the worst such lateness in integer seconds.
+    ``withWatermark('ts', X)`` silently drops anything later than X, so
+    X is a data question, not a config guess — this report answers it
+    (max observed lateness bounds the loss; the out-of-order rate says
+    whether disorder is endemic or incidental). Running prior-max is a
+    user-partitioned exclusive-frame window over the ingest order
+    (bounded per-user frames, the sessionize shuffle), lateness is
+    integer epoch-second arithmetic, and the rollup is one
+    vocabulary-sized groupBy with map-side partials — auditing a
+    100 TB stream's disorder costs one user shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("__t"),
+        F.unix_timestamp(F.max("ts").over(w)).alias("__pm"),
+    )
+    late = F.col("__pm").isNotNull() & (F.col("__t") < F.col("__pm"))
+    l = s.select(
+        "event_type",
+        F.when(late, F.col("__pm") - F.col("__t")).otherwise(0).alias("__late_s"),
+        F.when(late, 1).otherwise(0).alias("__is_late"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__is_late").cast("long").alias("n_out_of_order"),
+            pct_rate(F.sum("__is_late"), F.count(F.lit(1))).alias(
+                "out_of_order_pct"
+            ),
+            F.max("__late_s").cast("long").alias("max_lateness_seconds"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

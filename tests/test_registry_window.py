@@ -84,6 +84,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "resample_user_daily_locf",
     "dedup_threshold_sweep",
     "rolling_median_daily_events",
+    "bitmap_distinct_users_daily",
+    "event_disorder_report",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
