@@ -199,6 +199,7 @@ EXTENDED = [
     "rolling_median_daily_events",
     "bitmap_distinct_users_daily",
     "event_disorder_report",
+    "quantile_normalize_quality",
 ]
 
 

@@ -12840,6 +12840,93 @@ def event_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_normalize_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             __TOKS__ AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                   + CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) * 0.4
+                   + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 0.2, 6) AS quality
+      FROM t),
+    n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    p AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS q_pct
+      FROM c),
+    r AS (
+      SELECT quality AS pooled_q,
+             row_number() OVER (ORDER BY quality, source, doc_id) AS rn
+      FROM c)
+    SELECT p.doc_id, p.source, p.quality, p.q_pct,
+           r.pooled_q AS calibrated_quality
+    FROM p, n_
+    JOIN r ON r.rn = CAST(1 + round(p.q_pct * (n_.n - 1)) AS BIGINT)
+    ORDER BY p.doc_id
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "training-prep", "stats"),
+)
+def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile NORMALIZATION of the quality score — the
+    calibration step beyond quality_percentile_by_source's per-source
+    percentile: each document's score is REPLACED by the pooled
+    corpus's score at the same within-source rank (classic quantile
+    matching, the genomics quantile-normalization / score-equating
+    move), so after calibration every source's score distribution IS
+    the pooled distribution and one global threshold treats sources
+    fairly without per-source cutoff tables. Rank → value lookup is
+    exact: the pooled order statistic comes from the two-phase global
+    row_number (never a single-reducer window), the target rank is
+    1 + round(p·(N−1)) — one double product and a half-up round,
+    identical IEEE both engines — and the lookup is an ordinary
+    equi-join on the rank. Scale: one source-partitioned window, one
+    grain-bucketed global rank, one rank-keyed shuffle join; the
+    9-bucket quality grain here widens to any granularity a skewed
+    corpus needs (the global-rank entries' documented escape)."""
+    from .operators.relational import global_row_number
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    j = docs.select("doc_id", "source").join(q, "doc_id")
+    n_ = j.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    wsrc = Window.partitionBy("source").orderBy("quality", "doc_id")
+    p = j.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.percent_rank().over(wsrc).alias("q_pct"),
+    )
+    pooled = global_row_number(
+        j,
+        grain=F.floor(F.col("quality") * 8).cast("long"),
+        order=[F.col("quality"), F.col("source"), F.col("doc_id")],
+        alias="__rn",
+    ).select(F.col("quality").alias("__pooled_q"), "__rn")
+    target = (
+        F.round(F.col("q_pct") * (F.col("__n") - 1), 0).cast("long") + 1
+    )
+    return (
+        p.crossJoin(F.broadcast(n_))
+        .withColumn("__target", target)
+        .join(pooled, F.col("__rn") == F.col("__target"))
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "q_pct",
+            F.col("__pooled_q").alias("calibrated_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

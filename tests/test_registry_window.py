@@ -86,6 +86,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "rolling_median_daily_events",
     "bitmap_distinct_users_daily",
     "event_disorder_report",
+    "quantile_normalize_quality",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
