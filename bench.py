@@ -200,6 +200,7 @@ EXTENDED = [
     "bitmap_distinct_users_daily",
     "event_disorder_report",
     "quantile_normalize_quality",
+    "ivf_nprobe_recall_sweep",
 ]
 
 

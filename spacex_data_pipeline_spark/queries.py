@@ -12927,6 +12927,135 @@ def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_nprobe_sweep_oracle(query_ids=(0, 1, 2, 3, 4), k=10, n_centroids=16) -> str:
+    """SQL replica of the nprobe recall sweep: same cents/assignment
+    algebra as _ivf_oracle, exact brute-force top-k ground truth, and
+    the per-true-neighbor probed-cell rank that decides a hit."""
+    ids = ",".join(str(i) for i in query_ids)
+    denom = k * len(query_ids)
+    return f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})),
+    aff AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.cv")} AS aff
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM aff) t
+      WHERE rn = 1),
+    qaff AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.cv")} AS aff
+      FROM embeddings e, cents c
+      WHERE e.vec_id IN ({ids})),
+    cellrank AS (
+      SELECT query_id, cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY aff DESC, cell) AS BIGINT) AS crk
+      FROM qaff),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.format(a="q.embedding", b="e.embedding")}
+                          DESC, e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN ({ids})) t
+      WHERE rk <= {k}),
+    hit AS (
+      SELECT ex.query_id, cr.crk
+      FROM exact ex
+      JOIN assigned a ON a.vec_id = ex.neighbor_id
+      JOIN cellrank cr ON cr.query_id = ex.query_id AND cr.cell = a.cell),
+    dims AS (SELECT unnest([1, 2, 4, 8, 16]) AS np)
+    SELECT CAST(dims.np AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN hit.crk <= dims.np THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits,
+           CAST(CAST(SUM(CASE WHEN hit.crk <= dims.np THEN 1 ELSE 0 END)
+                     AS DOUBLE) / {denom} AS DOUBLE) AS recall_at_{k}
+    FROM dims, hit
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "ivf_nprobe_recall_sweep",
+    oracle=_ivf_nprobe_sweep_oracle(),
+    tags=("extension", "similarity", "report", "tuning"),
+)
+def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS tuning curve as a table — recall@10 at n_probe ∈
+    {1, 2, 4, 8, 16} over the 16-cell IVF index, from ONE index build
+    and ONE exact ground-truth pass (the threshold-sweep discipline
+    applied to ANN): with exact in-cell scoring, a true top-10
+    neighbor is recalled at n_probe = p iff its assigned cell ranks
+    ≤ p among the query's cells, so the whole sweep reduces to the
+    probed-cell RANK of each true neighbor — no per-n_probe search
+    runs at all, and recall at full probe width proves itself 1.0 in
+    the output (the ivf==exact identity as a visible row). Exactness:
+    cells and ranks are the audited deterministic IVF algebra
+    (first-16-by-id centroids, argmax-dot with min-cell ties), hits
+    are integers, recall is one IEEE divide by the fixed 50-element
+    denominator. Scale: ground truth is the BLAS-tiled exact top-k
+    (map-only over the corpus); everything after operates on 50 rows
+    × 5 sweep points — the tuning table for a billion-vector index
+    costs one brute-force eval over a query SAMPLE, which is exactly
+    how production recall audits run."""
+    from .operators.similarity import cosine_topk, dot_ltr, ivf_assign_cells
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    assigned, cents = ivf_assign_cells(emb, 16)
+    exact = cosine_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("aff").desc(), F.col("cell")
+    )
+    cellrank = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("aff", dot_ltr(F.col("qv"), F.col("cv")))
+        .select(
+            "query_id",
+            "cell",
+            F.row_number().over(wq).cast("long").alias("crk"),
+        )
+    )
+    hit = (
+        exact.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            ),
+            "neighbor_id",
+        )
+        .join(cellrank, ["query_id", "cell"])
+        .select("query_id", "crk")
+    )
+    dims = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "np long")
+    denom = float(10 * len(qids))
+    return (
+        hit.crossJoin(F.broadcast(dims))
+        .groupBy("np")
+        .agg(
+            F.sum(F.when(F.col("crk") <= F.col("np"), 1).otherwise(0))
+            .cast("long")
+            .alias("hits")
+        )
+        .select(
+            F.col("np").alias("n_probe"),
+            "hits",
+            (F.col("hits").cast("double") / F.lit(denom)).alias("recall_at_10"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r8).
 #

@@ -87,6 +87,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "bitmap_distinct_users_daily",
     "event_disorder_report",
     "quantile_normalize_quality",
+    "ivf_nprobe_recall_sweep",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
