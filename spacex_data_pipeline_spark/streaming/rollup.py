@@ -202,3 +202,31 @@ def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             "n_events",
         )
     )
+
+
+def bitmap_distinct_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``bitmap_distinct_users_daily`` entry:
+    EXACT daily distinct users with BOUNDED state — normally streaming
+    exact-distinct means an unbounded seen-id store; packing ids into
+    62-bit words makes it an ordinary bit_or aggregate whose state is
+    at most |id-space|/62 words per open day, merged associatively as
+    microbatches arrive. The popcount rollup runs per output row, so
+    the emitted count is exact at every trigger, not just at window
+    close."""
+    word_mask = F.expr("shiftleft(1L, cast(user_id % 62 as int))")
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.expr("user_id div 62").alias("word"),
+            word_mask.alias("__m"),
+        )
+        .groupBy(F.window("ts", "1 day"), F.col("word"))
+        .agg(F.bit_or("__m").alias("__bm"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.to_date(F.col("window.start")).alias("day"),
+            "word",
+            "__bm",
+            "__n",
+        )
+    )

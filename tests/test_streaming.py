@@ -699,3 +699,35 @@ def test_stream_ohlc_matches_batch_entry(spark, sf_oracle, landed_events, tmp_pa
         for r in REGISTRY["ohlc_daily_events"].fn(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+def test_stream_bitmap_distinct_matches_batch_entry(spark, sf_oracle, landed_events, tmp_path):
+    """Streaming exact-distinct via bitmap words == the oracle-checked
+    batch entry: OR-ing word masks across microbatches must lose no
+    member, and the popcount rollup of the streamed word table equals
+    the batch per-day distinct count exactly."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.rollup import bitmap_distinct_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        bitmap_distinct_stream(stream),
+        str(tmp_path / "ckpt_bitmap"),
+        "bitmap_out",
+        output_mode="complete",
+    )
+    got = {
+        r.day: (r.distinct, r.n)
+        for r in spark.table("bitmap_out")
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count("__bm")).cast("long").alias("distinct"),
+            F.sum("__n").cast("long").alias("n"),
+        )
+        .collect()
+    }
+    want = {
+        r.day: (r.distinct_users_bitmap, r.n_events)
+        for r in REGISTRY["bitmap_distinct_users_daily"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want
