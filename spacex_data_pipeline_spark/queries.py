@@ -13073,14 +13073,18 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      after the r7 window was pinned (similarity_ivfpq_topk …
 #      profile_orders_columns) — new entries always outrank
 #      re-verification.
-# Entries that debuted AFTER this window was pinned (the second and
-# third r8 pushes — model-based curation, CUSUM, the experiment-
-# statistics/drift/attribution/fingerprint/overlap/TPC-H-adaptation
-# batch) are listed in tests/test_registry_window.py
-# NEW_AWAITING_WINDOW and rotate into the r9 window; until then their
-# gate is the local replica (tests/test_oracle_parity.py — exactly the
-# driver's strictness: rows + schema + canonical value multiset, run
-# over ALL entries at three scale factors).
+# Entries that debuted AFTER this window was pinned (the second,
+# third and fourth r8 pushes — model-based curation, CUSUM, the
+# experiment-statistics/drift/attribution/fingerprint/overlap/TPC-H-
+# adaptation batch, and the fourth-push layout/preference/time-series/
+# multimodal-phash/bitmap/calibration/ANN-sweep batch) are listed in
+# tests/test_registry_window.py NEW_AWAITING_WINDOW and rotate into
+# the r9 window; until then their gate is the local replica
+# (tests/test_oracle_parity.py — exactly the driver's strictness:
+# rows + schema + canonical value multiset, run over ALL entries at
+# three scale factors; every fourth-push entry was additionally
+# hand-driven through the driver-contract path import at sf0.001/
+# 0.01/0.1 before its commit).
 # All 50 r7-window rows were green (CORRECTNESS_r07: 50/50, zero err);
 # entries rotating out carry that basis.
 # ---------------------------------------------------------------------------
