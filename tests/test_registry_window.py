@@ -12,66 +12,17 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r8 window: the 10 entries changed (two-phase rank rewrite, range-join
-# rename) or new this round, plus the 40 oldest entries that debuted
-# after the r7 window was pinned and so have never had a driver row.
-# The 15 left below are the youngest of that late-r7 batch plus the r8
-# stragglers — their gate this round is the local replica
-# (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
-# schema + canonical value multiset); they rotate into the r9 window.
-# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r7)
-# under behavior-identical code.
+# r9 window: a pure backlog-burn-down window (VERDICT r8 #2) — exactly
+# the 50 OLDEST of the 66 entries that had never had a driver row, in
+# registry insertion order. The 16 youngest of that backlog are listed
+# below (count must equal len(NEW_AWAITING_WINDOW) — keep this prose
+# number honest) plus anything r9 registers; their gate this round is
+# the local replica (tests/test_oracle_parity.py, exactly the driver's
+# strictness: rows + schema + canonical value multiset); they rotate
+# into the r10 window. Everything in PREVIOUSLY_DRIVER_GREEN has a
+# green driver row (r1-r8) under behavior-identical code.
 NEW_AWAITING_WINDOW: set[str] = {
-    "cms_mergeable_user_counts",
-    "decontaminate_bloom_docs",
-    "dedup_jaccard_prefix_filtered",
-    "hll_mergeable_distinct_users",
-    "multimodal_resize_meta",
-    "orders_global_running_total",
-    "q12_late_lines_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier_revenue",
-    "q16_supplier_relationship_count",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_high_balance",
-    "q8_market_share",
-    "quantile_sketch_store_orders",
-    "embedding_gram_matrix",
-    "session_sequences_events",
-    "embedding_covariance_matrix",
-    "er_entity_golden_records",
-    "winsorized_order_totals",
-    "multimodal_byte_features",
-    "conversion_latency_stats",
-    "feature_hash_docs",
-    "hashed_nb_lang_classifier",
-    "dsir_importance_scores",
-    "group_kfold_components",
-    "bloom_semi_lineitem_high_value",
-    "mad_outliers_orders",
-    "gini_customer_spend",
-    "bm25_self_retrieval_mrr",
-    "join_size_forecast_orders_lineitem",
-    "lorenz_curve_customer_spend",
-    "vocab_growth_curve",
-    "model_curation_report",
-    "cusum_changepoint_events",
-    "ab_test_purchase_conversion",
-    "chi_square_arm_event_mix",
-    "cuped_adjusted_lift_spend",
-    "mann_whitney_spend_by_arm",
-    "distribution_drift_orders",
-    "drift_summary_orders",
-    "ks_drift_order_prices",
-    "attribution_last_touch",
-    "snapshot_fingerprint_orders",
-    "experiment_power_mde",
-    "session_incident_overlap",
-    "q2_min_cost_supplier",
-    "q11_important_part_share",
-    "q20_excess_share_suppliers",
-    "partition_coverage_report",
+    # -- the 16 youngest never-driver-verified r8 entries --
     "benford_first_digit_orders",
     "ab_funnel_stage_rates",
     "session_pattern_stats",
@@ -91,6 +42,58 @@ NEW_AWAITING_WINDOW: set[str] = {
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
+    # -- r8 window, all 50 green (CORRECTNESS_r08: 50/50, zero err) --
+    "window_distribution_stats",
+    "customer_spend_deciles",
+    "window_running_distinct_users",
+    "rfm_customer_segments",
+    "range_join_event_windows",
+    "q10_returned_item_customers",
+    "pagerank_word_graph",
+    "curriculum_order_docs",
+    "quality_percentile_by_source",
+    "exact_order_statistics_orders",
+    "similarity_ivfpq_topk",
+    "hybrid_retrieval_rrf",
+    "pq_recall_report",
+    "dedup_span_savings",
+    "dedup_span_docs",
+    "event_transition_matrix",
+    "user_retention_cohorts",
+    "dedup_span_rates_by_source",
+    "text_clean_docs",
+    "event_rate_anomalies",
+    "text_trigram_typicality_by_lang",
+    "bpe_merge_candidates",
+    "er_fuzzy_pairs_customers",
+    "er_fuzzy_match_stats",
+    "key_skew_report_events",
+    "heavy_hitters_event_users",
+    "weighted_sample_docs",
+    "textrank_keywords",
+    "phrase_search_docs",
+    "unpivot_lineitem_measures",
+    "centroid_confusion_embeddings",
+    "dau_wau_stickiness",
+    "source_overlap_matrix",
+    "er_blocking_report",
+    "embedding_label_compactness",
+    "word_graph_stats",
+    "cohort_ltv_matrix",
+    "basket_part_pairs",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q7_nation_trade_volume",
+    "q9_product_margin",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "semantic_decontaminate_embeddings",
+    "cluster_quality_profile",
+    "incremental_mart_refresh",
+    "pii_rates_by_source",
+    "profile_orders_columns",
+    # -- r1-r7 rows --
     "anti_customers_without_orders",
     "applyinpandas_zscore",
     "approx_distinct_parts",
