@@ -12715,8 +12715,8 @@ def rolling_median_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             user_id // 62 AS word,
-             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm,
+             (user_id - ((user_id % 62) + 62) % 62) // 62 AS word,
+             bit_or(1::BIGINT << CAST(((user_id % 62) + 62) % 62 AS INT)) AS bm,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2)
     SELECT day,
@@ -12731,9 +12731,14 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     point on the distinct-count spectrum this repo ships (countDistinct
     shuffles raw ids; hll_mergeable_distinct_users is approximate and
     mergeable; THIS is exact AND mergeable): users pack into 62-bit
-    words (``word = id div 62``, ``bit = id mod 62`` — 62 not 64
-    because DuckDB range-checks ``1 << 63`` and the sign bit buys
-    nothing), each (day, word) cell ORs its members' bit masks
+    words (``bit = pmod(id, 62)``, ``word = (id - bit) div 62`` — 62
+    not 64 because DuckDB range-checks ``1 << 63`` and the sign bit
+    buys nothing; pmod + exact-multiple floor-div rather than ``%`` /
+    ``div`` so a NEGATIVE id sets a well-defined bit instead of being
+    sign-masked by the JVM shift, identically in both engines — Spark's
+    ``%`` keeps the dividend's sign and ``shiftleft`` masks the count
+    to its low 6 bits, which would silently collide negative ids),
+    each (day, word) cell ORs its members' bit masks
     map-side, and the day's exact distinct count is the sum of
     popcounts. Bitmap words are a commutative-monoid state, so
     partition partials combine associatively and yesterday's words OR
@@ -12747,8 +12752,8 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         ev.select(
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-            F.expr("user_id div 62").alias("word"),
-            F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("__m"),
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("__m"),
         )
         .groupBy("day", "word")
         .agg(

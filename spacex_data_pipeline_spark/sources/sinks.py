@@ -403,7 +403,11 @@ def delete_by_keys(
     The anti-join is NULL-SAFE (eqNullSafe) for the same reason
     upsert_by_key's is: a NULL key in the tombstone set must delete
     NULL-key rows, not silently miss them. Deletion is idempotent —
-    re-running the same tombstones deletes 0 further rows.
+    re-running the same tombstones deletes 0 further rows. Partition
+    directories are resolved against the actual on-disk listing
+    (Hive %XX-escaped values, NULL → ``__HIVE_DEFAULT_PARTITION__``),
+    and any unresolvable value aborts BEFORE the first rewrite so a
+    failed run never leaves the table partially erased.
 
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_total"}`` (partition counts are -1 for the whole-table
@@ -426,9 +430,8 @@ def delete_by_keys(
         }
     import os
 
-    parts_total = len(
-        [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
-    )
+    dirs = [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
+    parts_total = len(dirs)
     affected = [
         r[0]
         for r in existing.join(F.broadcast(tomb), cond, "left_semi")
@@ -436,10 +439,32 @@ def delete_by_keys(
         .distinct()
         .collect()
     ]
+    # Resolve each affected value to its ON-DISK directory name instead
+    # of formatting the raw value into a path: Spark Hive-escapes
+    # path-hostile characters (':', '%', '#', ...) as %XX when writing
+    # partition dirs and writes NULL as __HIVE_DEFAULT_PARTITION__, so
+    # f"{col}={value}" misses both. Any value that does not resolve
+    # fails HERE — before the loop — so an erasure run is never left
+    # partially applied.
+    from urllib.parse import unquote
+
+    on_disk = {unquote(d.split("=", 1)[1]): d for d in dirs}
+    null_dir = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    resolved = []
+    unresolvable = []
+    for v in affected:
+        name = (null_dir if null_dir in set(dirs) else None) if v is None else on_disk.get(str(v))
+        (resolved.append(name) if name is not None else unresolvable.append(repr(v)))
+    if unresolvable:
+        raise ValueError(
+            f"delete_by_keys: no on-disk partition directory under {path} for "
+            f"{partition_col} values {unresolvable}; refusing to start a "
+            "partial rewrite (re-run after resolving — deletion is idempotent)"
+        )
     import shutil
 
-    for v in affected:
-        sub = f"{path.rstrip('/')}/{partition_col}={v}"
+    for name in resolved:
+        sub = f"{path.rstrip('/')}/{name}"
         part = spark.read.parquet(sub)
         kept = part.join(F.broadcast(tomb), part[key].eqNullSafe(F.col("__k")), "left_anti")
         if kept.isEmpty():

@@ -210,15 +210,21 @@ def bitmap_distinct_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     exact-distinct means an unbounded seen-id store; packing ids into
     62-bit words makes it an ordinary bit_or aggregate whose state is
     at most |id-space|/62 words per open day, merged associatively as
-    microbatches arrive. The popcount rollup runs per output row, so
-    the emitted count is exact at every trigger, not just at window
-    close."""
-    word_mask = F.expr("shiftleft(1L, cast(user_id % 62 as int))")
+    microbatches arrive. Emits the MERGEABLE STATE — (day, word,
+    bitmap, n) rows — not the final count: the exact distinct count is
+    the consumer's one-line rollup ``sum(bit_count(__bm)) GROUP BY
+    day`` (a second stateful aggregate in the same stream would hit
+    Spark's multi-aggregation restriction; the batch twin includes the
+    rollup, and the parity test applies it to this output). Bit/word
+    use pmod + exact-multiple floor-div, matching the batch twin, so
+    negative ids set well-defined bits instead of being sign-masked by
+    the JVM shift."""
+    word_mask = F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))")
     return (
         events.withWatermark("ts", watermark)
         .select(
             "ts",
-            F.expr("user_id div 62").alias("word"),
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
             word_mask.alias("__m"),
         )
         .groupBy(F.window("ts", "1 day"), F.col("word"))

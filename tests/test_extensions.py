@@ -2936,3 +2936,63 @@ def test_experiment_statistics_match_pure_python_reference(spark, sf_oracle):
     row = REGISTRY["ks_drift_order_prices"].fn(spark, sf_oracle).collect()[0]
     assert (row.n_early, row.n_late, row.max_diff_scaled) == (ntot_a, ntot_b, best)
     assert row.ks_stat == float(best) / (float(ntot_a) * float(ntot_b))
+
+
+def test_bitmap_packing_handles_negative_ids_identically_in_both_engines(spark):
+    """bit = pmod(id, 62), word = (id - bit) div 62 must give every id —
+    including NEGATIVE ids — a unique (word, bit) cell in both engines:
+    Spark's '%' keeps the dividend's sign and shiftleft masks the shift
+    count to its low 6 bits, so the old '% 62' packing silently set the
+    wrong bit for negatives (and DuckDB's floor '//' disagreed with
+    Spark's truncating 'div' on them)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    ids = [-125, -124, -63, -62, -61, -2, -1, 0, 1, 61, 62, 123, -1, 0]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    got = (
+        df.select(
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bm"))
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert got == len(set(ids))  # exact distinct, negatives included
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(user_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    oracle = con.execute(
+        """
+        WITH w AS (
+          SELECT (user_id - ((user_id % 62) + 62) % 62) // 62 AS word,
+                 bit_or(1::BIGINT << CAST(((user_id % 62) + 62) % 62 AS INT)) AS bm
+          FROM t GROUP BY 1)
+        SELECT CAST(SUM(bit_count(bm)) AS BIGINT) FROM w
+        """
+    ).fetchone()[0]
+    assert oracle == got
+
+    # per-cell parity, not just the rollup: both engines place every id
+    # in the same (word, bit) cell
+    s_cells = sorted(
+        (r.word, r.b)
+        for r in df.select(
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("cast(pmod(user_id, 62) as int)").alias("b"),
+        )
+        .distinct()
+        .collect()
+    )
+    d_cells = sorted(
+        con.execute(
+            "SELECT DISTINCT (user_id - ((user_id % 62) + 62) % 62) // 62,"
+            " CAST(((user_id % 62) + 62) % 62 AS INT) FROM t"
+        ).fetchall()
+    )
+    assert s_cells == d_cells

@@ -561,6 +561,35 @@ def test_delete_by_keys_partition_scoped(spark, tmp_path):
     _ = before_d1  # day-level byte-identity asserted below for clarity
 
 
+def test_delete_by_keys_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes on disk (':' → %3A) and NULL
+    partitions (__HIVE_DEFAULT_PARTITION__) must resolve to their real
+    directories — formatting the raw value into the path would miss
+    both and crash mid-loop after some partitions were rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.sources.sinks import delete_by_keys
+
+    path = str(tmp_path / "esc")
+    rows = [("a:b", 1, 10), ("a:b", 2, 20), (None, 1, 30), ("plain", 1, 40)]
+    spark.createDataFrame(rows, "src string, user_id long, v long").write.partitionBy(
+        "src"
+    ).parquet(path)
+    assert os.path.isdir(f"{path}/src=a%3Ab")  # Hive-escaped on disk
+    assert os.path.isdir(f"{path}/src=__HIVE_DEFAULT_PARTITION__")
+
+    tomb = spark.createDataFrame([(1,)], "user_id long")
+    rep = delete_by_keys(spark, path, tomb, "user_id", partition_col="src")
+    assert rep["rows_deleted"] == 3
+    assert rep["partitions_rewritten"] == 3
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") == 1).count() == 0
+    got = sorted((r.src or "", r.v) for r in back.collect())
+    assert got == [("a:b", 20)]
+
+
 def test_delete_by_keys_leaves_untouched_partitions_byte_identical(spark, tmp_path):
     """A tombstone confined to one partition leaves every other
     partition's files untouched on disk."""
