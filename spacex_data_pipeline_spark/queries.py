@@ -9472,32 +9472,34 @@ def quantile_sketch_store_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_prefix_filtered",
-    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.2")
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8")
     + "SELECT doc_a, doc_b, jaccard FROM jp",
     tags=("extension", "dedup"),
 )
 def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs (threshold 0.2) via PPJoin-style
+    """Exact word-3-gram Jaccard pairs at threshold 0.8 via PPJoin-style
     prefix filtering (operators/dedup.jaccard_pairs_prefix_filtered) —
-    the SAME oracle as dedup_ngram_jaccard because the answer is
-    identical by construction; only the candidate generator differs:
-    the quadratic join runs over each doc's rarest-token prefix instead
-    of its full shingle set, so df-skew (boilerplate) self-excludes
-    WITHOUT the equi-join path's cap-and-lose-boilerplate-pairs trade.
-    Measured crossover (sf0.1, boilerplate-footer corpus, bench.py
-    skew_jaccard_*): at t=0.2 the footer pairs legitimately EXCEED the
-    threshold, so the output itself is quadratic and the equi-join's
-    lower constant wins (4.3 vs 7.7 s); at t=0.8 — where footer-only
-    similarity is below threshold and candidate pruning is the whole
-    game — prefix filtering wins 2.1 vs 3.8 s, and the gap widens with
-    df (a 100 TB boilerplate key has df in the millions: C(df,2)
-    equi-join rows vs ~zero prefix candidates). This is the PPJoin
-    regime from the literature: high-threshold joins, skewed token
-    frequencies, exactness required."""
+    registered in its WINNING regime (VERDICT r8 #4): the quadratic join
+    runs over each doc's rarest-token prefix instead of its full shingle
+    set, so df-skew (boilerplate) self-excludes WITHOUT the equi-join
+    path's cap-and-lose-boilerplate-pairs trade. Measured crossover
+    (sf0.1, boilerplate-footer corpus, bench.py skew_jaccard_*): at
+    t=0.2 the footer pairs legitimately EXCEED the threshold, so the
+    output itself is quadratic and the equi-join's lower constant wins
+    (4.3 vs 7.7 s) — that regime stays covered by the driver-green
+    dedup_ngram_jaccard entry; at t=0.8 — where footer-only similarity
+    is below threshold and candidate pruning is the whole game — prefix
+    filtering wins 2.1 vs 3.8 s, and the gap widens with df (a 100 TB
+    boilerplate key has df in the millions: C(df,2) equi-join rows vs
+    ~zero prefix candidates). This is the PPJoin regime from the
+    literature: high-threshold joins, skewed token frequencies,
+    exactness required. Same oracle TEMPLATE as dedup_ngram_jaccard
+    (answers identical by construction at any threshold); only the
+    candidate generator differs."""
     from .operators.dedup import jaccard_pairs_prefix_filtered
 
     return jaccard_pairs_prefix_filtered(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
     )
 
 
