@@ -731,3 +731,93 @@ def test_stream_bitmap_distinct_matches_batch_entry(spark, sf_oracle, landed_eve
         for r in REGISTRY["bitmap_distinct_users_daily"].fn(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+def test_stream_locf_matches_batch_inside_user_spans(spark, sf_oracle, landed_events, tmp_path):
+    """Stateful streaming LOCF == the oracle-checked batch entry inside
+    each user's [first, last] observation span (the part of the batch
+    grid a stream can know: no corpus bounds, so no leading 'missing'
+    rows and no tail-carry past the user's latest reading)."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.stateful import locf_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        locf_stream(stream),
+        str(tmp_path / "ckpt_locf"),
+        "locf_out",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.day, r.close_locf, r.fill_status)
+        for r in spark.table("locf_out").collect()
+    }
+    batch = REGISTRY["resample_user_daily_locf"].fn(spark, sf_oracle)
+    spans = (
+        catalog.table(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+    )
+    want = {
+        (r.user_id, r.day, r.close_locf, r.fill_status)
+        for r in batch.join(spans, "user_id")
+        .filter(F.col("day").between(F.col("d0"), F.col("d1")))
+        .collect()
+    }
+    assert got == want
+    assert any(s == "carried" for _, _, _, s in got)  # gaps actually filled
+
+
+def test_stream_locf_carries_state_across_restarts(spark, tmp_path):
+    """The LOCF frontier survives a stop/restart: a second availableNow
+    drain over newly-landed later days fills the gap from the FIRST
+    run's last close — state round-trips through the checkpoint."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+    from spacex_data_pipeline_spark.streaming.stateful import locf_stream
+
+    landed = str(tmp_path / "locf_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, d, h), 1, "m", float(v), "{}")
+                for i, (d, h, v) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    out = str(tmp_path / "locf_out_pq")
+    ck = str(tmp_path / "ck_locf")
+    # run 1: days 1 and 2 (two readings on day 1 — close is the later)
+    mk([(1, 9, 10.0), (1, 17, 11.5), (2, 9, 12.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(landed)
+    run_available_now_to_parquet(
+        locf_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    # run 2: day 5 lands later — days 3, 4 must carry 12.0
+    mk([(5, 9, 20.0)]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        locf_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    got = sorted(
+        (r.day, r.close_locf, r.fill_status)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (dt.date(2024, 1, 1), 11.5, "observed"),
+        (dt.date(2024, 1, 2), 12.0, "observed"),
+        (dt.date(2024, 1, 3), 12.0, "carried"),
+        (dt.date(2024, 1, 4), 12.0, "carried"),
+        (dt.date(2024, 1, 5), 20.0, "observed"),
+    ]
