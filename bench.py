@@ -201,6 +201,7 @@ EXTENDED = [
     "event_disorder_report",
     "quantile_normalize_quality",
     "ivf_nprobe_recall_sweep",
+    "sorted_layout_footer_report",
 ]
 
 

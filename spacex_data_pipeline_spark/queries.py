@@ -13063,6 +13063,123 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SORTED_FOOTER_CACHE: dict[str, list[tuple]] = {}
+
+
+@register(
+    "sorted_layout_footer_report",
+    oracle="""
+    WITH r AS (
+      SELECT l_shipdate,
+             NTILE(8) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1
+               AS b
+      FROM lineitem),
+    g AS (
+      SELECT b AS bucket_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+             CAST(MAX(l_shipdate) AS DATE) AS max_ship
+      FROM r GROUP BY 1),
+    bounds AS (SELECT MIN(min_ship) AS lo, MAX(max_ship) AS hi FROM g)
+    SELECT bucket_id, n_rows, min_ship, max_ship,
+           CAST(date_diff('day', min_ship, max_ship) + 1 AS BIGINT)
+             AS width_days,
+           ROUND(100.0 * (date_diff('day', min_ship, max_ship) + 1)
+                 / NULLIF(date_diff('day', lo, hi) + 1, 0), 2) AS span_pct
+    FROM g, bounds ORDER BY bucket_id
+    """,
+    tags=("extension", "layout", "storage", "report"),
+)
+def sorted_layout_footer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage layer's claim, read back off DISK (VERDICT r8 #7):
+    writes lineitem in sorted-bucket layout through the real writer
+    (sinks.write_sorted_buckets — exact global NTILE(8) over the
+    (l_shipdate, l_orderkey, l_linenumber) total order via the
+    two-phase prefix scan, one file per bucket, rows sorted within),
+    then reads the PARQUET FOOTERS with pyarrow and reports, per
+    written file, the row count and the l_shipdate min/max a scanner's
+    row-group pruning would use — plus each file's key-span width and
+    its share of the global span. Because the bucket assignment is the
+    deterministic SQL NTILE (not repartitionByRange's sampled
+    boundaries), DuckDB predicts the written footers row-for-row: the
+    oracle computes the same NTILE grouping from the raw table and
+    must equal what came back off disk — write path, footer stats, and
+    skipping math all verified in one driver row. The footer numbers
+    ARE the skipping report: a shipdate point-probe reads the one file
+    whose [min,max] covers it, i.e. ~span_pct% of the table per file
+    (~12.5% at 8 disjoint buckets vs 100% for every file under
+    arrival order). The written table is cached per sf_dir so repeated
+    plan builds (the full-registry test sweeps) don't rewrite it;
+    the report itself is a handful of rows — all downstream expressions
+    run on |buckets| rows."""
+    cells = _SORTED_FOOTER_CACHE.get(sf_dir)
+    if cells is None:
+        import glob
+        import os
+        import re as _re
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from .sources.sinks import write_sorted_buckets
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_orderkey", "l_linenumber"
+        )
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_sorted_layout_" + _re.sub(r"\W+", "_", sf_dir.strip("/")),
+        )
+        write_sorted_buckets(
+            li,
+            path,
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+            grain=F.date_trunc("month", F.col("l_shipdate")),
+            n_buckets=8,
+        )
+        cells = []
+        for d in sorted(glob.glob(f"{path}/__bucket=*")):
+            bucket = int(d.rsplit("=", 1)[1])
+            n_rows, mn, mx = 0, None, None
+            for fpath in glob.glob(f"{d}/*.parquet"):
+                pf = pq.ParquetFile(fpath)
+                idx = pf.schema_arrow.get_field_index("l_shipdate")
+                md = pf.metadata
+                n_rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            # shipdate is a midnight timestamp in the raw table; report
+            # the calendar DATE (the grain a range-scan predicate uses)
+            import datetime as _dt
+
+            if isinstance(mn, _dt.datetime):
+                mn, mx = mn.date(), mx.date()
+            cells.append((bucket, n_rows, mn, mx))
+        _SORTED_FOOTER_CACHE[sf_dir] = cells
+    rep = spark.createDataFrame(
+        cells, "bucket_id long, n_rows long, min_ship date, max_ship date"
+    )
+    bounds = rep.agg(
+        F.min("min_ship").alias("__lo"), F.max("max_ship").alias("__hi")
+    )
+    width = (F.datediff("max_ship", "min_ship") + 1).cast("long")
+    return (
+        rep.crossJoin(F.broadcast(bounds))
+        .select(
+            "bucket_id",
+            "n_rows",
+            "min_ship",
+            "max_ship",
+            width.alias("width_days"),
+            pct_rate(
+                width, (F.datediff("__hi", "__lo") + 1).cast("long")
+            ).alias("span_pct"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r9).
 #

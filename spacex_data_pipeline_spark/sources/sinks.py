@@ -255,6 +255,57 @@ def write_sorted(
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 
+def write_sorted_buckets(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    grain: Column,
+    n_buckets: int,
+) -> int:
+    """:func:`write_sorted`'s DETERMINISTIC sibling: same globally-sorted
+    skippable layout, but file boundaries come from an EXACT global
+    NTILE over the total order instead of repartitionByRange's sampled
+    range boundaries — every engine (and every rerun) assigns byte-for-
+    byte the same rows to the same bucket, which is what lets a DuckDB
+    oracle predict the written footers row-for-row
+    (sorted_layout_footer_report drives this through the driver).
+
+    The global row number is the distributed two-phase prefix scan
+    (operators/relational.global_row_number — month-bucket offsets, no
+    single-reducer sort), NTILE is pure arithmetic on (rn, n), and the
+    write repartitions on the bucket id so each bucket lands in exactly
+    one task → one file per bucket, rows sorted within. ``grain`` must
+    be a prefix function of ``order_cols[0]`` and the order unique-total
+    (global_row_number's contract). Cost: one bucket-table window plus
+    one data shuffle — the same shuffle count as write_sorted.
+
+    Returns the number of parquet files written (== n_buckets when
+    every bucket is non-empty)."""
+    from ..operators.relational import global_row_number, ntile_from_rank
+
+    ranked = global_row_number(
+        df,
+        grain=grain,
+        order=[F.col(c) for c in order_cols],
+        alias="__rn",
+        total_alias="__n",
+    )
+    bucketed = ranked.withColumn(
+        "__bucket",
+        ntile_from_rank(F.col("__rn"), F.col("__n"), n_buckets) - F.lit(1),
+    ).drop("__rn", "__n")
+    (
+        bucketed.repartition(n_buckets, "__bucket")
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    import glob
+
+    return len(glob.glob(f"{path.rstrip('/')}/__bucket=*/*.parquet"))
+
+
 def write_with_quarantine(
     df: DataFrame,
     checks: dict[str, Column],

@@ -39,6 +39,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "event_disorder_report",
     "quantile_normalize_quality",
     "ivf_nprobe_recall_sweep",
+    # -- registered r9 --
+    "sorted_layout_footer_report",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {

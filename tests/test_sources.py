@@ -620,3 +620,50 @@ def test_delete_by_keys_leaves_untouched_partitions_byte_identical(spark, tmp_pa
         (r.day, r.user_id) for r in spark.read.parquet(path).collect()
     )
     assert got == [(0, 2), (1, 3), (1, 4)]
+
+
+def test_write_sorted_buckets_footers_are_disjoint(spark, sf_oracle, tmp_path):
+    """The deterministic sorted-bucket writer's on-disk footers must show
+    the skippable layout it promises: one file per bucket, bucket key
+    ranges non-overlapping except possibly at a shared boundary value
+    (a tie split across adjacent buckets by the ntile), and every row
+    accounted for."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.sources.sinks import write_sorted_buckets
+
+    li = catalog.table(spark, sf_oracle, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    path = str(tmp_path / "sorted_li")
+    n_files = write_sorted_buckets(
+        li,
+        path,
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        grain=F.date_trunc("month", F.col("l_shipdate")),
+        n_buckets=8,
+    )
+    assert n_files == 8  # one file per bucket
+    spans = []
+    total = 0
+    for d in sorted(
+        glob.glob(f"{path}/__bucket=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    ):
+        (fpath,) = glob.glob(f"{d}/*.parquet")
+        pf = pq.ParquetFile(fpath)
+        idx = pf.schema_arrow.get_field_index("l_shipdate")
+        md = pf.metadata
+        total += md.num_rows
+        st = md.row_group(0).column(idx).statistics
+        mn, mx = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            mn, mx = min(mn, s.min), max(mx, s.max)
+        spans.append((mn, mx))
+    assert total == li.count()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint up to a shared boundary value
