@@ -202,6 +202,8 @@ EXTENDED = [
     "quantile_normalize_quality",
     "ivf_nprobe_recall_sweep",
     "sorted_layout_footer_report",
+    "quantile_treatment_effects",
+    "bitmap_retention_lag_curve",
 ]
 
 

@@ -13180,6 +13180,239 @@ def sorted_layout_footer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_treatment_effects",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || 'ab'), 1, 8))
+                  ::UBIGINT % 2 AS BIGINT) AS grp,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY 1),
+    r AS (SELECT grp, spend_cents, o_custkey,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY spend_cents, o_custkey) AS rn
+          FROM u),
+    t AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+    qs AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q_pct),
+    rk AS (SELECT t.grp, t.n, qs.q_pct,
+                  GREATEST(1, CAST(ceil(CAST(q_pct AS DOUBLE) / 100 * n)
+                                   AS BIGINT)) AS rank_needed
+           FROM t, qs),
+    hit AS (SELECT rk.q_pct, rk.grp, rk.n, r.spend_cents
+            FROM rk JOIN r ON r.grp = rk.grp AND r.rn = rk.rank_needed)
+    SELECT q_pct,
+           MAX(CASE WHEN grp = 0 THEN n END) AS n_control,
+           MAX(CASE WHEN grp = 1 THEN n END) AS n_treat,
+           MAX(CASE WHEN grp = 0 THEN spend_cents END) AS spend_control_cents,
+           MAX(CASE WHEN grp = 1 THEN spend_cents END) AS spend_treat_cents,
+           MAX(CASE WHEN grp = 1 THEN spend_cents END)
+             - MAX(CASE WHEN grp = 0 THEN spend_cents END) AS qte_cents
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "experiment", "order-statistics"),
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL reading the
+    experiment suite's mean-based estimators (ab_test z, CUPED lift)
+    can't give: per-arm EXACT quartiles of per-customer spend and their
+    treatment-minus-control differences, so a lift concentrated in the
+    tail is visible as QTE(75) >> QTE(25) instead of averaged away.
+    Assignment is the standard deterministic md5 bucketing (_ab_grp);
+    spend is exact integer cents; the per-ARM order statistics ride the
+    per-group generalization of the two-phase prefix scan — per
+    (arm, $10k-bucket) counts, exclusive offsets from a window over the
+    BUCKET table partitioned by arm (|arms|×|buckets| rows, never
+    data), row_number within each (arm, bucket) reducer plus the
+    offset, and a 6-row broadcast rank probe picks the six quantile
+    rows. Every output is a BIGINT (counts, cents, differences) — no
+    float leaves either engine, so the hash comparison is arithmetic-
+    free. Scale: one customer-level shuffle, per-(arm, bucket)-bounded
+    reducers, constant-sized everything after."""
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        o.groupBy("o_custkey")
+        .agg(
+            (F.sum(dec_money("o_totalprice")) * 100)
+            .cast("long")
+            .alias("spend_cents")
+        )
+        .select(
+            _ab_grp(F.col("o_custkey")).alias("grp"),
+            "spend_cents",
+            "o_custkey",
+        )
+    )
+    g = u.withColumn(
+        "__grain", F.floor(F.col("spend_cents") / F.lit(1_000_000))
+    )
+    per = g.groupBy("grp", "__grain").agg(F.count(F.lit(1)).alias("__gn"))
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("__grain")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per.select(
+        "grp",
+        "__grain",
+        (F.sum("__gn").over(wg) - F.col("__gn")).alias("__off"),
+    )
+    w = Window.partitionBy("grp", "__grain").orderBy("spend_cents", "o_custkey")
+    rn = (
+        g.join(F.broadcast(offsets), ["grp", "__grain"])
+        .withColumn("rn", (F.col("__off") + F.row_number().over(w)).cast("long"))
+    )
+    tot = u.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = tot.select(
+        F.col("grp").alias("__rk_grp"),
+        "n",
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in (25, 50, 75)])
+        ).alias("q_pct"),
+    ).select(
+        "__rk_grp",
+        "n",
+        "q_pct",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("q_pct").cast("double") / 100 * F.col("n")).cast("long"),
+        ).alias("rank_needed"),
+    )
+    hit = rn.join(
+        F.broadcast(rk),
+        (F.col("grp") == F.col("__rk_grp")) & (F.col("rn") == F.col("rank_needed")),
+    ).select("q_pct", "grp", "n", "spend_cents")
+    c0 = F.max(F.when(F.col("grp") == 0, F.col("spend_cents")))
+    c1 = F.max(F.when(F.col("grp") == 1, F.col("spend_cents")))
+    return (
+        hit.groupBy("q_pct")
+        .agg(
+            F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_control"),
+            F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_treat"),
+            c0.alias("spend_control_cents"),
+            c1.alias("spend_treat_cents"),
+            (c1 - c0).alias("qte_cents"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+@register(
+    "bitmap_retention_lag_curve",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             (user_id - ((user_id % 62) + 62) % 62) // 62 AS word,
+             bit_or(1::BIGINT << CAST(((user_id % 62) + 62) % 62 AS INT)) AS bm
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MAX(day) AS dmax FROM w),
+    base AS (SELECT day, CAST(SUM(bit_count(bm)) AS BIGINT) AS active
+             FROM w GROUP BY 1),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+    ret AS (
+      SELECT l.lag, a.day,
+             CAST(SUM(bit_count(a.bm & c.bm)) AS BIGINT) AS retained
+      FROM lags l, w a JOIN w c ON c.word = a.word
+      WHERE c.day = a.day + l.lag
+      GROUP BY 1, 2),
+    lb AS (
+      SELECT l.lag, d.day, d.active
+      FROM lags l CROSS JOIN base d CROSS JOIN b
+      WHERE d.day + l.lag <= b.dmax),
+    pairs AS (
+      SELECT lb.lag, lb.day, lb.active, COALESCE(r.retained, 0) AS retained
+      FROM lb LEFT JOIN ret r ON r.lag = lb.lag AND r.day = lb.day)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_day_pairs,
+           CAST(SUM(active) AS BIGINT) AS base_active,
+           CAST(SUM(retained) AS BIGINT) AS retained,
+           ROUND(100.0 * SUM(retained) / NULLIF(SUM(active), 0), 2)
+             AS retention_pct
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "bitmap", "analytics", "scale"),
+)
+def bitmap_retention_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention at lags 1–7 computed ENTIRELY by bitmap SET ALGEBRA on
+    the mergeable word store — the payoff of bitmap_distinct_users_daily
+    being a store, not just a count: |active(d) ∩ active(d+L)| is
+    popcount(bm_d AND bm_{d+L}) summed over words, so the retention
+    curve never re-touches raw events (at 100 TB the raw (day, user)
+    self-join this replaces shuffles the event table against itself;
+    this joins |days| × |id-space|/62 words on the word key). The word
+    table is built once and checkpointed (house materialize), then
+    serves base counts AND all seven lag intersections; day pairs whose
+    lag-day has no rows count as zero retained, and base days within a
+    lag of the corpus edge are excluded (calendar-bounded, both
+    engines). Sign-safe pmod/floor-div packing, same as the store
+    entry. Output: per lag, the day-pair count, summed base actives,
+    summed retained, and the blended retention rate."""
+    from .operators.dedup import materialize
+
+    ev = _t(spark, sf_dir, "events")
+    w = materialize(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("__m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("__m").alias("bm"))
+    )
+    base = w.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("active")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    dmax = w.agg(F.max("day").alias("dmax"))
+    a = w.select(
+        F.col("day").alias("a_day"), "word", F.col("bm").alias("a_bm")
+    )
+    c = w.select(
+        F.col("day").alias("c_day"), "word", F.col("bm").alias("c_bm")
+    )
+    ret = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            c,
+            (a.word == c.word)
+            & (F.col("c_day") == F.date_add(F.col("a_day"), F.col("lag"))),
+        )
+        .groupBy(F.col("lag").alias("__r_lag"), "a_day")
+        .agg(
+            F.sum(F.bit_count(F.col("a_bm").bitwiseAND(F.col("c_bm"))))
+            .cast("long")
+            .alias("retained")
+        )
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(dmax))
+        .filter(F.date_add(F.col("day"), F.col("lag")) <= F.col("dmax"))
+        .join(
+            ret,
+            (F.col("lag") == F.col("__r_lag")) & (F.col("day") == F.col("a_day")),
+            "left",
+        )
+        .select(
+            "lag",
+            "day",
+            "active",
+            F.coalesce("retained", F.lit(0).cast("long")).alias("retained"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_day_pairs"),
+            F.sum("active").cast("long").alias("base_active"),
+            F.sum("retained").cast("long").alias("retained"),
+            pct_rate(F.sum("retained"), F.sum("active")).alias("retention_pct"),
+        )
+        .orderBy("lag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r9).
 #

@@ -41,6 +41,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "ivf_nprobe_recall_sweep",
     # -- registered r9 --
     "sorted_layout_footer_report",
+    "quantile_treatment_effects",
+    "bitmap_retention_lag_curve",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
