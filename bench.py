@@ -204,6 +204,7 @@ EXTENDED = [
     "sorted_layout_footer_report",
     "quantile_treatment_effects",
     "bitmap_retention_lag_curve",
+    "pit_join_lineitem_priority",
 ]
 
 

@@ -13413,6 +13413,118 @@ def bitmap_retention_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pit_join_lineitem_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS ts,
+             o_orderkey
+      FROM orders),
+    c AS (
+      SELECT *, lag(priority) OVER (PARTITION BY o_custkey
+                                    ORDER BY ts, o_orderkey) AS prev
+      FROM o),
+    scd AS (
+      SELECT o_custkey, priority, ts AS valid_from, o_orderkey AS vkey
+      FROM c WHERE prev IS NULL OR priority <> prev),
+    f AS (
+      SELECT l.l_shipdate,
+             CAST(l.l_extendedprice AS DECIMAL(8,2)) AS price,
+             o2.o_custkey
+      FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey),
+    pr AS (
+      SELECT o_custkey, l_shipdate, priority FROM (
+        SELECT p.o_custkey, p.l_shipdate, s.priority,
+               row_number() OVER (PARTITION BY p.o_custkey, p.l_shipdate
+                                  ORDER BY s.valid_from DESC, s.vkey DESC)
+                 AS rn
+        FROM (SELECT DISTINCT o_custkey, l_shipdate FROM f) p
+        JOIN scd s ON s.o_custkey = p.o_custkey
+                  AND s.valid_from <= p.l_shipdate) t
+      WHERE rn = 1)
+    SELECT pr.priority AS pit_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(f.price) AS DOUBLE) AS revenue
+    FROM f JOIN pr ON pr.o_custkey = f.o_custkey
+                  AND pr.l_shipdate = f.l_shipdate
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "warehouse", "scd", "join"),
+)
+def pit_join_lineitem_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension — the query side of
+    the scd2_customer_priority build (which maintains the version table
+    but nothing consumed it): each lineitem is attributed to the
+    customer-priority VERSION in effect on its ship date (shipdate >
+    orderdate, so this is a real temporal lookup, not the order's own
+    row), then revenue rolls up by that as-was priority. The lookup
+    never touches fact rows: the PIT answer is a pure function of
+    (custkey, shipdate), so it is resolved once per DISTINCT pair — an
+    equi-join on custkey restricted to valid_from <= shipdate (fan-out
+    = that customer's version count, dimension-bounded), one max_by
+    per pair over the (valid_from, version-key) struct — and joined
+    back to the facts as an ordinary equi-join (also why duplicate
+    fact rows, which this synthetic lineitem has, stay exact: no
+    per-row survivor pick exists to be nondeterministic). The struct
+    tiebreaker makes two same-day versions deterministic in both
+    engines (the oracle's row_number DESC, DESC is the same
+    lexicographic pick). Exact decimal revenue, one cast at the end.
+    Scale: the lookup table is |distinct (customer, ship-day)| rows —
+    orders of magnitude below the fact table — and everything is
+    custkey-keyed equi-joins plus map-side-combinable aggregates."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    scd = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+        )
+        .withColumn("prev", F.lag("priority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("priority") != F.col("prev")))
+        .select(
+            "o_custkey",
+            "priority",
+            F.col("ts").alias("valid_from"),
+            F.col("o_orderkey").alias("vkey"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        dec_money("l_extendedprice").alias("price"),
+    )
+    f = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "price")
+    pairs = f.select("o_custkey", "l_shipdate").distinct()
+    pit = (
+        pairs.join(
+            scd,
+            (pairs.o_custkey == scd.o_custkey)
+            & (scd.valid_from <= pairs.l_shipdate),
+        )
+        .drop(scd.o_custkey)
+        .groupBy("o_custkey", "l_shipdate")
+        .agg(
+            F.max_by(
+                "priority", F.struct(F.col("valid_from"), F.col("vkey"))
+            ).alias("pit_priority")
+        )
+    )
+    return (
+        f.join(pit, ["o_custkey", "l_shipdate"])
+        .groupBy("pit_priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("pit_priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r9).
 #

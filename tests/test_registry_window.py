@@ -43,6 +43,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "sorted_layout_footer_report",
     "quantile_treatment_effects",
     "bitmap_retention_lag_curve",
+    "pit_join_lineitem_priority",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
