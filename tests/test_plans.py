@@ -929,3 +929,31 @@ def test_phash_shuffles_hashes_never_payloads(spark, sf):
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r9_entries_keep_their_scale_shapes(spark, sf):
+    """The four r9 entries compile to the shapes their docstrings claim:
+    QTE's per-(arm, bucket) rank rides a grain-partitioned window with
+    broadcast offsets/rank-probe joins; the bitmap retention and PIT
+    joins are equi-joins (nested loops only for the tiny broadcast
+    lag/bounds attaches); nothing degenerates to a CartesianProduct."""
+    import re
+
+    plan = plan_of(REGISTRY["quantile_treatment_effects"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(grp#\d+L?, __grain#\d+", plan), (
+        "QTE: rank window not (arm, bucket)-partitioned"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # offsets + rank probe
+
+    plan = plan_of(REGISTRY["bitmap_retention_lag_curve"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    # the word-keyed lag intersection must be an equi-join, not a loop
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+    plan = plan_of(REGISTRY["pit_join_lineitem_priority"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(REGISTRY["sorted_layout_footer_report"].fn(spark, sf))
+    assert "CartesianProduct" not in plan  # bounds attach broadcasts
