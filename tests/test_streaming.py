@@ -821,3 +821,78 @@ def test_stream_locf_carries_state_across_restarts(spark, tmp_path):
         (dt.date(2024, 1, 4), 12.0, "carried"),
         (dt.date(2024, 1, 5), 20.0, "observed"),
     ]
+
+
+def test_retention_from_streamed_bitmap_store_matches_batch_entry(
+    spark, sf_oracle, landed_events, tmp_path
+):
+    """The bitmap words a STREAM accumulates are the same mergeable store
+    the batch set-algebra entries consume: computing the lag retention
+    curve from the streamed (day, word, bitmap) table reproduces the
+    oracle-checked bitmap_retention_lag_curve rows exactly — i.e. the
+    store really is merge-any-range, not a batch-only artifact."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.rollup import bitmap_distinct_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        bitmap_distinct_stream(stream),
+        str(tmp_path / "ckpt_bm_ret"),
+        "bm_ret_words",
+        output_mode="complete",
+    )
+    w = spark.table("bm_ret_words").select("day", "word", F.col("__bm").alias("bm"))
+    base = w.groupBy("day").agg(F.sum(F.bit_count("bm")).cast("long").alias("active"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    dmax = w.agg(F.max("day").alias("dmax"))
+    a = w.select(
+        F.col("day").alias("a_day"),
+        F.col("word").alias("a_word"),
+        F.col("bm").alias("a_bm"),
+    )
+    c = w.select(
+        F.col("day").alias("c_day"),
+        F.col("word").alias("c_word"),
+        F.col("bm").alias("c_bm"),
+    )
+    ret = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            c,
+            (F.col("a_word") == F.col("c_word"))
+            & (F.col("c_day") == F.date_add(F.col("a_day"), F.col("lag"))),
+        )
+        .groupBy(F.col("lag").alias("r_lag"), "a_day")
+        .agg(
+            F.sum(F.bit_count(F.col("a_bm").bitwiseAND(F.col("c_bm"))))
+            .cast("long")
+            .alias("retained")
+        )
+    )
+    got = {
+        (r.lag, r.base_active, r.retained)
+        for r in base.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(dmax))
+        .filter(F.date_add(F.col("day"), F.col("lag")) <= F.col("dmax"))
+        .join(
+            ret,
+            (F.col("lag") == F.col("r_lag")) & (F.col("day") == F.col("a_day")),
+            "left",
+        )
+        .select(
+            "lag",
+            "active",
+            F.coalesce("retained", F.lit(0).cast("long")).alias("retained"),
+        )
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.sum("active").cast("long").alias("base_active"),
+            F.sum("retained").cast("long").alias("retained"),
+        )
+        .collect()
+    }
+    want = {
+        (r.lag, r.base_active, r.retained)
+        for r in REGISTRY["bitmap_retention_lag_curve"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want
