@@ -205,6 +205,7 @@ EXTENDED = [
     "quantile_treatment_effects",
     "bitmap_retention_lag_curve",
     "pit_join_lineitem_priority",
+    "bitmap_growth_accounting",
 ]
 
 

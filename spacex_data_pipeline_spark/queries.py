@@ -13525,6 +13525,103 @@ def pit_join_lineitem_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitmap_growth_accounting",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             (user_id - ((user_id % 62) + 62) % 62) // 62 AS word,
+             bit_or(1::BIGINT << CAST(((user_id % 62) + 62) % 62 AS INT)) AS bm
+      FROM events GROUP BY 1, 2),
+    base AS (SELECT day, CAST(SUM(bit_count(bm)) AS BIGINT) AS active
+             FROM w GROUP BY 1),
+    ret AS (
+      SELECT a.day, CAST(SUM(bit_count(a.bm & p.bm)) AS BIGINT) AS retained
+      FROM w a JOIN w p ON p.word = a.word AND p.day = a.day - 1
+      GROUP BY 1)
+    SELECT b.day, b.active,
+           COALESCE(bp.active, 0) AS prev_active,
+           COALESCE(r.retained, 0) AS retained,
+           b.active - COALESCE(r.retained, 0) AS gained,
+           COALESCE(bp.active, 0) - COALESCE(r.retained, 0) AS dropped,
+           b.active - COALESCE(bp.active, 0) AS net_change
+    FROM base b
+    LEFT JOIN base bp ON bp.day = b.day - 1
+    LEFT JOIN ret r ON r.day = b.day
+    ORDER BY b.day
+    """,
+    tags=("extension", "bitmap", "analytics", "scale"),
+)
+def bitmap_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth accounting (the canonical active-base
+    decomposition: gained / dropped / retained / net) from bitmap SET
+    ALGEBRA — the third consumer of the mergeable word store next to
+    the distinct count and the retention curve. The only set operation
+    executed is AND: gained = |cur \\ prev| and dropped = |prev \\ cur|
+    come from the popcount identity |A \\ B| = |A| − |A ∩ B|, so
+    neither engine needs a bitwise NOT (whose 62-vs-64-bit width
+    semantics would differ) and the per-day numbers are exact BIGINTs
+    that reconcile by construction (gained − dropped = net). The first
+    corpus day reports prev_active = 0 (everyone gained) — boundary
+    stated, not hidden. Scale: the word store is checkpointed once;
+    the day-over-day intersection is ONE word-keyed equi-join of the
+    store against its one-day shift, |days| × |id-space|/62 rows —
+    the raw-event alternative self-joins the fact table."""
+    from .operators.dedup import materialize
+
+    ev = _t(spark, sf_dir, "events")
+    w = materialize(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("__m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("__m").alias("bm"))
+    )
+    base = w.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("active")
+    )
+    prev = w.select(
+        F.date_add(F.col("day"), 1).alias("p_day"),
+        F.col("word").alias("p_word"),
+        F.col("bm").alias("p_bm"),
+    )
+    ret = (
+        w.join(
+            prev,
+            (F.col("word") == F.col("p_word")) & (F.col("day") == F.col("p_day")),
+        )
+        .groupBy(F.col("day").alias("r_day"))
+        .agg(
+            F.sum(F.bit_count(F.col("bm").bitwiseAND(F.col("p_bm"))))
+            .cast("long")
+            .alias("retained")
+        )
+    )
+    basep = base.select(
+        F.date_add(F.col("day"), 1).alias("bp_day"),
+        F.col("active").alias("prev_active"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        base.join(basep, F.col("day") == F.col("bp_day"), "left")
+        .join(ret, F.col("day") == F.col("r_day"), "left")
+        .select(
+            "day",
+            "active",
+            F.coalesce("prev_active", z).alias("prev_active"),
+            F.coalesce("retained", z).alias("retained"),
+            (F.col("active") - F.coalesce("retained", z)).alias("gained"),
+            (F.coalesce("prev_active", z) - F.coalesce("retained", z)).alias(
+                "dropped"
+            ),
+            (F.col("active") - F.coalesce("prev_active", z)).alias("net_change"),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r9).
 #

@@ -44,6 +44,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "quantile_treatment_effects",
     "bitmap_retention_lag_curve",
     "pit_join_lineitem_priority",
+    "bitmap_growth_accounting",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
