@@ -667,3 +667,27 @@ def test_write_sorted_buckets_footers_are_disjoint(spark, sf_oracle, tmp_path):
     assert total == li.count()
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo  # disjoint up to a shared boundary value
+
+
+def test_write_sorted_buckets_more_buckets_than_rows(spark, tmp_path):
+    """n_buckets > |rows| degrades gracefully: NTILE hands each row its
+    own bucket, only non-empty bucket dirs are written, and the data
+    round-trips sorted and complete."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.sources.sinks import write_sorted_buckets
+
+    df = spark.createDataFrame([(3, 30), (1, 10), (2, 20)], "k long, v long")
+    path = str(tmp_path / "tiny_sorted")
+    n_files = write_sorted_buckets(
+        df, path, ["k"], grain=F.col("k"), n_buckets=8
+    )
+    assert n_files == 3  # one file per occupied bucket, empties skipped
+    dirs = sorted(
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{path}/__bucket=*")
+    )
+    assert dirs == [0, 1, 2]
+    back = spark.read.parquet(path)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, 10), (2, 20), (3, 30)]
