@@ -206,6 +206,7 @@ EXTENDED = [
     "bitmap_retention_lag_curve",
     "pit_join_lineitem_priority",
     "bitmap_growth_accounting",
+    "funnel_stage_latency_quantiles",
 ]
 
 

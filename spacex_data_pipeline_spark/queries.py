@@ -13622,6 +13622,135 @@ def bitmap_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_stage_latency_quantiles",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    s1 AS (SELECT 'view_to_click' AS stage, c.event_id,
+                  CAST(date_diff('second', MAX(v.ts), c.ts) AS BIGINT) AS lat
+           FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
+           GROUP BY c.event_id, c.ts),
+    s2 AS (SELECT 'click_to_purchase' AS stage, p.event_id,
+                  CAST(date_diff('second', MAX(c.ts), p.ts) AS BIGINT) AS lat
+           FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+           GROUP BY p.event_id, p.ts),
+    l AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    t AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1),
+    r AS (SELECT stage, lat, event_id,
+                 row_number() OVER (PARTITION BY stage
+                                    ORDER BY lat, event_id) AS rn
+          FROM l),
+    qs AS (SELECT CAST(unnest([50, 90]) AS BIGINT) AS q),
+    rk AS (SELECT t.stage, t.n, qs.q,
+                  GREATEST(1, (qs.q * t.n + 99) // 100) AS rank_needed
+           FROM t, qs),
+    hit AS (SELECT rk.stage, rk.n, rk.q, r.lat
+            FROM rk JOIN r ON r.stage = rk.stage AND r.rn = rk.rank_needed)
+    SELECT stage, MAX(n) AS n_pairs,
+           MAX(CASE WHEN q = 50 THEN lat END) AS p50_s,
+           MAX(CASE WHEN q = 90 THEN lat END) AS p90_s
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "asof", "order-statistics", "analytics"),
+)
+def funnel_stage_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STAGE funnel latency percentiles — the tail view the overall
+    conversion_latency_stats median can't give (a healthy view→click
+    P50 with a pathological click→purchase P90 is invisible in one
+    blended number): each click is attributed to the user's most
+    recent prior view and each purchase to the most recent prior click
+    (two passes of the union+window AS-OF join — one user shuffle
+    each, no range blowup), then EXACT P50/P90 per stage come from the
+    per-group two-phase prefix scan (per-(stage, 10-min-bucket) counts,
+    bucket-table offsets partitioned by stage, row_number within
+    bounded reducers) with the needed ranks computed in PURE INTEGER
+    arithmetic — ceil(q·n/100) = (q·n + 99) div 100, so no float rank
+    literal exists to round differently across engines (0.9 is not a
+    binary fraction; 50/90 as integers are exact everywhere). Outputs
+    are integer seconds. Scale: two as-of shuffles + one rank shuffle,
+    all user/stage-bucket bounded; the rank probe is a 4-row
+    broadcast."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage_lat(left_type: str, right_type: str, name: str) -> DataFrame:
+        left = ev.filter(F.col("event_type") == left_type).select(
+            "event_id", "user_id", "ts"
+        )
+        right = ev.filter(F.col("event_type") == right_type).select(
+            "user_id", F.col("ts").alias("r_ts")
+        )
+        m = relational.as_of_join(
+            left,
+            right,
+            left_on="user_id",
+            right_on="user_id",
+            left_ts="ts",
+            right_ts="r_ts",
+            payload=["r_ts"],
+        )
+        return m.filter(F.col("asof_r_ts").isNotNull()).select(
+            F.lit(name).alias("stage"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_r_ts"))
+            .cast("long")
+            .alias("lat"),
+            "event_id",
+        )
+
+    lat = stage_lat("click", "view", "view_to_click").unionByName(
+        stage_lat("purchase", "click", "click_to_purchase")
+    )
+    g = lat.withColumn("__grain", F.floor(F.col("lat") / F.lit(600)))
+    per = g.groupBy("stage", "__grain").agg(F.count(F.lit(1)).alias("__gn"))
+    wg = (
+        Window.partitionBy("stage")
+        .orderBy("__grain")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per.select(
+        "stage",
+        "__grain",
+        (F.sum("__gn").over(wg) - F.col("__gn")).alias("__off"),
+    )
+    w = Window.partitionBy("stage", "__grain").orderBy("lat", "event_id")
+    rn = g.join(F.broadcast(offsets), ["stage", "__grain"]).withColumn(
+        "rn", (F.col("__off") + F.row_number().over(w)).cast("long")
+    )
+    tot = lat.groupBy("stage").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = tot.select(
+        F.col("stage").alias("__rk_stage"),
+        "n",
+        F.explode(F.array(F.lit(50).cast("long"), F.lit(90).cast("long"))).alias(
+            "q"
+        ),
+    ).select(
+        "__rk_stage",
+        "n",
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(q * n + 99) div 100"),
+        ).alias("rank_needed"),
+    )
+    hit = rn.join(
+        F.broadcast(rk),
+        (F.col("stage") == F.col("__rk_stage"))
+        & (F.col("rn") == F.col("rank_needed")),
+    ).select("stage", "n", "q", "lat")
+    return (
+        hit.groupBy("stage")
+        .agg(
+            F.max("n").alias("n_pairs"),
+            F.max(F.when(F.col("q") == 50, F.col("lat"))).alias("p50_s"),
+            F.max(F.when(F.col("q") == 90, F.col("lat"))).alias("p90_s"),
+        )
+        .orderBy("stage")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r9).
 #

@@ -45,6 +45,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "bitmap_retention_lag_curve",
     "pit_join_lineitem_priority",
     "bitmap_growth_accounting",
+    "funnel_stage_latency_quantiles",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
