@@ -483,10 +483,20 @@ def delete_by_keys(
 
     dirs = [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
     parts_total = len(dirs)
+    # One row per affected value, alongside SPARK's own string rendering
+    # of it: the partition-path writer formats values via the engine's
+    # string cast (lowercase booleans 'true'/'false', Java Double
+    # rendering '1.0E16', Spark date/timestamp/decimal formats), which
+    # Python str() does NOT reproduce — so ask the engine, never format
+    # driver-side (a legitimate tombstone set must not abort on a
+    # rendering mismatch).
     affected = [
-        r[0]
+        (r[0], r[1])
         for r in existing.join(F.broadcast(tomb), cond, "left_semi")
-        .select(partition_col)
+        .select(
+            F.col(partition_col),
+            F.col(partition_col).cast("string").alias("__render"),
+        )
         .distinct()
         .collect()
     ]
@@ -503,8 +513,12 @@ def delete_by_keys(
     null_dir = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
     resolved = []
     unresolvable = []
-    for v in affected:
-        name = (null_dir if null_dir in set(dirs) else None) if v is None else on_disk.get(str(v))
+    for v, rendered in affected:
+        name = (
+            (null_dir if null_dir in set(dirs) else None)
+            if v is None
+            else on_disk.get(rendered)
+        )
         (resolved.append(name) if name is not None else unresolvable.append(repr(v)))
     if unresolvable:
         raise ValueError(

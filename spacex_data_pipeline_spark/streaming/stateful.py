@@ -188,84 +188,106 @@ def locf_stream(events: DataFrame) -> DataFrame:
     query horizon. State per user is two longs (last day ordinal +
     close in exact integer cents; doubles only at emit, same
     correctly-rounded cents/100 value as the batch entry's
-    decimal(8,2)→double cast). Arrival discipline: micro-batches are
-    sorted by (ts, event_id) before folding, and a row whose day
-    precedes the already-emitted frontier is dropped (append mode
-    cannot retract an emitted day) — set the source watermark to the
-    event-time disorder bound (event_disorder_report) so such rows are
-    late-data policy, not silent loss.
+    decimal(8,2)→double cast). Arrival discipline: the ENTIRE
+    micro-batch for a group is materialized (Spark hands it to the UDF
+    as multiple ~10k-row Arrow chunks in no guaranteed order, so a
+    per-chunk sort would silently mis-fold any group larger than one
+    chunk — e.g. an availableNow backfill drain) and sorted once by
+    (ts, event_id) before the single fold; buffering the batch is the
+    only way to honor the total order given two longs of state. A row
+    whose day strictly precedes the already-emitted frontier is
+    dropped (append mode cannot retract an emitted day) — set the
+    source watermark to the event-time disorder bound
+    (event_disorder_report) so such rows are late-data policy, not
+    silent loss. A SAME-day reading arriving after its day was emitted
+    in a prior trigger (an open day straddling two triggers — normal
+    in-order arrival, not late data) cannot amend the emitted row, but
+    it DOES advance the carried close in state, so every subsequent
+    'carried' day uses the day's true close; only the already-emitted
+    observed row itself is frozen.
     """
-    import datetime as _dt
-    from decimal import ROUND_HALF_UP, Decimal
-
-    out_cols = [f.name for f in LOCF_OUTPUT_SCHEMA.fields]
-    _EPOCH = _dt.date(1970, 1, 1)
-
-    def locf(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        last_ord, last_cents = state.get if state.exists else (None, None)
-        out: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples(index=False):
-                day = row.ts.date()
-                day_ord = (day - _EPOCH).days
-                if last_ord is not None and day_ord < last_ord:
-                    continue  # behind the emitted frontier (late data)
-                # exact 2-decimal cents, HALF_UP like the decimal cast
-                cents = int(
-                    Decimal(repr(float(row.value)))
-                    .scaleb(2)
-                    .to_integral_value(ROUND_HALF_UP)
-                )
-                if last_ord is None:
-                    out.append(
-                        {
-                            "user_id": key[0],
-                            "day": day,
-                            "close_locf": cents / 100.0,
-                            "fill_status": "observed",
-                        }
-                    )
-                elif day_ord == last_ord:
-                    # same day: amend the close in place (day already
-                    # appended this batch — rewrite its pending row) or,
-                    # if the day was emitted in a PRIOR batch, drop (the
-                    # frontier rule above only guards strictly-older days)
-                    if out and out[-1]["day"] == day:
-                        out[-1]["close_locf"] = cents / 100.0
-                    else:
-                        continue
-                else:
-                    for g in range(last_ord + 1, day_ord):
-                        out.append(
-                            {
-                                "user_id": key[0],
-                                "day": _EPOCH + _dt.timedelta(days=g),
-                                "close_locf": last_cents / 100.0,
-                                "fill_status": "carried",
-                            }
-                        )
-                    out.append(
-                        {
-                            "user_id": key[0],
-                            "day": day,
-                            "close_locf": cents / 100.0,
-                            "fill_status": "observed",
-                        }
-                    )
-                last_ord, last_cents = day_ord, cents
-        if last_ord is not None:
-            state.update((last_ord, last_cents))
-        yield pd.DataFrame(out, columns=out_cols)
-
     return events.groupBy("user_id").applyInPandasWithState(
-        locf,
+        _locf_fold,
         outputStructType=LOCF_OUTPUT_SCHEMA,
         stateStructType=LOCF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _locf_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The per-group micro-batch fold behind :func:`locf_stream` —
+    module-level so the chunk-order and same-day-across-trigger
+    contracts are unit-testable without a streaming query
+    (tests/test_streaming.py drives it with a stub GroupState)."""
+    import datetime as _dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out_cols = [f.name for f in LOCF_OUTPUT_SCHEMA.fields]
+    _EPOCH = _dt.date(1970, 1, 1)
+    last_ord, last_cents = state.get if state.exists else (None, None)
+    out: list[dict[str, Any]] = []
+    # Materialize the whole micro-batch before sorting: the iterator
+    # yields arbitrary-order Arrow chunks, and the fold is
+    # order-sensitive (a later chunk holding earlier days would be
+    # dropped by the frontier check or fill gaps with a stale close).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            day = row.ts.date()
+            day_ord = (day - _EPOCH).days
+            if last_ord is not None and day_ord < last_ord:
+                continue  # behind the emitted frontier (late data)
+            # exact 2-decimal cents, HALF_UP like the decimal cast
+            cents = int(
+                Decimal(repr(float(row.value)))
+                .scaleb(2)
+                .to_integral_value(ROUND_HALF_UP)
+            )
+            if last_ord is None:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "day": day,
+                        "close_locf": cents / 100.0,
+                        "fill_status": "observed",
+                    }
+                )
+            elif day_ord == last_ord:
+                # same day: amend the close in place (day already
+                # appended this batch — rewrite its pending row).
+                # If the day was emitted in a PRIOR trigger the row
+                # is frozen (append mode), but state still advances
+                # below so later carried days use the true close.
+                if out and out[-1]["day"] == day:
+                    out[-1]["close_locf"] = cents / 100.0
+            else:
+                for g in range(last_ord + 1, day_ord):
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "day": _EPOCH + _dt.timedelta(days=g),
+                            "close_locf": last_cents / 100.0,
+                            "fill_status": "carried",
+                        }
+                    )
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "day": day,
+                        "close_locf": cents / 100.0,
+                        "fill_status": "observed",
+                    }
+                )
+            last_ord, last_cents = day_ord, cents
+    if last_ord is not None:
+        state.update((last_ord, last_cents))
+    yield pd.DataFrame(out, columns=out_cols)

@@ -590,6 +590,49 @@ def test_delete_by_keys_escaped_and_null_partition_values(spark, tmp_path):
     assert got == [("a:b", 20)]
 
 
+def test_delete_by_keys_engine_rendered_partition_values(spark, tmp_path):
+    """Partition values whose Python str() differs from Spark's
+    partition-path rendering — e.g. doubles in Java E-notation
+    territory (1e16 → '1.0E16' on disk but '1e+16' from Python) —
+    must still resolve: the lookup has to use the engine's own string
+    cast, or a legitimate tombstone set aborts with ValueError before
+    any rewrite. (Booleans, the other ADVICE example, can't reach the
+    mismatch through this path-based API: partition inference reads
+    'true'/'false' dirs back as STRINGS, which resolve trivially —
+    pinned below so a future typed-catalog read path revisits this.)"""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.sources.sinks import delete_by_keys
+
+    # boolean partition column — inferred back as string, still deletes
+    path = str(tmp_path / "boolpart")
+    rows = [(True, 1, 10), (True, 2, 20), (False, 1, 30)]
+    spark.createDataFrame(rows, "flag boolean, user_id long, v long").write.partitionBy(
+        "flag"
+    ).parquet(path)
+    tomb = spark.createDataFrame([(1,)], "user_id long")
+    rep = delete_by_keys(spark, path, tomb, "user_id", partition_col="flag")
+    assert rep["rows_deleted"] == 2
+    assert rep["partitions_rewritten"] == 2
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") == 1).count() == 0
+    assert [(r.flag, r.v) for r in back.collect()] == [("true", 20)]
+
+    # double partition column in Java E-notation territory — the real
+    # rendering divergence (partition inference yields DoubleType here)
+    path2 = str(tmp_path / "dblpart")
+    rows2 = [(1.0e16, 1, 10), (0.5, 2, 20)]
+    spark.createDataFrame(rows2, "bucket double, user_id long, v long").write.partitionBy(
+        "bucket"
+    ).parquet(path2)
+    rep2 = delete_by_keys(spark, path2, tomb, "user_id", partition_col="bucket")
+    assert rep2["rows_deleted"] == 1
+    assert rep2["partitions_rewritten"] == 1
+    assert sorted(
+        (r.bucket, r.v) for r in spark.read.parquet(path2).collect()
+    ) == [(0.5, 20)]
+
+
 def test_delete_by_keys_leaves_untouched_partitions_byte_identical(spark, tmp_path):
     """A tombstone confined to one partition leaves every other
     partition's files untouched on disk."""

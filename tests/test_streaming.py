@@ -823,6 +823,95 @@ def test_stream_locf_carries_state_across_restarts(spark, tmp_path):
     ]
 
 
+class _StubGroupState:
+    """Minimal GroupState double for driving _locf_fold directly —
+    the exists/get/update surface the fold actually touches."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _locf_chunk(rows):
+    """rows: list of (event_id, 'YYYY-MM-DD HH', value)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(f"{r[1]}:00:00") for r in rows],
+            "user_id": [7] * len(rows),
+            "value": [r[2] for r in rows],
+        }
+    )
+
+
+def test_locf_fold_is_chunk_order_insensitive():
+    """A group's micro-batch arrives as multiple Arrow chunks in no
+    guaranteed order (e.g. an availableNow backfill drain past
+    maxRecordsPerBatch). The fold must materialize and sort the WHOLE
+    batch first: a later chunk holding earlier days must neither be
+    dropped by the frontier check nor fill gaps with the wrong close."""
+    from spacex_data_pipeline_spark.streaming.stateful import _locf_fold
+
+    state = _StubGroupState()
+    # chunk 1 holds day 5, chunk 2 holds days 1-2 — reversed delivery
+    chunks = [
+        _locf_chunk([(3, "2024-01-05 09", 20.0)]),
+        _locf_chunk([(1, "2024-01-01 09", 10.0), (2, "2024-01-02 09", 12.5)]),
+    ]
+    (out,) = list(_locf_fold((7,), iter(chunks), state))
+    got = [
+        (str(r.day), r.close_locf, r.fill_status)
+        for r in out.itertuples(index=False)
+    ]
+    assert got == [
+        ("2024-01-01", 10.0, "observed"),
+        ("2024-01-02", 12.5, "observed"),
+        ("2024-01-03", 12.5, "carried"),
+        ("2024-01-04", 12.5, "carried"),
+        ("2024-01-05", 20.0, "observed"),
+    ]
+    import datetime as dt
+
+    assert state.get == ((dt.date(2024, 1, 5) - dt.date(1970, 1, 1)).days, 2000)
+
+
+def test_locf_fold_same_day_later_trigger_advances_state():
+    """An open day straddling two triggers: the second trigger's same-day
+    reading can't amend the already-emitted row (append mode), but it
+    MUST advance the carried close in state so subsequent carried days
+    use the day's true close."""
+    from spacex_data_pipeline_spark.streaming.stateful import _locf_fold
+
+    state = _StubGroupState()
+    # trigger 1: day 1 closes at 10.0 (emitted)
+    (o1,) = list(_locf_fold((7,), iter([_locf_chunk([(1, "2024-01-01 09", 10.0)])]), state))
+    assert [(str(r.day), r.close_locf) for r in o1.itertuples(index=False)] == [
+        ("2024-01-01", 10.0)
+    ]
+    # trigger 2: a later same-day reading — no new row, but state advances
+    (o2,) = list(_locf_fold((7,), iter([_locf_chunk([(2, "2024-01-01 17", 11.0)])]), state))
+    assert len(o2) == 0
+    assert state.get[1] == 1100
+    # trigger 3: day 3 lands — the gap day 2 carries the TRUE close 11.0
+    (o3,) = list(_locf_fold((7,), iter([_locf_chunk([(3, "2024-01-03 09", 20.0)])]), state))
+    assert [
+        (str(r.day), r.close_locf, r.fill_status)
+        for r in o3.itertuples(index=False)
+    ] == [("2024-01-02", 11.0, "carried"), ("2024-01-03", 20.0, "observed")]
+
+
 def test_retention_from_streamed_bitmap_store_matches_batch_entry(
     spark, sf_oracle, landed_events, tmp_path
 ):
