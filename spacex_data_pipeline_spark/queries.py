@@ -13107,16 +13107,22 @@ def sorted_layout_footer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARE the skipping report: a shipdate point-probe reads the one file
     whose [min,max] covers it, i.e. ~span_pct% of the table per file
     (~12.5% at 8 disjoint buckets vs 100% for every file under
-    arrival order). The written table is cached per sf_dir so repeated
-    plan builds (the full-registry test sweeps) don't rewrite it;
-    the report itself is a handful of rows — all downstream expressions
-    run on |buckets| rows."""
+    arrival order). Artifact hygiene (VERDICT r9 #5): the layout is
+    written under the SESSION WAREHOUSE dir (never /tmp), at a
+    per-process path (pid suffix — concurrent pytest-xdist workers or
+    parallel plan builds each get their own directory, so no reader
+    ever sees a half-written layout), and the directory is REMOVED as
+    soon as the footers are read — the per-process cells cache serves
+    repeated plan builds, and nothing is left on disk. The report
+    itself is a handful of rows — all downstream expressions run on
+    |buckets| rows."""
     cells = _SORTED_FOOTER_CACHE.get(sf_dir)
     if cells is None:
         import glob
         import os
         import re as _re
-        import tempfile
+        import shutil
+        from urllib.parse import urlparse
 
         import pyarrow.parquet as pq
 
@@ -13125,9 +13131,14 @@ def sorted_layout_footer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = _t(spark, sf_dir, "lineitem").select(
             "l_shipdate", "l_orderkey", "l_linenumber"
         )
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        if "://" in wh or wh.startswith("file:"):
+            wh = urlparse(wh).path or wh
         path = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_sorted_layout_" + _re.sub(r"\W+", "_", sf_dir.strip("/")),
+            wh,
+            "_sorted_layout",
+            "%s_pid%d"
+            % (_re.sub(r"\W+", "_", sf_dir.strip("/")), os.getpid()),
         )
         write_sorted_buckets(
             li,
@@ -13136,26 +13147,30 @@ def sorted_layout_footer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             grain=F.date_trunc("month", F.col("l_shipdate")),
             n_buckets=8,
         )
-        cells = []
-        for d in sorted(glob.glob(f"{path}/__bucket=*")):
-            bucket = int(d.rsplit("=", 1)[1])
-            n_rows, mn, mx = 0, None, None
-            for fpath in glob.glob(f"{d}/*.parquet"):
-                pf = pq.ParquetFile(fpath)
-                idx = pf.schema_arrow.get_field_index("l_shipdate")
-                md = pf.metadata
-                n_rows += md.num_rows
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
-            # shipdate is a midnight timestamp in the raw table; report
-            # the calendar DATE (the grain a range-scan predicate uses)
-            import datetime as _dt
+        try:
+            cells = []
+            for d in sorted(glob.glob(f"{path}/__bucket=*")):
+                bucket = int(d.rsplit("=", 1)[1])
+                n_rows, mn, mx = 0, None, None
+                for fpath in glob.glob(f"{d}/*.parquet"):
+                    pf = pq.ParquetFile(fpath)
+                    idx = pf.schema_arrow.get_field_index("l_shipdate")
+                    md = pf.metadata
+                    n_rows += md.num_rows
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                # shipdate is a midnight timestamp in the raw table;
+                # report the calendar DATE (the grain a range-scan
+                # predicate uses)
+                import datetime as _dt
 
-            if isinstance(mn, _dt.datetime):
-                mn, mx = mn.date(), mx.date()
-            cells.append((bucket, n_rows, mn, mx))
+                if isinstance(mn, _dt.datetime):
+                    mn, mx = mn.date(), mx.date()
+                cells.append((bucket, n_rows, mn, mx))
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
         _SORTED_FOOTER_CACHE[sf_dir] = cells
     rep = spark.createDataFrame(
         cells, "bucket_id long, n_rows long, min_ship date, max_ship date"
