@@ -12,43 +12,72 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r9 window: a pure backlog-burn-down window (VERDICT r8 #2) — exactly
-# the 50 OLDEST of the 66 entries that had never had a driver row, in
-# registry insertion order. The 16 youngest of that backlog are listed
-# below (count must equal len(NEW_AWAITING_WINDOW) — keep this prose
-# number honest) plus anything r9 registers; their gate this round is
-# the local replica (tests/test_oracle_parity.py, exactly the driver's
-# strictness: rows + schema + canonical value multiset); they rotate
-# into the r10 window. Everything in PREVIOUSLY_DRIVER_GREEN has a
-# green driver row (r1-r8) under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = {
-    # -- the 16 youngest never-driver-verified r8 entries --
-    "benford_first_digit_orders",
-    "ab_funnel_stage_rates",
-    "session_pattern_stats",
-    "zorder_skipping_report",
-    "skyline_parts",
-    "time_weighted_value_events",
-    "autocorr_daily_events",
-    "multimodal_phash_neardup",
-    "ohlc_daily_events",
-    "resample_user_daily_locf",
-    "dedup_threshold_sweep",
-    "rolling_median_daily_events",
-    "bitmap_distinct_users_daily",
-    "event_disorder_report",
-    "quantile_normalize_quality",
-    "ivf_nprobe_recall_sweep",
-    # -- registered r9 --
-    "sorted_layout_footer_report",
-    "quantile_treatment_effects",
-    "bitmap_retention_lag_curve",
-    "pit_join_lineitem_priority",
-    "bitmap_growth_accounting",
-    "funnel_stage_latency_quantiles",
-}
+# r10 window: the ledger-closing window (VERDICT r9 #1) — the 22
+# entries that had never had a driver row (16 r8 leftovers + 6 r9
+# registrations, ALL windowed this round) plus 28 RE-VERIFICATION
+# slots for the oldest r5-green rows whose shared helpers were
+# refactored after their green row (see the DRIVER_WINDOW comment in
+# queries.py for the commit-level audit). NEW_AWAITING_WINDOW holds
+# ONLY entries registered THIS round (r10) that missed the window;
+# their gate is the local replica (tests/test_oracle_parity.py,
+# exactly the driver's strictness: rows + schema + canonical value
+# multiset); they rotate into the r11 window. Everything in
+# PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r9) under
+# behavior-identical code.
+NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
+    # -- r9 window, all 50 green (CORRECTNESS_r09: 50/50, zero err) --
+    "winsorized_order_totals",
+    "multimodal_resize_meta",
+    "multimodal_byte_features",
+    "session_sequences_events",
+    "conversion_latency_stats",
+    "er_entity_golden_records",
+    "embedding_gram_matrix",
+    "embedding_covariance_matrix",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_high_balance",
+    "q12_late_lines_by_status",
+    "q16_supplier_relationship_count",
+    "q21_suppliers_kept_waiting",
+    "decontaminate_bloom_docs",
+    "hll_mergeable_distinct_users",
+    "cms_mergeable_user_counts",
+    "quantile_sketch_store_orders",
+    "dedup_jaccard_prefix_filtered",
+    "orders_global_running_total",
+    "feature_hash_docs",
+    "hashed_nb_lang_classifier",
+    "dsir_importance_scores",
+    "group_kfold_components",
+    "bloom_semi_lineitem_high_value",
+    "mad_outliers_orders",
+    "gini_customer_spend",
+    "bm25_self_retrieval_mrr",
+    "join_size_forecast_orders_lineitem",
+    "lorenz_curve_customer_spend",
+    "vocab_growth_curve",
+    "model_curation_report",
+    "cusum_changepoint_events",
+    "ab_test_purchase_conversion",
+    "chi_square_arm_event_mix",
+    "cuped_adjusted_lift_spend",
+    "mann_whitney_spend_by_arm",
+    "distribution_drift_orders",
+    "drift_summary_orders",
+    "ks_drift_order_prices",
+    "attribution_last_touch",
+    "snapshot_fingerprint_orders",
+    "experiment_power_mde",
+    "session_incident_overlap",
+    "q2_min_cost_supplier",
+    "q11_important_part_share",
+    "q20_excess_share_suppliers",
+    "partition_coverage_report",
     # -- r8 window, all 50 green (CORRECTNESS_r08: 50/50, zero err) --
     "window_distribution_stats",
     "customer_spend_deciles",
@@ -243,9 +272,21 @@ def test_window_is_the_first_50_entries():
 
 def test_window_covers_every_never_driver_checked_entry():
     """Everything outside the window must have a prior driver-green row —
-    i.e. no entry may end the round with zero driver verification ever."""
+    i.e. no entry may end the round with zero driver verification ever
+    (the r10 window holds re-verification slots, so window membership
+    and PREVIOUSLY_DRIVER_GREEN may overlap; outside the window,
+    green-row coverage is mandatory)."""
     outside = set(REGISTRY) - set(DRIVER_WINDOW)
-    assert outside == PREVIOUSLY_DRIVER_GREEN | NEW_AWAITING_WINDOW
+    assert outside - PREVIOUSLY_DRIVER_GREEN <= NEW_AWAITING_WINDOW
+    # and the ledger is complete + honest: every registry entry is
+    # green, awaiting, or in this round's window — and nothing listed
+    # as awaiting is stale (i.e. already green or already windowed)
+    assert (
+        PREVIOUSLY_DRIVER_GREEN | NEW_AWAITING_WINDOW | set(DRIVER_WINDOW)
+        == set(REGISTRY)
+    )
+    assert not (NEW_AWAITING_WINDOW & PREVIOUSLY_DRIVER_GREEN)
+    assert not (NEW_AWAITING_WINDOW & set(DRIVER_WINDOW))
 
 
 def test_rotation_preserves_the_registry():
