@@ -20,6 +20,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -207,7 +208,7 @@ def locf_stream(events: DataFrame) -> DataFrame:
     observed row itself is frozen.
     """
     return events.groupBy("user_id").applyInPandasWithState(
-        _locf_fold,
+        _make_locf_fold(),
         outputStructType=LOCF_OUTPUT_SCHEMA,
         stateStructType=LOCF_STATE_SCHEMA,
         outputMode="append",
@@ -215,79 +216,214 @@ def locf_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _locf_fold(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """The per-group micro-batch fold behind :func:`locf_stream` —
-    module-level so the chunk-order and same-day-across-trigger
-    contracts are unit-testable without a streaming query
-    (tests/test_streaming.py drives it with a stub GroupState)."""
-    import datetime as _dt
-    from decimal import ROUND_HALF_UP, Decimal
+def _make_locf_fold():
+    """Factory for the per-group micro-batch fold behind
+    :func:`locf_stream`. A FACTORY (not a module-level fold) for two
+    reasons: the returned nested function cloudpickles BY VALUE (the
+    first_seen_stream rule — workers that never import this package
+    must still unpickle it), and the unit tests
+    (tests/test_streaming.py) can still build one and drive it with a
+    stub GroupState to pin the chunk-order and same-day-across-trigger
+    contracts without a streaming query."""
 
-    out_cols = [f.name for f in LOCF_OUTPUT_SCHEMA.fields]
-    _EPOCH = _dt.date(1970, 1, 1)
-    last_ord, last_cents = state.get if state.exists else (None, None)
-    out: list[dict[str, Any]] = []
-    # Materialize the whole micro-batch before sorting: the iterator
-    # yields arbitrary-order Arrow chunks, and the fold is
-    # order-sensitive (a later chunk holding earlier days would be
-    # dropped by the frontier check or fill gaps with a stale close).
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        pdf = (
-            chunks[0]
-            if len(chunks) == 1
-            else pd.concat(chunks, ignore_index=True)
-        )
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for row in pdf.itertuples(index=False):
-            day = row.ts.date()
-            day_ord = (day - _EPOCH).days
-            if last_ord is not None and day_ord < last_ord:
-                continue  # behind the emitted frontier (late data)
-            # exact 2-decimal cents, HALF_UP like the decimal cast
-            cents = int(
-                Decimal(repr(float(row.value)))
-                .scaleb(2)
-                .to_integral_value(ROUND_HALF_UP)
+    def locf(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out_cols = [f.name for f in LOCF_OUTPUT_SCHEMA.fields]
+        _EPOCH = _dt.date(1970, 1, 1)
+        last_ord, last_cents = state.get if state.exists else (None, None)
+        out: list[dict[str, Any]] = []
+        # Materialize the whole micro-batch before sorting: the iterator
+        # yields arbitrary-order Arrow chunks, and the fold is
+        # order-sensitive (a later chunk holding earlier days would be
+        # dropped by the frontier check or fill gaps with a stale close).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
             )
-            if last_ord is None:
-                out.append(
-                    {
-                        "user_id": key[0],
-                        "day": day,
-                        "close_locf": cents / 100.0,
-                        "fill_status": "observed",
-                    }
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                day = row.ts.date()
+                day_ord = (day - _EPOCH).days
+                if last_ord is not None and day_ord < last_ord:
+                    continue  # behind the emitted frontier (late data)
+                # exact 2-decimal cents, HALF_UP like the decimal cast
+                cents = int(
+                    Decimal(repr(float(row.value)))
+                    .scaleb(2)
+                    .to_integral_value(ROUND_HALF_UP)
                 )
-            elif day_ord == last_ord:
-                # same day: amend the close in place (day already
-                # appended this batch — rewrite its pending row).
-                # If the day was emitted in a PRIOR trigger the row
-                # is frozen (append mode), but state still advances
-                # below so later carried days use the true close.
-                if out and out[-1]["day"] == day:
-                    out[-1]["close_locf"] = cents / 100.0
-            else:
-                for g in range(last_ord + 1, day_ord):
+                if last_ord is None:
                     out.append(
                         {
                             "user_id": key[0],
-                            "day": _EPOCH + _dt.timedelta(days=g),
-                            "close_locf": last_cents / 100.0,
-                            "fill_status": "carried",
+                            "day": day,
+                            "close_locf": cents / 100.0,
+                            "fill_status": "observed",
                         }
                     )
+                elif day_ord == last_ord:
+                    # same day: amend the close in place (day already
+                    # appended this batch — rewrite its pending row).
+                    # If the day was emitted in a PRIOR trigger the row
+                    # is frozen (append mode), but state still advances
+                    # below so later carried days use the true close.
+                    if out and out[-1]["day"] == day:
+                        out[-1]["close_locf"] = cents / 100.0
+                else:
+                    for g in range(last_ord + 1, day_ord):
+                        out.append(
+                            {
+                                "user_id": key[0],
+                                "day": _EPOCH + _dt.timedelta(days=g),
+                                "close_locf": last_cents / 100.0,
+                                "fill_status": "carried",
+                            }
+                        )
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "day": day,
+                            "close_locf": cents / 100.0,
+                            "fill_status": "observed",
+                        }
+                    )
+                last_ord, last_cents = day_ord, cents
+        if last_ord is not None:
+            state.update((last_ord, last_cents))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return locf
+
+ATTRIBUTION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("p_event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("attributed_type", T.StringType()),
+        T.StructField("lat_us", T.LongType()),
+        T.StructField("val_cents", T.LongType()),
+    ]
+)
+# latest touch per user: event-time micros + event id (the batch total
+# order's tiebreak) + type — two longs and a short string per user,
+# O(users) regardless of stream length.
+ATTRIBUTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("touch_us", T.LongType()),
+        T.StructField("touch_eid", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+    ]
+)
+
+
+def attribution_stream(
+    events: DataFrame, lookback_seconds: int = 3600
+) -> DataFrame:
+    """Streaming twin of the batch ``attribution_last_touch`` entry
+    (VERDICT r9 #3 — the last driver-green batch family with no
+    streaming twin): every purchase credits the user's most recent
+    view/click within the lookback, else 'direct', emitted ON ARRIVAL
+    as one append-mode row per purchase (the batch entry's per-type
+    rollup is a stateless aggregation any consumer runs downstream —
+    the parity test folds the streamed rows back to the batch totals).
+
+    Same state discipline as :func:`locf_stream`: per user the state is
+    just the LATEST touch (event-time micros + event id + type — the
+    (ts, side, event_id) total order the batch window uses, with
+    touches sorting before a same-timestamp purchase), each micro-batch
+    is fully materialized and sorted once before the fold, and late
+    data follows the append-mode contract — a purchase arriving BEHIND
+    a newer touch in state attributes as-of correctly only if the
+    stored touch still precedes it (the state cannot resurrect an
+    older touch), and an already-emitted purchase row is never
+    retracted; size the source watermark by ``event_disorder_report``
+    so those rows are policy, not silent loss. A late-arriving touch
+    that is OLDER than the stored one never regresses state (the
+    (ts_us, event_id) guard), so replays are idempotent per trigger.
+
+    Exactness mirrors the batch entry: purchase values fold to exact
+    HALF_UP cents, latency is exact integer microseconds; the only
+    doubles appear in the consumer's mean, built from these integers
+    with the batch entry's own expression tree."""
+    lookback_us = int(lookback_seconds) * 1_000_000
+
+    return (
+        events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_attribution_fold(lookback_us),
+            outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+            stateStructType=ATTRIBUTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _make_attribution_fold(lookback_us: int):
+    """Factory for :func:`attribution_stream`'s per-group fold — nested
+    so cloudpickle serializes by value (the first_seen_stream rule) and
+    unit tests can drive one with a stub GroupState."""
+
+    def attribute(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out_cols = [f.name for f in ATTRIBUTION_OUTPUT_SCHEMA.fields]
+        t_us, t_eid, t_type = state.get if state.exists else (None, None, None)
+        out: list[dict[str, Any]] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            # the batch window's total order: (ts, side, event_id) with
+            # touches (side 0) before a same-timestamp purchase (side 1)
+            pdf = pdf.assign(
+                __side=(pdf["event_type"] == "purchase").astype("int64")
+            ).sort_values(["ts", "__side", "event_id"])
+            for row in pdf.itertuples(index=False):
+                ev_us = row.ts.value // 1_000
+                if row.event_type != "purchase":
+                    # newest-touch guard: a late touch older than the
+                    # stored one must not regress state
+                    if t_us is None or (ev_us, row.event_id) > (t_us, t_eid):
+                        t_us, t_eid, t_type = ev_us, row.event_id, row.event_type
+                    continue
+                in_window = (
+                    t_us is not None
+                    and t_us <= ev_us  # as-of: only touches at/before the purchase
+                    and t_us >= ev_us - lookback_us
+                )
+                cents = int(
+                    Decimal(repr(float(row.value)))
+                    .scaleb(2)
+                    .to_integral_value(ROUND_HALF_UP)
+                )
                 out.append(
                     {
                         "user_id": key[0],
-                        "day": day,
-                        "close_locf": cents / 100.0,
-                        "fill_status": "observed",
+                        "p_event_id": row.event_id,
+                        "ts": row.ts,
+                        "attributed_type": t_type if in_window else "direct",
+                        "lat_us": (ev_us - t_us) if in_window else None,
+                        "val_cents": cents,
                     }
                 )
-            last_ord, last_cents = day_ord, cents
-    if last_ord is not None:
-        state.update((last_ord, last_cents))
-    yield pd.DataFrame(out, columns=out_cols)
+        if t_us is not None:
+            state.update((t_us, t_eid, t_type))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return attribute

@@ -862,7 +862,8 @@ def test_locf_fold_is_chunk_order_insensitive():
     maxRecordsPerBatch). The fold must materialize and sort the WHOLE
     batch first: a later chunk holding earlier days must neither be
     dropped by the frontier check nor fill gaps with the wrong close."""
-    from spacex_data_pipeline_spark.streaming.stateful import _locf_fold
+    from spacex_data_pipeline_spark.streaming.stateful import _make_locf_fold
+    _locf_fold = _make_locf_fold()
 
     state = _StubGroupState()
     # chunk 1 holds day 5, chunk 2 holds days 1-2 — reversed delivery
@@ -892,7 +893,8 @@ def test_locf_fold_same_day_later_trigger_advances_state():
     reading can't amend the already-emitted row (append mode), but it
     MUST advance the carried close in state so subsequent carried days
     use the day's true close."""
-    from spacex_data_pipeline_spark.streaming.stateful import _locf_fold
+    from spacex_data_pipeline_spark.streaming.stateful import _make_locf_fold
+    _locf_fold = _make_locf_fold()
 
     state = _StubGroupState()
     # trigger 1: day 1 closes at 10.0 (emitted)
@@ -985,3 +987,143 @@ def test_retention_from_streamed_bitmap_store_matches_batch_entry(
         for r in REGISTRY["bitmap_retention_lag_curve"].fn(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+def test_stream_attribution_matches_batch_entry(spark, sf_oracle, landed_events, tmp_path):
+    """Stateful streaming last-touch attribution == the oracle-checked
+    batch entry: folding the streamed per-purchase rows with the batch
+    entry's own aggregate expressions reproduces its per-type totals
+    exactly (count, exact revenue cents, and the IEEE-identical mean
+    latency)."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.stateful import attribution_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        attribution_stream(stream),
+        str(tmp_path / "ckpt_attr"),
+        "attr_out",
+        output_mode="append",
+    )
+    got = {
+        (r.attributed_type, r.n_purchases, r.revenue_cents, r.mean_latency_sec)
+        for r in spark.table("attr_out")
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("val_cents").cast("long").alias("revenue_cents"),
+            (
+                F.sum("lat_us").cast("double")
+                / F.nullif(F.count("lat_us"), F.lit(0)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_latency_sec"),
+        )
+        .collect()
+    }
+    want = {
+        (r.attributed_type, r.n_purchases, r.revenue_cents, r.mean_latency_sec)
+        for r in REGISTRY["attribution_last_touch"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want
+    assert len(want) >= 2  # at least direct + one touch type exercised
+
+
+def test_stream_attribution_carries_state_across_restarts(spark, tmp_path):
+    """The latest-touch state survives a stop/restart: purchases landing
+    in a SECOND availableNow drain attribute against the FIRST run's
+    touch (inside the lookback) and fall back to 'direct' outside it."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+    from spacex_data_pipeline_spark.streaming.stateful import attribution_stream
+
+    landed = str(tmp_path / "attr_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, 1, h, m), 1, typ, float(v), "{}")
+                for eid, (h, m, typ, v) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    out = str(tmp_path / "attr_out_pq")
+    ck = str(tmp_path / "ck_attr")
+    # run 1: a view at 09:00, purchase at 09:30 -> attributed to the view
+    mk([(9, 0, "view", 0.0), (9, 30, "purchase", 10.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(landed)
+    run_available_now_to_parquet(
+        attribution_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    # run 2: purchase at 09:55 (inside 1h of the run-1 view -> view),
+    # then a click at 10:05 and purchase at 10:20 -> click
+    mk(
+        [(9, 55, "purchase", 20.0), (10, 5, "click", 0.0), (10, 20, "purchase", 30.0)]
+    ).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        attribution_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    got = sorted(
+        (r.ts, r.attributed_type, r.lat_us, r.val_cents)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (dt.datetime(2024, 1, 1, 9, 30), "view", 30 * 60 * 1_000_000, 1000),
+        (dt.datetime(2024, 1, 1, 9, 55), "view", 55 * 60 * 1_000_000, 2000),
+        (dt.datetime(2024, 1, 1, 10, 20), "click", 15 * 60 * 1_000_000, 3000),
+    ]
+
+
+def _attr_chunk(rows):
+    """rows: list of (event_id, 'HH:MM', event_type, value)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(f"2024-01-01 {r[1]}:00") for r in rows],
+            "user_id": [7] * len(rows),
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+        }
+    )
+
+
+def test_attribution_fold_chunk_order_and_asof_guards():
+    """Unit contracts on the fold itself: (a) multi-chunk micro-batches
+    are materialized and sorted before folding, so a later chunk
+    holding the EARLIER touch still attributes the purchase; (b) a
+    same-timestamp touch sorts before the purchase (the batch window's
+    side order); (c) a purchase arriving behind a NEWER stored touch
+    attributes 'direct', never to a future touch."""
+    from spacex_data_pipeline_spark.streaming.stateful import (
+        _make_attribution_fold,
+    )
+
+    fold = _make_attribution_fold(3600 * 1_000_000)
+    state = _StubGroupState()
+    # (a)+(b): purchase chunk delivered first, its touches second
+    chunks = [
+        _attr_chunk([(3, "09:30", "purchase", 10.0)]),
+        _attr_chunk([(1, "09:00", "view", 0.0), (2, "09:30", "click", 0.0)]),
+    ]
+    (out,) = list(fold((7,), iter(chunks), state))
+    assert [(r.attributed_type, r.lat_us) for r in out.itertuples(index=False)] == [
+        ("click", 0)
+    ]
+    # (c): a purchase OLDER than the stored click must not credit it
+    (out2,) = list(fold((7,), iter([_attr_chunk([(0, "09:10", "purchase", 5.0)])]), state))
+    assert [(r.attributed_type, r.lat_us is None) for r in out2.itertuples(index=False)] == [
+        ("direct", True)
+    ]
+    # and a stale touch never regresses state (idempotent replays)
+    (out3,) = list(fold((7,), iter([_attr_chunk([(1, "09:00", "view", 0.0)])]), state))
+    assert len(out3) == 0
+    assert state.get[2] == "click"
