@@ -207,6 +207,8 @@ EXTENDED = [
     "pit_join_lineitem_priority",
     "bitmap_growth_accounting",
     "funnel_stage_latency_quantiles",
+    # new in r10
+    "pca_top_direction_embeddings",
 ]
 
 

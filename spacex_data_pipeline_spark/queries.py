@@ -13766,6 +13766,51 @@ def funnel_stage_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "pca_top_direction_embeddings",
+    oracle="""
+    WITH q AS (SELECT vec_id, i.i - 1 AS pos,
+                      CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    g AS (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
+          FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2),
+    fg AS (SELECT i, j, g FROM g
+           UNION ALL SELECT j, i, g FROM g WHERE i < j),
+    v0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos,
+                  CAST(1 AS HUGEINT) AS v),
+    u1 AS (SELECT fg.i AS pos, SUM(fg.g * v0.v) AS u
+           FROM fg JOIN v0 ON v0.pos = fg.j GROUP BY 1),
+    v1 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u1) AS v
+           FROM u1),
+    u2 AS (SELECT fg.i AS pos, SUM(fg.g * v1.v) AS u
+           FROM fg JOIN v1 ON v1.pos = fg.j GROUP BY 1),
+    v2 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u2) AS v
+           FROM u2),
+    u3 AS (SELECT fg.i AS pos, SUM(fg.g * v2.v) AS u
+           FROM fg JOIN v2 ON v2.pos = fg.j GROUP BY 1),
+    v3 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u3) AS v
+           FROM u3)
+    SELECT CAST(pos AS INT) AS pos, CAST(v AS BIGINT) AS v_micro
+    FROM v3 ORDER BY pos
+    """,
+    tags=("extension", "similarity", "linear-algebra", "iterative"),
+)
+def pca_top_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus — the consumer
+    of the Gram pass (VERDICT r9 #6): three unrolled integer power
+    iterations v ← rescale(G·v) from the all-ones start, every matvec
+    in exact DECIMAL(38,0)/HUGEINT and every rescale the truncating
+    (v·1e6) DIV max|v| — identical toward-zero semantics both engines,
+    so the 64 output micro-units hash-compare exactly (the pagerank_
+    word_graph discipline applied to linear algebra). The corpus is
+    read once by the Gram's single Arrow stage; everything after runs
+    on ≤ d² rows (see similarity.power_iteration_top_direction)."""
+    from .operators.similarity import power_iteration_top_direction
+
+    return power_iteration_top_direction(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -1057,3 +1057,25 @@ def test_r9_entries_keep_their_scale_shapes(spark, sf):
 
     plan = plan_of(REGISTRY["sorted_layout_footer_report"].fn(spark, sf))
     assert "CartesianProduct" not in plan  # bounds attach broadcasts
+
+
+def test_pca_power_iteration_shape(spark, sf):
+    """The PCA consumer touches the corpus exactly once (the Gram
+    pass's ONE Arrow stage); the entry's own plan after the
+    checkpointed cells is pure JVM on dimension-bounded tables — no
+    Python nodes, no cartesian products."""
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.operators.similarity import (
+        gram_matrix_quantized,
+    )
+
+    gplan = (
+        gram_matrix_quantized(catalog.table(spark, sf, "embeddings"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert gplan.count("MapInPandas") == 1
+    plan = plan_of(REGISTRY["pca_top_direction_embeddings"].fn(spark, sf), "extended")
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -24,7 +24,10 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # multiset); they rotate into the r11 window. Everything in
 # PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r9) under
 # behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = set()
+NEW_AWAITING_WINDOW: set[str] = {
+    # -- registered r10 --
+    "pca_top_direction_embeddings",
+}
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- r9 window, all 50 green (CORRECTNESS_r09: 50/50, zero err) --
