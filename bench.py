@@ -209,6 +209,8 @@ EXTENDED = [
     "funnel_stage_latency_quantiles",
     # new in r10
     "pca_top_direction_embeddings",
+    "pca_projection_scores",
+    "attribution_lookback_sweep",
 ]
 
 

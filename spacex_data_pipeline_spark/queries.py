@@ -13811,6 +13811,177 @@ def pca_top_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_direction(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "pca_projection_scores",
+    oracle="""
+    WITH q AS (SELECT vec_id, i.i - 1 AS pos,
+                      CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    g AS (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
+          FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2),
+    fg AS (SELECT i, j, g FROM g
+           UNION ALL SELECT j, i, g FROM g WHERE i < j),
+    v0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos,
+                  CAST(1 AS HUGEINT) AS v),
+    u1 AS (SELECT fg.i AS pos, SUM(fg.g * v0.v) AS u
+           FROM fg JOIN v0 ON v0.pos = fg.j GROUP BY 1),
+    v1 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u1) AS v
+           FROM u1),
+    u2 AS (SELECT fg.i AS pos, SUM(fg.g * v1.v) AS u
+           FROM fg JOIN v1 ON v1.pos = fg.j GROUP BY 1),
+    v2 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u2) AS v
+           FROM u2),
+    u3 AS (SELECT fg.i AS pos, SUM(fg.g * v2.v) AS u
+           FROM fg JOIN v2 ON v2.pos = fg.j GROUP BY 1),
+    v3 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u3) AS v
+           FROM u3)
+    SELECT q.vec_id,
+           CAST(SUM(q.x * v3.v) AS BIGINT) AS proj_micro2
+    FROM q JOIN v3 ON v3.pos = q.pos
+    GROUP BY 1
+    """,
+    tags=("extension", "similarity", "linear-algebra"),
+)
+def pca_projection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the corpus top principal direction —
+    what the power iteration is FOR: rank-1 scores for curriculum
+    ordering, outlier screens, or coarse semantic bucketing of an
+    embedding store. The direction (64 micro-unit longs) is computed by
+    pca_top_direction_embeddings' exact pipeline and COLLECTED — the
+    sanctioned dimension-bounded collect class, |d| rows — then folded
+    into each vector as a literal weight array: score =
+    Σ floor(x_i·1e6)·w_i, pure BIGINT (≤ 64·10¹², five orders inside
+    int64), evaluated by zip_with/aggregate built-ins map-side. Scale:
+    after the Gram pass's one Arrow stage, the corpus is touched once
+    more by a shuffle-free JVM projection; nothing else moves."""
+    from .operators.similarity import power_iteration_top_direction
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = power_iteration_top_direction(emb).collect()  # |d| = 64 rows
+    w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
+    warr = F.array(*[F.lit(c).cast("long") for c in w])
+    qx = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(qx, warr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return emb.select("vec_id", proj.alias("proj_micro2"))
+
+
+@register(
+    "attribution_lookback_sweep",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    p AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(8,2)) AS val
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, ts, 1 AS side, event_id, NULL AS ttype,
+             CAST(NULL AS TIMESTAMP) AS tts, val FROM p
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, event_type, ts,
+             CAST(NULL AS DECIMAL(8,2)) FROM t),
+    f AS (
+      SELECT user_id, ts, side, val,
+             last_value(tts IGNORE NULLS) OVER w AS ats
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    a AS (SELECT ats, ts, val FROM f WHERE side = 1),
+    l AS (SELECT CAST(unnest([300, 900, 3600, 14400, 86400]) AS BIGINT)
+                 AS lookback_sec),
+    e AS (
+      SELECT l.lookback_sec, a.val,
+             (a.ats IS NOT NULL
+              AND date_diff('microsecond', a.ats, a.ts)
+                  <= l.lookback_sec * 1000000) AS attributed
+      FROM a CROSS JOIN l)
+    SELECT lookback_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed,
+           ROUND(100.0 * SUM(CASE WHEN attributed THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS pct_attributed,
+           CAST(SUM(CASE WHEN attributed THEN CAST(val * 100 AS BIGINT) END)
+                AS BIGINT) AS attributed_revenue_cents
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "asof", "analytics", "sweep"),
+)
+def attribution_lookback_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity from ONE as-of run — the
+    dedup_threshold_sweep discipline applied to the attribution family:
+    how the attributed share and attributed revenue move as the
+    lookback widens (5 min → 24 h), the table a marketing team reads
+    before fixing the production window. The last touch BEFORE each
+    purchase is window-independent (touches inside any lookback are a
+    subset of touches before the purchase, so the running last-value is
+    the right candidate for every threshold), so the sweep costs the
+    SAME single user-keyed shuffle as attribution_last_touch plus a
+    |purchases|×5 explode and a 5-row aggregate — never five as-of
+    joins. Latencies compare as exact integer microseconds; revenue
+    folds through the money snap; the share is the house pct_rate."""
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("ts").alias("touch_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").cast("decimal(8,2)").alias("val"),
+    )
+    m = relational.as_of_join(
+        purchases,
+        touches,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "event_type", "touch_ts"],
+        direction="backward",
+        tolerance_seconds=None,
+    )
+    lat = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_touch_ts"))
+    e = m.select(
+        "val",
+        F.col("asof_touch_ts").isNotNull().alias("has"),
+        lat.alias("lat_us"),
+        F.explode(
+            F.array(
+                *[F.lit(s).cast("long") for s in (300, 900, 3600, 14400, 86400)]
+            )
+        ).alias("lookback_sec"),
+    )
+    attributed = F.col("has") & (
+        F.col("lat_us") <= F.col("lookback_sec") * F.lit(1000000)
+    )
+    n_attr = F.sum(attributed.cast("long"))
+    return (
+        e.groupBy("lookback_sec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            n_attr.cast("long").alias("n_attributed"),
+            pct_rate(n_attr, F.count(F.lit(1))).alias("pct_attributed"),
+            F.sum(F.when(attributed, (F.col("val") * 100).cast("long")))
+            .cast("long")
+            .alias("attributed_revenue_cents"),
+        )
+        .orderBy("lookback_sec")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -27,6 +27,8 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 NEW_AWAITING_WINDOW: set[str] = {
     # -- registered r10 --
     "pca_top_direction_embeddings",
+    "pca_projection_scores",
+    "attribution_lookback_sweep",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
