@@ -211,6 +211,9 @@ EXTENDED = [
     "pca_top_direction_embeddings",
     "pca_projection_scores",
     "attribution_lookback_sweep",
+    "classifier_decile_lift",
+    "dow_seasonality_events",
+    "event_second_order_transitions",
 ]
 
 

@@ -13982,6 +13982,237 @@ def attribution_lookback_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "classifier_decile_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT % 32 AS bucket
+      FROM toks),
+    tf AS (
+      SELECT doc_id, is_en, bucket, COUNT(*) AS w FROM h GROUP BY 1, 2, 3),
+    model AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_en = 1 THEN w ELSE 0 END) AS pos_b,
+             SUM(CASE WHEN is_en = 0 THEN w ELSE 0 END) AS neg_b
+      FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(pos_b) AS t_pos, SUM(neg_b) AS t_neg FROM model),
+    wt AS (
+      SELECT bucket, CAST(pos_b * t_neg - neg_b * t_pos AS BIGINT) AS w_b
+      FROM model, tot),
+    sc AS (
+      SELECT tf.doc_id, tf.is_en,
+             CAST(SUM(tf.w * wt.w_b) AS BIGINT) AS score
+      FROM tf JOIN wt USING (bucket) GROUP BY 1, 2),
+    rnk AS (
+      SELECT doc_id, is_en,
+             NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM sc),
+    per AS (
+      SELECT CAST(decile AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_en) AS BIGINT) AS n_en
+      FROM rnk GROUP BY 1),
+    te AS (SELECT SUM(n_en) AS t_en FROM per),
+    c AS (
+      SELECT decile, n_docs, n_en,
+             SUM(n_en) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_en
+      FROM per)
+    SELECT decile, n_docs, n_en,
+           ROUND(100.0 * n_en / NULLIF(n_docs, 0), 2) AS pct_en,
+           ROUND(100.0 * cum_en / NULLIF(te.t_en, 0), 2) AS cum_gain_pct
+    FROM c, te ORDER BY decile
+    """,
+    tags=("extension", "ml-prep", "classifier", "window"),
+)
+def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table for the hashed-NB language
+    classifier — the evaluation a model-based curation gate reads
+    before picking its score cutoff (how concentrated the positives
+    are in the top deciles, and what share of them a top-k% keep
+    captures). Composes the classifier's exact integer scoring with
+    the SCALABLE decile split: docs rank by (score desc, doc_id)
+    through the two-phase prefix scan (relational.global_row_number —
+    no reducer sorts more than one score bucket) and tile via the
+    arithmetic split, exactly matching the oracle's naive NTILE. The
+    only unpartitioned window left runs over the 10-row decile table
+    (the cumulative gain); shares are the house pct_rate on exact
+    integer counts."""
+    from .operators.text import hashed_features
+
+    tf = hashed_features(
+        _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["lang"]
+    ).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        "bucket",
+        F.col("weight").alias("w"),
+    )
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_en") == 1, F.col("w")).otherwise(0)).alias("pos_b"),
+        F.sum(F.when(F.col("is_en") == 0, F.col("w")).otherwise(0)).alias("neg_b"),
+    )
+    tot = model.agg(F.sum("pos_b").alias("t_pos"), F.sum("neg_b").alias("t_neg"))
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("pos_b") * F.col("t_neg") - F.col("neg_b") * F.col("t_pos"))
+        .cast("long")
+        .alias("w_b"),
+    )
+    sc = (
+        tf.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "is_en")
+        .agg(F.sum(F.col("w") * F.col("w_b")).cast("long").alias("score"))
+    )
+    rn = relational.global_row_number(
+        sc,
+        grain=F.floor(-F.col("score") / F.lit(float(2**40))),
+        order=[F.col("score").desc(), F.col("doc_id")],
+        alias="__rn",
+        total_alias="__n",
+    )
+    per = (
+        rn.withColumn(
+            "decile", relational.ntile_from_rank(F.col("__rn"), F.col("__n"), 10)
+        )
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_en").cast("long").alias("n_en"),
+        )
+    )
+    te = per.agg(F.sum("n_en").alias("t_en"))
+    # bounded frame: the cumulative gain runs over the 10-row decile
+    # table, never raw docs (sanctioned in test_plans.py's whitelist)
+    w10 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn("cum_en", F.sum("n_en").over(w10))
+        .crossJoin(F.broadcast(te))
+        .select(
+            "decile",
+            "n_docs",
+            "n_en",
+            pct_rate(F.col("n_en"), F.col("n_docs")).alias("pct_en"),
+            pct_rate(F.col("cum_en"), F.col("t_en")).alias("cum_gain_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "dow_seasonality_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(isodow(ts) - 1 AS INT) AS dow_mon0,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    per AS (
+      SELECT dow_mon0, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM e GROUP BY 1),
+    t AS (SELECT SUM(n_events) AS t_n, SUM(total_cents) AS t_c FROM per)
+    SELECT dow_mon0, n_events, total_cents,
+           ROUND(100.0 * n_events / NULLIF(t.t_n, 0), 2) AS pct_events,
+           ROUND(100.0 * total_cents / NULLIF(t.t_c, 0), 2) AS pct_value
+    FROM per, t ORDER BY dow_mon0
+    """,
+    tags=("extension", "timeseries", "analytics"),
+)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of the event stream — the
+    weekly-shape table behind traffic forecasting and anomaly
+    baselines: per Monday-zero weekday, event count, exact total value
+    in cents, and each day's share of weekly volume and value. The
+    weekday is Spark ``weekday`` ⟺ DuckDB ``isodow − 1`` (both
+    Monday-anchored — never the Sunday-anchored ``dayofweek``, whose
+    origin differs between engines). One map-side-combined groupBy to
+    7 rows; values fold through the money snap to exact cents and the
+    shares are pct_rate on exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.weekday("ts").cast("int").alias("dow_mon0"),
+            (F.col("value").cast("decimal(8,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("dow_mon0")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+    t = per.agg(
+        F.sum("n_events").alias("t_n"), F.sum("total_cents").alias("t_c")
+    )
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "dow_mon0",
+            "n_events",
+            "total_cents",
+            pct_rate(F.col("n_events"), F.col("t_n")).alias("pct_events"),
+            pct_rate(F.col("total_cents"), F.col("t_c")).alias("pct_value"),
+        )
+        .orderBy("dow_mon0")
+    )
+
+
+@register(
+    "event_second_order_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tr AS (
+      SELECT t1, t2, t3, COUNT(*) AS n
+      FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n_paths,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY t1, t2) AS DOUBLE) AS p
+    FROM tr
+    """,
+    tags=("extension", "analytics", "markov"),
+)
+def event_second_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transitions over the event stream:
+    P(next type | previous two types) from per-user consecutive
+    triples — what a sequence model's bigram-context baseline looks
+    like, and the table that exposes where first-order
+    event_transition_matrix is memoryless-wrong (compare P(t3|t2) to
+    P(t3|t1,t2) on shared suffixes). Exact integer path counts, ONE
+    IEEE divide per cell; the conditional denominator windows over the
+    already-aggregated ≤|types|³ rows. Scale: one per-user double-lead
+    window (the same single shuffle as the first-order matrix) + a
+    map-side combined count."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tr = s.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("t1", "t2")
+    return tr.select(
+        "t1",
+        "t2",
+        "t3",
+        F.col("n").alias("n_paths"),
+        (F.col("n").cast("double") / F.sum("n").over(wf).cast("double")).alias("p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -128,6 +128,7 @@ def test_python_confined_to_sanctioned_ops(spark, sf):
 # never the raw fact rows (those are plan-asserted partitioned
 # elsewhere in this file).
 SANCTIONED_UNPARTITIONED_WINDOWS = {
+    "classifier_decile_lift",
     "cluster_quality_profile",
     "conversion_latency_stats",
     "curriculum_order_docs",

@@ -29,6 +29,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "pca_top_direction_embeddings",
     "pca_projection_scores",
     "attribution_lookback_sweep",
+    "classifier_decile_lift",
+    "dow_seasonality_events",
+    "event_second_order_transitions",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
