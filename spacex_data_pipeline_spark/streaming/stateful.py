@@ -427,3 +427,112 @@ def _make_attribution_fold(lookback_us: int):
         yield pd.DataFrame(out, columns=out_cols)
 
     return attribute
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("lat", T.LongType()),
+    ]
+)
+# latest view / latest click per user in event-time micros — two longs,
+# O(users); latency needs only the LAST prior stage event, never a
+# range scan.
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+    ]
+)
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the funnel-latency attribution underneath the
+    batch ``funnel_stage_latency_quantiles`` entry: every click emits
+    its latency from the user's most recent prior view
+    ('view_to_click') and every purchase from the most recent prior
+    click ('click_to_purchase'), on arrival, append-mode — the exact
+    per-pair rows the batch entry's two as-of passes produce, so a
+    consumer folds them through the same integer-exact rank math for
+    live per-stage percentiles (the parity test does precisely that
+    and reproduces the batch entry's P50/P90 rows).
+
+    Same discipline as :func:`attribution_stream`: per user the state
+    is the LATEST view and LATEST click (event-time micros — last-prior
+    semantics never need the second-newest), each micro-batch is
+    materialized and sorted once into (ts, side, event_id) order with
+    views < clicks < purchases at equal timestamps (the batch join's
+    INCLUSIVE ``prior.ts <= event.ts`` bound), and latencies are
+    truncated epoch-second differences exactly like the batch's
+    ``unix_timestamp`` arithmetic. Late data: an event arriving behind
+    a NEWER stored prior-stage event cannot recover the older one (two
+    longs of state) and emits nothing — size the watermark by
+    event_disorder_report; stale events never regress state."""
+    return (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_fold(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _make_funnel_fold():
+    """Factory for :func:`funnel_stream`'s per-group fold — nested so
+    cloudpickle serializes by value (the first_seen_stream rule) and
+    unit tests can drive one with a stub GroupState."""
+
+    def funnel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out_cols = [f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]
+        v_us, c_us = state.get if state.exists else (None, None)
+        out: list[dict[str, Any]] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            side = pdf["event_type"].map({"view": 0, "click": 1, "purchase": 2})
+            pdf = pdf.assign(__side=side).sort_values(["ts", "__side", "event_id"])
+            for row in pdf.itertuples(index=False):
+                ev_us = row.ts.value // 1_000
+                if row.event_type == "view":
+                    if v_us is None or ev_us >= v_us:
+                        v_us = ev_us
+                elif row.event_type == "click":
+                    if v_us is not None and v_us <= ev_us:
+                        out.append(
+                            {
+                                "user_id": key[0],
+                                "stage": "view_to_click",
+                                "event_id": row.event_id,
+                                # truncated epoch-second difference —
+                                # the batch unix_timestamp arithmetic
+                                "lat": ev_us // 1_000_000 - v_us // 1_000_000,
+                            }
+                        )
+                    if c_us is None or ev_us >= c_us:
+                        c_us = ev_us
+                else:  # purchase
+                    if c_us is not None and c_us <= ev_us:
+                        out.append(
+                            {
+                                "user_id": key[0],
+                                "stage": "click_to_purchase",
+                                "event_id": row.event_id,
+                                "lat": ev_us // 1_000_000 - c_us // 1_000_000,
+                            }
+                        )
+        if v_us is not None or c_us is not None:
+            state.update((v_us, c_us))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return funnel

@@ -1127,3 +1127,120 @@ def test_attribution_fold_chunk_order_and_asof_guards():
     (out3,) = list(fold((7,), iter([_attr_chunk([(1, "09:00", "view", 0.0)])]), state))
     assert len(out3) == 0
     assert state.get[2] == "click"
+
+
+def test_stream_funnel_matches_batch_entry(spark, sf_oracle, landed_events, tmp_path):
+    """Stateful streaming funnel attribution == the oracle-checked batch
+    entry: folding the streamed per-pair (stage, lat) rows through the
+    batch entry's own integer-exact rank math reproduces its per-stage
+    (n_pairs, P50, P90) rows exactly."""
+    import collections
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        funnel_stream(stream),
+        str(tmp_path / "ckpt_funnel"),
+        "funnel_out",
+        output_mode="append",
+    )
+    by_stage = collections.defaultdict(list)
+    for r in spark.table("funnel_out").collect():
+        by_stage[r.stage].append(r.lat)
+    got = {}
+    for stage, lats in by_stage.items():
+        lats.sort()
+        n = len(lats)
+        p50 = lats[max(1, (50 * n + 99) // 100) - 1]
+        p90 = lats[max(1, (90 * n + 99) // 100) - 1]
+        got[stage] = (n, p50, p90)
+    want = {
+        r.stage: (r.n_pairs, r.p50_s, r.p90_s)
+        for r in REGISTRY["funnel_stage_latency_quantiles"]
+        .fn(spark, sf_oracle)
+        .collect()
+    }
+    assert got == want
+    assert set(got) == {"view_to_click", "click_to_purchase"}
+
+
+def test_funnel_fold_inclusive_ties_and_state():
+    """Unit contracts: (a) chunk-order insensitivity (later chunk holds
+    the earlier view); (b) same-timestamp events resolve in funnel
+    order (view ≤ click ≤ purchase — the batch join's inclusive
+    bound), so a simultaneous view+click+purchase chain emits two
+    zero-latency pairs; (c) a click with no prior view emits nothing
+    but still arms the purchase stage."""
+    from spacex_data_pipeline_spark.streaming.stateful import _make_funnel_fold
+
+    fold = _make_funnel_fold()
+    state = _StubGroupState()
+    chunks = [
+        _attr_chunk([(5, "09:30", "click", 0.0)]),
+        _attr_chunk([(1, "09:00", "view", 0.0)]),
+    ]
+    (out,) = list(fold((7,), iter(chunks), state))
+    assert [(r.stage, r.lat) for r in out.itertuples(index=False)] == [
+        ("view_to_click", 1800)
+    ]
+    # (b) simultaneous chain at 10:00 — ties resolve view<click<purchase
+    chain = _attr_chunk(
+        [(8, "10:00", "purchase", 1.0), (7, "10:00", "click", 0.0), (6, "10:00", "view", 0.0)]
+    )
+    (out2,) = list(fold((7,), iter([chain]), state))
+    assert [(r.stage, r.lat) for r in out2.itertuples(index=False)] == [
+        ("view_to_click", 0),
+        ("click_to_purchase", 0),
+    ]
+    # (c) fresh user: click-without-view emits nothing, arms purchase
+    s2 = _StubGroupState()
+    (o3,) = list(fold((9,), iter([_attr_chunk([(1, "09:00", "click", 0.0)])]), s2))
+    assert len(o3) == 0
+    (o4,) = list(fold((9,), iter([_attr_chunk([(2, "09:20", "purchase", 1.0)])]), s2))
+    assert [(r.stage, r.lat) for r in o4.itertuples(index=False)] == [
+        ("click_to_purchase", 1200)
+    ]
+
+
+def test_stream_funnel_carries_state_across_restarts(spark, tmp_path):
+    """view/click registers survive a stop/restart: a purchase landing in
+    a SECOND availableNow drain attributes to the FIRST run's click."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+    from spacex_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    landed = str(tmp_path / "funnel_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, 1, h, m), 1, typ, 0.0, "{}")
+                for eid, (h, m, typ) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    out = str(tmp_path / "funnel_out_pq")
+    ck = str(tmp_path / "ck_funnel")
+    mk([(9, 0, "view"), (9, 10, "click")]).coalesce(1).write.mode("append").parquet(
+        landed
+    )
+    run_available_now_to_parquet(
+        funnel_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    mk([(9, 40, "purchase")]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        funnel_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    got = sorted(
+        (r.stage, r.lat) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("click_to_purchase", 30 * 60), ("view_to_click", 10 * 60)]
