@@ -214,6 +214,7 @@ EXTENDED = [
     "classifier_decile_lift",
     "dow_seasonality_events",
     "event_second_order_transitions",
+    "ship_lag_percentiles_by_priority",
 ]
 
 

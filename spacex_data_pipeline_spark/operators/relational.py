@@ -612,3 +612,60 @@ def skyline_2d(df: DataFrame, x: str, y: str, bucket_shift: int = 10) -> DataFra
         F.col("__m1").isNotNull() & (F.col("__m1") <= F.col(y))
     ) | (F.col("__gmin") < F.col(y))
     return df.join(m1, x).filter(~dominated).drop("__gmin", "__m1")
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group: Sequence[str],
+    value: str,
+    tiebreak: Sequence[str],
+    qs: Sequence[int],
+    grain: Column,
+) -> DataFrame:
+    """EXACT per-group percentile VALUES via the per-group two-phase
+    prefix scan — the shared machinery under funnel_stage_latency_
+    quantiles and quantile_treatment_effects, extracted (r10) so new
+    order-statistics entries stop re-inlining it: bucket each group's
+    rows by ``grain`` (a monotonic function of ``value``), compute
+    per-(group, bucket) counts, turn them into bucket offsets with a
+    window over the BUCKET TABLE (bounded by |buckets|, never the
+    data), then row_number only WITHIN (group, bucket) reducers and
+    add the offset — a global per-group rank where no reducer ever
+    sorts more than one bucket. Needed ranks are pure integer
+    ceil(q·n/100) = (q·n + 99) DIV 100 (no float rank literal to
+    diverge cross-engine; 0.9 is not a binary fraction).
+
+    Returns one row per (group, q): ``group..., n, q_pct, <value>``
+    (the value at that rank). Ties in ``value`` share the rank's
+    value, so duplicate tiebreak keys (this synthetic lineitem has
+    duplicate PKs) cannot make the result ambiguous."""
+    gcols = list(group)
+    g = df.withColumn("__grain", grain)
+    per = g.groupBy(*gcols, "__grain").agg(F.count(F.lit(1)).alias("__gn"))
+    wg = (
+        Window.partitionBy(*gcols)
+        .orderBy("__grain")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per.select(
+        *gcols,
+        "__grain",
+        (F.sum("__gn").over(wg) - F.col("__gn")).alias("__off"),
+    )
+    w = Window.partitionBy(*gcols, "__grain").orderBy(value, *tiebreak)
+    rn = g.join(F.broadcast(offsets), [*gcols, "__grain"]).withColumn(
+        "__rn", (F.col("__off") + F.row_number().over(w)).cast("long")
+    )
+    tot = df.groupBy(*gcols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = tot.select(
+        *[F.col(c).alias(f"__rk_{c}") for c in gcols],
+        "n",
+        F.explode(F.array(*[F.lit(q).cast("long") for q in qs])).alias("q_pct"),
+    ).withColumn(
+        "__rank_needed",
+        F.greatest(F.lit(1).cast("long"), F.expr("(q_pct * n + 99) div 100")),
+    )
+    cond = F.col("__rn") == F.col("__rank_needed")
+    for c in gcols:
+        cond = cond & (F.col(c) == F.col(f"__rk_{c}"))
+    return rn.join(F.broadcast(rk), cond).select(*gcols, "n", "q_pct", value)

@@ -14213,6 +14213,91 @@ def event_second_order_transitions(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "ship_lag_percentiles_by_priority",
+    oracle="""
+    WITH l AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
+               AS lag_days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    t AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1),
+    r AS (SELECT priority, lag_days,
+                 row_number() OVER (PARTITION BY priority
+                                    ORDER BY lag_days, l_orderkey,
+                                             l_linenumber) AS rn
+          FROM l),
+    qs AS (SELECT CAST(unnest([50, 90]) AS BIGINT) AS q),
+    rk AS (SELECT t.priority, t.n, qs.q,
+                  GREATEST(1, (qs.q * t.n + 99) // 100) AS rank_needed
+           FROM t, qs),
+    hit AS (SELECT rk.priority, rk.n, rk.q, r.lag_days
+            FROM rk JOIN r ON r.priority = rk.priority
+                          AND r.rn = rk.rank_needed)
+    SELECT priority, MAX(n) AS n_lines,
+           MAX(CASE WHEN q = 50 THEN lag_days END) AS p50_lag_days,
+           MAX(CASE WHEN q = 90 THEN lag_days END) AS p90_lag_days
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "order-statistics", "analytics"),
+)
+def ship_lag_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA tail per order priority: exact P50/P90 of the
+    order-to-ship lag in days, the operations table behind promise-date
+    tuning — a priority whose P90 blows out while its P50 holds is
+    invisible in an average. (The TPC-H receipt/commit columns do not
+    exist in this synthetic lineitem, so the lag is orderdate→shipdate
+    — same machinery, honest adaptation like q2/q11/q20.) First
+    registry consumer of the EXTRACTED per-group two-phase percentile
+    machinery (relational.grouped_exact_percentiles — the funnel/QTE
+    pattern as one helper): weekly lag buckets bound every reducer,
+    ranks are pure-integer ceil(q·n/100), outputs are integer days.
+    The orders join is the one fact shuffle; duplicate lineitem PKs (a
+    property of this synthetic table) are harmless because rank-ties
+    share the value."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate"),
+    )
+    lag = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "priority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    hit = relational.grouped_exact_percentiles(
+        lag,
+        group=["priority"],
+        value="lag_days",
+        tiebreak=["l_orderkey", "l_linenumber"],
+        qs=(50, 90),
+        grain=F.floor(F.col("lag_days") / F.lit(7)),
+    )
+    return (
+        hit.groupBy("priority")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.max(F.when(F.col("q_pct") == 50, F.col("lag_days"))).alias(
+                "p50_lag_days"
+            ),
+            F.max(F.when(F.col("q_pct") == 90, F.col("lag_days"))).alias(
+                "p90_lag_days"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -32,6 +32,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "classifier_decile_lift",
     "dow_seasonality_events",
     "event_second_order_transitions",
+    "ship_lag_percentiles_by_priority",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
