@@ -215,6 +215,7 @@ EXTENDED = [
     "dow_seasonality_events",
     "event_second_order_transitions",
     "ship_lag_percentiles_by_priority",
+    "association_rules_parts",
 ]
 
 

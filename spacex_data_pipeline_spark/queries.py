@@ -14298,6 +14298,104 @@ def ship_lag_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "association_rules_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS together
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    d AS (SELECT part_a AS antecedent, part_b AS consequent, together FROM p
+          UNION ALL
+          SELECT part_b, part_a, together FROM p),
+    r AS (SELECT d.antecedent, d.consequent,
+                 CAST(d.together AS BIGINT) AS together,
+                 ROUND(100.0 * d.together / NULLIF(nb.n_baskets, 0), 2)
+                   AS support_pct,
+                 CAST(d.together AS DOUBLE) / CAST(ca.c AS DOUBLE)
+                   AS confidence,
+                 CAST(d.together * nb.n_baskets AS DOUBLE) / (ca.c * cb.c)
+                   AS lift
+          FROM d JOIN pc ca ON ca.l_partkey = d.antecedent
+                 JOIN pc cb ON cb.l_partkey = d.consequent, nb
+          WHERE d.together >= 2)
+    SELECT * FROM r
+    ORDER BY together DESC, antecedent, consequent LIMIT 50
+    """,
+    tags=("extension", "analytics", "mining"),
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over order baskets — the
+    confidence/lift layer on top of basket_part_pairs' co-occurrence
+    mining (A→B and B→A are DIFFERENT rules: a niche part implying a
+    popular one has high confidence, the reverse near-baseline; the
+    undirected lift can't show that). One pair table mirrored both
+    ways, confidence = together/c_antecedent and lift =
+    together·N/(c_a·c_b) each ONE IEEE divide on exact integer counts,
+    support via the house pct_rate; min-support ≥2 baskets then the
+    heap top-50 under the deterministic (together, antecedent,
+    consequent) order — never a float sort key. Scale: identical to
+    basket_part_pairs (per-basket items² fan-out bounded by basket
+    size) plus two dimension-table joins of the part-count side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    nb = li.agg(F.count_distinct(F.col("l_orderkey")).alias("n_baskets"))
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    d = p.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "together",
+    ).unionAll(
+        p.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "together",
+        )
+    )
+    ca = pc.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("__ca"))
+    cb = pc.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("__cb"))
+    r = (
+        d.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("together").cast("long").alias("together"),
+            pct_rate(F.col("together"), F.col("n_baskets")).alias("support_pct"),
+            (F.col("together").cast("double") / F.col("__ca").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("together") * F.col("n_baskets")).cast("double")
+                / (F.col("__ca") * F.col("__cb"))
+            ).alias("lift"),
+        )
+    )
+    return relational.topk(
+        r,
+        [F.col("together").desc(), F.col("antecedent"), F.col("consequent")],
+        50,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -33,6 +33,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "dow_seasonality_events",
     "event_second_order_transitions",
     "ship_lag_percentiles_by_priority",
+    "association_rules_parts",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
