@@ -134,13 +134,8 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     "curriculum_order_docs",
     "customer_spend_deciles",
     "cusum_changepoint_events",
-    "dedup_cluster_representatives",
     "dedup_embedding_cosine_ivf",
-    "dedup_jaccard_prefix_filtered",
-    "dedup_rates_by_domain",
-    "dedup_reports",
     "event_rate_anomalies",
-    "event_transition_matrix",
     "exact_order_statistics_orders",
     "funnel_conversion_rates",
     "gini_customer_spend",
@@ -186,17 +181,27 @@ def _bracket_groups(s: str) -> list[str]:
 
 def _unpartitioned_window_count(plan: str) -> int:
     """Count physical Window nodes with an EMPTY partition spec: the
-    node prints ``Window [exprs], [partition], [order]`` when
-    partitioned and ``Window [exprs], [order]`` (two top-level bracket
-    groups) when not."""
+    node prints ``Window [exprs], [partition], [order]`` when fully
+    specified and ``Window [exprs], [X]`` (two top-level bracket
+    groups) when either the partition or the order is absent. Only the
+    ORDERED-but-unpartitioned form is the single-reducer hazard (the
+    one WindowExec warns about): its second group is an ordering
+    (``ASC``/``DESC`` specs), while a partition-only window's second
+    group is a bare attribute list — and an empty second group means
+    neither, also a single reducer."""
     import re
 
-    return sum(
-        1
-        for line in plan.splitlines()
-        if (m := re.search(r"(?:^|[\s\-:])Window (\[.*)$", line))
-        and len(_bracket_groups(m.group(1))) == 2
-    )
+    hits = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s\-:])Window (\[.*)$", line)
+        if not m:
+            continue
+        groups = _bracket_groups(m.group(1))
+        if len(groups) == 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1] or not groups[1].strip()
+        ):
+            hits += 1
+    return hits
 
 
 def test_unpartitioned_windows_are_whitelisted(spark, sf):
