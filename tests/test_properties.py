@@ -716,3 +716,207 @@ def test_skyline_2d_matches_quadratic_reference(pts, shift):
         )
     )
     assert got == want
+
+
+class _FoldStubState:
+    """GroupState double for driving the streaming folds directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+_fold_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3600),  # offset seconds
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(events=_fold_events, n_cuts=st.integers(min_value=0, max_value=4), data=st.data())
+def test_funnel_fold_matches_quadratic_reference(events, n_cuts, data):
+    """The funnel fold == the O(n²) last-prior definition for ANY
+    in-order event sequence, under ANY split of the sequence into
+    consecutive triggers AND any chunking within a trigger: each click
+    pairs with the latest view at-or-before it, each purchase with the
+    latest click at-or-before it, latencies in truncated epoch
+    seconds. Event ids are assigned in time order (in-order arrival —
+    the contract the watermark guarantees); ties across types resolve
+    by funnel order exactly like the batch join's inclusive bound.
+    Trigger cuts are constrained to STRICT timestamp boundaries: a
+    same-ts pair straddling a trigger is precisely the late-data case
+    the watermark exists to prevent (the already-emitted row is
+    frozen), so it is out of the parity contract — within a trigger,
+    chunking and chunk delivery order remain fully adversarial."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spacex_data_pipeline_spark.streaming.stateful import _make_funnel_fold
+
+    # in-order arrival: sort offsets, ids in arrival order
+    seq = sorted(events, key=lambda e: e[0])
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off), typ)
+        for i, (off, typ) in enumerate(seq)
+    ]
+    # quadratic reference over the funnel-ordered sequence
+    order = {"view": 0, "click": 1, "purchase": 2}
+    ref_sorted = sorted(rows, key=lambda r: (r[1], order[r[2]], r[0]))
+    want = []
+    for idx, (eid, ts, typ) in enumerate(ref_sorted):
+        if typ == "click":
+            prior = [r for r in ref_sorted[:idx] if r[2] == "view" and r[1] <= ts]
+            if prior:
+                v = max(prior, key=lambda r: r[1])
+                want.append(("view_to_click", eid, int(ts.timestamp()) - int(v[1].timestamp())))
+        elif typ == "purchase":
+            prior = [r for r in ref_sorted[:idx] if r[2] == "click" and r[1] <= ts]
+            if prior:
+                c = max(prior, key=lambda r: r[1])
+                want.append(("click_to_purchase", eid, int(ts.timestamp()) - int(c[1].timestamp())))
+    # drive the fold across random trigger cuts + random chunk cuts
+    valid_cuts = [
+        c
+        for c in range(len(rows) + 1)
+        if c in (0, len(rows)) or rows[c - 1][1] < rows[c][1]
+    ]
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.sampled_from(valid_cuts),
+                min_size=min(n_cuts, len(valid_cuts)),
+                max_size=min(n_cuts, len(valid_cuts)),
+            )
+        )
+    )
+    triggers, prev = [], 0
+    for c in [*cuts, len(rows)]:
+        triggers.append(rows[prev:c])
+        prev = c
+    fold = _make_funnel_fold()
+    state = _FoldStubState()
+    got = []
+    for trig in triggers:
+        if not trig:
+            continue
+        k = data.draw(st.integers(min_value=1, max_value=3))
+        chunks = [
+            pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in part],
+                    "ts": [pd.Timestamp(r[1]) for r in part],
+                    "user_id": [7] * len(part),
+                    "event_type": [r[2] for r in part],
+                    "value": [0.0] * len(part),
+                }
+            )
+            for part in (trig[i::k] for i in range(k))
+            if part
+        ]
+        # chunk delivery order is arbitrary — reverse it for adversity
+        (out,) = list(fold((7,), iter(reversed(chunks)), state))
+        got.extend(
+            (r.stage, r.event_id, r.lat) for r in out.itertuples(index=False)
+        )
+    assert sorted(got) == sorted(want)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(events=_fold_events, n_cuts=st.integers(min_value=0, max_value=4), data=st.data())
+def test_attribution_fold_matches_quadratic_reference(events, n_cuts, data):
+    """The attribution fold == the O(n²) last-touch definition for ANY
+    in-order sequence under trigger splits at strict-ts boundaries and
+    adversarial within-trigger chunking: each purchase credits the
+    latest view/click at-or-before it within the 1h lookback (ties by
+    the batch total order: touch before same-ts purchase, greatest
+    event id among same-ts touches), else 'direct'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spacex_data_pipeline_spark.streaming.stateful import (
+        _make_attribution_fold,
+    )
+
+    seq = sorted(events, key=lambda e: e[0])
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off), typ)
+        for i, (off, typ) in enumerate(seq)
+    ]
+    want = []
+    for eid, ts, typ in rows:
+        if typ != "purchase":
+            continue
+        touches = [
+            r
+            for r in rows
+            if r[2] in ("view", "click") and r[1] <= ts
+        ]
+        if touches:
+            t = max(touches, key=lambda r: (r[1], r[0]))
+            lat = int((ts - t[1]).total_seconds() * 1_000_000)
+            if lat <= 3600 * 1_000_000:
+                want.append((eid, t[2], lat))
+            else:
+                want.append((eid, "direct", None))
+        else:
+            want.append((eid, "direct", None))
+    valid_cuts = [
+        c
+        for c in range(len(rows) + 1)
+        if c in (0, len(rows)) or rows[c - 1][1] < rows[c][1]
+    ]
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.sampled_from(valid_cuts),
+                min_size=min(n_cuts, len(valid_cuts)),
+                max_size=min(n_cuts, len(valid_cuts)),
+            )
+        )
+    )
+    triggers, prev = [], 0
+    for c in [*cuts, len(rows)]:
+        triggers.append(rows[prev:c])
+        prev = c
+    fold = _make_attribution_fold(3600 * 1_000_000)
+    state = _FoldStubState()
+    got = []
+    for trig in triggers:
+        if not trig:
+            continue
+        k = data.draw(st.integers(min_value=1, max_value=3))
+        chunks = [
+            pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in part],
+                    "ts": [pd.Timestamp(r[1]) for r in part],
+                    "user_id": [7] * len(part),
+                    "event_type": [r[2] for r in part],
+                    "value": [1.0] * len(part),
+                }
+            )
+            for part in (trig[i::k] for i in range(k))
+            if part
+        ]
+        (out,) = list(fold((7,), iter(reversed(chunks)), state))
+        got.extend(
+            (r.p_event_id, r.attributed_type, None if pd.isna(r.lat_us) else int(r.lat_us))
+            for r in out.itertuples(index=False)
+        )
+    assert sorted(got, key=repr) == sorted(want, key=repr)
