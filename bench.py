@@ -216,6 +216,7 @@ EXTENDED = [
     "event_second_order_transitions",
     "ship_lag_percentiles_by_priority",
     "association_rules_parts",
+    "moments_store_merge_orders",
 ]
 
 

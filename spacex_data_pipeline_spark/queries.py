@@ -14396,6 +14396,83 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "moments_store_merge_orders",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    store AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM c GROUP BY 1),
+    m AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             CAST(SUM(n) AS BIGINT) AS n_orders,
+             CAST(SUM(s) AS BIGINT) AS sum_cents,
+             CAST(SUM(ss) AS HUGEINT) AS sumsq
+      FROM store GROUP BY 1)
+    SELECT month, n_orders, sum_cents,
+           CAST(sum_cents AS DOUBLE) / CAST(n_orders AS DOUBLE) AS mean_cents,
+           CAST(CAST(n_orders AS HUGEINT) * sumsq
+                - CAST(sum_cents AS HUGEINT) * sum_cents AS DOUBLE)
+             / CAST(n_orders AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             AS var_cents2
+    FROM m ORDER BY month
+    """,
+    tags=("extension", "agg", "sketch", "mergeable"),
+)
+def moments_store_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE moments store — the fourth member of the sketch-store
+    family (HLL distinct / CMS frequency / histogram quantiles / now
+    exact moments): per-day (n, Σcents, Σcents²) partials merge BY
+    ADDITION into any date range's exact count, total, mean, and
+    population variance with no data rescan — here rolled monthly from
+    the daily cells, the dashboard's drill path. Exactness discipline:
+    cents are the money snap's exact integers, Σcents² accumulates in
+    DECIMAL(38,0)/HUGEINT (a cent² is ~10¹⁶ — int64 would overflow
+    within ~900 rows), the variance numerator n·Σx² − (Σx)² stays in
+    exact wide-integer arithmetic and crosses to DOUBLE once, then two
+    exact-scalar divides in fixed order (the covariance-entry chain) —
+    IEEE-identical both engines. Scale: one map-side-combined shuffle
+    to |days| cells; every later operator runs on the dimension-sized
+    store."""
+    day = F.to_date("o_orderdate").alias("day")
+    cents = (dec_money("o_totalprice") * 100).cast("long")
+    store = (
+        _t(spark, sf_dir, "orders")
+        .select(day, cents.alias("cents"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(
+                F.col("cents").cast("decimal(19,0)")
+                * F.col("cents").cast("decimal(19,0)")
+            ).alias("ss"),
+        )
+    )
+    m = store.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("s").cast("long").alias("sum_cents"),
+        F.sum("ss").alias("sumsq"),
+    )
+    num = F.col("n_orders").cast("decimal(12,0)") * F.col("sumsq") - F.col(
+        "sum_cents"
+    ).cast("decimal(19,0)") * F.col("sum_cents").cast("decimal(19,0)")
+    n_d = F.col("n_orders").cast("double")
+    return m.select(
+        "month",
+        "n_orders",
+        "sum_cents",
+        (F.col("sum_cents").cast("double") / n_d).alias("mean_cents"),
+        (num.cast("double") / n_d / n_d).alias("var_cents2"),
+    ).orderBy("month")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -34,6 +34,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "event_second_order_transitions",
     "ship_lag_percentiles_by_priority",
     "association_rules_parts",
+    "moments_store_merge_orders",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
