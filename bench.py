@@ -217,6 +217,7 @@ EXTENDED = [
     "ship_lag_percentiles_by_priority",
     "association_rules_parts",
     "moments_store_merge_orders",
+    "pca_projection_by_label",
 ]
 
 

@@ -14473,6 +14473,87 @@ def moments_store_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+@register(
+    "pca_projection_by_label",
+    oracle="""
+    WITH q AS (SELECT vec_id, i.i - 1 AS pos,
+                      CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    g AS (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
+          FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2),
+    fg AS (SELECT i, j, g FROM g
+           UNION ALL SELECT j, i, g FROM g WHERE i < j),
+    v0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos,
+                  CAST(1 AS HUGEINT) AS v),
+    u1 AS (SELECT fg.i AS pos, SUM(fg.g * v0.v) AS u
+           FROM fg JOIN v0 ON v0.pos = fg.j GROUP BY 1),
+    v1 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u1) AS v
+           FROM u1),
+    u2 AS (SELECT fg.i AS pos, SUM(fg.g * v1.v) AS u
+           FROM fg JOIN v1 ON v1.pos = fg.j GROUP BY 1),
+    v2 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u2) AS v
+           FROM u2),
+    u3 AS (SELECT fg.i AS pos, SUM(fg.g * v2.v) AS u
+           FROM fg JOIN v2 ON v2.pos = fg.j GROUP BY 1),
+    v3 AS (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u3) AS v
+           FROM u3),
+    proj AS (
+      SELECT q.vec_id, CAST(SUM(q.x * v3.v) AS BIGINT) AS p
+      FROM q JOIN v3 ON v3.pos = q.pos GROUP BY 1)
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(proj.p) AS BIGINT) AS sum_proj,
+           CAST(SUM(proj.p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_proj,
+           CAST(MIN(proj.p) AS BIGINT) AS min_proj,
+           CAST(MAX(proj.p) AS BIGINT) AS max_proj
+    FROM proj JOIN embeddings e ON e.vec_id = proj.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "similarity", "linear-algebra"),
+)
+def pca_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label profile of the rank-1 projection — the read that says
+    whether the corpus's top principal direction is DISCRIMINATIVE
+    (label means far apart relative to their ranges → the cheapest
+    possible semantic bucketing; overlapping → PCA-1 is a nuisance
+    axis like document length): exact integer projection sums, counts,
+    min/max per label, and ONE IEEE divide for the mean. Composes
+    pca_projection_scores' map-side fold (same collected |d|-row
+    direction, same zip_with dot product) with a |labels|-sized
+    groupBy; the corpus is touched once after the Gram pass."""
+    from .operators.similarity import power_iteration_top_direction
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = power_iteration_top_direction(emb).collect()  # |d| = 64 rows
+    w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
+    warr = F.array(*[F.lit(c).cast("long") for c in w])
+    qx = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(qx, warr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        emb.select("label", proj.alias("__p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("__p").cast("long").alias("sum_proj"),
+            (F.sum("__p").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_proj"
+            ),
+            F.min("__p").cast("long").alias("min_proj"),
+            F.max("__p").cast("long").alias("max_proj"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

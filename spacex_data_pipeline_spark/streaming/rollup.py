@@ -236,3 +236,33 @@ def bitmap_distinct_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
             "__n",
         )
     )
+
+
+def moments_store_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``moments_store_merge_orders``
+    store shape, built over the event stream: per-day exact moments
+    partials — (day, n, Σcents, Σcents²) — accumulated on arrival as
+    an ordinary watermarked aggregate (counts and sums merge
+    associatively, so state per open day is THREE numbers). Like
+    bitmap_distinct_stream, this emits the MERGEABLE STATE, not a
+    final statistic: any-range mean/variance is the consumer's
+    addition-then-one-cast rollup, and the parity test rolls the
+    streamed store into the same exact wide-integer variance the
+    batch arithmetic produces. Cents are the money snap's exact
+    integers; Σcents² accumulates in DECIMAL(38,0) (int64 overflows
+    within ~900 rows of cent² terms)."""
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", cents.alias("__c"))
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__c").cast("long").alias("s"),
+            F.sum(
+                F.col("__c").cast("decimal(19,0)")
+                * F.col("__c").cast("decimal(19,0)")
+            ).alias("ss"),
+        )
+        .select(F.to_date(F.col("window.start")).alias("day"), "n", "s", "ss")
+    )

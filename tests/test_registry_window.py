@@ -35,6 +35,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "ship_lag_percentiles_by_priority",
     "association_rules_parts",
     "moments_store_merge_orders",
+    "pca_projection_by_label",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {

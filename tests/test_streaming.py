@@ -1244,3 +1244,57 @@ def test_stream_funnel_carries_state_across_restarts(spark, tmp_path):
         (r.stage, r.lat) for r in spark.read.parquet(out).collect()
     )
     assert got == [("click_to_purchase", 30 * 60), ("view_to_click", 10 * 60)]
+
+
+def test_stream_moments_store_matches_batch_partials(spark, sf_oracle, landed_events, tmp_path):
+    """The moments partials a STREAM accumulates are the same mergeable
+    store the batch arithmetic consumes: per-day (n, Σcents, Σcents²)
+    off the stream equals the batch computation exactly (wide-integer
+    Σx² included), and rolling the streamed store to months reproduces
+    the batch-derived exact variance numerator n·Σx² − (Σx)² — i.e.
+    the store really is merge-any-range on arrival."""
+    from spacex_data_pipeline_spark.streaming.rollup import moments_store_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        moments_store_stream(stream),
+        str(tmp_path / "ckpt_moments"),
+        "moments_out",
+        output_mode="complete",
+    )
+    got = {
+        r.day: (r.n, r.s, str(r.ss))
+        for r in spark.table("moments_out").collect()
+    }
+    ev = catalog.table(spark, sf_oracle, "events")
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    batch = (
+        ev.select(F.to_date("ts").alias("day"), cents.alias("__c"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__c").cast("long").alias("s"),
+            F.sum(
+                F.col("__c").cast("decimal(19,0)")
+                * F.col("__c").cast("decimal(19,0)")
+            ).alias("ss"),
+        )
+    )
+    want = {r.day: (r.n, r.s, str(r.ss)) for r in batch.collect()}
+    assert got == want
+    # merge-any-range: monthly variance numerator from the streamed store
+    # == from the batch partials (pure addition + exact wide integers)
+    def monthly(df):
+        m = df.groupBy(F.trunc("day", "month").alias("month")).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").alias("ss"),
+        )
+        return {
+            r.month: str(
+                int(r.n) * int(r.ss) - int(r.s) * int(r.s)
+            )
+            for r in m.collect()
+        }
+
+    assert monthly(spark.table("moments_out")) == monthly(batch)
