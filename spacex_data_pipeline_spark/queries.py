@@ -14554,6 +14554,209 @@ def pca_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weekly_activity_heatmap",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(isodow(ts) - 1 AS INT) AS dow_mon0,
+             CAST(hour(ts) AS INT) AS hour24
+      FROM events),
+    per AS (
+      SELECT dow_mon0, hour24, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY 1, 2),
+    t AS (SELECT SUM(n_events) AS t_n FROM per)
+    SELECT dow_mon0, hour24, n_events,
+           CAST((n_events * 20000 + t.t_n) // (2 * t.t_n) AS DOUBLE) / 100
+             AS pct_of_week
+    FROM per, t ORDER BY dow_mon0, hour24
+    """,
+    tags=("extension", "timeseries", "analytics"),
+)
+def weekly_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly activity heatmap — (Monday-zero weekday × hour-of-day)
+    event counts with each cell's share of weekly volume, the on-call
+    staffing / traffic-shaping grid one level finer than
+    dow_seasonality_events. Same engine-safe weekday (Spark ``weekday``
+    ⟺ DuckDB ``isodow − 1``), one map-side-combined groupBy to ≤168
+    cells. The share is rounded in PURE INTEGER arithmetic —
+    ⌊(20000·n + T) / 2T⌋ is HALF_UP of 10000·n/T exactly — because a
+    float ROUND diverges on decimal ties: at sf0.1 the corpus has
+    EXACTLY 100000 events, so a 575-event cell is 0.575% — Spark's
+    round (BigDecimal of Double.toString) says 0.58, DuckDB's
+    binary-value round says 0.57. No float exists until the final /100
+    of an integer."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.weekday("ts").cast("int").alias("dow_mon0"),
+            F.hour("ts").cast("int").alias("hour24"),
+        )
+        .groupBy("dow_mon0", "hour24")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    t = per.agg(F.sum("n_events").alias("t_n"))
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "dow_mon0",
+            "hour24",
+            "n_events",
+            (
+                F.expr("(n_events * 20000 + t_n) div (2 * t_n)").cast("double")
+                / F.lit(100.0)
+            ).alias("pct_of_week"),
+        )
+        .orderBy("dow_mon0", "hour24")
+    )
+
+
+@register(
+    "order_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER w,
+                   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+             o_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    l AS (SELECT gap_days, o_orderkey FROM g WHERE gap_days IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM l),
+    r AS (SELECT gap_days,
+                 row_number() OVER (ORDER BY gap_days, o_orderkey) AS rn
+          FROM l),
+    qs AS (SELECT CAST(unnest([50, 90]) AS BIGINT) AS q),
+    rk AS (SELECT t.n, qs.q,
+                  GREATEST(1, (qs.q * t.n + 99) // 100) AS rank_needed
+           FROM t, qs),
+    hit AS (SELECT rk.n, rk.q, r.gap_days
+            FROM rk JOIN r ON r.rn = rk.rank_needed)
+    SELECT MAX(n) AS n_gaps,
+           MAX(CASE WHEN q = 50 THEN gap_days END) AS p50_gap_days,
+           MAX(CASE WHEN q = 90 THEN gap_days END) AS p90_gap_days
+    FROM hit
+    """,
+    tags=("extension", "order-statistics", "analytics"),
+)
+def order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval tail: exact P50/P90 of the days between
+    a customer's consecutive orders — the repurchase-cadence number
+    behind churn-window and re-engagement-trigger tuning. Gaps come
+    from ONE per-customer lag window (the natural shuffle key); the
+    global exact percentiles then run through the same extracted
+    two-phase machinery as the per-group entries, with a constant
+    group key (relational.grouped_exact_percentiles degrades cleanly
+    to the global form: weekly gap buckets still bound every reducer,
+    the bucket table is the only unpartitioned-window frame and is
+    |buckets|-sized). Integer days; pure-integer ranks."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    g = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("__d"),
+            "o_orderkey",
+        )
+        .select(
+            F.datediff(F.col("__d"), F.lag("__d").over(w))
+            .cast("long")
+            .alias("gap_days"),
+            "o_orderkey",
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .withColumn("__g", F.lit(0))
+    )
+    hit = relational.grouped_exact_percentiles(
+        g,
+        group=["__g"],
+        value="gap_days",
+        tiebreak=["o_orderkey"],
+        qs=(50, 90),
+        grain=F.floor(F.col("gap_days") / F.lit(7)),
+    )
+    return hit.groupBy().agg(
+        F.max("n").alias("n_gaps"),
+        F.max(F.when(F.col("q_pct") == 50, F.col("gap_days"))).alias(
+            "p50_gap_days"
+        ),
+        F.max(F.when(F.col("q_pct") == 90, F.col("gap_days"))).alias(
+            "p90_gap_days"
+        ),
+    )
+
+
+@register(
+    "revenue_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey AS nationkey,
+             o.o_custkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(8,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    n AS (
+      SELECT s.nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sumsq
+      FROM s GROUP BY 1)
+    SELECT nn.n_name AS nation, n.n_customers, n.total_cents,
+           CAST(n.sumsq AS DOUBLE)
+             / CAST(n.total_cents AS DOUBLE)
+             / CAST(n.total_cents AS DOUBLE) AS hhi
+    FROM n JOIN nation nn ON nn.n_nationkey = n.nationkey
+    ORDER BY 1
+    """,
+    tags=("extension", "analytics", "agg"),
+)
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as a Herfindahl–Hirschman
+    index: HHI = Σ(customer share)² = Σcents² / (Σcents)² — near 1
+    when one customer dominates a market, near 1/n when revenue is
+    spread evenly (the complement view to gini_customer_spend's global
+    curve). Exactness: per-customer revenue folds to exact cents, the
+    share-square sum stays in HUGEINT/DECIMAL(38,0) (a cents² term is
+    ~10¹⁶), and ONE cast to DOUBLE precedes two fixed-order exact
+    divides — no per-customer float shares ever exist, so no
+    summation-order drift. Scale: one orders→customer-key groupBy,
+    one |customers|-sized rollup to |nations| rows, broadcast name
+    join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    cents = (dec_money("o_totalprice") * 100).cast("long")
+    s = (
+        o.select("o_custkey", cents.alias("__c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("__c").cast("long").alias("cents"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    n = s.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("sumsq"),
+    )
+    t_d = F.col("total_cents").cast("double")
+    return (
+        n.join(F.broadcast(nn), F.col("n_nationkey") == F.col("nationkey"))
+        .select(
+            "nation",
+            "n_customers",
+            "total_cents",
+            (F.col("sumsq").cast("double") / t_d / t_d).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

@@ -36,6 +36,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "association_rules_parts",
     "moments_store_merge_orders",
     "pca_projection_by_label",
+    "weekly_activity_heatmap",
+    "order_gap_percentiles",
+    "revenue_concentration_hhi",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
