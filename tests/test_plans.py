@@ -143,6 +143,7 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     "ks_drift_order_prices",
     "lorenz_curve_customer_spend",
     "mann_whitney_spend_by_arm",
+    "order_gap_percentiles",  # constant group folds away; frame = bucket table
     "orders_global_running_total",
     "pq_encode_codes",
     "pq_recall_report",
