@@ -221,6 +221,7 @@ EXTENDED = [
     "weekly_activity_heatmap",
     "order_gap_percentiles",
     "revenue_concentration_hhi",
+    "doc_length_percentiles_by_lang",
 ]
 
 

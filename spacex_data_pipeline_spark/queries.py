@@ -14757,6 +14757,68 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_length_percentiles_by_lang",
+    oracle="""
+    WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, doc_id
+               FROM documents),
+    c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    r AS (SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS rn
+          FROM t),
+    qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+    rk AS (SELECT c.lang, c.n, qs.q,
+                  GREATEST(1, (qs.q * c.n + 99) // 100) AS rank_needed
+           FROM c, qs),
+    hit AS (SELECT rk.lang, rk.n, rk.q, r.n_chars
+            FROM rk JOIN r ON r.lang = rk.lang AND r.rn = rk.rank_needed)
+    SELECT lang, MAX(n) AS n_docs,
+           MAX(CASE WHEN q = 50 THEN n_chars END) AS p50_chars,
+           MAX(CASE WHEN q = 90 THEN n_chars END) AS p90_chars,
+           MAX(CASE WHEN q = 99 THEN n_chars END) AS p99_chars
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "text", "order-statistics"),
+)
+def doc_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length tail (P50/P90/P99 chars) — the
+    table that sizes sequence packing, truncation budgets, and
+    curriculum stages per language (a language whose P99 is 50× its
+    P50 needs chunking long before one whose distribution is flat).
+    Third consumer of relational.grouped_exact_percentiles: per-(lang,
+    kilochar-bucket) reducers, bucket-table offsets, pure-integer
+    ranks — exact order statistics with no single-reducer sort at any
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars"), "doc_id"
+    )
+    hit = relational.grouped_exact_percentiles(
+        docs,
+        group=["lang"],
+        value="n_chars",
+        tiebreak=["doc_id"],
+        qs=(50, 90, 99),
+        grain=F.floor(F.col("n_chars") / F.lit(1000)),
+    )
+    return (
+        hit.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max(F.when(F.col("q_pct") == 50, F.col("n_chars"))).alias(
+                "p50_chars"
+            ),
+            F.max(F.when(F.col("q_pct") == 90, F.col("n_chars"))).alias(
+                "p90_chars"
+            ),
+            F.max(F.when(F.col("q_pct") == 99, F.col("n_chars"))).alias(
+                "p99_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r10).
 #

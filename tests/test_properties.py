@@ -920,3 +920,53 @@ def test_attribution_fold_matches_quadratic_reference(events, n_cuts, data):
             for r in out.itertuples(index=False)
         )
     assert sorted(got, key=repr) == sorted(want, key=repr)
+
+
+@settings(deadline=None, max_examples=25, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    grain_div=st.sampled_from([1, 7, 1000]),
+)
+def test_grouped_exact_percentiles_matches_rank_definition(vals, grain_div):
+    """relational.grouped_exact_percentiles == the per-group sorted-list
+    rank definition value[ceil(q·n/100) − 1] for ANY data and any grain
+    granularity (grain_div=1: every value its own bucket; 1000: one
+    bucket, degrading to the plain per-group window) — including
+    negative values (floor-div grain) and duplicate values."""
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.relational import (
+        grouped_exact_percentiles,
+    )
+
+    spark = _get_spark()
+    rows = [(g, v, i) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, val long, rid long")
+    hit = grouped_exact_percentiles(
+        df,
+        group=["grp"],
+        value="val",
+        tiebreak=["rid"],
+        qs=(50, 90),
+        grain=F.floor(F.col("val") / F.lit(grain_div)),
+    )
+    got = {
+        (r.grp, r.q_pct): (r.n, r.val) for r in hit.collect()
+    }
+    want = {}
+    by_g = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for q in (50, 90):
+            want[(g, q)] = (n, vs[max(1, (q * n + 99) // 100) - 1])
+    assert got == want

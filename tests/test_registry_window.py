@@ -39,6 +39,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "weekly_activity_heatmap",
     "order_gap_percentiles",
     "revenue_concentration_hhi",
+    "doc_length_percentiles_by_lang",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
