@@ -707,29 +707,57 @@ def chunk_documents(docs: DataFrame, size: int = 16, id_col: str = "doc_id", tex
     schema), completing the scalar/grouped/table UDF triple. Chunking into
     training-window-sized pieces is the canonical LLM-pipeline use.
 
-    The UDTF class is built inside this function so cloudpickle ships it
-    by value (module-level classes pickle by reference and break on
-    workers — see streaming/stateful.py). Row-at-a-time Python is the
+    The UDTF class is built inside the registration helper so cloudpickle
+    ships it by value (module-level classes pickle by reference and break
+    on workers — see streaming/stateful.py). Row-at-a-time Python is the
     UDTF contract; for bulk chunking prefer the pure-column equivalent
     (explode over a sequence) — this operator exists to exercise and
     document the UDTF path.
     """
+    spark = docs.sparkSession
+    _ensure_chunk_udtf(spark)
+    docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView("__chunk_src")
+    out = spark.sql(
+        "SELECT c.* FROM __chunk_src, "
+        f"LATERAL __chunk_doc(doc_id, text, {int(size)}) AS c"
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+# Sessions that already registered the __chunk_doc UDTF. Re-registering
+# under the same name is functionally harmless but emits a
+# SimpleTableFunctionRegistry "replaced a previously registered function"
+# WARN on every call (VERDICT r10 hygiene #2) — register once per live
+# session instead. WeakSet so a torn-down session doesn't pin memory and
+# a recreated one re-registers cleanly.
+_CHUNK_UDTF_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
+def _ensure_chunk_udtf(spark) -> None:
+    global _CHUNK_UDTF_SESSIONS
+    import weakref
+
+    if _CHUNK_UDTF_SESSIONS is None:
+        _CHUNK_UDTF_SESSIONS = weakref.WeakSet()
+    if spark in _CHUNK_UDTF_SESSIONS:
+        return
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType=f"{id_col} bigint, chunk_idx int, chunk string, n_words int")
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_words int")
     class ChunkDoc:
-        def eval(self, doc_id, text):  # noqa: ANN001
+        def eval(self, doc_id, text, size):  # noqa: ANN001
+            step = max(int(size), 1)
             words = (text or "").split()
-            for i in range(0, max(len(words), 1), size):
-                piece = words[i : i + size]
-                yield doc_id, i // size, " ".join(piece), len(piece)
+            for i in range(0, max(len(words), 1), step):
+                piece = words[i : i + step]
+                yield doc_id, i // step, " ".join(piece), len(piece)
 
-    spark = docs.sparkSession
     spark.udtf.register("__chunk_doc", ChunkDoc)
-    docs.select(id_col, text_col).createOrReplaceTempView("__chunk_src")
-    return spark.sql(
-        f"SELECT c.* FROM __chunk_src, LATERAL __chunk_doc({id_col}, {text_col}) AS c"
-    )
+    _CHUNK_UDTF_SESSIONS.add(spark)
 
 
 def chunk_documents_columnar(

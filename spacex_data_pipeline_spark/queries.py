@@ -13140,14 +13140,17 @@ def sorted_layout_footer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%s_pid%d"
             % (_re.sub(r"\W+", "_", sf_dir.strip("/")), os.getpid()),
         )
-        write_sorted_buckets(
-            li,
-            path,
-            ["l_shipdate", "l_orderkey", "l_linenumber"],
-            grain=F.date_trunc("month", F.col("l_shipdate")),
-            n_buckets=8,
-        )
+        # The write sits INSIDE the try/finally so a failure mid-write
+        # still removes the pid-suffixed directory (ADVICE r10: a write
+        # crash must not leak a half-written layout under the warehouse).
         try:
+            write_sorted_buckets(
+                li,
+                path,
+                ["l_shipdate", "l_orderkey", "l_linenumber"],
+                grain=F.date_trunc("month", F.col("l_shipdate")),
+                n_buckets=8,
+            )
             cells = []
             for d in sorted(glob.glob(f"{path}/__bucket=*")):
                 bucket = int(d.rsplit("=", 1)[1])
@@ -13380,17 +13383,25 @@ def bitmap_retention_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     dmax = w.agg(F.max("day").alias("dmax"))
+    # Rename EVERY column per side (house rule, operators/relational.py)
+    # so the shared-lineage self-join never constructs a same-name
+    # equality Spark must disambiguate by dataset id (it resolves, but
+    # sprays "trivially true equals predicate" WARNs into the bench tail).
     a = w.select(
-        F.col("day").alias("a_day"), "word", F.col("bm").alias("a_bm")
+        F.col("day").alias("a_day"),
+        F.col("word").alias("a_word"),
+        F.col("bm").alias("a_bm"),
     )
     c = w.select(
-        F.col("day").alias("c_day"), "word", F.col("bm").alias("c_bm")
+        F.col("day").alias("c_day"),
+        F.col("word").alias("c_word"),
+        F.col("bm").alias("c_bm"),
     )
     ret = (
         a.crossJoin(F.broadcast(lags))
         .join(
             c,
-            (a.word == c.word)
+            (F.col("a_word") == F.col("c_word"))
             & (F.col("c_day") == F.date_add(F.col("a_day"), F.col("lag"))),
         )
         .groupBy(F.col("lag").alias("__r_lag"), "a_day")
@@ -13514,15 +13525,28 @@ def pit_join_lineitem_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_custkey"),
         li.l_orderkey == F.col("o_orderkey"),
     ).select("o_custkey", "l_shipdate", "price")
-    pairs = f.select("o_custkey", "l_shipdate").distinct()
+    # Rename the probe side (house rule, operators/relational.py):
+    # pairs and scd share lineage through `orders`, so a same-name
+    # o_custkey equality would lean on Spark's dataset-id
+    # disambiguation and WARN in the bench tail.
+    pairs = (
+        f.select("o_custkey", "l_shipdate")
+        .distinct()
+        .select(
+            F.col("o_custkey").alias("p_custkey"),
+            F.col("l_shipdate").alias("p_shipdate"),
+        )
+    )
     pit = (
         pairs.join(
             scd,
-            (pairs.o_custkey == scd.o_custkey)
-            & (scd.valid_from <= pairs.l_shipdate),
+            (F.col("p_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("p_shipdate")),
         )
-        .drop(scd.o_custkey)
-        .groupBy("o_custkey", "l_shipdate")
+        .groupBy(
+            F.col("p_custkey").alias("o_custkey"),
+            F.col("p_shipdate").alias("l_shipdate"),
+        )
         .agg(
             F.max_by(
                 "priority", F.struct(F.col("valid_from"), F.col("vkey"))
@@ -13766,6 +13790,31 @@ def funnel_stage_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Collected top-direction per dataset (ADVICE r10): the three PCA
+# entries all need the same 64 micro-unit weights, and each used to
+# re-run the full power iteration — including the corpus-wide Gram
+# Arrow stage — at plan-build time, so a registry-wide sweep paid the
+# Gram pass three times (dedup.materialize's localCheckpoint is not
+# shared across entries). Cache the COLLECTED direction per sf_dir
+# (same pattern as _SORTED_FOOTER_CACHE): plain Python ints, safe
+# across sessions, exact by construction (the pipeline is
+# integer-deterministic, so first-run and cached values are identical).
+_PCA_DIRECTION_CACHE: dict[str, list[int]] = {}
+
+
+def _pca_direction_micro(spark: SparkSession, sf_dir: str) -> list[int]:
+    w = _PCA_DIRECTION_CACHE.get(sf_dir)
+    if w is None:
+        from .operators.similarity import power_iteration_top_direction
+
+        rows = power_iteration_top_direction(
+            _t(spark, sf_dir, "embeddings")
+        ).collect()  # |d| = 64 rows — the sanctioned dimension-bounded class
+        w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
+        _PCA_DIRECTION_CACHE[sf_dir] = w
+    return w
+
+
 @register(
     "pca_top_direction_embeddings",
     oracle="""
@@ -13805,10 +13854,15 @@ def pca_top_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the 64 output micro-units hash-compare exactly (the pagerank_
     word_graph discipline applied to linear algebra). The corpus is
     read once by the Gram's single Arrow stage; everything after runs
-    on ≤ d² rows (see similarity.power_iteration_top_direction)."""
-    from .operators.similarity import power_iteration_top_direction
-
-    return power_iteration_top_direction(_t(spark, sf_dir, "embeddings"))
+    on ≤ d² rows (see similarity.power_iteration_top_direction). The
+    collected 64-row result is cached per dataset and re-parallelized
+    here (ADVICE r10) so the three PCA entries pay the Gram pass once
+    per process — first-run and cached values are identical because
+    the pipeline is integer-deterministic end to end."""
+    w = _pca_direction_micro(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(w)], "pos int, v_micro bigint"
+    ).orderBy("pos")
 
 
 @register(
@@ -13854,12 +13908,11 @@ def pca_projection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ floor(x_i·1e6)·w_i, pure BIGINT (≤ 64·10¹², five orders inside
     int64), evaluated by zip_with/aggregate built-ins map-side. Scale:
     after the Gram pass's one Arrow stage, the corpus is touched once
-    more by a shuffle-free JVM projection; nothing else moves."""
-    from .operators.similarity import power_iteration_top_direction
-
+    more by a shuffle-free JVM projection; nothing else moves. The
+    direction comes from the per-dataset cache (_pca_direction_micro,
+    ADVICE r10) so sweeps pay the Gram pass once."""
     emb = _t(spark, sf_dir, "embeddings")
-    rows = power_iteration_top_direction(emb).collect()  # |d| = 64 rows
-    w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
+    w = _pca_direction_micro(spark, sf_dir)
     warr = F.array(*[F.lit(c).cast("long") for c in w])
     qx = F.transform(
         F.col("embedding"),
@@ -14522,12 +14575,11 @@ def pca_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max per label, and ONE IEEE divide for the mean. Composes
     pca_projection_scores' map-side fold (same collected |d|-row
     direction, same zip_with dot product) with a |labels|-sized
-    groupBy; the corpus is touched once after the Gram pass."""
-    from .operators.similarity import power_iteration_top_direction
-
+    groupBy; the corpus is touched once after the Gram pass. The
+    direction comes from the per-dataset cache (_pca_direction_micro,
+    ADVICE r10)."""
     emb = _t(spark, sf_dir, "embeddings")
-    rows = power_iteration_top_direction(emb).collect()  # |d| = 64 rows
-    w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
+    w = _pca_direction_micro(spark, sf_dir)
     warr = F.array(*[F.lit(c).cast("long") for c in w])
     qx = F.transform(
         F.col("embedding"),
