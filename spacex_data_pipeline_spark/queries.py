@@ -14872,84 +14872,83 @@ def doc_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (r10).
+# Driver-window rotation (r11).
 #
 # The driver's correctness harness checks exactly the FIRST 50 entries of
 # ``queries()`` insertion order (verified r1→r2: the checked set is
-# registry[0:50]). This round closes the verification ledger
-# (VERDICT r9 "next round" #1): the window is the 22 remaining
-# never-driver-verified entries (tests/test_registry_window.py
-# NEW_AWAITING_WINDOW — 16 r8 leftovers + 6 r9 registrations, in
-# registry insertion order) plus 28 RE-VERIFICATION slots: the oldest
-# r5-green rows whose shared helpers were refactored AFTER their green
-# driver row — everything riding relational.py's two-phase prefix scan
-# / global row_number (commits 0aeaa52, 9702d67), as_of_join's payload
-# change (r9), dedup/text's single-materialization rule (47e8005,
-# 897d546, 92207ae), and the funnel/shingle/sessionize compositions —
-# picked by git log on those files; the simple scans/setops left out
-# (fct_orders_by_year, raw_count_orders, setops, data_quality_*) ride
-# no refactored helper and fct is smoke-checked by entry() every round.
-# Entries registered in r10 go to NEW_AWAITING_WINDOW and rotate into
-# the r11 window; until then their gate is the local replica
-# (tests/test_oracle_parity.py — exactly the driver's strictness:
-# rows + schema + canonical value multiset, run over ALL entries at
-# three scale factors).
+# registry[0:50]). r10 closed the verification ledger (every pre-r10
+# entry has a green driver row), so this is the steady-state cadence
+# (VERDICT r10 "next round" #1): the window is the 14 r10 registrations
+# (never driver-verified; local-replica green at three scale factors)
+# plus 36 RE-VERIFICATION slots — first the two entries whose join
+# construction changed this round (bitmap_retention_lag_curve and
+# pit_join_lineitem_priority: self-join keys rename-sided per the house
+# rule, VERDICT r10 hygiene #1), then the OLDEST remaining green rows
+# ranked by (last-green round, registry order) from the CORRECTNESS_r*
+# artifacts — 12 r5 rows (the simple scans/setops/quality checks whose
+# rows date to r5) and the oldest r6 rows (the original dedup/
+# similarity/text/window cohort). Entries registered in r11 go to
+# NEW_AWAITING_WINDOW (gate: tests/test_oracle_parity.py, exactly the
+# driver's strictness) and rotate into the r12 window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the 22 never-driver-verified entries, registry order --
-    "benford_first_digit_orders",
-    "ab_funnel_stage_rates",
-    "session_pattern_stats",
-    "zorder_skipping_report",
-    "skyline_parts",
-    "time_weighted_value_events",
-    "autocorr_daily_events",
-    "multimodal_phash_neardup",
-    "ohlc_daily_events",
-    "resample_user_daily_locf",
-    "dedup_threshold_sweep",
-    "rolling_median_daily_events",
-    "bitmap_distinct_users_daily",
-    "event_disorder_report",
-    "quantile_normalize_quality",
-    "ivf_nprobe_recall_sweep",
-    "sorted_layout_footer_report",
-    "quantile_treatment_effects",
+    # -- the 14 r10 registrations, never driver-verified, registry order --
+    "pca_top_direction_embeddings",
+    "pca_projection_scores",
+    "attribution_lookback_sweep",
+    "classifier_decile_lift",
+    "dow_seasonality_events",
+    "event_second_order_transitions",
+    "ship_lag_percentiles_by_priority",
+    "association_rules_parts",
+    "moments_store_merge_orders",
+    "pca_projection_by_label",
+    "weekly_activity_heatmap",
+    "order_gap_percentiles",
+    "revenue_concentration_hhi",
+    "doc_length_percentiles_by_lang",
+    # -- 2 re-verification slots: entries whose join construction
+    #    changed this round (rename-sided self-join keys, VERDICT r10
+    #    "what's wrong" #1) --
     "bitmap_retention_lag_curve",
     "pit_join_lineitem_priority",
-    "bitmap_growth_accounting",
-    "funnel_stage_latency_quantiles",
-    # -- 28 re-verification slots: r5-green rows over since-refactored
-    #    helpers, registry order --
-    "dedup_minhash_lsh_verify",
-    "multimodal_frame_sample",
-    "applyinpandas_zscore",
-    "text_term_frequencies",
-    "text_tfidf_top_terms",
-    "udtf_chunk_documents",
-    "pipeline_training_data_prep",
-    "dedup_components_docs",
-    "resample_user_daily_gapfill",
-    "interval_join_view_purchase",
-    "asof_join_last_purchase",
-    "decontaminate_docs",
-    "shard_documents_for_training",
-    "text_repetition_stats",
-    "funnel_view_click_purchase",
-    "asof_join_next_purchase",
-    "snapshot_diff_orders",
-    "salted_join_order_nations",
-    "bigram_collocations_docs",
-    "corpus_token_budget",
-    "split_contamination_stats",
-    "dedup_cross_split_leakage",
-    "source_mixture_report",
-    "quality_filter_funnel",
-    "chunk_documents_overlap",
-    "winnowing_near_pairs_docs",
-    "source_token_budget_cap",
-    "knn_label_agreement",
+    # -- 34 re-verification slots: the oldest remaining green rows by
+    #    (last-green round, registry order) — 12 r5 rows, then r6 rows --
+    "fct_orders_by_year",
+    "raw_count_orders",
+    "top_years_desc",
+    "setop_union_customers",
+    "setop_except_customers",
+    "distinct_status_priority",
+    "order_nulls_and_offset",
+    "array_functions_embeddings",
+    "text_redact_pii",
+    "hopping_window_event_counts",
+    "data_quality_orders",
+    "data_quality_relationships",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "similarity_topk_cosine",
+    "similarity_ann_lsh",
+    "text_stats_docs",
+    "text_quality_docs",
+    "multimodal_media_meta",
+    "multimodal_decode",
+    "sessionize_events",
+    "events_hourly_rollup",
+    "window_lag_lead_first",
+    "stddev_exact_by_flag",
+    "sql_api_returned_revenue",
+    "union_all_order_events",
+    "coalesce_case_scalar",
+    "explode_token_table",
+    "similarity_ivf_topk",
 )
 
 

@@ -12,37 +12,44 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r10 window: the ledger-closing window (VERDICT r9 #1) — the 22
-# entries that had never had a driver row (16 r8 leftovers + 6 r9
-# registrations, ALL windowed this round) plus 28 RE-VERIFICATION
-# slots for the oldest r5-green rows whose shared helpers were
-# refactored after their green row (see the DRIVER_WINDOW comment in
-# queries.py for the commit-level audit). NEW_AWAITING_WINDOW holds
-# ONLY entries registered THIS round (r10) that missed the window;
-# their gate is the local replica (tests/test_oracle_parity.py,
-# exactly the driver's strictness: rows + schema + canonical value
-# multiset); they rotate into the r11 window. Everything in
-# PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r9) under
-# behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = {
-    # -- registered r10 --
-    "pca_top_direction_embeddings",
-    "pca_projection_scores",
-    "attribution_lookback_sweep",
-    "classifier_decile_lift",
-    "dow_seasonality_events",
-    "event_second_order_transitions",
-    "ship_lag_percentiles_by_priority",
-    "association_rules_parts",
-    "moments_store_merge_orders",
-    "pca_projection_by_label",
-    "weekly_activity_heatmap",
-    "order_gap_percentiles",
-    "revenue_concentration_hhi",
-    "doc_length_percentiles_by_lang",
-}
+# r11 window: the steady-state cadence (VERDICT r10 "next round" #1) —
+# the 14 r10 registrations (their first driver rows) plus 36
+# RE-VERIFICATION slots: the two entries whose join construction
+# changed this round (rename-sided self-join keys), then the oldest
+# remaining green rows by (last-green round, registry order) — see the
+# DRIVER_WINDOW comment in queries.py for the selection audit.
+# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r11)
+# that missed the window; their gate is the local replica
+# (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
+# schema + canonical value multiset); they rotate into the r12 window.
+# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r10)
+# under behavior-identical code.
+NEW_AWAITING_WINDOW: set[str] = set()  # registered-this-round entries, none yet
 
 PREVIOUSLY_DRIVER_GREEN = {
+    # -- r10 window first-timers, all green (CORRECTNESS_r10: 50/50, zero err) --
+    "benford_first_digit_orders",
+    "ab_funnel_stage_rates",
+    "session_pattern_stats",
+    "zorder_skipping_report",
+    "skyline_parts",
+    "time_weighted_value_events",
+    "autocorr_daily_events",
+    "multimodal_phash_neardup",
+    "ohlc_daily_events",
+    "resample_user_daily_locf",
+    "dedup_threshold_sweep",
+    "rolling_median_daily_events",
+    "bitmap_distinct_users_daily",
+    "event_disorder_report",
+    "quantile_normalize_quality",
+    "ivf_nprobe_recall_sweep",
+    "sorted_layout_footer_report",
+    "quantile_treatment_effects",
+    "bitmap_retention_lag_curve",
+    "pit_join_lineitem_priority",
+    "bitmap_growth_accounting",
+    "funnel_stage_latency_quantiles",
     # -- r9 window, all 50 green (CORRECTNESS_r09: 50/50, zero err) --
     "winsorized_order_totals",
     "multimodal_resize_meta",
