@@ -321,7 +321,7 @@ def test_rotation_preserves_the_registry():
     assert not missing_oracle
 
 
-def test_no_registry_entry_emits_nested_output(spark, sf_oracle):
+def test_no_registry_entry_emits_nested_output(spark, sf_oracle, capfd):
     """The driver's canonicalizer pandas-sorts every output column and
     crashes on unhashable cells (r3: 3 driver-err rows from array-typed
     columns). Registry outputs must therefore be scalar-only — string
@@ -335,9 +335,29 @@ def test_no_registry_entry_emits_nested_output(spark, sf_oracle):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
+    capfd.readouterr()  # drain output from earlier tests / JVM startup
     for name, q in REGISTRY.items():
         schema = q.fn(spark, sf_oracle).schema
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, f"nested output columns would crash the driver: {offenders}"
+
+    # Tail-hygiene guard (VERDICT r10 hygiene #1/#2), piggybacked on the
+    # one full plan-construction sweep this suite already pays for: a
+    # same-name self-join predicate on shared-lineage frames resolves —
+    # via Spark's dataset-id disambiguation — but emits
+    # "WARN Column: Constructing trivially true equals predicate", and a
+    # per-call UDTF registration under a fixed name emits a
+    # SimpleTableFunctionRegistry "replaced" WARN; both classes are
+    # banned (house rule: rename every side; register once per session).
+    # capfd captures at the fd level, so the JVM's synchronous console
+    # appender lands in the same buffer.
+    err = capfd.readouterr().err
+    noisy = [
+        ln
+        for ln in err.splitlines()
+        if "Constructing trivially true equals predicate" in ln
+        or "SimpleTableFunctionRegistry" in ln
+    ]
+    assert not noisy, f"bench-tail WARN classes regressed: {noisy[:5]}"
