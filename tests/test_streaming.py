@@ -1298,3 +1298,116 @@ def test_stream_moments_store_matches_batch_partials(spark, sf_oracle, landed_ev
         }
 
     assert monthly(spark.table("moments_out")) == monthly(batch)
+
+
+def test_stream_quantile_histogram_matches_batch_store(
+    spark, sf_oracle, landed_events, tmp_path
+):
+    """The fixed-bin histogram cells a STREAM accumulates are the same
+    mergeable quantile store the batch arithmetic consumes: per-day
+    (day, bin, n) off the stream equals the batch computation exactly
+    (pure integer cents DIV bin-width), and rolling the streamed store
+    to the full range brackets the EXACT q-quantile of the raw values
+    inside each claimed [lo, hi) bin — the store really answers
+    any-range quantiles by addition, no rescan."""
+    import math
+
+    from spacex_data_pipeline_spark.streaming.rollup import (
+        quantile_histogram_stream,
+    )
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        quantile_histogram_stream(stream),
+        str(tmp_path / "ckpt_qhist"),
+        "qhist_out",
+        output_mode="complete",
+    )
+    got = {(r.day, r.bin): r.n for r in spark.table("qhist_out").collect()}
+    ev = catalog.table(spark, sf_oracle, "events")
+    cents = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    batch = (
+        ev.select(F.to_date("ts").alias("day"), cents.alias("__c"))
+        .select("day", F.expr("__c div 1000").alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    want = {(r.day, r.bin): r.n for r in batch.collect()}
+    assert got == want
+
+    # any-range rollup: merged bins -> first bin whose cumulative count
+    # reaches ceil(q*N) must bracket the exact q-quantile of raw cents
+    merged = sorted(
+        (r.bin, r.n)
+        for r in spark.table("qhist_out")
+        .groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    )
+    all_cents = sorted(
+        r.c for r in ev.select(cents.alias("c")).collect()
+    )
+    n_total = len(all_cents)
+    for q in (0.5, 0.9, 0.99):
+        rank = math.ceil(q * n_total)
+        cum = 0
+        for b, n in merged:
+            cum += n
+            if cum >= rank:
+                hit = b
+                break
+        exact = all_cents[rank - 1]
+        assert hit * 1000 <= exact < (hit + 1) * 1000
+
+
+def test_stream_quantile_histogram_merges_across_restarts(spark, tmp_path):
+    """Cells accumulated across TWO availableNow drains (a stop/restart
+    with new files in between) merge by addition into exactly the batch
+    store over the union — same-day late arrivals inside the watermark
+    amend the day's cells rather than forking them."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.streaming.rollup import (
+        quantile_histogram_stream,
+    )
+
+    landed = str(tmp_path / "qhist_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, d, h), 1, "view", v, "{}")
+                for i, (d, h, v) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    first = [(1, 9, 4.00), (1, 10, 12.50), (1, 11, 12.75)]
+    second = [(1, 12, 4.25), (2, 9, 99.99)]  # same-day amend + new day
+    mk(first).coalesce(1).write.mode("append").parquet(landed)
+    ck = str(tmp_path / "ck_qhist")
+    run_available_now(
+        quantile_histogram_stream(stream_events_from_files(spark, landed)),
+        ck,
+        "qhist_restart_out",
+        output_mode="complete",
+    )
+    mk(second).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now(
+        quantile_histogram_stream(stream_events_from_files(spark, landed)),
+        ck,
+        "qhist_restart_out",
+        output_mode="complete",
+    )
+    got = sorted(
+        (str(r.day), r.bin, r.n)
+        for r in spark.table("qhist_restart_out").collect()
+    )
+    assert got == [
+        ("2024-01-01", 0, 2),  # 400 and 425 cents -> bin 0, amended to 2
+        ("2024-01-01", 1, 2),  # 1250, 1275 cents -> bin 1
+        ("2024-01-02", 9, 1),  # 9999 cents -> bin 9
+    ]
