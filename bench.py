@@ -222,6 +222,8 @@ EXTENDED = [
     "order_gap_percentiles",
     "revenue_concentration_hhi",
     "doc_length_percentiles_by_lang",
+    "pca_second_direction_embeddings",
+    "pca_projection_map_by_label",
 ]
 
 

@@ -1641,8 +1641,23 @@ def power_iteration_top_direction(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
     ).select("i", "j", F.col("g").cast("decimal(38,0)").alias("g"))
+    return power_iteration_from_cells(full, dim=dim, scale=scale, iters=iters)
+
+
+def power_iteration_from_cells(
+    full: DataFrame,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    iters: int = 3,
+) -> DataFrame:
+    """The matvec/rescale loop of :func:`power_iteration_top_direction`,
+    split out so it can run over ANY exact-integer cell matrix — the
+    original Gram, or the deflated matrix :func:`deflate_gram_cells`
+    produces for the second direction. ``full`` must be the FULL
+    (mirrored) matrix with columns (i int, j int, g decimal(38,0));
+    every operation here is bounded by d² rows."""
     v = (
-        embeddings.sparkSession.range(dim)
+        full.sparkSession.range(dim)
         .select(F.col("id").cast("int").alias("pos"), F.lit(1).cast("long").alias("v"))
     )
     for _ in range(iters):
@@ -1657,3 +1672,85 @@ def power_iteration_top_direction(
             F.expr(f"CAST((u * {scale}) DIV m AS LONG)").alias("v"),
         )
     return v.select("pos", F.col("v").alias("v_micro")).orderBy("pos")
+
+
+def deflate_gram_cells(
+    full: DataFrame,
+    direction: list,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hotelling-style rank-1 deflation of the exact-integer Gram matrix
+    (VERDICT r10 #6): given the top direction v (micro-unit integers,
+    the collected power-iteration output), produce an exact-integer
+    matrix whose top eigenvector is the corpus's SECOND principal
+    direction, entirely by rank-1 updates on the d² cells — the corpus
+    is never touched.
+
+    Math: with s = vᵀv and P = s·I − vvᵀ (the un-normalized projector
+    off v, integer), the Gram of the v-component-removed data is
+    G' ∝ P·G·P. Computed directly, P·G·P overflows 38 digits, so the
+    product is split with a micro-unit rescale in the middle — exactly
+    the power method's own rescale discipline:
+
+        M  = G·P   i.e.  M[i,j] = s·G[i,j] − u[i]·v[j],  u = G·v
+        M̃  = (M · scale) DIV max|M|            (truncating, both engines)
+        G₂ = P·M̃   i.e.  G₂[i,j] = s·M̃[i,j] − v[i]·w[j], w = vᵀM̃
+
+    Every step is a rank-1 update (never a d³ join): u and w are
+    d-vectors from one broadcast join each, and G₂ entries are bounded
+    by 2·s·scale ≈ 1.3·10²⁰ — five orders inside DECIMAL(38,0) for the
+    subsequent matvecs. Headroom on M·scale: |M| ≤ 2·s·|G|max ≈
+    2.6·10²⁹ at sf0.1 (n=2000), ·10⁶ = 2.6·10³⁵ < 10³⁸; the ceiling
+    tracks the Gram's own int64 ceiling (~9·10⁶ vectors) — beyond
+    that, drop ``scale`` a decade, same as the Gram's stated strategy.
+    Truncation makes the deflation approximate at 10⁻⁶ relative — the
+    same tolerance the integer power method itself carries — while
+    keeping both engines bit-identical."""
+    spark = full.sparkSession
+    s = sum(int(x) * int(x) for x in direction)  # exact, ≤ d·scale²
+    v = spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(direction)], "pos int, v long"
+    )
+    u = (
+        full.join(F.broadcast(v), full["j"] == v["pos"])
+        .groupBy(full["i"].alias("__ui"))
+        .agg(F.sum(F.col("g") * F.col("v").cast("decimal(38,0)")).alias("u"))
+    )
+    vj = v.select(F.col("pos").alias("__vj"), F.col("v").alias("__vjv"))
+    m = (
+        full.join(F.broadcast(u), full["i"] == F.col("__ui"))
+        .join(F.broadcast(vj), full["j"] == F.col("__vj"))
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(s).cast("decimal(38,0)") * F.col("g")
+                - F.col("u") * F.col("__vjv").cast("decimal(38,0)")
+            ).alias("m"),
+        )
+    )
+    from .dedup import materialize
+
+    m = materialize(m)  # ≤ d² rows; reused by the max and both joins below
+    mx = m.agg(F.max(F.abs(F.col("m"))).alias("mx"))
+    mt = m.crossJoin(F.broadcast(mx)).select(
+        "i", "j", F.expr(f"CAST((m * {scale}) DIV mx AS LONG)").alias("mt")
+    )
+    w = (
+        mt.join(F.broadcast(v), mt["i"] == v["pos"])
+        .groupBy(mt["j"].alias("__wj"))
+        .agg(F.sum(F.col("v") * F.col("mt")).alias("w"))  # ≤ d·scale² fits long
+    )
+    vi = v.select(F.col("pos").alias("__vi"), F.col("v").alias("__viv"))
+    return (
+        mt.join(F.broadcast(vi), mt["i"] == F.col("__vi"))
+        .join(F.broadcast(w), mt["j"] == F.col("__wj"))
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(s).cast("decimal(38,0)") * F.col("mt").cast("decimal(38,0)")
+                - F.col("__viv").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)")
+            ).alias("g"),
+        )
+    )

@@ -13790,28 +13790,79 @@ def funnel_stage_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# Collected top-direction per dataset (ADVICE r10): the three PCA
-# entries all need the same 64 micro-unit weights, and each used to
-# re-run the full power iteration — including the corpus-wide Gram
-# Arrow stage — at plan-build time, so a registry-wide sweep paid the
-# Gram pass three times (dedup.materialize's localCheckpoint is not
-# shared across entries). Cache the COLLECTED direction per sf_dir
-# (same pattern as _SORTED_FOOTER_CACHE): plain Python ints, safe
-# across sessions, exact by construction (the pipeline is
-# integer-deterministic, so first-run and cached values are identical).
+# Collected PCA state per dataset (ADVICE r10): the PCA entries all
+# need the same exact-integer Gram cells and the same 64 micro-unit
+# weights, and each used to re-run the full power iteration — including
+# the corpus-wide Gram Arrow stage — at plan-build time, so a
+# registry-wide sweep paid the Gram pass once PER ENTRY
+# (dedup.materialize's localCheckpoint is not shared across entries).
+# Cache the COLLECTED artifacts per sf_dir (same pattern as
+# _SORTED_FOOTER_CACHE): plain Python ints, safe across sessions, exact
+# by construction (the pipeline is integer-deterministic, so first-run
+# and cached values are identical). With the cells cached, the corpus
+# is touched exactly ONCE per process per dataset for the whole PCA
+# family; everything downstream re-parallelizes ≤ d² = 4096 rows.
+_PCA_GRAM_CACHE: dict[str, list[tuple]] = {}
 _PCA_DIRECTION_CACHE: dict[str, list[int]] = {}
+_PCA_SECOND_CACHE: dict[str, list[int]] = {}
+
+
+def _pca_gram_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-mirror exact Gram cells as a d²-row DataFrame. The corpus
+    Arrow stage runs once per process per dataset; afterwards the 4096
+    collected cells (three ints each — the sanctioned dimension-bounded
+    collect class) re-parallelize on demand."""
+    cells = _PCA_GRAM_CACHE.get(sf_dir)
+    if cells is None:
+        from .operators.dedup import materialize
+        from .operators.similarity import gram_matrix_quantized
+
+        g = materialize(
+            gram_matrix_quantized(_t(spark, sf_dir, "embeddings"))
+        )
+        full = g.unionAll(
+            g.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
+        )
+        cells = [(r.i, r.j, int(r.g)) for r in full.collect()]
+        _PCA_GRAM_CACHE[sf_dir] = cells
+    import decimal as _decimal
+
+    return spark.createDataFrame(
+        [(i, j, _decimal.Decimal(g)) for i, j, g in cells],
+        "i int, j int, g decimal(38,0)",
+    )
 
 
 def _pca_direction_micro(spark: SparkSession, sf_dir: str) -> list[int]:
     w = _PCA_DIRECTION_CACHE.get(sf_dir)
     if w is None:
-        from .operators.similarity import power_iteration_top_direction
+        from .operators.similarity import power_iteration_from_cells
 
-        rows = power_iteration_top_direction(
-            _t(spark, sf_dir, "embeddings")
+        rows = power_iteration_from_cells(
+            _pca_gram_full(spark, sf_dir)
         ).collect()  # |d| = 64 rows — the sanctioned dimension-bounded class
         w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
         _PCA_DIRECTION_CACHE[sf_dir] = w
+    return w
+
+
+def _pca_second_direction_micro(spark: SparkSession, sf_dir: str) -> list[int]:
+    w = _PCA_SECOND_CACHE.get(sf_dir)
+    if w is None:
+        from .operators.similarity import (
+            deflate_gram_cells,
+            power_iteration_from_cells,
+        )
+
+        g2 = deflate_gram_cells(
+            _pca_gram_full(spark, sf_dir),
+            _pca_direction_micro(spark, sf_dir),
+        )
+        rows = power_iteration_from_cells(g2).collect()  # |d| = 64 rows
+        w = [int(r.v_micro) for r in sorted(rows, key=lambda r: r.pos)]
+        _PCA_SECOND_CACHE[sf_dir] = w
     return w
 
 
@@ -14868,6 +14919,153 @@ def doc_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .orderBy("lang")
+    )
+
+
+# Shared oracle prefix for the second-direction family: the exact
+# first-direction chain (identical to pca_top_direction_embeddings'
+# oracle), then the rank-1 deflation G2 = P·rescale(G·P) with
+# P = s·I − vvᵀ (see operators/similarity.deflate_gram_cells for the
+# overflow analysis), then three more power iterations over G2.
+_PCA2_PREFIX = """
+    WITH q AS MATERIALIZED (SELECT vec_id, i.i - 1 AS pos,
+                      CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+               FROM embeddings, unnest(range(1, 65)) AS i(i)),
+    g AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
+          FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+          GROUP BY 1, 2),
+    fg AS MATERIALIZED (SELECT i, j, g FROM g
+           UNION ALL SELECT j, i, g FROM g WHERE i < j),
+    v0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos,
+                  CAST(1 AS HUGEINT) AS v),
+    u1 AS MATERIALIZED (SELECT fg.i AS pos, SUM(fg.g * v0.v) AS u
+           FROM fg JOIN v0 ON v0.pos = fg.j GROUP BY 1),
+    v1 AS MATERIALIZED (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u1) AS v
+           FROM u1),
+    u2 AS MATERIALIZED (SELECT fg.i AS pos, SUM(fg.g * v1.v) AS u
+           FROM fg JOIN v1 ON v1.pos = fg.j GROUP BY 1),
+    v2 AS MATERIALIZED (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u2) AS v
+           FROM u2),
+    u3 AS MATERIALIZED (SELECT fg.i AS pos, SUM(fg.g * v2.v) AS u
+           FROM fg JOIN v2 ON v2.pos = fg.j GROUP BY 1),
+    v3 AS MATERIALIZED (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM u3) AS v
+           FROM u3),
+    s AS MATERIALIZED (SELECT SUM(v * v) AS s FROM v3),
+    du AS MATERIALIZED (SELECT fg.i AS pos, SUM(fg.g * v3.v) AS u
+           FROM fg JOIN v3 ON v3.pos = fg.j GROUP BY 1),
+    dm AS MATERIALIZED (SELECT fg.i, fg.j, (SELECT s FROM s) * fg.g - du.u * v3.v AS m
+           FROM fg JOIN du ON du.pos = fg.i JOIN v3 ON v3.pos = fg.j),
+    dmt AS MATERIALIZED (SELECT i, j, (m * 1000000) // (SELECT MAX(abs(m)) FROM dm) AS mt
+            FROM dm),
+    dw AS MATERIALIZED (SELECT dmt.j AS pos, SUM(v3.v * dmt.mt) AS w
+           FROM dmt JOIN v3 ON v3.pos = dmt.i GROUP BY 1),
+    g2 AS MATERIALIZED (SELECT dmt.i, dmt.j, (SELECT s FROM s) * dmt.mt - v3.v * dw.w AS g
+           FROM dmt JOIN v3 ON v3.pos = dmt.i JOIN dw ON dw.pos = dmt.j),
+    y0 AS MATERIALIZED (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos,
+                  CAST(1 AS HUGEINT) AS v),
+    t1 AS MATERIALIZED (SELECT g2.i AS pos, SUM(g2.g * y0.v) AS u
+           FROM g2 JOIN y0 ON y0.pos = g2.j GROUP BY 1),
+    y1 AS MATERIALIZED (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM t1) AS v
+           FROM t1),
+    t2 AS MATERIALIZED (SELECT g2.i AS pos, SUM(g2.g * y1.v) AS u
+           FROM g2 JOIN y1 ON y1.pos = g2.j GROUP BY 1),
+    y2 AS MATERIALIZED (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM t2) AS v
+           FROM t2),
+    t3 AS MATERIALIZED (SELECT g2.i AS pos, SUM(g2.g * y2.v) AS u
+           FROM g2 JOIN y2 ON y2.pos = g2.j GROUP BY 1),
+    y3 AS MATERIALIZED (SELECT pos, (u * 1000000) // (SELECT MAX(abs(u)) FROM t3) AS v
+           FROM t3)
+"""
+
+
+@register(
+    "pca_second_direction_embeddings",
+    oracle=_PCA2_PREFIX
+    + """
+    SELECT CAST(pos AS INT) AS pos, CAST(v AS BIGINT) AS v2_micro
+    FROM y3 ORDER BY pos
+    """,
+    tags=("extension", "similarity", "linear-algebra", "iterative"),
+)
+def pca_second_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal direction via exact rank-1 deflation (VERDICT
+    r10 #6): the Gram cells are deflated by the collected top direction
+    — G₂ = P·rescale(G·P) with P = s·I − vvᵀ, every step an integer
+    rank-1 update on d² rows (operators/similarity.deflate_gram_cells
+    documents the overflow budget) — and the same three-iteration
+    integer power method runs on G₂. Both stages are truncating-DIV
+    deterministic, so the 64 outputs hash-compare exactly against the
+    oracle's HUGEINT replay of the full two-eigenvector chain. Scale:
+    the corpus is touched once per process (the cached Gram pass);
+    deflation and iteration never exceed d² = 4096 rows."""
+    w = _pca_second_direction_micro(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(w)], "pos int, v2_micro bigint"
+    ).orderBy("pos")
+
+
+@register(
+    "pca_projection_map_by_label",
+    oracle=_PCA2_PREFIX
+    + """
+    , p AS (
+      SELECT q.vec_id,
+             CAST(SUM(q.x * v3.v) AS BIGINT) AS p1,
+             CAST(SUM(q.x * y3.v) AS BIGINT) AS p2
+      FROM q JOIN v3 ON v3.pos = q.pos JOIN y3 ON y3.pos = q.pos
+      GROUP BY 1)
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(p.p1) AS BIGINT) AS sum_p1,
+           CAST(SUM(p.p2) AS BIGINT) AS sum_p2,
+           CAST(SUM(p.p1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_p1,
+           CAST(SUM(p.p2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_p2
+    FROM embeddings e JOIN p ON p.vec_id = e.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "similarity", "linear-algebra"),
+)
+def pca_projection_map_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D semantic map: per-label centroids in the plane spanned by
+    the top TWO principal directions — the read that shows whether the
+    label clusters separate in the cheapest possible embedding of the
+    corpus (the classic 'PCA scatter plot', reduced to its per-label
+    summary so the output is |labels| scalar rows). Both projections
+    are exact BIGINT folds of the cached micro-unit directions
+    (zip_with dot products, map-side); means are ONE IEEE divide each.
+    Scale: after the once-per-process Gram pass, this is a single
+    shuffle-free projection pass plus a |labels|-sized groupBy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w1 = _pca_direction_micro(spark, sf_dir)
+    w2 = _pca_second_direction_micro(spark, sf_dir)
+    qx = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+
+    def proj(ws):
+        warr = F.array(*[F.lit(c).cast("long") for c in ws])
+        return F.aggregate(
+            F.zip_with(qx, warr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return (
+        emb.select("label", proj(w1).alias("__p1"), proj(w2).alias("__p2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("__p1").cast("long").alias("sum_p1"),
+            F.sum("__p2").cast("long").alias("sum_p2"),
+            (F.sum("__p1").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_p1"
+            ),
+            (F.sum("__p2").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_p2"
+            ),
+        )
+        .orderBy("label")
     )
 
 

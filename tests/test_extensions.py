@@ -2996,3 +2996,50 @@ def test_bitmap_packing_handles_negative_ids_identically_in_both_engines(spark):
         ).fetchall()
     )
     assert s_cells == d_cells
+
+
+def test_gram_deflation_recovers_second_axis(spark):
+    """deflate_gram_cells kills the top direction and exposes the second:
+    on a synthetic corpus with two known orthogonal axes of different
+    energy, the power iteration finds axis-0 first, and after deflation
+    finds axis-1 — with the two recovered directions mutually orthogonal
+    to truncation tolerance (the 1e-6 micro-unit grid)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.operators.similarity import (
+        deflate_gram_cells,
+        gram_matrix_quantized,
+        power_iteration_from_cells,
+    )
+
+    rows = []
+    for k in range(20):
+        rows.append((k, [1.0, 0.01, 0.0, 0.0]))
+        rows.append((100 + k, [0.0, 0.5, 0.02, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = gram_matrix_quantized(emb, dim=4)
+    full = g.unionAll(
+        g.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).select("i", "j", F.col("g").cast("decimal(38,0)").alias("g"))
+    v1 = [
+        r.v_micro
+        for r in power_iteration_from_cells(full, dim=4).orderBy("pos").collect()
+    ]
+    g2 = deflate_gram_cells(full, v1)
+    v2 = [
+        r.v_micro
+        for r in power_iteration_from_cells(g2, dim=4).orderBy("pos").collect()
+    ]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        return num / den
+
+    assert abs(cos(v1, [1.0, 0.0, 0.0, 0.0])) > 0.98
+    assert abs(cos(v2, [0.0, 1.0, 0.0, 0.0])) > 0.90
+    assert abs(cos(v1, v2)) < 0.02

@@ -24,7 +24,11 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # schema + canonical value multiset); they rotate into the r12 window.
 # Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r10)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = set()  # registered-this-round entries, none yet
+NEW_AWAITING_WINDOW: set[str] = {
+    # -- registered r11 --
+    "pca_second_direction_embeddings",
+    "pca_projection_map_by_label",
+}
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- r10 window first-timers, all green (CORRECTNESS_r10: 50/50, zero err) --
