@@ -224,6 +224,9 @@ EXTENDED = [
     "doc_length_percentiles_by_lang",
     "pca_second_direction_embeddings",
     "pca_projection_map_by_label",
+    "hll_register_store_users",
+    "bitmap_rolling_active_users",
+    "bitmap_audience_overlap_types",
 ]
 
 

@@ -159,3 +159,38 @@ def cms_bucket(seed: Column, key: Column, width: int) -> Column:
         10,
     ).cast("long")
     return h % width
+
+
+# Hand-rolled HLL register geometry: 2^8 = 256 registers off the same
+# 60-bit md5 hash as cms_bucket; the low 8 bits pick the register, the
+# remaining 52 payload bits give rho = leading-zero count + 1 (so
+# 1..52, with the all-zero payload pinned to 53). Everything is exact
+# integer/string arithmetic with a DuckDB twin (format('{:b}', w) ==
+# Spark bin(w)), so — unlike hll_sketch_agg's opaque DataSketches
+# bytes — the stored registers themselves hash-compare across engines.
+HLL_REGISTERS = 256
+HLL_RHO_CAP = 53
+
+
+def hll_register(key: Column) -> tuple[Column, Column]:
+    """(register, rho) pair for the mergeable HLL register store.
+    Registers merge by MAX — associative and idempotent, so per-grain
+    cells roll up to any range (and replay safely) with no rescan.
+    Shared by the batch store (queries.hll_register_store_users) and
+    its streaming twin (streaming.rollup.hll_registers_stream) so both
+    populate identical cells."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("hll"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    reg = h.bitwiseAND(F.lit(255)).cast("int")
+    w = F.shiftright(h, 8)
+    rho = (
+        F.when(w == 0, F.lit(HLL_RHO_CAP))
+        .otherwise(F.lit(HLL_RHO_CAP) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return reg, rho

@@ -15069,6 +15069,292 @@ def pca_projection_map_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_register_store_users",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15))::UBIGINT::BIGINT AS h
+      FROM events),
+    c AS (
+      SELECT day, h & 255 AS reg,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(format('{:b}', h >> 8)) END AS rho
+      FROM h),
+    cells AS (
+      SELECT day, reg, MAX(rho) AS rho FROM c GROUP BY 1, 2),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
+             CAST(SUM(1::BIGINT << (53 - rho))
+                  + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s
+      FROM cells GROUP BY 1),
+    dex AS (SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY 1),
+    am AS (SELECT reg, MAX(rho) AS rho FROM cells GROUP BY 1),
+    aroll AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
+             CAST(SUM(1::BIGINT << (53 - rho))
+                  + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s
+      FROM am),
+    aex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events)
+    SELECT CAST(d.day AS VARCHAR) AS day, x.exact_users, d.nonzero_regs,
+           4.2399330249068963e+20 / CAST(d.s AS DOUBLE) AS est_users
+    FROM daily d JOIN dex x USING (day)
+    UNION ALL
+    SELECT 'ALL', aex.exact_users, aroll.nonzero_regs,
+           4.2399330249068963e+20 / CAST(aroll.s AS DOUBLE)
+    FROM aroll, aex
+    ORDER BY day
+    """,
+    tags=("extension", "agg", "approx", "sketch"),
+)
+def hll_register_store_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled MERGEABLE HLL register store — the transparent
+    counterpart of hll_mergeable_distinct_users: where hll_sketch_agg
+    emits opaque engine-specific DataSketches bytes (so that entry can
+    only assert an error bound), these registers are plain (day, reg,
+    max-rho) INT cells off the engine-identical md5 hash
+    (functions/hashing.hll_register), merging by MAX to any date range
+    with no rescan — and therefore the store itself AND the raw-HLL
+    estimate hash-compare exactly across engines: the harmonic sum
+    Σ2^(−rho) is a dyadic rational accumulated as the exact integer
+    Σ2^(53−rho) (≤ 2⁶¹, order-independent), and the estimate is ONE
+    IEEE divide of the precomputed α·m²·2⁵³ literal by it. Raw HLL
+    (no small-range linear-counting branch: that needs ln(), which is
+    libm- not IEEE-specified, so it could never hash-compare; the
+    deterministic raw estimate is the point here, accuracy bounds are
+    the DataSketches entry's job). Scale: one map-side-combined
+    shuffle of |days|·256 cells; merges touch ≤256 rows per range.
+    Streaming twin: streaming/rollup.hll_registers_stream populates
+    identical cells on arrival (registers are max-monoids, so replay
+    and late data are idempotent)."""
+    from .functions.hashing import HLL_REGISTERS, HLL_RHO_CAP, hll_register
+
+    ev = _t(spark, sf_dir, "events")
+    reg, rho = hll_register(F.col("user_id"))
+    cells = (
+        ev.select(F.to_date("ts").alias("day"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    k_lit = F.lit(4.2399330249068963e20)
+
+    def roll(df, keys):
+        s = (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - rho)"))
+            + (F.lit(HLL_REGISTERS) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_RHO_CAP)
+        ).cast("long")
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("nonzero_regs"),
+            s.alias("__s"),
+        )
+
+    daily = roll(cells, ["day"])
+    dex = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    day_rows = daily.join(dex, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "exact_users",
+        "nonzero_regs",
+        (k_lit / F.col("__s").cast("double")).alias("est_users"),
+    )
+    amerged = roll(cells.groupBy("reg").agg(F.max("rho").alias("rho")), [])
+    aex = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    all_row = aex.join(F.broadcast(amerged)).select(
+        F.lit("ALL").alias("day"),
+        "exact_users",
+        "nonzero_regs",
+        (k_lit / F.col("__s").cast("double")).alias("est_users"),
+    )
+    return day_rows.unionByName(all_row).orderBy("day")
+
+
+@register(
+    "bitmap_rolling_active_users",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             (user_id - ((user_id % 62) + 62) % 62) // 62 AS word,
+             bit_or(1::BIGINT << CAST(((user_id % 62) + 62) % 62 AS INT)) AS bm
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM w),
+    fan AS (
+      SELECT w.day + CAST(o.o AS INT) AS tday, w.word, w.bm
+      FROM w, unnest(range(0, 7)) AS o(o)),
+    r AS (
+      SELECT f.tday AS day, f.word, bit_or(f.bm) AS bm
+      FROM fan f WHERE f.tday IN (SELECT day FROM days)
+      GROUP BY 1, 2),
+    roll AS (SELECT day, CAST(SUM(bit_count(bm)) AS BIGINT) AS rolling7_active
+             FROM r GROUP BY 1),
+    base AS (SELECT day, CAST(SUM(bit_count(bm)) AS BIGINT) AS active
+             FROM w GROUP BY 1)
+    SELECT b.day, b.active, r.rolling7_active,
+           ROUND(100.0 * b.active / NULLIF(r.rolling7_active, 0), 2)
+             AS dau_over_wau_pct
+    FROM base b JOIN roll r USING (day)
+    ORDER BY b.day
+    """,
+    tags=("extension", "bitmap", "analytics", "scale"),
+)
+def bitmap_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day EXACT distinct actives per day from the bitmap
+    word store — the rolling flavor of dau_wau_stickiness computed the
+    scale-correct way: instead of re-scanning seven days of raw events
+    per output day (or an unbounded distinct window), each stored
+    (day, word) bitmap FANS OUT map-side to the ≤7 calendar days whose
+    trailing window contains it (explode over a 7-element sequence —
+    pure equi-shuffle on (target-day, word), NO range join and no
+    nested-loop broadcast), then ORs per (day, word) and popcounts.
+    Days near the corpus start keep their partial windows (the fan-out
+    is calendar-complete; only target days with no events at all drop
+    out, matching the oracle's day list). The blended DAU/WAU ratio is
+    the house pct_rate on two exact counts. Scale: |days|·|words|·7
+    narrow rows through one map-side-combined shuffle; set union is
+    word-wise OR, so cross-day distinctness never touches raw ids."""
+    from .operators.dedup import materialize
+
+    ev = _t(spark, sf_dir, "events")
+    w = materialize(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("__m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("__m").alias("bm"))
+    )
+    days = w.select("day").distinct().select(F.col("day").alias("d_day"))
+    fan = w.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__o"),
+        "day",
+        "word",
+        "bm",
+    ).select(F.date_add(F.col("day"), F.col("__o")).alias("tday"), "word", "bm")
+    r = (
+        fan.join(F.broadcast(days), fan.tday == F.col("d_day"), "left_semi")
+        .groupBy(F.col("tday").alias("day"), "word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("rolling7_active"))
+    )
+    base = w.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("active")
+    )
+    return (
+        base.join(r, "day")
+        .select(
+            "day",
+            "active",
+            "rolling7_active",
+            pct_rate(F.col("active"), F.col("rolling7_active")).alias(
+                "dau_over_wau_pct"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "bitmap_audience_overlap_types",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             (user_id - ((user_id % 62) + 62) % 62) // 62 AS word,
+             bit_or(1::BIGINT << CAST(((user_id % 62) + 62) % 62 AS INT)) AS bm
+      FROM events GROUP BY 1, 2),
+    sizes AS (SELECT event_type, CAST(SUM(bit_count(bm)) AS BIGINT) AS n
+              FROM w GROUP BY 1),
+    ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS overlap
+      FROM w a JOIN w b ON b.word = a.word AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT o.type_a, o.type_b, sa.n AS n_a, sb.n AS n_b, o.overlap,
+           ROUND(100.0 * o.overlap
+                 / NULLIF(sa.n + sb.n - o.overlap, 0), 2) AS jaccard_pct
+    FROM ov o
+    JOIN sizes sa ON sa.event_type = o.type_a
+    JOIN sizes sb ON sb.event_type = o.type_b
+    ORDER BY o.type_a, o.type_b
+    """,
+    tags=("extension", "bitmap", "analytics", "scale"),
+)
+def bitmap_audience_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from the bitmap
+    store — the set-algebra read bitmap_retention_lag_curve documents,
+    pointed at audiences instead of days: |A∩B| is popcount(bm_a AND
+    bm_b) summed over words (an equi-join on the word key — never a
+    user-level self-join), |A∪B| falls out by inclusion-exclusion, and
+    the Jaccard share is the house pct_rate on two exact counts. Both
+    join sides are projections of the SAME materialized word store, so
+    every column is renamed per side (house rule,
+    operators/relational.py) and the pair predicate is a-type < b-type
+    on the renamed keys. Output is |types|·(|types|−1)/2 rows. Scale:
+    the store is |types|·|id-space|/62 words; the pair join fans each
+    word to ≤|types|² bounded rows — audience overlap at 100 TB
+    without moving one raw event."""
+    from .operators.dedup import materialize
+
+    ev = _t(spark, sf_dir, "events")
+    w = materialize(
+        ev.select(
+            "event_type",
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("__m"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("__m").alias("bm"))
+    )
+    sizes = w.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n")
+    )
+    a = w.select(
+        F.col("event_type").alias("type_a"),
+        F.col("word").alias("a_word"),
+        F.col("bm").alias("a_bm"),
+    )
+    b = w.select(
+        F.col("event_type").alias("type_b"),
+        F.col("word").alias("b_word"),
+        F.col("bm").alias("b_bm"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("a_word") == F.col("b_word"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("a_bm").bitwiseAND(F.col("b_bm"))))
+            .cast("long")
+            .alias("overlap")
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("__sa_t"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("__sb_t"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(sa), F.col("type_a") == F.col("__sa_t"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("__sb_t"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "overlap",
+            pct_rate(
+                F.col("overlap"), F.col("n_a") + F.col("n_b") - F.col("overlap")
+            ).alias("jaccard_pct"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

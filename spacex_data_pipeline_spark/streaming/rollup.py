@@ -298,3 +298,29 @@ def quantile_histogram_stream(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.to_date(F.col("window.start")).alias("day"), "bin", "n")
     )
+
+
+def hll_registers_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``hll_register_store_users`` store:
+    per-day HLL registers accumulated on arrival. A register is a MAX
+    monoid — associative AND idempotent — so microbatch merges, replays
+    and late data (inside the watermark) all land on exactly the batch
+    cells, and state per open day is at most 256 ints regardless of
+    stream volume. The sixth and last mergeable store gets its
+    on-arrival form (HLL-registers / CMS / bitmap / moments / histogram
+    / the DataSketches HLL whose opaque bytes the register store
+    exists to make verifiable). Emits the MERGEABLE STATE; any range's
+    deterministic raw estimate is the consumer's MAX-merge + the exact
+    dyadic harmonic sum (see the batch entry), and the parity test
+    reproduces the batch entry's per-day and ALL rows from the
+    streamed cells."""
+    from ..functions.hashing import hll_register
+
+    reg, rho = hll_register(F.col("user_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", reg.alias("reg"), rho.alias("rho"))
+        .groupBy(F.window("ts", "1 day"), F.col("reg"))
+        .agg(F.max("rho").alias("rho"))
+        .select(F.to_date(F.col("window.start")).alias("day"), "reg", "rho")
+    )

@@ -28,6 +28,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     # -- registered r11 --
     "pca_second_direction_embeddings",
     "pca_projection_map_by_label",
+    "hll_register_store_users",
+    "bitmap_rolling_active_users",
+    "bitmap_audience_overlap_types",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {

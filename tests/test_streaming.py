@@ -1411,3 +1411,65 @@ def test_stream_quantile_histogram_merges_across_restarts(spark, tmp_path):
         ("2024-01-01", 1, 2),  # 1250, 1275 cents -> bin 1
         ("2024-01-02", 9, 1),  # 9999 cents -> bin 9
     ]
+
+
+def test_stream_hll_registers_match_batch_store(
+    spark, sf_oracle, landed_events, tmp_path
+):
+    """The HLL registers a STREAM accumulates are the same mergeable
+    store the batch entry consumes: per-day (reg, max-rho) cells off
+    the stream equal the batch computation exactly, and rolling the
+    streamed cells through the exact dyadic harmonic sum reproduces
+    the oracle-checked entry's per-day AND merged-ALL estimate rows —
+    max-merge on arrival really is the batch store."""
+    from spacex_data_pipeline_spark.functions.hashing import (
+        HLL_REGISTERS,
+        HLL_RHO_CAP,
+        hll_register,
+    )
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.rollup import hll_registers_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        hll_registers_stream(stream),
+        str(tmp_path / "ckpt_hll"),
+        "hll_out",
+        output_mode="complete",
+    )
+    got = {(r.day, r.reg): r.rho for r in spark.table("hll_out").collect()}
+    ev = catalog.table(spark, sf_oracle, "events")
+    reg, rho = hll_register(F.col("user_id"))
+    batch = (
+        ev.select(F.to_date("ts").alias("day"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    want = {(r.day, r.reg): r.rho for r in batch.collect()}
+    assert got == want
+
+    # rolling the streamed store reproduces the registry entry's rows
+    def est_rows(cells, keys):
+        s = (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - rho)"))
+            + (F.lit(HLL_REGISTERS) - F.count(F.lit(1))) * F.lit(1 << HLL_RHO_CAP)
+        ).cast("long")
+        return cells.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("nonzero_regs"), s.alias("__s")
+        )
+
+    daily = {
+        (str(r.day), r.nonzero_regs, 4.2399330249068963e20 / float(r["__s"]))
+        for r in est_rows(spark.table("hll_out"), ["day"]).collect()
+    }
+    merged = est_rows(
+        spark.table("hll_out").groupBy("reg").agg(F.max("rho").alias("rho")), []
+    ).collect()[0]
+    daily.add(
+        ("ALL", merged.nonzero_regs, 4.2399330249068963e20 / float(merged["__s"]))
+    )
+    entry = {
+        (r.day, r.nonzero_regs, r.est_users)
+        for r in REGISTRY["hll_register_store_users"].fn(spark, sf_oracle).collect()
+    }
+    assert daily == entry
