@@ -15355,6 +15355,240 @@ def bitmap_audience_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "customer_spend_percentiles_by_nation",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT n.n_name, s.cents, s.o_custkey
+      FROM s JOIN customer c ON c.c_custkey = s.o_custkey
+             JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    r AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents, o_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n
+      FROM j),
+    qs AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS q),
+    hit AS (
+      SELECT r.n_name, r.n, q.q, r.cents
+      FROM r JOIN qs q
+        ON r.rn = GREATEST(CAST(1 AS BIGINT), (q.q * r.n + 99) // 100))
+    SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_customers,
+           MAX(CASE WHEN q = 25 THEN cents END) AS p25_cents,
+           MAX(CASE WHEN q = 50 THEN cents END) AS p50_cents,
+           MAX(CASE WHEN q = 75 THEN cents END) AS p75_cents,
+           MAX(CASE WHEN q = 90 THEN cents END) AS p90_cents
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "percentiles", "scale"),
+)
+def customer_spend_percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lifetime-spend quartiles (+P90) per nation — the LTV
+    distribution read a pricing team asks for, and the third consumer
+    of relational.grouped_exact_percentiles (two-phase prefix scan:
+    $10k-bucket reducers, bucket-table offsets, pure-integer ranks —
+    no nation's customers ever sort in one reducer). Spend snaps to
+    exact cents through the decimal money route before any grouping,
+    so the percentile VALUES are integers that hash-compare; the
+    oracle is the rank definition itself. Scale: one fact-table
+    groupBy to |customers| rows, one broadcast of the two dimension
+    tables, then the bounded percentile machinery."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    j = (
+        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "cents", "o_custkey")
+    )
+    hit = relational.grouped_exact_percentiles(
+        j,
+        group=["n_name"],
+        value="cents",
+        tiebreak=["o_custkey"],
+        qs=(25, 50, 75, 90),
+        grain=F.expr("cents div 1000000"),
+    )
+    return (
+        hit.groupBy("n_name")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.max(F.when(F.col("q_pct") == 25, F.col("cents"))).alias("p25_cents"),
+            F.max(F.when(F.col("q_pct") == 50, F.col("cents"))).alias("p50_cents"),
+            F.max(F.when(F.col("q_pct") == 75, F.col("cents"))).alias("p75_cents"),
+            F.max(F.when(F.col("q_pct") == 90, F.col("cents"))).alias("p90_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "pca_explained_energy",
+    oracle=_PCA2_PREFIX
+    + """
+    , en AS (
+      SELECT 1 AS component,
+             (SELECT SUM(fg.g * a.v * b.v)
+              FROM fg JOIN v3 a ON a.pos = fg.i JOIN v3 b ON b.pos = fg.j)
+             // (SELECT SUM(v * v) FROM v3) AS energy
+      UNION ALL
+      SELECT 2,
+             (SELECT SUM(fg.g * a.v * b.v)
+              FROM fg JOIN y3 a ON a.pos = fg.i JOIN y3 b ON b.pos = fg.j)
+             // (SELECT SUM(v * v) FROM y3)),
+    tr AS (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM fg WHERE i = j)
+    SELECT CAST(en.component AS INT) AS component,
+           CAST(en.energy AS BIGINT) AS energy,
+           tr.trace,
+           ROUND(100.0 * en.energy / tr.trace, 2) AS share_pct
+    FROM en, tr ORDER BY component
+    """,
+    tags=("extension", "similarity", "linear-algebra"),
+)
+def pca_explained_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scree read for the two extracted directions: each one's
+    Rayleigh quotient over the ORIGINAL Gram — energy = (vᵀGv) DIV
+    (vᵀv), exact integers end to end (numerator ≤ d²·|G|·scale² ≈ 10³¹
+    inside DECIMAL(38,0)/HUGEINT; the truncating division is the house
+    DIV) — against the exact trace ΣG[i,i], with the share as one
+    float chain on exact operands. This is 'variance explained' in
+    quantized units: how much of the corpus's total second moment the
+    rank-1 and rank-2 projections capture, the number that decides
+    whether the 2-D map is worth serving. Scale: both quotients are
+    d²-row join-aggregates over the cached cells; the corpus is not
+    touched at all (the Gram pass already ran once per process)."""
+    full = _pca_gram_full(spark, sf_dir)
+    trace = full.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").cast("long").alias("trace")
+    )
+
+    def energy(direction, comp):
+        v = spark.createDataFrame(
+            [(i, int(x)) for i, x in enumerate(direction)], "pos int, v long"
+        )
+        den = sum(int(x) * int(x) for x in direction)
+        va = v.select(F.col("pos").alias("__ia"), F.col("v").alias("__va"))
+        vb = v.select(F.col("pos").alias("__ib"), F.col("v").alias("__vb"))
+        num = (
+            full.join(F.broadcast(va), full["i"] == F.col("__ia"))
+            .join(F.broadcast(vb), full["j"] == F.col("__ib"))
+            .agg(
+                F.sum(
+                    F.col("g")
+                    * F.col("__va").cast("decimal(38,0)")
+                    * F.col("__vb").cast("decimal(38,0)")
+                ).alias("__num")
+            )
+        )
+        return num.select(
+            F.lit(comp).cast("int").alias("component"),
+            F.expr(f"CAST(__num DIV {den} AS LONG)").alias("energy"),
+        )
+
+    e1 = energy(_pca_direction_micro(spark, sf_dir), 1)
+    e2 = energy(_pca_second_direction_micro(spark, sf_dir), 2)
+    return (
+        e1.unionByName(e2)
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "component",
+            "energy",
+            "trace",
+            pct_rate(F.col("energy"), F.col("trace")).alias("share_pct"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "k_anonymity_customers",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+      FROM customer GROUP BY 1, 2),
+    t AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS threshold),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer),
+    ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(MIN(k) AS BIGINT) AS min_k FROM g),
+    below AS (
+      SELECT t.threshold,
+             CAST(COUNT(g.k) AS BIGINT) AS n_groups_below,
+             CAST(COALESCE(SUM(g.k), 0) AS BIGINT) AS customers_below
+      FROM t LEFT JOIN g ON g.k < t.threshold GROUP BY 1)
+    SELECT b.threshold, ov.n_groups, ov.min_k,
+           b.n_groups_below, b.customers_below,
+           CAST((b.customers_below * 20000 + tot.total)
+                // (2 * tot.total) AS DOUBLE) / 100 AS pct_at_risk
+    FROM below b, ov, tot ORDER BY b.threshold
+    """,
+    tags=("extension", "governance", "quality"),
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over the (nation, market-segment) quasi-
+    identifier — the privacy read a release gate runs before shipping
+    a 'de-identified' extract: per equivalence class size k, how many
+    classes (and how many customers) fall below each re-identification
+    threshold. One groupBy to the |nations|·|segments|-bounded class
+    table, thresholds applied by a broadcast fan-out over that tiny
+    table (a left join keeps zero-risk thresholds in the output), and
+    the at-risk share uses the integer HALF_UP percentage — the
+    customer total is a round corpus constant, exactly the decimal-tie
+    regime where float ROUND diverges cross-engine (the
+    weekly_activity_heatmap lesson). Scale: after the one fact-sized
+    groupBy everything is dimension-bounded."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    th = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("__t"))
+        .select(F.col("__t").cast("long").alias("threshold"))
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    ov = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+    )
+    below = (
+        th.join(F.broadcast(g), F.col("k") < F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.col("k")).cast("long").alias("n_groups_below"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("customers_below"),
+        )
+    )
+    return (
+        below.crossJoin(F.broadcast(ov))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_groups",
+            "min_k",
+            "n_groups_below",
+            "customers_below",
+            (
+                F.expr(
+                    "CAST((customers_below * 20000 + total)"
+                    " DIV (2 * total) AS DOUBLE)"
+                )
+                / 100
+            ).alias("pct_at_risk"),
+        )
+        .orderBy("threshold")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

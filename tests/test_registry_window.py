@@ -31,6 +31,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "hll_register_store_users",
     "bitmap_rolling_active_users",
     "bitmap_audience_overlap_types",
+    "customer_spend_percentiles_by_nation",
+    "pca_explained_energy",
+    "k_anonymity_customers",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
