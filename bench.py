@@ -230,6 +230,9 @@ EXTENDED = [
     "customer_spend_percentiles_by_nation",
     "pca_explained_energy",
     "k_anonymity_customers",
+    "vocab_overlap_langs",
+    "hapax_legomena_by_lang",
+    "token_rank_frequency_share",
 ]
 
 

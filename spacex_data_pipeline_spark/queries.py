@@ -15589,6 +15589,191 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_overlap_langs",
+    oracle="""
+    WITH toks AS (SELECT lang, unnest(__TOKS__) AS term FROM documents),
+    v AS (SELECT DISTINCT lang, term FROM toks),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    ov AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM v a JOIN v b ON b.term = a.term AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT o.lang_a, o.lang_b, sa.n AS vocab_a, sb.n AS vocab_b, o.overlap,
+           ROUND(100.0 * o.overlap
+                 / NULLIF(sa.n + sb.n - o.overlap, 0), 2) AS jaccard_pct
+    FROM ov o
+    JOIN sizes sa ON sa.lang = o.lang_a
+    JOIN sizes sb ON sb.lang = o.lang_b
+    ORDER BY o.lang_a, o.lang_b
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "analytics"),
+)
+def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between languages — the
+    contamination/cognate read before per-language tokenizer or
+    mixture decisions (two 'languages' sharing most of their vocab are
+    one corpus wearing two tags; near-zero overlap says per-lang
+    quality thresholds can't share a calibration). The house tokens
+    (whitespace over normalized text), ONE distinct to the (lang,
+    term) vocabulary table — the only data-sized shuffle — then the
+    pair counts come from a term-keyed equi-join of that table with
+    itself, every column renamed per side (house rule): fan-out per
+    term is ≤|langs|², never corpus-sized, the same blocked shape as
+    the dedup families. Jaccard by inclusion-exclusion on exact
+    counts; pct_rate on arbitrary counts (no round-total tie
+    hazard)."""
+    from .operators.dedup import materialize
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    v = materialize(
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("term")).distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), F.col("term").alias("a_term"))
+    b = v.select(F.col("lang").alias("lang_b"), F.col("term").alias("b_term"))
+    ov = (
+        a.join(
+            b,
+            (F.col("a_term") == F.col("b_term"))
+            & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    sa = sizes.select(F.col("lang").alias("__sa_l"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("__sb_l"), F.col("n").alias("vocab_b"))
+    return (
+        ov.join(F.broadcast(sa), F.col("lang_a") == F.col("__sa_l"))
+        .join(F.broadcast(sb), F.col("lang_b") == F.col("__sb_l"))
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "overlap",
+            pct_rate(
+                F.col("overlap"),
+                F.col("vocab_a") + F.col("vocab_b") - F.col("overlap"),
+            ).alias("jaccard_pct"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@register(
+    "hapax_legomena_by_lang",
+    oracle="""
+    WITH toks AS (SELECT lang, unnest(__TOKS__) AS term FROM documents),
+    tf AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(100.0 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS hapax_pct
+    FROM tf GROUP BY 1 ORDER BY 1
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "analytics"),
+)
+def hapax_legomena_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon share per language — the vocabulary-freshness
+    read (a high once-only share means the corpus is still discovering
+    that language's vocabulary: more data helps; a low share means
+    diminishing lexical returns — the vocab_growth_curve's endpoint
+    summary, per language, in one pass). One (lang, term) count — the
+    map-side-combinable shuffle every TF entry uses — then a
+    |langs|-sized rollup; hapax share is pct_rate on two exact
+    counts."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            pct_rate(
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).alias("hapax_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "token_rank_frequency_share",
+    oracle="""
+    WITH toks AS (SELECT unnest(__TOKS__) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+    top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 20),
+    r AS (
+      SELECT term, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, term
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_n
+      FROM top)
+    SELECT r.term, r.rank, r.n,
+           ROUND(100.0 * r.n / NULLIF(tot.total, 0), 2) AS share_pct,
+           ROUND(100.0 * r.cum_n / NULLIF(tot.total, 0), 2) AS cum_share_pct
+    FROM r, tot ORDER BY r.rank
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "analytics"),
+)
+def token_rank_frequency_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The head of the rank-frequency (Zipf) curve: the global top-20
+    tokens with exact counts, corpus share, and cumulative share — the
+    table that says how much of the token mass a stopword list of size
+    k would remove. Candidate generation is the plan-asserted top-k
+    shape (TakeOrderedAndProject over the map-side-combined term
+    counts — no global sort); the rank/cumulative window then runs on
+    the ≤20-row result (whitelisted bounded frame, the centroid/bin
+    class). Shares are pct_rate on exact counts against the exact
+    token total."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    top = tf.orderBy(F.desc("n"), "term").limit(20)
+    w = Window.orderBy(F.desc("n"), "term")
+    ranked = top.select(
+        "term",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "n",
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("__cum_n"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "rank",
+            "n",
+            pct_rate(F.col("n"), F.col("total")).alias("share_pct"),
+            pct_rate(F.col("__cum_n"), F.col("total")).alias("cum_share_pct"),
+        )
+        .orderBy("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

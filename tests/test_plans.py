@@ -128,6 +128,9 @@ def test_python_confined_to_sanctioned_ops(spark, sf):
 # never the raw fact rows (those are plan-asserted partitioned
 # elsewhere in this file).
 SANCTIONED_UNPARTITIONED_WINDOWS = {
+    # token_rank_frequency_share: rank/cumulative window over the top-20
+    # table (TakeOrderedAndProject output, <=20 rows by construction)
+    "token_rank_frequency_share",
     "classifier_decile_lift",
     "cluster_quality_profile",
     "conversion_latency_stats",

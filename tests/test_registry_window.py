@@ -34,6 +34,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "customer_spend_percentiles_by_nation",
     "pca_explained_energy",
     "k_anonymity_customers",
+    "vocab_overlap_langs",
+    "hapax_legomena_by_lang",
+    "token_rank_frequency_share",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
