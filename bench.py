@@ -233,6 +233,10 @@ EXTENDED = [
     "vocab_overlap_langs",
     "hapax_legomena_by_lang",
     "token_rank_frequency_share",
+    "yoy_nation_revenue_growth",
+    "scd2_priority_version_durations",
+    "lines_per_order_histogram",
+    "attribution_first_touch",
 ]
 
 

@@ -15774,6 +15774,301 @@ def token_rank_frequency_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "yoy_nation_revenue_growth",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS revenue_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    l AS (
+      SELECT n_name, yr, revenue_cents,
+             lag(revenue_cents) OVER (PARTITION BY n_name ORDER BY yr)
+               AS prev_cents
+      FROM r)
+    SELECT n_name, yr, revenue_cents, prev_cents,
+           ROUND(100.0 * (revenue_cents - prev_cents)
+                 / NULLIF(prev_cents, 0), 2) AS growth_pct
+    FROM l ORDER BY n_name, yr
+    """,
+    tags=("extension", "window", "analytics"),
+)
+def yoy_nation_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the board-deck trend
+    table: one fact-sized groupBy snaps revenue to exact cents at the
+    (nation, year) grain, then the lag window runs over that
+    |nations|·|years|-bounded rollup (partitioned by nation — never a
+    data-sized frame). Growth is pct_rate on two exact longs; first
+    years keep NULL prev/growth rather than faking a zero baseline.
+    Scale: dimensions broadcast into the fact scan; the windowed table
+    is a few hundred rows at any corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    l = r.select(
+        "n_name",
+        "yr",
+        "revenue_cents",
+        F.lag("revenue_cents").over(w).alias("prev_cents"),
+    )
+    return l.select(
+        "n_name",
+        "yr",
+        "revenue_cents",
+        "prev_cents",
+        pct_rate(
+            F.col("revenue_cents") - F.col("prev_cents"), F.col("prev_cents")
+        ).alias("growth_pct"),
+    ).orderBy("n_name", "yr")
+
+
+@register(
+    "scd2_priority_version_durations",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS ts,
+             o_orderkey
+      FROM orders),
+    v AS (
+      SELECT *, lag(priority) OVER (PARTITION BY o_custkey
+                                    ORDER BY ts, o_orderkey) AS prev
+      FROM base),
+    scd AS (
+      SELECT o_custkey, priority, ts AS valid_from, o_orderkey AS vkey
+      FROM v WHERE prev IS NULL OR priority <> prev),
+    d AS (
+      SELECT priority,
+             date_diff('day', CAST(valid_from AS DATE),
+                       CAST(lead(valid_from) OVER (PARTITION BY o_custkey
+                                                   ORDER BY valid_from, vkey)
+                            AS DATE)) AS dur
+      FROM scd)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(dur) AS BIGINT) AS n_closed,
+           CAST(SUM(dur) AS BIGINT) AS total_closed_days,
+           CAST(SUM(dur) AS DOUBLE) / NULLIF(COUNT(dur), 0)
+             AS avg_closed_days,
+           CAST(MAX(dur) AS BIGINT) AS max_closed_days
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "warehouse", "scd", "window"),
+)
+def scd2_priority_version_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-lifetime profile of the SCD2 priority dimension — the
+    read that tells the warehouse team how volatile the tracked
+    attribute is (short-lived versions → the dimension churns and PIT
+    queries fan out; long-lived → SCD2 is cheap insurance). Rebuilds
+    the scd2_customer_priority version table (change rows via lag over
+    the customer's order history), closes each version with lead, and
+    rolls integer day-durations per priority: open versions count in
+    n_versions but contribute no duration (no fake 'today' horizon —
+    both engines agree on NULL semantics in SUM/MAX). Two partitioned
+    windows over customer-keyed data, one tiny rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    scd = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+        )
+        .withColumn("prev", F.lag("priority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("priority") != F.col("prev")))
+        .select(
+            "o_custkey",
+            "priority",
+            F.col("ts").alias("valid_from"),
+            F.col("o_orderkey").alias("vkey"),
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "vkey")
+    d = scd.select(
+        "priority",
+        F.datediff(
+            F.lead("valid_from").over(w2).cast("date"),
+            F.col("valid_from").cast("date"),
+        ).alias("dur"),
+    )
+    return (
+        d.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.count("dur").cast("long").alias("n_closed"),
+            F.sum("dur").cast("long").alias("total_closed_days"),
+            (
+                F.sum("dur").cast("double")
+                / F.nullif(F.count("dur"), F.lit(0)).cast("double")
+            ).alias("avg_closed_days"),
+            F.max("dur").cast("long").alias("max_closed_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "lines_per_order_histogram",
+    oracle="""
+    WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+               FROM lineitem GROUP BY 1),
+    h AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM h)
+    SELECT h.k, h.n_orders,
+           CAST((h.n_orders * 20000 + t.total) // (2 * t.total) AS DOUBLE)
+             / 100 AS share_pct
+    FROM h, t ORDER BY h.k
+    """,
+    tags=("extension", "agg", "profiling"),
+)
+def lines_per_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out profile of the order→lineitem relationship: how many
+    orders carry k lines — the first number a join planner wants (the
+    q13 distribution pointed at the other fact edge), and the shape
+    that decides whether per-order reassembly is skew-safe. Two
+    map-side-combined groupBys (facts → per-order counts → histogram);
+    the share uses the integer HALF_UP percentage because the
+    denominator is a corpus-constant order count — the decimal-tie
+    regime where float ROUND diverges cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    h = c.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    t = h.agg(F.sum("n_orders").cast("long").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "k",
+            "n_orders",
+            (
+                F.expr("CAST((n_orders * 20000 + total) DIV (2 * total) AS DOUBLE)")
+                / 100
+            ).alias("share_pct"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    p AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(8,2)) AS val
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, ts, 1 AS side, event_id, NULL AS ttype,
+             CAST(NULL AS TIMESTAMP) AS tts, val FROM p
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, event_type, ts,
+             CAST(NULL AS DECIMAL(8,2)) FROM t),
+    f AS (
+      SELECT user_id, ts, side, val,
+             first_value(ttype IGNORE NULLS) OVER w AS atype,
+             first_value(tts IGNORE NULLS) OVER w AS ats
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    a AS (
+      SELECT COALESCE(atype, 'direct') AS attributed_type,
+             CASE WHEN ats IS NULL THEN NULL
+                  ELSE date_diff('microsecond', ats, ts) END AS lat_us,
+             val
+      FROM f WHERE side = 1)
+    SELECT attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(val * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(CAST(SUM(lat_us) AS DOUBLE)
+                / NULLIF(COUNT(lat_us), 0) / 1000000.0 AS DOUBLE)
+             AS mean_latency_sec
+    FROM a GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "asof", "analytics", "sessionize"),
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution — the acquisition-credit mirror of
+    attribution_last_touch: every purchase credits the user's EARLIEST
+    view/click ever (no lookback: first touch answers 'what acquired
+    this user', so the whole history counts), else 'direct'. Same
+    union + per-user ordered window shape — ONE user-keyed shuffle, a
+    running FIRST ignore-nulls instead of a running last, purchases
+    sorting after same-timestamp touches — so the attribution family
+    (first / last / lookback-sweep) shares one scale story. Latency
+    (purchase minus first touch — the acquisition-to-conversion age)
+    sums as exact BIGINT microseconds with one double division;
+    revenue folds to cents through the money snap."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.col("event_type").alias("ttype"),
+        F.col("ts").alias("tts"),
+        F.lit(None).cast("decimal(8,2)").alias("val"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("string").alias("ttype"),
+        F.lit(None).cast("timestamp").alias("tts"),
+        F.col("value").cast("decimal(8,2)").alias("val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = t.unionByName(p).select(
+        "side",
+        "ts",
+        "val",
+        F.first("ttype", ignorenulls=True).over(w).alias("atype"),
+        F.first("tts", ignorenulls=True).over(w).alias("ats"),
+    )
+    a = f.filter(F.col("side") == 1).select(
+        F.coalesce(F.col("atype"), F.lit("direct")).alias("attributed_type"),
+        F.when(
+            F.col("ats").isNotNull(),
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ats")),
+        ).alias("lat_us"),
+        "val",
+    )
+    return (
+        a.groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum((F.col("val") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            (
+                F.sum("lat_us").cast("double")
+                / F.nullif(F.count("lat_us"), F.lit(0)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_latency_sec"),
+        )
+        .orderBy("attributed_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #
