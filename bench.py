@@ -237,6 +237,8 @@ EXTENDED = [
     "scd2_priority_version_durations",
     "lines_per_order_histogram",
     "attribution_first_touch",
+    "systematic_sample_orders",
+    "daily_count_trend_ols",
 ]
 
 

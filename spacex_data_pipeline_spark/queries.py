@@ -16069,6 +16069,146 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "systematic_sample_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS totalprice_cents,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           totalprice_cents, CAST(rn AS BIGINT) AS global_rn
+    FROM r WHERE rn % 50 = 1 ORDER BY rn
+    """,
+    tags=("extension", "sampling", "scale"),
+)
+def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling over a total order — the
+    auditor's sample: deterministic, evenly spread across the date
+    axis, reproducible from the data alone (no seed state), and —
+    unlike Bernoulli sampling — with an exactly known size ⌈n/k⌉.
+    The global rank comes from relational.global_row_number's
+    two-phase prefix scan (month-grain reducers, bucket-table offsets
+    — never a one-reducer global sort), so the selection predicate
+    rn % k = 1 is a pure filter on a scalable rank. Completes the
+    sampling family: deterministic-hash, stratified, weighted,
+    reservoir-free systematic."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("totalprice_cents"),
+    )
+    rn = relational.global_row_number(
+        o,
+        grain=F.date_trunc("month", F.col("o_orderdate")),
+        order=[F.col("o_orderdate"), F.col("o_orderkey")],
+        alias="global_rn",
+    )
+    return (
+        rn.filter(F.col("global_rn") % 50 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "totalprice_cents",
+            F.col("global_rn").cast("long").alias("global_rn"),
+        )
+        .orderBy("global_rn")
+    )
+
+
+@register(
+    "daily_count_trend_ols",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, MIN(day) AS d0 FROM d GROUP BY 1),
+    x AS (
+      SELECT d.event_type,
+             CAST(date_diff('day', m.d0, d.day) AS BIGINT) AS x, d.y
+      FROM d JOIN m USING (event_type)),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM x GROUP BY 1)
+    SELECT event_type, n_days,
+           CAST(n_days::HUGEINT * sxy - sx::HUGEINT * sy AS BIGINT)
+             AS slope_num,
+           CAST(n_days::HUGEINT * sxx - sx::HUGEINT * sx AS BIGINT)
+             AS slope_den,
+           CAST(n_days::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+             / CAST(n_days::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE)
+             AS slope_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n_days::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+               / CAST(n_days::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / CAST(n_days AS DOUBLE) AS intercept
+    FROM s ORDER BY event_type
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def daily_count_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of daily event volume — 'is this
+    stream growing, and how fast' as one number per type, computed the
+    hash-comparable way: the OLS closed form's numerator and
+    denominator are EXACT integers (x = day index from the type's
+    first day, y = daily count; all sums map-side-combinable; the
+    n·Σxy − Σx·Σy combination runs in DECIMAL(38,0)/HUGEINT so a
+    decade of 10⁹-events/day never wraps), and the slope/intercept are
+    fixed IEEE trees on those exact operands — a float regression
+    would be summation-order-dependent and could never hash-compare.
+    Exact integer parts ride along so a consumer can re-derive any
+    precision. Scale: one groupBy to |types|·|days| rows, a broadcast
+    min-day join, one tiny rollup."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    m = d.groupBy(F.col("event_type").alias("__m_t")).agg(
+        F.min("day").alias("d0")
+    )
+    x = d.join(F.broadcast(m), d.event_type == F.col("__m_t")).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        "y",
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.expr(
+        "CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    )
+    den = F.expr(
+        "CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    )
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        "event_type",
+        "n_days",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        slope.alias("slope_per_day"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n_days").cast("double")
+        ).alias("intercept"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

@@ -41,6 +41,8 @@ NEW_AWAITING_WINDOW: set[str] = {
     "scd2_priority_version_durations",
     "lines_per_order_histogram",
     "attribution_first_touch",
+    "systematic_sample_orders",
+    "daily_count_trend_ols",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
