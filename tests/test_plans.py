@@ -128,6 +128,10 @@ def test_python_confined_to_sanctioned_ops(spark, sf):
 # never the raw fact rows (those are plan-asserted partitioned
 # elsewhere in this file).
 SANCTIONED_UNPARTITIONED_WINDOWS = {
+    # systematic_sample_orders: global_row_number phase-1 offset window
+    # over the month-grain BUCKET table (|distinct months| rows, never
+    # the data) — same audited class as the other two-phase consumers
+    "systematic_sample_orders",
     # token_rank_frequency_share: rank/cumulative window over the top-20
     # table (TakeOrderedAndProject output, <=20 rows by construction)
     "token_rank_frequency_share",
