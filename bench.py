@@ -239,6 +239,9 @@ EXTENDED = [
     "attribution_first_touch",
     "systematic_sample_orders",
     "daily_count_trend_ols",
+    "time_decayed_customer_value",
+    "rolling_moments_zscore_daily",
+    "langid_confusion_docs",
 ]
 
 

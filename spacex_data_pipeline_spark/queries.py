@@ -16209,6 +16209,267 @@ def daily_count_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "time_decayed_customer_value",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+    w AS (
+      SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             LEAST(date_diff('day', CAST(o_orderdate AS DATE), mx.dmax) // 28,
+                   40) AS k
+      FROM orders, mx),
+    s AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS raw_cents,
+             SUM(cents::HUGEINT * (1::HUGEINT << CAST(40 - k AS INT))) AS num
+      FROM w GROUP BY 1),
+    top AS (
+      SELECT * FROM s ORDER BY num DESC, o_custkey LIMIT 20)
+    SELECT o_custkey, n_orders, raw_cents,
+           CAST(num // (1::HUGEINT << 40) AS BIGINT) AS decayed_cents_floor,
+           CAST(num // (1::HUGEINT << 40) AS DOUBLE)
+             + CAST(num % (1::HUGEINT << 40) AS DOUBLE) / 1099511627776.0
+             AS decayed_cents
+    FROM top ORDER BY o_custkey
+    """,
+    tags=("extension", "analytics", "curation"),
+)
+def time_decayed_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value with EXACT dyadic decay — the
+    'who matters now' ranking (RFM's R and M folded into one number):
+    each order's cents are weighted by 2^(−age/28d), and because the
+    weight is a power of two the whole sum stays an exact integer —
+    Σ cents·2^(40−k) accumulated in HUGEINT/DECIMAL(38,0), the float
+    appearing only in ONE final divide by the exact 2⁴⁰ literal. (An
+    e^−λt decay would be a summation-order-dependent float sum and
+    could never hash-compare; half-life-quantized decay is the
+    mergeable-store form of the same idea.) Ages clamp at 40
+    half-lives (weight 2⁻⁴⁰ ≈ 0: below one cent·micro resolution).
+    Top-20 is the plan-friendly TakeOrdered on (exact weight desc,
+    custkey). Scale: one fact-sized groupBy; the anchor date is a
+    1-row broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    w = o.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.least(
+            F.expr("datediff(dmax, cast(o_orderdate as date)) div 28"),
+            F.lit(40).cast("long"),
+        ).alias("k"),
+    )
+    s = w.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.expr("shiftleft(1L, cast(40 - k as int))").cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    top = s.orderBy(F.desc("num"), "o_custkey").limit(20)
+    return top.select(
+        "o_custkey",
+        "n_orders",
+        "raw_cents",
+        F.expr("CAST(num DIV 1099511627776 AS LONG)").alias("decayed_cents_floor"),
+        # floor + remainder/2^40: every operand is exactly representable
+        # (floor <= sum-of-cents << 2^53, remainder < 2^40) and the /2^40
+        # is an exact power-of-two scaling, so the ONE rounding happens in
+        # the final add — identical both engines. A direct wide-int ->
+        # double cast is NOT safe: DuckDB's HUGEINT->DOUBLE rounds off by
+        # an ulp from Spark's BigDecimal route (found at sf0.01).
+        (
+            F.expr("CAST(num DIV 1099511627776 AS DOUBLE)")
+            + F.expr("CAST(num % 1099511627776 AS DOUBLE)")
+            / F.lit(1099511627776.0)
+        ).alias("decayed_cents"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "rolling_moments_zscore_daily",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    store AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM c GROUP BY 1),
+    fan AS (
+      SELECT day + CAST(o.o AS INT) AS tday, n, s, ss
+      FROM store, unnest(range(1, 29)) AS o(o)),
+    tr AS (
+      SELECT tday AS t_day, CAST(COUNT(*) AS BIGINT) AS window_days,
+             CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(s) AS BIGINT) AS tsum,
+             CAST(SUM(ss) AS HUGEINT) AS tss
+      FROM fan GROUP BY 1),
+    j AS (
+      SELECT st.day, st.n, st.s, tr.tn, tr.tsum, tr.tss
+      FROM store st JOIN tr ON tr.t_day = st.day AND tr.window_days = 28)
+    SELECT day, n AS n_day,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_day,
+           CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS trail_mean,
+           (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+           / sqrt(((CAST((CAST(tn AS HUGEINT) * tss
+                          - CAST(tsum AS HUGEINT) * tsum)
+                         // (1::HUGEINT << 32) AS DOUBLE) * 4294967296.0
+                    + CAST((CAST(tn AS HUGEINT) * tss
+                            - CAST(tsum AS HUGEINT) * tsum)
+                           % (1::HUGEINT << 32) AS DOUBLE))
+                   / CAST(tn AS DOUBLE) / CAST(tn AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS z
+    FROM j ORDER BY day
+    """,
+    tags=("extension", "analytics", "timeseries", "sketch"),
+)
+def rolling_moments_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-mean anomaly z-scores CONSUMED FROM the moments store —
+    what the mergeable (n, Σ, Σ²) partials are for: each day's mean
+    order value is tested against its trailing 28 days, and the
+    trailing window is assembled by the map-side fan-out trick (each
+    day's partial explodes to the 28 target days it precedes — pure
+    equi-shuffle over |days|·28 three-number rows, NO raw-data rescan
+    and no range join), merged BY ADDITION exactly as the store
+    contract promises. Only complete 28-day windows emit. Exactness:
+    the variance numerator N·ΣΣ² − (ΣΣ)² is a wide-integer; the z is a
+    fixed IEEE tree on exact operands (sqrt is IEEE-correctly-rounded,
+    so it hash-compares — unlike ln/exp, which never appear here)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(8,2)") * 100).cast("long")
+    store = (
+        o.select(F.col("o_orderdate").cast("date").alias("day"), cents.alias("__c"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__c").cast("long").alias("s"),
+            F.sum(
+                F.col("__c").cast("decimal(19,0)") * F.col("__c").cast("decimal(19,0)")
+            ).alias("ss"),
+        )
+    )
+    fan = store.select(
+        F.explode(F.sequence(F.lit(1), F.lit(28))).alias("__o"), "day", "n", "s", "ss"
+    ).select(F.date_add(F.col("day"), F.col("__o")).alias("t_day"), "n", "s", "ss")
+    tr = (
+        fan.groupBy("t_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("window_days"),
+            F.sum("n").cast("long").alias("tn"),
+            F.sum("s").cast("long").alias("tsum"),
+            F.sum("ss").cast("decimal(38,0)").alias("tss"),
+        )
+        .filter(F.col("window_days") == 28)
+    )
+    j = store.join(tr, store.day == tr.t_day)
+    mean_day = F.col("s").cast("double") / F.col("n").cast("double")
+    trail_mean = F.col("tsum").cast("double") / F.col("tn").cast("double")
+    # hi/lo split before the double conversion: the wide integer exceeds
+    # 2^53 at sf0.1 and DuckDB's HUGEINT->DOUBLE rounds an ulp away from
+    # Spark's BigDecimal route; hi*2^32 is an exact power-of-two scale and
+    # lo < 2^32 is exact, so the single rounding is the final add —
+    # identical both engines (same trick as time_decayed_customer_value).
+    j = j.withColumn(
+        "__wide",
+        F.col("tn").cast("decimal(38,0)") * F.col("tss")
+        - F.col("tsum").cast("decimal(38,0)") * F.col("tsum").cast("decimal(38,0)"),
+    )
+    var_num = F.expr(
+        "CAST(__wide DIV 4294967296 AS DOUBLE) * 4294967296.0"
+        " + CAST(__wide % 4294967296 AS DOUBLE)"
+    )
+    varp = var_num / F.col("tn").cast("double") / F.col("tn").cast("double")
+    z = (mean_day - trail_mean) / F.sqrt(varp / F.col("n").cast("double"))
+    return j.select(
+        "day",
+        F.col("n").alias("n_day"),
+        mean_day.alias("mean_day"),
+        trail_mean.alias("trail_mean"),
+        z.alias("z"),
+    ).orderBy("day")
+
+
+@register(
+    "langid_confusion_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text, __TOKS__ AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(toks, x -> list_contains(['the','and','of','is','with','for'], x))) AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','con'], x))) AS score_es,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','mit','ist'], x))) AS score_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','des','est','avec'], x))) AS score_fr
+      FROM t),
+    p AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+                  WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+                  WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                  WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_guess
+      FROM s),
+    conf AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+             FROM p GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM conf GROUP BY 1)
+    SELECT c.lang, c.lang_guess, c.n, t.n_lang,
+           CAST((c.n * 20000 + t.n_lang) // (2 * t.n_lang) AS DOUBLE) / 100
+             AS pct_of_lang
+    FROM conf c JOIN tot t USING (lang)
+    ORDER BY c.lang, c.lang_guess
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "quality"),
+)
+def langid_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID against the
+    labeled lang column — the calibration read that decides whether
+    the heuristic is good enough as the 100 TB prefilter (which cells
+    leak, which languages it can't see). Composes the oracle-checked
+    lang_id operator with a labeled join (the label side renamed per
+    the house rule — both frames share the documents lineage), then a
+    |langs|²-bounded rollup. Row shares use the integer HALF_UP
+    percentage: per-language doc counts are corpus constants, the
+    decimal-tie regime."""
+    from .operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    li = lang_id(d).select("doc_id", "lang_guess")
+    lab = d.select(F.col("doc_id").alias("a_doc_id"), "lang")
+    conf = (
+        li.join(lab, li.doc_id == F.col("a_doc_id"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = conf.groupBy(F.col("lang").alias("__t_lang")).agg(
+        F.sum("n").cast("long").alias("n_lang")
+    )
+    return (
+        conf.join(F.broadcast(tot), conf.lang == F.col("__t_lang"))
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            "n_lang",
+            (
+                F.expr(
+                    "CAST((n * 20000 + n_lang) DIV (2 * n_lang) AS DOUBLE)"
+                )
+                / 100
+            ).alias("pct_of_lang"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

@@ -43,6 +43,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "attribution_first_touch",
     "systematic_sample_orders",
     "daily_count_trend_ols",
+    "time_decayed_customer_value",
+    "rolling_moments_zscore_daily",
+    "langid_confusion_docs",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
