@@ -649,7 +649,13 @@ def main() -> None:
     spark = build_session(
         app_name="spark-graft-bench",
         # keep the driver-parsed stdout tail free of progress-bar noise
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # one giant plan string (the dedup ladder) trips the default
+            # 25-field toString truncation and WARNs once into the tail;
+            # raising the cap keeps the driver-parsed tail pure signal
+            "spark.sql.debug.maxToStringFields": "2000",
+        },
     )
 
     # Silence the sanctioned 'WindowExec: No Partition Defined' WARNs
