@@ -242,6 +242,7 @@ EXTENDED = [
     "time_decayed_customer_value",
     "rolling_moments_zscore_daily",
     "langid_confusion_docs",
+    "symspell_neighbor_pairs_customers",
 ]
 
 

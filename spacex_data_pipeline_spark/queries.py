@@ -16470,6 +16470,98 @@ def langid_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "symspell_neighbor_pairs_customers",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    v AS (
+      SELECT c_custkey, c_name,
+             unnest(list_prepend(c_name,
+               list_transform(range(1, length(c_name) + 1),
+                 i -> substr(c_name, 1, CAST(i - 1 AS INT))
+                      || substr(c_name, CAST(i + 1 AS INT))))) AS key
+      FROM c),
+    p AS (
+      SELECT DISTINCT a.c_custkey AS a_key, a.c_name AS a_name,
+                      b.c_custkey AS b_key, b.c_name AS b_name
+      FROM v a JOIN v b ON b.key = a.key AND a.c_custkey < b.c_custkey),
+    ver AS (SELECT *, levenshtein(a_name, b_name) AS dist FROM p)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_names,
+           (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) FROM v)
+             AS n_variant_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_edit1_pairs,
+           ROUND(100.0 * SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS precision_pct
+    FROM ver
+    """,
+    tags=("extension", "er", "dedup"),
+)
+def symspell_neighbor_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style DELETION-NEIGHBORHOOD candidate generation for
+    edit-distance-1 matching — the complementary generator to the
+    q-gram blocking in operators/linkage.py (whose own docstring notes
+    weak recall for insertion/deletion edits): two strings within one
+    edit ALWAYS share a member of each other's 1-deletion
+    neighborhoods, so generating |s|+1 variants per name and
+    equi-joining on the variant key gives PROVABLY COMPLETE recall at
+    distance 1 — no bands, no grams, no probability. Verification is
+    one Levenshtein per candidate (engine-identical). Emitted as the
+    audit row (names, keys, candidates, verified pairs, precision)
+    rather than the pair list. Scale: the variant table is |names|·
+    (len+1) narrow rows through one equi-shuffle; bucket fan-out per
+    variant key is alphabet-bounded (at a 100 TB vocabulary, cap hot
+    keys by df exactly as the linkage blocker does — stated here, not
+    needed at these SFs)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = F.expr(
+        "concat(array(c_name), transform(sequence(1, length(c_name)),"
+        " i -> concat(substring(c_name, 1, i - 1),"
+        " substring(c_name, i + 1, length(c_name)))))"
+    )
+    v = c.select("c_custkey", "c_name", F.explode(variants).alias("key"))
+    a = v.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("key").alias("a_k"),
+    )
+    b = v.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("key").alias("b_k"),
+    )
+    p = (
+        a.join(b, (F.col("a_k") == F.col("b_k")) & (F.col("a_key") < F.col("b_key")))
+        .select("a_key", "a_name", "b_key", "b_name")
+        .distinct()
+    )
+    ver = p.select(F.levenshtein("a_name", "b_name").alias("dist"))
+    n_names = c.agg(F.count(F.lit(1)).cast("long").alias("n_names"))
+    n_keys = v.agg(F.count_distinct("key").cast("long").alias("n_variant_keys"))
+    return (
+        ver.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_edit1_pairs"),
+            pct_rate(
+                F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).alias("precision_pct"),
+        )
+        .crossJoin(F.broadcast(n_names))
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "n_names",
+            "n_variant_keys",
+            "n_candidate_pairs",
+            "n_edit1_pairs",
+            "precision_pct",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

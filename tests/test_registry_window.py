@@ -46,6 +46,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "time_decayed_customer_value",
     "rolling_moments_zscore_daily",
     "langid_confusion_docs",
+    "symspell_neighbor_pairs_customers",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
