@@ -1636,12 +1636,22 @@ def power_iteration_top_direction(
     cells = materialize(
         gram_matrix_quantized(embeddings, vec_col=vec_col, dim=dim, scale=scale)
     )
-    full = cells.unionAll(
+    return power_iteration_from_cells(
+        mirror_gram_cells(cells), dim=dim, scale=scale, iters=iters
+    )
+
+
+def mirror_gram_cells(cells: DataFrame) -> DataFrame:
+    """Upper-triangle (i ≤ j) Gram cells → the FULL mirrored matrix with
+    the DECIMAL(38,0) cast the exact matvecs require. One definition
+    (shared by the power iteration, queries' per-dataset cell cache,
+    and the deflation test) so the mirror/cast layout cannot drift
+    between copies."""
+    return cells.unionAll(
         cells.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
     ).select("i", "j", F.col("g").cast("decimal(38,0)").alias("g"))
-    return power_iteration_from_cells(full, dim=dim, scale=scale, iters=iters)
 
 
 def power_iteration_from_cells(

@@ -13815,17 +13815,15 @@ def _pca_gram_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _PCA_GRAM_CACHE.get(sf_dir)
     if cells is None:
         from .operators.dedup import materialize
-        from .operators.similarity import gram_matrix_quantized
+        from .operators.similarity import (
+            gram_matrix_quantized,
+            mirror_gram_cells,
+        )
 
         g = materialize(
             gram_matrix_quantized(_t(spark, sf_dir, "embeddings"))
         )
-        full = g.unionAll(
-            g.filter(F.col("i") < F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "g"
-            )
-        )
-        cells = [(r.i, r.j, int(r.g)) for r in full.collect()]
+        cells = [(r.i, r.j, int(r.g)) for r in mirror_gram_cells(g).collect()]
         _PCA_GRAM_CACHE[sf_dir] = cells
     import decimal as _decimal
 
@@ -15132,9 +15130,13 @@ def hll_register_store_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     and late data are idempotent)."""
     from .functions.hashing import HLL_REGISTERS, HLL_RHO_CAP, hll_register
 
+    from .operators.dedup import materialize
+
     ev = _t(spark, sf_dir, "events")
     reg, rho = hll_register(F.col("user_id"))
-    cells = (
+    # checkpoint the cells: the daily roll and the ALL-range merge are
+    # independent consumers, and without this each re-hashes the corpus
+    cells = materialize(
         ev.select(F.to_date("ts").alias("day"), reg.alias("reg"), rho.alias("rho"))
         .groupBy("day", "reg")
         .agg(F.max("rho").alias("rho"))
@@ -15749,7 +15751,9 @@ def token_rank_frequency_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # total from the aggregated term table — summing |vocab| longs instead
+    # of re-scanning and re-tokenizing the corpus a second time
+    tot = tf.agg(F.sum("n").cast("long").alias("total"))
     top = tf.orderBy(F.desc("n"), "term").limit(20)
     w = Window.orderBy(F.desc("n"), "term")
     ranked = top.select(
@@ -16195,7 +16199,10 @@ def daily_count_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.expr(
         "CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
     )
-    slope = num.cast("double") / den.cast("double")
+    # nullif guard: a type active on exactly one day has sx=sxx=0 so the
+    # denominator is exactly 0 — DuckDB returns NULL for x/0.0 while Spark
+    # ANSI throws DIVIDE_BY_ZERO; the guard makes both emit NULL.
+    slope = num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
     return s.select(
         "event_type",
         "n_days",
@@ -16387,7 +16394,12 @@ def rolling_moments_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + CAST(__wide % 4294967296 AS DOUBLE)"
     )
     varp = var_num / F.col("tn").cast("double") / F.col("tn").cast("double")
-    z = (mean_day - trail_mean) / F.sqrt(varp / F.col("n").cast("double"))
+    # nullif guard: 28 identical order totals make the variance numerator
+    # exactly 0 (integer arithmetic), and x/0.0 is NULL in DuckDB but a
+    # DIVIDE_BY_ZERO under Spark ANSI — both sides emit NULL instead.
+    z = (mean_day - trail_mean) / F.nullif(
+        F.sqrt(varp / F.col("n").cast("double")), F.lit(0.0)
+    )
     return j.select(
         "day",
         F.col("n").alias("n_day"),
@@ -16520,7 +16532,13 @@ def symspell_neighbor_pairs_customers(spark: SparkSession, sf_dir: str) -> DataF
         " i -> concat(substring(c_name, 1, i - 1),"
         " substring(c_name, i + 1, length(c_name)))))"
     )
-    v = c.select("c_custkey", "c_name", F.explode(variants).alias("key"))
+    from .operators.dedup import materialize
+
+    # v feeds both self-join sides AND the distinct-key count — checkpoint
+    # it once (house pattern) so the explode isn't rebuilt three times
+    v = materialize(
+        c.select("c_custkey", "c_name", F.explode(variants).alias("key"))
+    )
     a = v.select(
         F.col("c_custkey").alias("a_key"),
         F.col("c_name").alias("a_name"),

@@ -3011,6 +3011,7 @@ def test_gram_deflation_recovers_second_axis(spark):
     from spacex_data_pipeline_spark.operators.similarity import (
         deflate_gram_cells,
         gram_matrix_quantized,
+        mirror_gram_cells,
         power_iteration_from_cells,
     )
 
@@ -3019,12 +3020,7 @@ def test_gram_deflation_recovers_second_axis(spark):
         rows.append((k, [1.0, 0.01, 0.0, 0.0]))
         rows.append((100 + k, [0.0, 0.5, 0.02, 0.0]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    g = gram_matrix_quantized(emb, dim=4)
-    full = g.unionAll(
-        g.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
-        )
-    ).select("i", "j", F.col("g").cast("decimal(38,0)").alias("g"))
+    full = mirror_gram_cells(gram_matrix_quantized(emb, dim=4))
     v1 = [
         r.v_micro
         for r in power_iteration_from_cells(full, dim=4).orderBy("pos").collect()
@@ -3043,3 +3039,71 @@ def test_gram_deflation_recovers_second_axis(spark):
     assert abs(cos(v1, [1.0, 0.0, 0.0, 0.0])) > 0.98
     assert abs(cos(v2, [0.0, 1.0, 0.0, 0.0])) > 0.90
     assert abs(cos(v1, v2)) < 0.02
+
+
+def test_trend_ols_single_day_type_yields_null_slope(spark, tmp_path):
+    """A type active on exactly ONE day has slope_den = 0; the entry
+    must emit a NULL slope/intercept (matching DuckDB's x/0.0 = NULL)
+    instead of throwing DIVIDE_BY_ZERO under Spark ANSI."""
+    import datetime as dt
+
+    import duckdb
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9), 1, "lonely", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10), 2, "lonely", 2.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 9), 1, "steady", 1.0, "{}"),
+            (4, dt.datetime(2024, 1, 3, 9), 1, "steady", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        r.event_type: (r.n_days, r.slope_per_day, r.intercept)
+        for r in REGISTRY["daily_count_trend_ols"].fn(spark, d).collect()
+    }
+    assert got["lonely"] == (1, None, None)
+    assert got["steady"][0] == 2 and got["steady"][1] is not None
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    want = {
+        r[0]: (r[1], r[4], r[5])
+        for r in con.execute(REGISTRY["daily_count_trend_ols"].oracle).fetchall()
+    }
+    assert {k: (v[0], v[1], v[2]) for k, v in got.items()} == want
+
+
+def test_rolling_zscore_constant_window_yields_null(spark, tmp_path):
+    """28 identical trailing order totals make the variance numerator
+    exactly 0 (integer arithmetic): z must be NULL on both engines, not
+    a Spark ANSI DIVIDE_BY_ZERO."""
+    import datetime as dt
+
+    import duckdb
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = [(k, dt.date(2024, 1, 1 + k), 100.0) for k in range(28)]
+    rows.append((28, dt.date(2024, 1, 29), 250.0))  # the probed day
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    out = {
+        str(r.day): r.z
+        for r in REGISTRY["rolling_moments_zscore_daily"].fn(spark, d).collect()
+    }
+    assert out == {"2024-01-29": None}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'")
+    want = {
+        str(r[0]): r[4]
+        for r in con.execute(
+            REGISTRY["rolling_moments_zscore_daily"].oracle
+        ).fetchall()
+    }
+    assert out == want
