@@ -1473,3 +1473,67 @@ def test_stream_hll_registers_match_batch_store(
         for r in REGISTRY["hll_register_store_users"].fn(spark, sf_oracle).collect()
     }
     assert daily == entry
+
+
+def test_stream_hll_registers_idempotent_across_restarts(spark, tmp_path):
+    """Registers are max-monoids: a second availableNow drain that
+    RE-DELIVERS an already-counted user changes nothing (idempotent),
+    while a genuinely new user max-merges in — the at-least-once
+    safety the docstring claims, pinned."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.functions.hashing import hll_register
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now,
+        stream_events_from_files,
+    )
+    from spacex_data_pipeline_spark.streaming.rollup import hll_registers_stream
+
+    landed = str(tmp_path / "hll_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, 9 + i), uid, "view", 0.0, "{}")
+                for i, uid in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    ck = str(tmp_path / "ck_hll")
+    mk([42, 7]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now(
+        hll_registers_stream(stream_events_from_files(spark, landed)),
+        ck,
+        "hll_restart_out",
+        output_mode="complete",
+    )
+    first = sorted(
+        (str(r.day), r.reg, r.rho) for r in spark.table("hll_restart_out").collect()
+    )
+    # re-deliver user 42, add user 123456789
+    mk([42, 123456789]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now(
+        hll_registers_stream(stream_events_from_files(spark, landed)),
+        ck,
+        "hll_restart_out",
+        output_mode="complete",
+    )
+    second = sorted(
+        (str(r.day), r.reg, r.rho) for r in spark.table("hll_restart_out").collect()
+    )
+    want = {}
+    for uid in (42, 7, 123456789):
+        row = (
+            spark.createDataFrame([(uid,)], "user_id long")
+            .select(*hll_register(F.col("user_id")))
+            .collect()[0]
+        )
+        key = ("2024-01-01", row[0])
+        want[key] = max(want.get(key, 0), row[1])
+    assert second == sorted((d, r, v) for (d, r), v in want.items())
+    # the re-delivered user contributed nothing new beyond the first drain
+    assert set(first) <= set(second)
