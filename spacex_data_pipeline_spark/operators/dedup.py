@@ -572,6 +572,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_pct: int = 80,
+    min_shingles: int = 5,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    word k-shingle sets — the directional complement of
+    :func:`ngram_jaccard_pairs`. Jaccard misses the quote/superset case
+    on purpose (a short doc wholly embedded in a long one has a tiny
+    union-normalized score), while containment fires at 100% no matter
+    how large the host document is — the signal a training-data
+    pipeline wants for boilerplate inclusion, quotation chains, and
+    doc-in-doc wrapping. Same shared-shingle equi-join skeleton (only
+    pairs sharing ≥1 shingle materialize; posting list checkpointed
+    once, both join sides + the size join read the materialized
+    blocks), but DIRECTIONAL: (a,b) with a≠b, normalized by |A| only.
+    The threshold compare is exact-integer (inter·100 ≥ pct·|A|), so no
+    float sits on the keep/drop boundary; ``min_shingles`` drops
+    sub-k*-word fragments whose containment is trivially 100%.
+    Scale: identical profile to the Jaccard join — the quadratic risk
+    is the same hot-shingle fan-out, so a 100 TB run reuses the
+    ``max_shingle_df`` cap / prefix-filter variants verbatim (the
+    directionality changes only the final predicate)."""
+    from ..functions.numeric import pct_rate
+
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    sh = materialize(
+        toks.select(
+            F.col(id_col),
+            F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
+        ),
+        checkpoint,
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("h").alias("a_h"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("h").alias("b_h"))
+    pairs = (
+        a.join(b, (F.col("a_h") == F.col("b_h")) & (F.col("doc_a") != F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("a_size"))
+    return (
+        pairs.join(na, "doc_a")
+        .filter(
+            (F.col("a_size") >= min_shingles)
+            & (F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("a_size"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("a_size").cast("long").alias("a_size"),
+            F.col("inter").cast("long").alias("inter"),
+            pct_rate(F.col("inter"), F.col("a_size")).alias("containment_pct"),
+        )
+    )
+
+
 def jaccard_pairs_prefix_filtered(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -16580,6 +16580,599 @@ def symspell_neighbor_pairs_customers(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_DAILY_TYPE_COUNTS_SQL = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2)
+"""
+
+
+@register(
+    "mann_kendall_trend_daily",
+    oracle=_DAILY_TYPE_COUNTS_SQL
+    + """,
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(sgn) AS BIGINT) AS s_stat
+      FROM p GROUP BY 1),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM d GROUP BY 1)
+    SELECT s.event_type, n_days, n_pairs, s_stat,
+           CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS tau
+    FROM s JOIN nd USING (event_type) ORDER BY event_type
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over daily event volume — the
+    NON-PARAMETRIC twin of daily_count_trend_ols: the statistic
+    S = Σᵢ<ⱼ sign(yⱼ − yᵢ) counts concordant-minus-discordant day
+    pairs, so it is EXACT INTEGERS end-to-end (no residuals, no
+    float sums — a monotonicity measure a single outlier day can move
+    by at most n−1, where OLS' slope is unbounded in it), and Kendall's
+    τ = S / (n(n−1)/2) is one IEEE divide on those exact operands.
+    The pairwise stage runs over the |types|·|days| POST-AGGREGATE
+    table (the bounded self-join class — ~n²/2 pairs of a dimension
+    whose cardinality is calendar-bounded, never the raw facts), with
+    join keys rename-sided per the house rule. Scale: one fact-sized
+    groupBy, then dimension-table work; at 100 TB the daily rollup is
+    exactly as big as it is here."""
+    from .operators.dedup import materialize
+
+    ev = _t(spark, sf_dir, "events")
+    # d feeds both self-join sides and the n_days rollup — checkpoint once
+    d = materialize(
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("y")
+        )
+    )
+    a = d.select(
+        F.col("event_type").alias("a_t"),
+        F.col("day").alias("a_day"),
+        F.col("y").alias("a_y"),
+    )
+    b = d.select(
+        F.col("event_type").alias("b_t"),
+        F.col("day").alias("b_day"),
+        F.col("y").alias("b_y"),
+    )
+    p = a.join(b, (F.col("a_t") == F.col("b_t")) & (F.col("b_day") > F.col("a_day")))
+    sgn = (
+        F.when(F.col("b_y") > F.col("a_y"), 1)
+        .when(F.col("b_y") < F.col("a_y"), -1)
+        .otherwise(0)
+    )
+    s = p.groupBy(F.col("a_t").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(sgn).cast("long").alias("s_stat"),
+    )
+    nd = d.groupBy(F.col("event_type").alias("__n_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        s.join(F.broadcast(nd), s.event_type == F.col("__n_t"))
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            (F.col("s_stat").cast("double") / F.col("n_pairs").cast("double")).alias(
+                "tau"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "theil_sen_daily_slope",
+    oracle=_DAILY_TYPE_COUNTS_SQL
+    + """,
+    p AS (
+      SELECT a.event_type, CAST(b.y - a.y AS BIGINT) AS num,
+             CAST(date_diff('day', a.day, b.day) AS BIGINT) AS den
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day),
+    r AS (
+      SELECT event_type, num, den,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p)
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           AVG(slope) AS slope_per_day
+    FROM r
+    WHERE rn IN ((n_pairs + 1) // 2, (n_pairs + 2) // 2)
+    GROUP BY event_type, n_pairs ORDER BY event_type
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST slope of daily event volume — the median of all
+    pairwise slopes (yⱼ−yᵢ)/(dayⱼ−dayᵢ), the estimator with a 29%
+    breakdown point where OLS has 0% (one corrupted day of counts
+    moves OLS arbitrarily, Theil-Sen not at all). Median selection is
+    the house exact-rank form, not percentile interpolation: rank by
+    (slope, num, den) — the integer pair breaks double ties
+    deterministically — and average the ⌈n/2⌉/⌈(n+1)/2⌉ elements, so
+    the only floats are each pair's single IEEE divide and one
+    two-element average, both bit-identical cross-engine. Pairs come
+    from the same calendar-bounded |types|·|days| rollup as
+    mann_kendall_trend_daily (window is PARTITIONED by type over that
+    dimension table, never raw facts). Scale: fact-sized groupBy, then
+    ~|days|²/2 rows per type — constant in corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    a = d.select(
+        F.col("event_type").alias("a_t"),
+        F.col("day").alias("a_day"),
+        F.col("y").alias("a_y"),
+    )
+    b = d.select(
+        F.col("event_type").alias("b_t"),
+        F.col("day").alias("b_day"),
+        F.col("y").alias("b_y"),
+    )
+    p = a.join(b, (F.col("a_t") == F.col("b_t")) & (F.col("b_day") > F.col("a_day"))).select(
+        F.col("a_t").alias("event_type"),
+        (F.col("b_y") - F.col("a_y")).cast("long").alias("num"),
+        F.datediff(F.col("b_day"), F.col("a_day")).cast("long").alias("den"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    w = Window.partitionBy("event_type").orderBy(slope, "num", "den")
+    r = p.select(
+        "event_type",
+        slope.alias("slope"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_pairs"),
+    )
+    return (
+        r.filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("rn") == F.expr("(n_pairs + 2) div 2"))
+        )
+        .groupBy("event_type", F.col("n_pairs").cast("long").alias("n_pairs"))
+        .agg(F.avg("slope").alias("slope_per_day"))
+        .orderBy("event_type")
+    )
+
+
+def _markov_oracle(iters: int = 8) -> str:
+    """Unrolled exact-integer Markov power iteration as chained CTEs —
+    the recursive-CTE-free replica of the driver-side fold (DuckDB's
+    recursive form restricts aggregates in the recursive term, and 8
+    unrolled steps of a |types|²-cell matrix are trivially cheap)."""
+    steps, prev = [], "v0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""v{k} AS (
+      SELECT t.dst AS ty, SUM(({prev}.v * t.c) // r.rs) AS v
+      FROM {prev} JOIN t ON t.src = {prev}.ty
+                  JOIN r ON r.src = t.src
+      GROUP BY 1)"""
+        )
+        prev = f"v{k}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    t AS (SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS c
+          FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT src, SUM(c) AS rs FROM t GROUP BY 1),
+    ty AS (SELECT DISTINCT event_type AS ty FROM events),
+    v0 AS (SELECT ty, (1::HUGEINT << 40) AS v FROM ty),
+    {joined},
+    tot AS (SELECT SUM(v) AS s FROM {prev})
+    SELECT ty.ty AS event_type,
+           CAST(COALESCE(r.rs, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE({prev}.v, 0) * 1000000 // tot.s AS BIGINT)
+             AS stationary_ppm
+    FROM ty LEFT JOIN {prev} ON {prev}.ty = ty.ty
+            LEFT JOIN r ON r.src = ty.ty, tot
+    ORDER BY event_type
+    """
+
+
+@register(
+    "markov_stationary_event_mix",
+    oracle=_markov_oracle(8),
+    tags=("extension", "analytics", "iterative"),
+)
+def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    — 'what the session mix converges to if today's transition
+    behavior persists', the chain-level summary the transition-matrix
+    entries (event_transition_matrix, event_second_order_transitions)
+    stop short of. Same discipline as the PCA power method
+    (operators/similarity.py): transitions aggregate engine-side to
+    the |types|² count matrix, the ≤25-cell matrix is COLLECTED (the
+    sanctioned dimension-bounded class — |event types| is a schema
+    constant, not data-sized), and eight power steps
+    v ← vᵀP run in exact Python ints with per-term truncating DIV by
+    the source row-sum — the oracle unrolls the identical arithmetic
+    as chained CTEs, so the final parts-per-million shares
+    hash-compare exactly (all operands non-negative: floor ≡
+    truncate in both engines and Python). Scale: one fact-sized
+    window+groupBy; everything after is O(|types|²) on the driver —
+    the matvec could not be smaller."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+    t = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    trans = [(r.src, r.dst, int(r.c)) for r in t.collect()]  # ≤ |types|² rows
+    types = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )  # |types| rows — schema-bounded
+    rs: dict[str, int] = {}
+    for s_, _, c in trans:
+        rs[s_] = rs.get(s_, 0) + c
+    v = {ty: 1 << 40 for ty in types}
+    for _ in range(8):
+        nv: dict[str, int] = {}
+        for s_, d_, c in trans:
+            nv[d_] = nv.get(d_, 0) + (v.get(s_, 0) * c) // rs[s_]
+        v = nv
+    total = sum(v.values())
+    rows = [
+        (ty, rs.get(ty, 0), v.get(ty, 0) * 1000000 // total) for ty in types
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_out long, stationary_ppm long"
+    ).orderBy("event_type")
+
+
+@register(
+    "dup_ngram_coverage_by_source",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, __TOKS__ AS w FROM documents),
+    g AS (
+      SELECT doc_id, source, i,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+    dup AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.source, g.i + o.j AS p
+      FROM g JOIN dup USING (s), unnest(range(0, 5)) AS o(j)),
+    covc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+             FROM cov GROUP BY 1),
+    tokc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+             FROM toks GROUP BY 1)
+    SELECT tokc.source, n_docs, total_tokens,
+           COALESCE(covered_tokens, 0) AS covered_tokens,
+           ROUND(100.0 * COALESCE(covered_tokens, 0)
+                 / NULLIF(total_tokens, 0), 2) AS dup_coverage_pct
+    FROM tokc LEFT JOIN covc USING (source) ORDER BY source
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "dedup", "text"),
+)
+def dup_ngram_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-5-gram TOKEN COVERAGE per source — the RefinedWeb/
+    Gopher-style repetition diagnostic: what fraction of a source's
+    tokens sit inside a word-5-gram that occurs ≥2 times ANYWHERE in
+    the corpus. Pair-level dedup (Jaccard/MinHash) says which docs
+    match; this says how much of each source is boilerplate even when
+    no single pair crosses a threshold — the number you read before
+    choosing span-level vs doc-level dedup for a source. Positional
+    grams (posting = (doc, position, gram-hash)) join against the
+    ≥2-occurrence gram set, explode to the 5 covered positions, and
+    DISTINCT-count per doc so overlapping duplicated grams never
+    double-count a token; totals and the keep/drop df=2 boundary are
+    exact integers. Spark joins on multi-arg xxhash64 of the 5 word
+    columns (no gram string is ever built) vs the oracle's string
+    grams — the accepted dedup_ngram_jaccard collision caveat. Scale:
+    two shuffles of the positional posting list (df count + dup join),
+    both on 8-byte keys; the posting list is ~|tokens| rows — the same
+    order as any shingle pass — and the hot-gram fan-out is bounded
+    because dup-join fan-out is linear in occurrences (no pair
+    explosion: positions join the GRAM SET, never each other)."""
+    from .operators.dedup import materialize
+    from .operators.text import tokens
+
+    docs = materialize(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", tokens(F.col("text")).alias("w")
+        )
+    )
+    pos = docs.filter(F.size("w") >= 5).select(
+        "doc_id",
+        "source",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 4)).alias("i"),
+    )
+    g = materialize(
+        pos.select(
+            "doc_id",
+            "source",
+            "i",
+            F.xxhash64(
+                *[F.element_at(F.col("w"), F.col("i") + j) for j in range(5)]
+            ).alias("h"),
+        )
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    cov = (
+        g.join(dup, "h")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("p"),
+        )
+        .distinct()
+    )
+    covc = cov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("covered_tokens")
+    )
+    tokc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_tokens"),
+    )
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    return (
+        tokc.join(covc, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            covered.cast("long").alias("covered_tokens"),
+            pct_rate(covered, F.col("total_tokens")).alias("dup_coverage_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "containment_neardup_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(na.n AS BIGINT) AS a_size, inter,
+           ROUND(100.0 * inter / NULLIF(na.n, 0), 2) AS containment_pct
+    FROM pairs JOIN sizes na ON na.doc_id = doc_a
+    WHERE na.n >= 5 AND inter * 100 >= 80 * na.n
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("extension", "dedup"),
+)
+def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs C(A→B) = |A∩B|/|A| ≥ 80%
+    over word-3-shingle sets — the quote/superset detector Jaccard
+    structurally misses (a doc fully embedded in a 10× larger host has
+    J ≤ 0.1 but containment = 100%). Directional by design: (a,b) and
+    (b,a) are different claims. The keep/drop boundary is the exact
+    integer compare inter·100 ≥ 80·|A| — no float sits on the
+    threshold. Same shared-shingle equi-join + xxhash64-key profile
+    (and the same accepted hash-vs-string oracle caveat) as
+    dedup_ngram_jaccard; see operators/dedup.containment_pairs for the
+    100 TB skew story. min_shingles=5 drops fragments whose
+    containment is trivially total."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        threshold_pct=80, min_shingles=5,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "activity_streaks_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2),
+    longest AS (
+      SELECT user_id, MAX(len) AS streak_days FROM streaks GROUP BY 1)
+    SELECT CAST(streak_days AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "analytics", "sessionization"),
+)
+def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, as a corpus
+    histogram (streak length → user count) — the gaps-and-islands
+    classic: day − row_number(day) is constant exactly within a run of
+    consecutive dates, so one PARTITIONED window + two groupBys find
+    every island with no self-join and no iteration. All exact
+    integers. Scale: the distinct (user, day) rollup is the only
+    fact-sized stage; the window partitions by user (thousands of
+    parallel groups, frames bounded by a user's active days), and the
+    histogram is ≤ |days| rows."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return (
+        longest.groupBy(F.col("streak_days").cast("long").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+@register(
+    "interarrival_dispersion_events",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             date_diff('second',
+               LAG(ts) OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts, event_id),
+               ts) AS gap
+      FROM events),
+    g AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+          FROM seq WHERE gap IS NOT NULL),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap_sec,
+             SUM(gap::HUGEINT * gap) AS sum_gap2
+      FROM g GROUP BY 1)
+    SELECT event_type, n_gaps, sum_gap_sec,
+           CAST(sum_gap_sec::HUGEINT * 1000 // n_gaps AS BIGINT)
+             AS mean_gap_milli,
+           CAST((n_gaps::HUGEINT * sum_gap2
+                 - sum_gap_sec::HUGEINT * sum_gap_sec) * 1000
+                // NULLIF(n_gaps::HUGEINT * sum_gap_sec, 0) AS BIGINT)
+             AS dispersion_milli
+    FROM s ORDER BY event_type
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def interarrival_dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival BURSTINESS via the index of dispersion
+    (variance-to-mean of the gap between a user's consecutive events
+    of that type, in milli-seconds-units): ≈1 means Poisson-like
+    arrivals, ≫1 means bursts — the one number that says whether a
+    type's traffic model can assume memorylessness. Exactness
+    discipline: gaps are integer seconds; (n, Σg, Σg²) are exact
+    map-side-combinable sums with Σg² in DECIMAL(38,0)/HUGEINT
+    (seconds² overflows int64 within a month of data); the dispersion
+    n·Σg² − (Σg)² over n·Σg collapses to ONE truncating integer DIV in
+    milli-units — no float anywhere, all operands non-negative
+    (Cauchy-Schwarz), so floor ≡ truncate cross-engine. Scale: one
+    partitioned window over (user, type) + one fact-sized groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("long")
+    seq = ev.select(
+        "event_type", (ts_sec - F.lag(ts_sec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap_sec"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("sum_gap2"),
+    )
+    return s.select(
+        "event_type",
+        "n_gaps",
+        "sum_gap_sec",
+        F.expr(
+            "CAST((CAST(sum_gap_sec AS DECIMAL(38,0)) * 1000) div n_gaps AS LONG)"
+        ).alias("mean_gap_milli"),
+        F.expr(
+            "CAST(((CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
+            " - CAST(sum_gap_sec AS DECIMAL(38,0)) * sum_gap_sec) * 1000)"
+            " div nullif(CAST(n_gaps AS DECIMAL(38,0)) * sum_gap_sec, 0) AS LONG)"
+        ).alias("dispersion_milli"),
+    ).orderBy("event_type")
+
+
+@register(
+    "trigram_diversity_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    g AS (
+      SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS total_trigrams,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS distinct_trigrams,
+           ROUND(100.0 * COUNT(DISTINCT s) / NULLIF(COUNT(*), 0), 2)
+             AS diversity_pct
+    FROM g GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "text"),
+)
+def trigram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-to-total word-trigram ratio per source — the standard
+    distinct-n-gram diversity score from text-generation evaluation,
+    repurposed as a corpus-curation signal: a source whose trigram
+    diversity collapses is template/boilerplate-heavy even if no doc
+    pair trips a dedup threshold (the aggregate cousin of
+    dup_ngram_coverage_by_source, which localizes the repetition this
+    entry scores). Exact integer counts; the ratio is the house
+    pct_rate. Spark counts distinct over the trigram STRING to match
+    the oracle bit-for-bit (COUNT(DISTINCT hash) would import the
+    collision caveat into a pure count, where the join entries accept
+    it only to shrink shuffle keys); at 100 TB swap the exact distinct
+    for the HLL store (hll_mergeable_distinct_users pattern) — stated
+    trade, not needed at these SFs. Scale: one explode + one groupBy;
+    the distinct runs partial-aggregate per partition first."""
+    from .functions.hashing import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    gram = F.concat_ws(
+        " ",
+        F.element_at(F.col("w"), F.col("i")),
+        F.element_at(F.col("w"), F.col("i") + 1),
+        F.element_at(F.col("w"), F.col("i") + 2),
+    )
+    g = docs.filter(F.size("w") >= 3).select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+        "w",
+    ).select("source", gram.alias("s"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_trigrams"),
+            F.count_distinct(F.col("s")).cast("long").alias("distinct_trigrams"),
+            pct_rate(F.count_distinct(F.col("s")), F.count(F.lit(1))).alias(
+                "diversity_pct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

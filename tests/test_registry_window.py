@@ -47,6 +47,14 @@ NEW_AWAITING_WINDOW: set[str] = {
     "rolling_moments_zscore_daily",
     "langid_confusion_docs",
     "symspell_neighbor_pairs_customers",
+    "mann_kendall_trend_daily",
+    "theil_sen_daily_slope",
+    "markov_stationary_event_mix",
+    "dup_ngram_coverage_by_source",
+    "containment_neardup_docs",
+    "activity_streaks_users",
+    "interarrival_dispersion_events",
+    "trigram_diversity_by_source",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
