@@ -536,3 +536,82 @@ def _make_funnel_fold():
         yield pd.DataFrame(out, columns=out_cols)
 
     return funnel
+
+
+GAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("gap_sec", T.LongType()),
+    ]
+)
+# last event per (user, type): event-time micros + event id — two longs,
+# O(users·types) state, the same footprint class as the LOCF register.
+GAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+    ]
+)
+
+
+def gap_dispersion_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``interarrival_dispersion_events``
+    entry: one append-mode row per NEW inter-arrival gap of a
+    (user, type) pair, carrying the exact truncated-epoch-second gap —
+    the per-type (n, Σg, Σg²) dispersion cells are a stateless
+    downstream aggregation of these rows with the batch entry's own
+    integer expressions (the attribution_stream philosophy: stream the
+    grain, fold the rollup anywhere).
+
+    State per (user, type) is the LAST event's (event-time micros,
+    event id) — the same (ts, event_id) total order the batch window
+    sorts by. Each micro-batch is fully materialized and sorted before
+    the fold (the locf_stream chunk-order rule), so within-batch
+    disorder is invisible. Late-data contract (append mode): a
+    cross-batch event at or behind the stored (ts, id) is SKIPPED — an
+    emitted gap cannot be retracted and re-split, so such rows are
+    policy (size the source watermark by ``event_disorder_report``),
+    and the guard doubles as replay idempotence: re-delivered events
+    compare <= state and emit nothing. Gap arithmetic mirrors the
+    batch entry exactly: truncated epoch seconds (us // 1e6
+    difference), so the downstream fold hash-matches the oracle-checked
+    batch row."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _gap_fold,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _gap_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_us, last_eid = state.get if state.exists else (None, None)
+    out: list[dict[str, Any]] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            ev_us = row.ts.value // 1_000
+            if last_us is not None and (ev_us, row.event_id) <= (last_us, last_eid):
+                continue  # late or replayed: never re-split an emitted gap
+            if last_us is not None:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_type": key[1],
+                        "event_id": row.event_id,
+                        # truncated epoch-second difference — the batch
+                        # entry's cast("long") arithmetic
+                        "gap_sec": ev_us // 1_000_000 - last_us // 1_000_000,
+                    }
+                )
+            last_us, last_eid = ev_us, row.event_id
+    if last_us is not None:
+        state.update((last_us, last_eid))
+    yield pd.DataFrame(out, columns=[f.name for f in GAP_OUTPUT_SCHEMA.fields])

@@ -3107,3 +3107,181 @@ def test_rolling_zscore_constant_window_yields_null(spark, tmp_path):
         ).fetchall()
     }
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# r11 second push: trend tests, Markov mix, repetition coverage, containment,
+# streaks, dispersion — hand-computable fixtures plus quadratic references.
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A doc verbatim-embedded in a 4x larger host must fire containment
+    at 100% in the A->B direction while Jaccard stays under its 0.2
+    threshold — the quote/superset case the directional operator exists
+    for. The host's own containment in the fragment stays below 80%."""
+    small = "alpha beta gamma delta epsilon zeta eta"
+    host = small + (
+        " theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+        " upsilon phi chi psi omega one two three four five six seven"
+    )
+    df = spark.createDataFrame([(1, small), (2, host)], "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.a_size, r.inter, r.containment_pct)
+        for r in dedup.containment_pairs(df, threshold_pct=80, min_shingles=5).collect()
+    }
+    assert (1, 2) in got
+    a_size, inter, pct = got[(1, 2)]
+    assert a_size == 5 and inter == 5 and pct == 100.0
+    assert (2, 1) not in got  # host is not contained in the fragment
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert jac == []  # union-normalized score never sees the embedding
+
+
+def test_activity_streaks_hand_case(spark, tmp_path):
+    """User 1 is active 3 consecutive days, skips one, then 2 more; user
+    2 is active a single day: histogram must read {3 days: 1 user,
+    1 day: 1 user} via the gaps-and-islands window."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = []
+    eid = 0
+    for day in (1, 2, 3, 5, 6):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day, 12, 0, 0), 1, "view", 0.0, "{}"))
+    rows.append((99, dt.datetime(2024, 1, 9, 8, 0, 0), 2, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        r.streak_days: r.n_users
+        for r in REGISTRY["activity_streaks_users"].fn(spark, d).collect()
+    }
+    assert got == {3: 1, 1: 1}
+
+
+def test_markov_stationary_two_state_flip_chain(spark, tmp_path):
+    """A deterministic A->B->A->B chain has the uniform stationary
+    distribution: both types must land on exactly 500000 ppm, and n_out
+    must count each type's outgoing transitions."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "a" if i % 2 == 0 else "b", 0.0, "{}")
+        for i in range(9)  # a b a b a b a b a -> 4 a->b, 4 b->a
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        r.event_type: (r.n_out, r.stationary_ppm)
+        for r in REGISTRY["markov_stationary_event_mix"].fn(spark, d).collect()
+    }
+    assert got == {"a": (4, 500000), "b": (4, 500000)}
+
+
+def test_markov_stationary_mass_and_outdegree_at_smoke(spark, sf_smoke):
+    """On real data: ppm shares sum to 1e6 up to per-type floor loss, and
+    total out-degree equals (events - distinct users) — every user with
+    n events contributes exactly n-1 transitions."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["markov_stationary_event_mix"].fn(spark, sf_smoke).collect()
+    ppm_total = sum(r.stationary_ppm for r in out)
+    assert 1000000 - len(out) <= ppm_total <= 1000000
+    ev = catalog.table(spark, sf_smoke, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_out for r in out) == n_events - n_users
+
+
+def test_trend_estimators_agree_on_shape_at_smoke(spark, sf_smoke):
+    """Mann-Kendall and Theil-Sen run over the same pair set: n_pairs
+    must match type-for-type and equal n_days*(n_days-1)/2, |S| is
+    bounded by n_pairs, and tau is exactly S/n_pairs."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    mk = {
+        r.event_type: r
+        for r in REGISTRY["mann_kendall_trend_daily"].fn(spark, sf_smoke).collect()
+    }
+    ts = {
+        r.event_type: r
+        for r in REGISTRY["theil_sen_daily_slope"].fn(spark, sf_smoke).collect()
+    }
+    assert set(mk) == set(ts) and mk
+    for t, r in mk.items():
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+        assert abs(r.s_stat) <= r.n_pairs
+        assert r.tau == r.s_stat / r.n_pairs
+        assert ts[t].n_pairs == r.n_pairs
+
+
+def test_interarrival_dispersion_matches_quadratic_reference(spark, sf_smoke):
+    """Recompute (n, sum, sum-of-squares, mean milli, dispersion milli)
+    per type from the raw events in plain Python ints and require exact
+    equality — the same adversarial-reference pattern as the streaming
+    fold tests."""
+    from collections import defaultdict
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    ev = catalog.table(spark, sf_smoke, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("sec"), "event_id"
+    )
+    by_key = defaultdict(list)
+    for r in ev.collect():
+        by_key[(r.user_id, r.event_type)].append((r.sec, r.event_id))
+    stats = defaultdict(lambda: [0, 0, 0])  # n, sum, sum2
+    for (_, t), seq in by_key.items():
+        seq.sort()
+        for (prev, _), (cur, _) in zip(seq, seq[1:]):
+            gap = cur - prev
+            s = stats[t]
+            s[0] += 1
+            s[1] += gap
+            s[2] += gap * gap
+    got = {
+        r.event_type: (
+            r.n_gaps,
+            r.sum_gap_sec,
+            r.mean_gap_milli,
+            r.dispersion_milli,
+        )
+        for r in REGISTRY["interarrival_dispersion_events"].fn(spark, sf_smoke).collect()
+    }
+    want = {}
+    for t, (n, sg, sg2) in stats.items():
+        var_num = n * sg2 - sg * sg
+        want[t] = (n, sg, sg * 1000 // n, var_num * 1000 // (n * sg) if sg else None)
+    assert got == want
+
+
+def test_repetition_scores_are_bounded_at_smoke(spark, sf_smoke):
+    """Coverage and diversity are exact-ratio percentages: covered <=
+    total tokens per source, distinct <= total trigrams, both pcts in
+    [0, 100], and the planted near-dup corpus shows SOME duplicated-gram
+    coverage somewhere."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    cov = REGISTRY["dup_ngram_coverage_by_source"].fn(spark, sf_smoke).collect()
+    assert cov
+    for r in cov:
+        assert 0 <= r.covered_tokens <= r.total_tokens
+        assert 0.0 <= r.dup_coverage_pct <= 100.0
+    assert any(r.covered_tokens > 0 for r in cov)
+    div = REGISTRY["trigram_diversity_by_source"].fn(spark, sf_smoke).collect()
+    assert div
+    for r in div:
+        assert 0 < r.distinct_trigrams <= r.total_trigrams
+        assert 0.0 < r.diversity_pct <= 100.0

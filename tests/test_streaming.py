@@ -1537,3 +1537,122 @@ def test_stream_hll_registers_idempotent_across_restarts(spark, tmp_path):
     assert second == sorted((d, r, v) for (d, r), v in want.items())
     # the re-delivered user contributed nothing new beyond the first drain
     assert set(first) <= set(second)
+
+
+def test_stream_gap_dispersion_matches_batch_entry(
+    spark, sf_oracle, landed_events, tmp_path
+):
+    """Stateful streaming gap extraction == the oracle-checked batch
+    dispersion entry: folding the streamed per-gap rows with the batch
+    entry's own exact-integer expressions reproduces its per-type
+    (n, Σg, mean milli, dispersion milli) rows exactly."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.stateful import gap_dispersion_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        gap_dispersion_stream(stream),
+        str(tmp_path / "ckpt_gap"),
+        "gap_out",
+        output_mode="append",
+    )
+    folded = (
+        spark.table("gap_out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_sec").cast("long").alias("sum_gap_sec"),
+            F.sum(F.col("gap_sec").cast("decimal(38,0)") * F.col("gap_sec")).alias(
+                "sum_gap2"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_gap_sec",
+            F.expr(
+                "CAST((CAST(sum_gap_sec AS DECIMAL(38,0)) * 1000) div n_gaps AS LONG)"
+            ).alias("mean_gap_milli"),
+            F.expr(
+                "CAST(((CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
+                " - CAST(sum_gap_sec AS DECIMAL(38,0)) * sum_gap_sec) * 1000)"
+                " div nullif(CAST(n_gaps AS DECIMAL(38,0)) * sum_gap_sec, 0) AS LONG)"
+            ).alias("dispersion_milli"),
+        )
+    )
+    got = {tuple(r) for r in folded.collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["interarrival_dispersion_events"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_stream_gap_dispersion_state_across_restarts(spark, tmp_path):
+    """The last-event register survives a stop/restart: events landing
+    in a SECOND availableNow drain emit gaps against the FIRST run's
+    last event, and a replayed stale event emits nothing."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+    from spacex_data_pipeline_spark.streaming.stateful import gap_dispersion_stream
+
+    landed = str(tmp_path / "gap_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, 1, h, m), 1, "view", 0.0, "{}")
+                for eid, (h, m) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    out = str(tmp_path / "gap_out_pq")
+    ck = str(tmp_path / "ck_gap")
+    mk([(9, 0)]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        gap_dispersion_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    # run 2: 09:10 and 09:40 -> gaps 600 s (vs run 1's 09:00) and 1800 s
+    mk([(9, 10), (9, 40)]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        gap_dispersion_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    got = sorted(r.gap_sec for r in spark.read.parquet(out).collect())
+    assert got == [600, 1800]
+
+
+def test_gap_fold_chunk_order_and_replay_guards():
+    """Unit contracts on the fold: (a) reversed chunk delivery within a
+    micro-batch still folds in (ts, event_id) order; (b) a stale
+    replayed event emits nothing and never regresses state."""
+    import pandas as pd
+
+    from spacex_data_pipeline_spark.streaming.stateful import _gap_fold
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(f"2024-01-01 {r[1]}:00") for r in rows],
+                "user_id": [7] * len(rows),
+                "event_type": ["view"] * len(rows),
+                "value": [0.0] * len(rows),
+            }
+        )
+
+    state = _StubGroupState()
+    # chunk holding the LATER event delivered first
+    chunks = [chunk([(3, "09:40")]), chunk([(1, "09:00"), (2, "09:10")])]
+    (out,) = list(_gap_fold((7, "view"), iter(chunks), state))
+    assert [int(g) for g in out["gap_sec"]] == [600, 1800]
+    # stale replay: event 2 again — skipped, state still at event 3
+    (out2,) = list(_gap_fold((7, "view"), iter([chunk([(2, "09:10")])]), state))
+    assert len(out2) == 0
+    assert state.get[1] == 3
