@@ -970,3 +970,71 @@ def test_grouped_exact_percentiles_matches_rank_definition(vals, grain_div):
         for q in (50, 90):
             want[(g, q)] = (n, vs[max(1, (q * n + 99) // 100) - 1])
     assert got == want
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=3600), min_size=0, max_size=40
+    ),
+    n_cuts=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+def test_gap_fold_matches_consecutive_difference_reference(offsets, n_cuts, data):
+    """The gap fold == plain consecutive differences of truncated epoch
+    seconds over the (ts, event_id)-ordered sequence, for ANY split
+    into consecutive triggers and ANY within-trigger chunking/delivery
+    order. Ids are assigned in arrival order (the in-order contract),
+    so trigger cuts may fall anywhere — even between same-timestamp
+    events: the (ts, id) guard admits the later id and the emitted gap
+    is 0, exactly like the batch window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spacex_data_pipeline_spark.streaming.stateful import _gap_fold
+
+    seq = sorted(offsets)
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off))
+        for i, off in enumerate(seq)
+    ]
+    want = [
+        (rows[i][0], int(rows[i][1].timestamp()) - int(rows[i - 1][1].timestamp()))
+        for i in range(1, len(rows))
+    ]
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(rows)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    triggers, prev = [], 0
+    for c in [*cuts, len(rows)]:
+        triggers.append(rows[prev:c])
+        prev = c
+    state = _FoldStubState()
+    got = []
+    for trig in triggers:
+        if not trig:
+            continue
+        k = data.draw(st.integers(min_value=1, max_value=3))
+        chunks = [
+            pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in part],
+                    "ts": [pd.Timestamp(r[1]) for r in part],
+                    "user_id": [7] * len(part),
+                    "event_type": ["view"] * len(part),
+                    "value": [0.0] * len(part),
+                }
+            )
+            for part in (trig[i::k] for i in range(k))
+            if part
+        ]
+        (out,) = list(_gap_fold((7, "view"), iter(reversed(chunks)), state))
+        got.extend((int(r.event_id), int(r.gap_sec)) for r in out.itertuples(index=False))
+    assert got == want
