@@ -579,6 +579,7 @@ def containment_pairs(
     k: int = 3,
     threshold_pct: int = 80,
     min_shingles: int = 5,
+    max_shingle_df: int | None = None,
     checkpoint: str = "local",
 ) -> DataFrame:
     """ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| over
@@ -596,9 +597,12 @@ def containment_pairs(
     float sits on the keep/drop boundary; ``min_shingles`` drops
     sub-k*-word fragments whose containment is trivially 100%.
     Scale: identical profile to the Jaccard join — the quadratic risk
-    is the same hot-shingle fan-out, so a 100 TB run reuses the
-    ``max_shingle_df`` cap / prefix-filter variants verbatim (the
-    directionality changes only the final predicate)."""
+    is the same hot-shingle fan-out, and ``max_shingle_df`` is the same
+    escape hatch (hot shingles leave the JOIN side via a broadcast
+    anti-join; set sizes stay uncapped, so reported containment becomes
+    a LOWER bound for pairs that shared hot shingles — the
+    boilerplate-match pairs a containment audit wants to ignore anyway;
+    default None = exact, the oracle-checked mode)."""
     from ..functions.numeric import pct_rate
 
     toks = docs.select(
@@ -612,8 +616,17 @@ def containment_pairs(
         checkpoint,
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("h").alias("a_h"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("h").alias("b_h"))
+    join_side = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        join_side = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = join_side.select(F.col(id_col).alias("doc_a"), F.col("h").alias("a_h"))
+    b = join_side.select(F.col(id_col).alias("doc_b"), F.col("h").alias("b_h"))
     pairs = (
         a.join(b, (F.col("a_h") == F.col("b_h")) & (F.col("doc_a") != F.col("doc_b")))
         .groupBy("doc_a", "doc_b")

@@ -364,3 +364,37 @@ def test_prefix_filtered_jaccard_equals_equijoin_exact(spark, sf_oracle):
             for r in jaccard_pairs_prefix_filtered(corpus, threshold=0.2).collect()
         }
         assert got == want and len(want) > 0
+
+
+def test_containment_df_cap_is_monotone_and_bounded(spark):
+    """The containment skew cap mirrors the Jaccard cap's contract:
+    capped pairs ⊆ uncapped pairs, reported containment never
+    increases under the cap, and a genuine embedded pair sharing no
+    hot shingle survives exactly."""
+    from spacex_data_pipeline_spark.operators.dedup import containment_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = []
+    for i in range(30):  # boilerplate-linked: share ONLY the hot phrase
+        rows.append((i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}"))
+    small = "the quick brown fox jumps over the lazy dog"
+    rows.append((100, small))
+    rows.append((101, small + " again tonight with extra trailing words here"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.containment_pct
+        for r in containment_pairs(df, threshold_pct=0, min_shingles=1).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.containment_pct
+        for r in containment_pairs(
+            df, threshold_pct=0, min_shingles=1, max_shingle_df=10
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert all(capped[p] <= uncapped[p] for p in capped)
+    assert capped[(100, 101)] == uncapped[(100, 101)] == 100.0
+    dropped = set(uncapped) - set(capped)
+    assert dropped  # the boilerplate-only pairs did get dropped
+    assert all(a < 100 and b < 100 for a, b in dropped)
