@@ -252,6 +252,7 @@ EXTENDED = [
     "activity_streaks_users",
     "interarrival_dispersion_events",
     "trigram_diversity_by_source",
+    "containment_prune_report",
 ]
 
 
@@ -537,6 +538,7 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
     from spacex_data_pipeline_spark.operators.dedup import (
         jaccard_pairs_prefix_filtered,
         line_dedup_flags,
+        containment_pairs,
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
@@ -547,6 +549,17 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         "skew_ngram_uncapped": lambda: ngram_jaccard_pairs(docs, threshold=0.2),
         "skew_ngram_capped": lambda: ngram_jaccard_pairs(
             docs, threshold=0.2, max_shingle_df=50
+        ),
+        # r11: asymmetric containment on the same replaced-page corpus —
+        # the hot boilerplate page makes the 20% identical docs pairwise
+        # 100%-contained, the exact quadratic the df cap bounds; same
+        # contract as the Jaccard cap (capped pairs subset, lower-bound
+        # scores; test_scale_patterns pins it).
+        "skew_containment_uncapped": lambda: containment_pairs(
+            docs, threshold_pct=80
+        ),
+        "skew_containment_capped": lambda: containment_pairs(
+            docs, threshold_pct=80, max_shingle_df=50
         ),
         # r7 late: PPJoin prefix filtering vs the equi-join, both at the
         # t=0.2 corpus threshold (where the replaced-page output is

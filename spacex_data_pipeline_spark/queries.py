@@ -17173,6 +17173,102 @@ def trigram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "containment_prune_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2),
+    cont AS (
+      SELECT doc_a, doc_b
+      FROM pairs JOIN sizes na ON na.doc_id = doc_a
+      WHERE na.n >= 5 AND inter * 100 >= 80 * na.n),
+    dropped AS (
+      SELECT DISTINCT c.doc_a AS doc_id
+      FROM cont c LEFT JOIN cont r
+        ON r.doc_a = c.doc_b AND r.doc_b = c.doc_a
+      WHERE r.doc_a IS NULL OR c.doc_b < c.doc_a)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN dd.doc_id IS NOT NULL
+                                  THEN d.n_chars END), 0) AS BIGINT)
+             AS chars_dropped,
+           ROUND(100.0 * COALESCE(SUM(CASE WHEN dd.doc_id IS NOT NULL
+                                           THEN d.n_chars END), 0)
+                 / NULLIF(SUM(d.n_chars), 0), 2) AS dropped_pct
+    FROM documents d LEFT JOIN dropped dd USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("extension", "dedup", "curation"),
+)
+def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION on top of containment_neardup_docs: per
+    source, how many docs (and how much character mass) a
+    keep-the-host / drop-the-fragment prune removes. A doc is dropped
+    iff it is ≥80%-contained in some other doc AND is not the
+    designated keeper of a mutual (near-identical) pair — mutual
+    containment keeps the LOWER doc_id, one-directional containment
+    always keeps the host, so the rule is local, deterministic, and
+    never drops both members of a pair. (Chains resolve locally too: a
+    fragment contained in a fragment is judged against ITS own hosts —
+    the standard greedy prune, not global set-cover.) Both the
+    threshold and the mutual-pair tiebreak are exact integer
+    predicates. Scale: the pairs stage is the containment join
+    (df-cappable, see operators/dedup.containment_pairs); the
+    keeper resolution is a self-join of the PAIRS table (output-sized,
+    not corpus-sized), and the rollup is one broadcast semi-join of
+    dropped ids against the documents scan."""
+    from .operators.dedup import containment_pairs
+
+    cont = containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        threshold_pct=80, min_shingles=5,
+    ).select("doc_a", "doc_b")
+    rev = cont.select(
+        F.col("doc_a").alias("r_a"), F.col("doc_b").alias("r_b")
+    )
+    dropped = (
+        cont.join(
+            rev,
+            (F.col("r_a") == F.col("doc_b")) & (F.col("r_b") == F.col("doc_a")),
+            "left",
+        )
+        .filter(F.col("r_a").isNull() | (F.col("doc_b") < F.col("doc_a")))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    joined = d.join(F.broadcast(dropped), "doc_id", "left")
+    chars_dropped = F.coalesce(
+        F.sum(F.when(F.col("__dropped") == 1, F.col("n_chars"))), F.lit(0)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count("__dropped").cast("long").alias("n_dropped"),
+            chars_dropped.cast("long").alias("chars_dropped"),
+            pct_rate(chars_dropped, F.sum("n_chars")).alias("dropped_pct"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r11).
 #

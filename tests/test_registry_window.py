@@ -55,6 +55,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "activity_streaks_users",
     "interarrival_dispersion_events",
     "trigram_diversity_by_source",
+    "containment_prune_report",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
