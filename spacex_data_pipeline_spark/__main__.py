@@ -122,6 +122,14 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "dropped",
     )
     pp.add_argument(
+        "--containment-prune",
+        action="store_true",
+        help="also drop docs >=80%%-contained (word-3-shingle sets) in "
+        "another surviving doc — keep-host/drop-fragment, mutual pairs "
+        "keep the lower doc_id; runs after exact dedup and before "
+        "line/span surgery",
+    )
+    pp.add_argument(
         "--typicality-tail-pct",
         type=float,
         default=None,
@@ -296,6 +304,24 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
             )
             survivors = exact_dedup_first(kept, "text", "doc_id")
             kept = kept.join(survivors, "doc_id")
+            if args.containment_prune:
+                # doc-level near-dup prune AFTER exact dedup (identical
+                # docs are already collapsed, so containment only sees
+                # genuine fragment/host pairs) and BEFORE the
+                # sub-document stages (no point line-deduping a doc the
+                # prune drops). Same keeper rule as the oracle-checked
+                # containment_prune_report entry.
+                from .operators.dedup import (
+                    containment_dropped_ids,
+                    containment_pairs,
+                )
+
+                cont = containment_pairs(kept, "doc_id", "text").select(
+                    "doc_a", "doc_b"
+                )
+                kept = kept.join(
+                    containment_dropped_ids(cont), "doc_id", "left_anti"
+                )
             if args.line_dedup:
                 # sub-document dedup AFTER doc-level (so re-delivered
                 # whole docs never reach the line stage) and BEFORE

@@ -649,6 +649,32 @@ def containment_pairs(
     )
 
 
+def containment_dropped_ids(cont: DataFrame) -> DataFrame:
+    """Resolve directional containment pairs (``doc_a`` contained in
+    ``doc_b``) into the set of doc ids a keep-host/drop-fragment prune
+    removes: a doc is dropped iff it is contained in some other doc AND
+    is not the designated keeper of a mutual (near-identical) pair —
+    mutual containment keeps the LOWER id, one-directional containment
+    always keeps the host, so no pair loses both members and the rule
+    is local and deterministic (chains resolve greedily, not by global
+    set-cover). Returns one column ``doc_id``. Scale: a self-join of
+    the PAIRS table (output-sized, not corpus-sized) — the consumer
+    anti-joins the result against the corpus; the dropped set is NOT
+    provably small, so no broadcast hint here (AQE promotes it when it
+    is)."""
+    rev = cont.select(F.col("doc_a").alias("r_a"), F.col("doc_b").alias("r_b"))
+    return (
+        cont.join(
+            rev,
+            (F.col("r_a") == F.col("doc_b")) & (F.col("r_b") == F.col("doc_a")),
+            "left",
+        )
+        .filter(F.col("r_a").isNull() | (F.col("doc_b") < F.col("doc_a")))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+
+
 def jaccard_pairs_prefix_filtered(
     docs: DataFrame,
     id_col: str = "doc_id",

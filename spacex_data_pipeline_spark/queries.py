@@ -17227,32 +17227,22 @@ def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard greedy prune, not global set-cover.) Both the
     threshold and the mutual-pair tiebreak are exact integer
     predicates. Scale: the pairs stage is the containment join
-    (df-cappable, see operators/dedup.containment_pairs); the
-    keeper resolution is a self-join of the PAIRS table (output-sized,
-    not corpus-sized), and the rollup is one broadcast semi-join of
-    dropped ids against the documents scan."""
-    from .operators.dedup import containment_pairs
+    (df-cappable, see operators/dedup.containment_pairs); the keeper
+    resolution is a self-join of the PAIRS table (output-sized, not
+    corpus-sized, shared with the CLI's --containment-prune stage via
+    operators/dedup.containment_dropped_ids), and the rollup is one
+    join of dropped ids against the documents scan — unhinted, since
+    the dropped set is not provably small (AQE promotes to broadcast
+    when it is)."""
+    from .operators.dedup import containment_dropped_ids, containment_pairs
 
     cont = containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         threshold_pct=80, min_shingles=5,
     ).select("doc_a", "doc_b")
-    rev = cont.select(
-        F.col("doc_a").alias("r_a"), F.col("doc_b").alias("r_b")
-    )
-    dropped = (
-        cont.join(
-            rev,
-            (F.col("r_a") == F.col("doc_b")) & (F.col("r_b") == F.col("doc_a")),
-            "left",
-        )
-        .filter(F.col("r_a").isNull() | (F.col("doc_b") < F.col("doc_a")))
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
-    )
+    dropped = containment_dropped_ids(cont).withColumn("__dropped", F.lit(1))
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    joined = d.join(F.broadcast(dropped), "doc_id", "left")
+    joined = d.join(dropped, "doc_id", "left")
     chars_dropped = F.coalesce(
         F.sum(F.when(F.col("__dropped") == 1, F.col("n_chars"))), F.lit(0)
     )

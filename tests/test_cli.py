@@ -404,3 +404,56 @@ def test_docs_registry_counts_match_reality():
         if over:
             stale.append(f"{doc}: overstated counts {over} (registry has {n})")
     assert not stale, f"doc counts drifted from len(REGISTRY)={n}: {stale}"
+
+
+def test_cli_prep_training_containment_prune_flag(spark, sf_oracle, tmp_path):
+    """--containment-prune: the pruned run ships a subset of the plain
+    run's docs, and every doc it removed is one the keeper rule drops
+    (is >=80%%-contained in some other surviving doc and not the
+    designated mutual-pair keeper)."""
+    out = str(tmp_path / "cp_shards")
+    assert (
+        main(
+            [
+                "prep-training",
+                "--sf-dir",
+                sf_oracle,
+                "--out",
+                out,
+                "--shards",
+                "2",
+                "--containment-prune",
+            ],
+            _spark=spark,
+        )
+        == 0
+    )
+    out_plain = str(tmp_path / "cp_plain_shards")
+    assert (
+        main(
+            ["prep-training", "--sf-dir", sf_oracle, "--out", out_plain, "--shards", "2"],
+            _spark=spark,
+        )
+        == 0
+    )
+    pruned_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    plain_ids = {
+        r.doc_id for r in spark.read.parquet(out_plain).select("doc_id").collect()
+    }
+    assert pruned_ids <= plain_ids
+    removed = plain_ids - pruned_ids
+    if removed:  # fixture-dependent; when the corpus has contained docs,
+        # they must be exactly the keeper rule's drops
+        from spacex_data_pipeline_spark.operators.dedup import (
+            containment_dropped_ids,
+            containment_pairs,
+        )
+
+        kept_docs = (
+            spark.read.parquet(out_plain).select("doc_id", "text").distinct()
+        )
+        cont = containment_pairs(kept_docs, "doc_id", "text").select(
+            "doc_a", "doc_b"
+        )
+        want = {r.doc_id for r in containment_dropped_ids(cont).collect()}
+        assert removed == want

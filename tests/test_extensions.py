@@ -3285,3 +3285,22 @@ def test_repetition_scores_are_bounded_at_smoke(spark, sf_smoke):
     for r in div:
         assert 0 < r.distinct_trigrams <= r.total_trigrams
         assert 0.0 < r.diversity_pct <= 100.0
+
+
+def test_containment_dropped_ids_keeper_rule(spark):
+    """The prune resolution: a fragment contained in a host is dropped
+    (host kept), and a MUTUAL pair — near-identical docs containing
+    each other — keeps the lower id, so no pair ever loses both
+    members."""
+    from spacex_data_pipeline_spark.operators.dedup import containment_dropped_ids
+
+    cont = spark.createDataFrame(
+        [
+            (1, 2),  # 1 is a fragment of host 2 -> drop 1
+            (10, 11),  # mutual near-identical pair -> keep 10, drop 11
+            (11, 10),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id for r in containment_dropped_ids(cont).collect()}
+    assert got == {1, 11}
