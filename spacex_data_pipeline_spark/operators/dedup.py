@@ -655,9 +655,12 @@ def containment_dropped_ids(cont: DataFrame) -> DataFrame:
     removes: a doc is dropped iff it is contained in some other doc AND
     is not the designated keeper of a mutual (near-identical) pair —
     mutual containment keeps the LOWER id, one-directional containment
-    always keeps the host, so no pair loses both members and the rule
-    is local and deterministic (chains resolve greedily, not by global
-    set-cover). Returns one column ``doc_id``. Scale: a self-join of
+    always keeps the host. The per-pair guarantee holds for a pair IN
+    ISOLATION; chained one-directional containment can still drop a
+    mutual pair's keeper (K mutual with M, K also contained in a third
+    doc Z → both K and M drop, their content surviving transitively in
+    Z) — the standard greedy prune, local and deterministic, not global
+    set-cover. Returns one column ``doc_id``. Scale: a self-join of
     the PAIRS table (output-sized, not corpus-sized) — the consumer
     anti-joins the result against the corpus; the dropped set is NOT
     provably small, so no broadcast hint here (AQE promotes it when it

@@ -16711,9 +16711,15 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     mann_kendall_trend_daily (window is PARTITIONED by type over that
     dimension table, never raw facts). Scale: fact-sized groupBy, then
     ~|days|²/2 rows per type — constant in corpus size."""
+    from .operators.dedup import materialize
+
     ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("y")
+    # d feeds both self-join sides — checkpoint once so the fact-sized
+    # groupBy over events runs once, not twice (mirrors mann_kendall).
+    d = materialize(
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("y")
+        )
     )
     a = d.select(
         F.col("event_type").alias("a_t"),
@@ -16832,8 +16838,13 @@ def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             nv[d_] = nv.get(d_, 0) + (v.get(s_, 0) * c) // rs[s_]
         v = nv
     total = sum(v.values())
+    # Degenerate corpus (every user has ≤1 event): no transitions, so
+    # the chain has no stationary mass. The oracle's SUM over the empty
+    # v8 CTE is NULL and its `// tot.s` propagates it — emit NULL ppm
+    # rows here too instead of dividing by zero.
     rows = [
-        (ty, rs.get(ty, 0), v.get(ty, 0) * 1000000 // total) for ty in types
+        (ty, rs.get(ty, 0), v.get(ty, 0) * 1000000 // total if total else None)
+        for ty in types
     ]
     return spark.createDataFrame(
         rows, "event_type string, n_out long, stationary_ppm long"
@@ -17221,10 +17232,11 @@ def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff it is ≥80%-contained in some other doc AND is not the
     designated keeper of a mutual (near-identical) pair — mutual
     containment keeps the LOWER doc_id, one-directional containment
-    always keeps the host, so the rule is local, deterministic, and
-    never drops both members of a pair. (Chains resolve locally too: a
-    fragment contained in a fragment is judged against ITS own hosts —
-    the standard greedy prune, not global set-cover.) Both the
+    always keeps the host. The rule is local and deterministic; for a
+    pair in isolation it never drops both members, though chained
+    one-directional containment can drop a mutual pair's keeper (its
+    content then survives transitively in the chain's host — the
+    standard greedy prune, not global set-cover). Both the
     threshold and the mutual-pair tiebreak are exact integer
     predicates. Scale: the pairs stage is the containment join
     (df-cappable, see operators/dedup.containment_pairs); the keeper

@@ -3190,6 +3190,32 @@ def test_markov_stationary_two_state_flip_chain(spark, tmp_path):
     assert got == {"a": (4, 500000), "b": (4, 500000)}
 
 
+def test_markov_stationary_degenerate_no_transitions(spark, tmp_path):
+    """ADVICE r11: a corpus where every user has exactly one event has
+    ZERO transitions — the fold must not divide by the empty chain's
+    mass. The oracle's SUM over the empty v8 CTE is NULL, so the Spark
+    side emits NULL stationary_ppm (not a crash, not 0) with n_out=0."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), i, ty, 0.0, "{}")
+        for i, ty in enumerate(["a", "b", "c"])  # 3 users, 1 event each
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        r.event_type: (r.n_out, r.stationary_ppm)
+        for r in REGISTRY["markov_stationary_event_mix"].fn(spark, d).collect()
+    }
+    assert got == {"a": (0, None), "b": (0, None), "c": (0, None)}
+
+
 def test_markov_stationary_mass_and_outdegree_at_smoke(spark, sf_smoke):
     """On real data: ppm shares sum to 1e6 up to per-type floor loss, and
     total out-degree equals (events - distinct users) — every user with
