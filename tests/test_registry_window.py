@@ -12,53 +12,37 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r11 window: the steady-state cadence (VERDICT r10 "next round" #1) —
-# the 14 r10 registrations (their first driver rows) plus 36
-# RE-VERIFICATION slots: the two entries whose join construction
-# changed this round (rename-sided self-join keys), then the oldest
-# remaining green rows by (last-green round, registry order) — see the
-# DRIVER_WINDOW comment in queries.py for the selection audit.
-# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r11)
+# r12 window: the steady-state cadence (VERDICT r11 "next round" #1) —
+# the 30 r11 registrations (their first driver rows) plus 20
+# RE-VERIFICATION slots: the oldest remaining green rows by (last-green
+# round, registry order), all dating to CORRECTNESS_r06 — see the
+# DRIVER_WINDOW comment in queries.py for the selection audit. A green
+# r12 pass closes the ledger at 298-entry full driver coverage.
+# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r12)
 # that missed the window; their gate is the local replica
 # (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
-# schema + canonical value multiset); they rotate into the r12 window.
-# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r10)
+# schema + canonical value multiset); they rotate into the r13 window.
+# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r11)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = {
-    # -- registered r11 --
-    "pca_second_direction_embeddings",
-    "pca_projection_map_by_label",
-    "hll_register_store_users",
-    "bitmap_rolling_active_users",
-    "bitmap_audience_overlap_types",
-    "customer_spend_percentiles_by_nation",
-    "pca_explained_energy",
-    "k_anonymity_customers",
-    "vocab_overlap_langs",
-    "hapax_legomena_by_lang",
-    "token_rank_frequency_share",
-    "yoy_nation_revenue_growth",
-    "scd2_priority_version_durations",
-    "lines_per_order_histogram",
-    "attribution_first_touch",
-    "systematic_sample_orders",
-    "daily_count_trend_ols",
-    "time_decayed_customer_value",
-    "rolling_moments_zscore_daily",
-    "langid_confusion_docs",
-    "symspell_neighbor_pairs_customers",
-    "mann_kendall_trend_daily",
-    "theil_sen_daily_slope",
-    "markov_stationary_event_mix",
-    "dup_ngram_coverage_by_source",
-    "containment_neardup_docs",
-    "activity_streaks_users",
-    "interarrival_dispersion_events",
-    "trigram_diversity_by_source",
-    "containment_prune_report",
-}
+NEW_AWAITING_WINDOW: set[str] = set()  # no r12 registrations yet
 
 PREVIOUSLY_DRIVER_GREEN = {
+    # -- r11 window first-timers (the 14 r10 registrations), all green
+    #    (CORRECTNESS_r11: 50/50, zero err) --
+    "pca_top_direction_embeddings",
+    "pca_projection_scores",
+    "attribution_lookback_sweep",
+    "classifier_decile_lift",
+    "dow_seasonality_events",
+    "event_second_order_transitions",
+    "ship_lag_percentiles_by_priority",
+    "association_rules_parts",
+    "moments_store_merge_orders",
+    "pca_projection_by_label",
+    "weekly_activity_heatmap",
+    "order_gap_percentiles",
+    "revenue_concentration_hhi",
+    "doc_length_percentiles_by_lang",
     # -- r10 window first-timers, all green (CORRECTNESS_r10: 50/50, zero err) --
     "benford_first_digit_orders",
     "ab_funnel_stage_rates",
