@@ -130,6 +130,18 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "line/span surgery",
     )
     pp.add_argument(
+        "--containment-df-cap",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --containment-prune: drop shingles appearing in more "
+        "than N docs from the candidate JOIN (broadcast anti-join; set "
+        "sizes stay uncapped, so detected containment is a lower bound "
+        "and capped-run survivors are a superset of the exact run's) — "
+        "the hot-shingle escape hatch for boilerplate-heavy corpora; "
+        "default None = exact",
+    )
+    pp.add_argument(
         "--typicality-tail-pct",
         type=float,
         default=None,
@@ -316,9 +328,17 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                     containment_pairs,
                 )
 
-                cont = containment_pairs(kept, "doc_id", "text").select(
-                    "doc_a", "doc_b"
-                )
+                # --containment-df-cap N excludes shingles with df > N
+                # from the candidate join (detected containment becomes
+                # a lower bound, so the capped run keeps a SUPERSET of
+                # the exact run's survivors — tests/test_cli.py pins the
+                # nesting invariant); None = exact, the oracle mode.
+                cont = containment_pairs(
+                    kept,
+                    "doc_id",
+                    "text",
+                    max_shingle_df=args.containment_df_cap,
+                ).select("doc_a", "doc_b")
                 kept = kept.join(
                     containment_dropped_ids(cont), "doc_id", "left_anti"
                 )
