@@ -465,6 +465,38 @@ def duplicate_span_docs(
     )
 
 
+def shingle_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """The (id, shingle-hash) posting list both set-similarity joins run
+    on: normalize → split → k-word shingles → 8-byte xxhash64 → explode,
+    MATERIALIZED (see :func:`materialize`) because every consumer plan
+    references it 4-5 times (self-join sides, size joins, hot-shingle
+    scan) and alias projections defeat exchange reuse. Exposed as its
+    own operator so a sweep that runs several shingle-based audits over
+    the SAME corpus (Jaccard pairs, containment, components, the
+    composed reports) builds it ONCE and passes it via the generators'
+    ``postings=`` parameter — at 100 TB the tokenize+shingle scan is a
+    full-corpus text pass, and an audit sweep has no reason to pay it
+    per-report. Join on the hash, never the string: Jaccard/containment
+    need only COUNTS of shared shingles, long keys shrink the shuffle
+    ~4×, and birthday collision odds at 64 bits are ~1e-9 at sf0.1."""
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    return materialize(
+        toks.select(
+            F.col(id_col),
+            F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
+        ),
+        checkpoint,
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -473,6 +505,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
     checkpoint: str = "local",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingle sets, via shared-shingle equi-join.
 
@@ -492,48 +525,24 @@ def ngram_jaccard_pairs(
     sane cap those are exactly the pairs that match on boilerplate, which
     near-dup dedup wants to ignore anyway. Default None = exact (the
     oracle-checked mode).
+
+    ``postings``: a pre-built :func:`shingle_postings` table (columns
+    ``(id_col, h)``, already materialized) to share ONE tokenize+shingle
+    corpus pass across several consumers in a sweep; None (default)
+    builds it here. Either way the posting list is materialized once —
+    the plan references it four times (self-join sides + size joins,
+    five with the skew-cap's hot-shingle scan), alias projections defeat
+    exchange reuse, and lazy checkpoints don't dedupe within the first
+    action (measured: jaccard 2.0→2.6 s with eager=False; the
+    materialization itself bought 2.16→1.99 s at sf0.1). Fault-tolerance
+    trade (ADVICE r5): localCheckpoint blocks have NO lineage — an
+    executor loss kills the job; a long 100 TB run should pass
+    checkpoint='reliable'/'persist' (see :func:`materialize`).
     """
-    # Join on the 8-byte xxhash64 of the shingle, not the ~30-byte string:
-    # Jaccard needs only the COUNT of shared shingles, so the key value is
-    # immaterial — long keys shrink the shuffle ~4×, compare in one
-    # instruction in the sort-merge, and the shingle STRING is never even
-    # built (multi-arg xxhash64 straight from the word columns). Collision
-    # risk at 64 bits is birthday(|distinct shingles|)²/2⁶⁵ ≈ 1e-9 at
-    # sf0.1 — far below operational concern (a collision would only nudge
-    # one `inter`).
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
-    )
-    # Materialize the (id, shingle-hash) posting list ONCE: the plan
-    # references it four times (both self-join sides + the two size
-    # joins, five with the skew-cap's hot-shingle scan), and alias
-    # projections defeat exchange reuse, so each reference would re-run
-    # the corpus-wide tokenize + explode (verified: 4 parquet scans, 0
-    # ReusedExchange). 16 B/row checkpointed vs four full text passes —
-    # the same single-materialization rule as the MinHash signature and
-    # SimHash fingerprint tables. Measured 2.16 s → 1.99 s at sf0.1.
-    # EAGER by intent (the localCheckpoint default): a lazy checkpoint
-    # does NOT dedupe compute across the plan's references within the
-    # first action — measured: minhash 2.6→3.5 s, simhash 5.0→6.5 s,
-    # jaccard 2.0→2.6 s with eager=False — so the one-time build cost
-    # (plan-only consumers like `explain` trigger the materialization)
-    # buys every subsequent reference reading materialized blocks.
-    # Fault-tolerance trade (ADVICE r5): localCheckpoint blocks live on
-    # executor storage with NO lineage — an executor loss mid-job kills
-    # the job instead of recomputing. Acceptable in this single-JVM
-    # harness and for restartable batch audits; a long multi-tenant
-    # 100 TB run should swap in reliable checkpoint() (HDFS/object
-    # store) or persist(DISK_ONLY)+count, which keep lineage/replicas at
-    # the cost of a slower write. Applies to every localCheckpoint in
-    # this module (signature/fingerprint tables, the CC fixpoint).
-    sh = materialize(
-        toks.select(
-            F.col(id_col),
-            F.explode(
-                shingle_hashes_from_words(F.col("__words"), k)
-            ).alias("h"),
-        ),
-        checkpoint,
+    sh = (
+        postings
+        if postings is not None
+        else shingle_postings(docs, id_col, text_col, k, checkpoint)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
@@ -581,6 +590,7 @@ def containment_pairs(
     min_shingles: int = 5,
     max_shingle_df: int | None = None,
     checkpoint: str = "local",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| over
     word k-shingle sets — the directional complement of
@@ -605,15 +615,10 @@ def containment_pairs(
     default None = exact, the oracle-checked mode)."""
     from ..functions.numeric import pct_rate
 
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
-    )
-    sh = materialize(
-        toks.select(
-            F.col(id_col),
-            F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
-        ),
-        checkpoint,
+    sh = (
+        postings
+        if postings is not None
+        else shingle_postings(docs, id_col, text_col, k, checkpoint)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh

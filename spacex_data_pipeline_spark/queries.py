@@ -57,6 +57,66 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.table(spark, sf_dir, name)
 
 
+# Per-process share of the documents (doc_id, shingle-hash) posting list
+# (VERDICT r11 "next round" #4, the _PCA_GRAM_CACHE pattern applied to
+# the shingle stage): fifteen registry entries — the Jaccard/containment
+# pair generators, connected-components consumers, and every composed
+# dedup report — run the SAME corpus-wide tokenize+shingle+materialize
+# pass over the same table, so a registry-wide sweep paid that full-text
+# scan once PER ENTRY. Cache the MATERIALIZED DataFrame handle per
+# (SparkContext, sf_dir, k): localCheckpoint blocks live on the context,
+# so keying by applicationId makes a dead context's handle unreachable
+# (a fresh context rebuilds instead of crashing), and construction is
+# identical to the per-entry build — first-run and cached results are
+# the same blocks, so this cannot change any answer, only how often the
+# text scan runs. The pair generators keep building their own postings
+# when none is passed (the CLI path prunes a FILTERED corpus and must
+# not see the raw-table cache).
+_SHINGLE_POSTINGS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _doc_shingle_postings(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    sh = _SHINGLE_POSTINGS_CACHE.get(key)
+    if sh is None:
+        from .operators.dedup import shingle_postings
+
+        sh = shingle_postings(_t(spark, sf_dir, "documents"), "doc_id", "text", k)
+        _SHINGLE_POSTINGS_CACHE[key] = sh
+    return sh
+
+
+# Same sharing rule one level up: EIGHT entries (components, savings,
+# representatives, rates-by-source/domain, size histogram, the composed
+# reports) derive the identical (doc_id, component) assignment — CC
+# min-label fixpoint over the J≥0.8 pair graph — and the fixpoint is the
+# expensive stage (iterative joins, one pass per cluster diameter).
+# Deterministic by construction (min-label over a deterministic pair
+# set), so caching the materialized handle per (context, sf_dir) changes
+# wall-clock only, never an answer.
+_DOC_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comp = _DOC_CC_CACHE.get(key)
+    if comp is None:
+        from .operators.dedup import (
+            connected_components,
+            materialize,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(
+            docs, k=3, threshold=0.8,
+            postings=_doc_shingle_postings(spark, sf_dir),
+        )
+        comp = materialize(connected_components(docs.select("doc_id"), pairs))
+        _DOC_CC_CACHE[key] = comp
+    return comp
+
+
 # ---------------------------------------------------------------------------
 # A. Reference surface (SURVEY.md §2.1-§2.3) over the fixture star schema.
 # ---------------------------------------------------------------------------
@@ -833,7 +893,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic bugs, not to re-litigate hash width."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2,
+        postings=_doc_shingle_postings(spark, sf_dir),
+    )
 
 
 @register(
@@ -866,7 +929,9 @@ def dedup_minhash_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    truth = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir)
+    )
     cand = minhash_lsh_candidates(docs, threshold=0.2).withColumnRenamed(
         "est_jaccard", "est"
     )
@@ -906,7 +971,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    truth = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir)
+    )
     # one fingerprint materialization shared by the two inspection sides
     # AND the banded search (which references it 8 more times) — see
     # simhash_near_pairs' fingerprints parameter
@@ -2611,11 +2678,7 @@ def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the same fixpoint by a genuinely different
     algorithm (recursive-CTE transitive closure), so the iteration logic
     is cross-checked, not transliterated."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    return connected_components(docs.select("doc_id"), pairs)
+    return _doc_cc_components(spark, sf_dir)
 
 
 @register(
@@ -3657,11 +3720,8 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report a pipeline owner reads before enabling dedup. Proves the
     pair operators, the iterative fixpoint, and plain relational aggs
     compose in one lazy plan."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
-
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    comp = _doc_cc_components(spark, sf_dir)
     agg = (
         comp.join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("component")
@@ -3879,12 +3939,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     narrow per-doc quality map (fuses into the scan) and one window over
     the component key — the same key the component join already
     shuffled on."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
     from .operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    comp = _doc_cc_components(spark, sf_dir)
     qual = quality_score(docs).select("doc_id", "quality")
     joined = comp.join(qual, "doc_id")
     w = Window.partitionBy("component").orderBy(
@@ -4020,7 +4078,9 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import split_assign
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir)
+    )
     split_map = split_assign(
         docs.select("doc_id"), "doc_id", val_pct=0.05, test_pct=0.05
     )
@@ -4415,11 +4475,8 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the component sizes the CC fixpoint already
     produces; bucket edges are exact integer powers, so the histogram
     is hash-checkable."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
-
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    comp = _doc_cc_components(spark, sf_dir)
     csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     bucket = F.when(F.col("csize") == 1, F.lit(1).cast("long")).otherwise(
         F.pow(F.lit(2.0), F.floor(F.log2("csize")).cast("int")).cast("long")
@@ -4788,11 +4845,8 @@ def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + fixpoint, adds one component-size aggregate and one
     broadcast-friendly source join keyed on doc id; counts are exact
     BIGINTs, the rate divides them."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
-
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    comp = _doc_cc_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     return (
         comp.join(sizes, "component")
@@ -4881,18 +4935,11 @@ def dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     once too; its two consumers sit in one plan, so ReuseExchange
     dedups it. This is the production shape: a nightly dedup job emits
     every observability table from one expensive intermediate."""
-    from .operators.dedup import (
-        connected_components,
-        materialize,
-        ngram_jaccard_pairs,
-    )
+    from .operators.dedup import materialize
     from .operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = materialize(
-        connected_components(docs.select("doc_id"), pairs)
-    )
+    comp = _doc_cc_components(spark, sf_dir)
     csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     bnull = F.lit(None).cast("long")
     dnull = F.lit(None).cast("double")
@@ -5633,15 +5680,13 @@ def dedup_neardup_rates_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame
     scan, the component-size table is |components|-sized, and the final
     groupBy shuffles |domains| keys."""
     from .functions.urls import canonicalize_url, url_domain
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     domains = _synth_url(docs.select("doc_id", "source")).select(
         "doc_id",
         url_domain(canonicalize_url(F.col("url"))).alias("domain"),
     )
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    comp = _doc_cc_components(spark, sf_dir)
     csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
     flagged = (
         comp.join(csizes, "component")
@@ -9775,12 +9820,10 @@ def group_kfold_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, component) table the CC fixpoint already produces; the
     rollup is |folds|-sized. The expensive part — pairs + CC — is the
     SAME audited machinery every other component consumer shares."""
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
     from .operators.sampling import hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    comp = _doc_cc_components(spark, sf_dir)
     folded = comp.select(
         "doc_id",
         "component",
@@ -12644,7 +12687,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2,
+        postings=_doc_shingle_postings(spark, sf_dir),
     )
     dims = spark.createDataFrame([(k,) for k in range(2, 10)], "k10 long")
     sw = pairs.crossJoin(F.broadcast(dims)).filter(
@@ -16999,6 +17043,7 @@ def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         threshold_pct=80, min_shingles=5,
+        postings=_doc_shingle_postings(spark, sf_dir),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -17251,6 +17296,7 @@ def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         threshold_pct=80, min_shingles=5,
+        postings=_doc_shingle_postings(spark, sf_dir),
     ).select("doc_a", "doc_b")
     dropped = containment_dropped_ids(cont).withColumn("__dropped", F.lit(1))
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
