@@ -204,6 +204,12 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
 
     sub.add_parser("list-queries", help="list registered query names")
 
+    sub.add_parser(
+        "ledger",
+        help="print the driver-verification ledger (LEDGER.md) derived "
+        "from the CORRECTNESS_r*.json artifacts",
+    )
+
     pt = sub.add_parser(
         "tables", help="list warehouse tables (the psql \\dt check twin)"
     )
@@ -214,7 +220,7 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
 
     args = p.parse_args(argv)
 
-    # list-queries / tables need no Spark session
+    # list-queries / ledger / tables need no Spark session
     if args.cmd == "list-queries":
         from .queries import REGISTRY
 
@@ -222,6 +228,11 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
             kind = "oracle" if q.oracle else "rows-only"
             print(f"{name}\t{kind}\t{','.join(q.tags)}")
         return 0
+
+    if args.cmd == "ledger":
+        from .ledger import main as ledger_main
+
+        return ledger_main()
 
     if args.cmd == "tables":
         # The reference's sanity check is `\dt analytics.*` in psql

@@ -377,3 +377,21 @@ def test_no_registry_entry_emits_nested_output(spark, sf_oracle, capfd):
         or "SimpleTableFunctionRegistry" in ln
     ]
     assert not noisy, f"bench-tail WARN classes regressed: {noisy[:5]}"
+
+
+def test_ledger_artifact_in_sync():
+    """LEDGER.md is generated, never hand-edited: it must equal a fresh
+    render over the live registry, and the artifact-derived green set
+    must equal the hand-maintained PREVIOUSLY_DRIVER_GREEN — tying the
+    window-rotation bookkeeping to the recorded driver facts."""
+    from pathlib import Path
+
+    from spacex_data_pipeline_spark import ledger
+
+    want = ledger.render(list(REGISTRY))
+    have = Path(ledger.REPO_ROOT, "LEDGER.md").read_text()
+    assert have == want, "LEDGER.md is stale - regenerate with: python -m spacex_data_pipeline_spark ledger > LEDGER.md"
+    greens = set(ledger.green_rounds()) & set(REGISTRY)
+    assert greens == PREVIOUSLY_DRIVER_GREEN
+    # count header is pinned to the registry, like every coverage doc
+    assert f"Registry: {len(REGISTRY)} entries" in have
