@@ -17318,6 +17318,416 @@ def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r12 registrations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeat_purchase_curve",
+    oracle="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+    h AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS cust FROM c GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS buyers FROM c),
+    k AS (SELECT unnest(range(1, 11)) AS k)
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(COALESCE(SUM(h.cust), 0) AS BIGINT) AS n_customers_ge_k,
+           ROUND(100.0 * CAST(COALESCE(SUM(h.cust), 0) AS BIGINT)
+                 / NULLIF(t.buyers, 0), 2) AS pct_of_buyers
+    FROM k LEFT JOIN h ON h.n >= k.k, t
+    GROUP BY k.k, t.buyers ORDER BY k
+    """,
+    tags=("extension", "agg", "analytics", "retention"),
+)
+def repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase survival curve: for k = 1..10, how many customers
+    placed at least k orders, and what share of all buyers they are —
+    the one-table loyalty summary (k=1 is every buyer; the decay rate
+    is the business's repeat behavior). Computed from the per-count
+    HISTOGRAM, not the customer table: the fact scan reduces to
+    |customers| rows, those reduce to the tiny (n_orders → customers)
+    histogram, and the ≥k rollup joins the 10-row k grid against that
+    histogram — so the unbounded-fan-out join touches dimension-sized
+    inputs only. Exact integers end-to-end; the share is one pct_rate.
+    Scale: one fact-sized groupBy with map-side partials; everything
+    after is histogram-sized (bounded by max orders per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    h = c.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("cust"))
+    t = c.agg(F.count(F.lit(1)).cast("long").alias("buyers"))
+    k = spark.range(1, 11).select(F.col("id").alias("k"))
+    ge = (
+        k.join(F.broadcast(h), F.col("n") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("cust"), F.lit(0)).cast("long").alias("n_customers_ge_k"))
+    )
+    return (
+        ge.join(F.broadcast(t))
+        .select(
+            "k",
+            "n_customers_ge_k",
+            pct_rate(F.col("n_customers_ge_k"), F.col("buyers")).alias(
+                "pct_of_buyers"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "priority_mix_shift_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT month, priority, n,
+             CAST(SUM(n) OVER (PARTITION BY month) AS BIGINT) AS mtot
+      FROM m),
+    p AS (SELECT month, priority, n,
+                 CAST(n * 1000000 // mtot AS BIGINT) AS ppm
+          FROM s)
+    SELECT month, priority, n, ppm,
+           CAST(ppm - LAG(ppm) OVER (PARTITION BY priority ORDER BY month)
+                AS BIGINT) AS delta_ppm
+    FROM p ORDER BY month, priority
+    """,
+    tags=("extension", "agg", "window", "timeseries"),
+)
+def priority_mix_shift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month ORDER-PRIORITY mix shift in exact parts-per-
+    million: each month's priority share is the truncating integer
+    n·10⁶ div month_total (both engines floor non-negative operands
+    identically — no float share ever exists), and delta_ppm is the
+    LAG difference within each priority (NULL for the first month, in
+    both engines). The drift table a capacity planner reads to see
+    urgency mix moving. Scale: one fact-sized groupBy to the
+    |months|·|priorities| grid; both windows (month total, priority
+    lag) partition by a key over that dimension grid — never raw
+    facts, no global frame."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = m.withColumn(
+        "mtot", F.sum("n").over(Window.partitionBy("month")).cast("long")
+    )
+    p = s.withColumn("ppm", F.expr("CAST(n * 1000000 div mtot AS BIGINT)"))
+    lagw = Window.partitionBy("priority").orderBy("month")
+    return p.select(
+        "month",
+        "priority",
+        "n",
+        "ppm",
+        (F.col("ppm") - F.lag("ppm").over(lagw)).cast("long").alias("delta_ppm"),
+    ).orderBy("month", "priority")
+
+
+@register(
+    "user_event_degree_histogram",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    b AS (SELECT CAST(1::BIGINT << (length(format('{:b}', n)) - 1) AS BIGINT)
+                   AS bucket_lo
+          FROM c),
+    h AS (SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM b GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM c)
+    SELECT bucket_lo, CAST(bucket_lo * 2 - 1 AS BIGINT) AS bucket_hi, n_users,
+           ROUND(100.0 * n_users / NULLIF(t.total, 0), 2) AS pct_users
+    FROM h, t ORDER BY bucket_lo
+    """,
+    tags=("extension", "agg", "skew", "analytics"),
+)
+def user_event_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-user event counts — the degree
+    distribution that tells you whether user_id is safe as a shuffle
+    key before you group on it (a heavy tail here is tomorrow's
+    straggler; key_skew_report_events quantifies the worst keys, this
+    shows the whole shape). The bucket edge is INTEGER bit-length
+    arithmetic, not floor(log2): bucket_lo = 1 << (bits(n) − 1), with
+    bits(n) the binary-digit count both engines compute exactly
+    (Spark conv(n,10,2) length, DuckDB format('{:b}') length) — no
+    libm call sits on a bucket boundary. Scale: fact-sized groupBy to
+    |users|, then the ≤~40-bucket histogram; constant output."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    b = c.select(
+        F.expr(
+            "CAST(shiftleft(1L, length(conv(n, 10, 2)) - 1) AS BIGINT)"
+        ).alias("bucket_lo")
+    )
+    h = b.groupBy("bucket_lo").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    t = c.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        h.join(F.broadcast(t))
+        .select(
+            "bucket_lo",
+            (F.col("bucket_lo") * 2 - 1).cast("long").alias("bucket_hi"),
+            "n_users",
+            pct_rate(F.col("n_users"), F.col("total")).alias("pct_users"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+@register(
+    "weekday_adjusted_daily_volume",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    w AS (SELECT day, n, CAST(isodow(day) AS INT) AS dow FROM d),
+    m AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM w GROUP BY 1)
+    SELECT w.day, w.dow, w.n,
+           CAST(m.s AS DOUBLE) / m.c AS dow_mean,
+           CAST(w.n AS DOUBLE) - CAST(m.s AS DOUBLE) / m.c AS residual
+    FROM w JOIN m USING (dow) ORDER BY day
+    """,
+    tags=("extension", "agg", "timeseries", "seasonality"),
+)
+def weekday_adjusted_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted daily event volume: each day's count minus
+    its weekday's mean — the first-order seasonal adjustment that makes
+    a Monday dip distinguishable from a real drop (the complement of
+    dow_seasonality_events, which reports the profile; this reports
+    the RESIDUALS an alerting rule should threshold instead of raw
+    counts). Exactness: the weekday mean is one divide of exact
+    integers (sum, count) and the residual one subtract — single IEEE
+    ops, bit-identical cross-engine; weekday is ISO (Mon=1..Sun=7) in
+    both. Scale: fact-sized groupBy to |days|, a 7-row broadcast mean
+    table joined back — nothing data-sized after the first shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = d.withColumn("dow", F.expr("CAST(weekday(day) + 1 AS INT)"))
+    m = w.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mean = F.col("s").cast("double") / F.col("c")
+    return (
+        w.join(F.broadcast(m), "dow")
+        .select(
+            "day",
+            "dow",
+            "n",
+            mean.alias("dow_mean"),
+            (F.col("n").cast("double") - mean).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "median_order_gap_by_priority",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od,
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+      FROM orders),
+    g AS (SELECT o_orderpriority AS priority, o_orderkey,
+                 CAST(date_diff('day', prev_d, od) AS BIGINT) AS gap
+          FROM o2 WHERE prev_d IS NOT NULL),
+    r AS (SELECT priority, gap,
+                 ROW_NUMBER() OVER (PARTITION BY priority
+                                    ORDER BY gap, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY priority) AS n_gaps
+          FROM g)
+    SELECT priority, CAST(n_gaps AS BIGINT) AS n_gaps,
+           AVG(gap) AS median_gap_days
+    FROM r WHERE rn IN ((n_gaps + 1) // 2, (n_gaps + 2) // 2)
+    GROUP BY priority, n_gaps ORDER BY priority
+    """,
+    tags=("extension", "window", "percentile", "analytics"),
+)
+def median_order_gap_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median days between a customer's consecutive orders, grouped by
+    the LATER order's priority — does urgency correlate with shorter
+    reorder cycles? Gaps come from one per-customer LAG (keyed window,
+    deterministic (date, orderkey) order); the median is the house
+    exact-rank form — rank by (gap, orderkey), average the ⌈n/2⌉ and
+    ⌈(n+1)/2⌉ elements — so the only float is one average of two exact
+    integers, identical in both engines (no percentile interpolation).
+    Scale: both windows partition by a key (customer, then priority);
+    the rank window's partitions are gap-row-sized — at the extreme
+    where one priority dominates, the two-phase bucket-rank recipe the
+    global-rank entries document applies unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    o2 = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+    )
+    g = o2.filter(F.col("prev_d").isNotNull()).select(
+        "priority",
+        "o_orderkey",
+        F.datediff("od", "prev_d").cast("long").alias("gap"),
+    )
+    rw = Window.partitionBy("priority").orderBy("gap", "o_orderkey")
+    r = g.select(
+        "priority",
+        "gap",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n_gaps"),
+    )
+    return (
+        r.filter(
+            (F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+            | (F.col("rn") == F.expr("(n_gaps + 2) div 2"))
+        )
+        .groupBy("priority", F.col("n_gaps").cast("long").alias("n_gaps"))
+        .agg(F.avg("gap").alias("median_gap_days"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "supplier_part_breadth",
+    oracle="""
+    WITH tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_total FROM part),
+    b AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+          FROM lineitem GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, b.n_lines, b.n_parts,
+           ROUND(100.0 * b.n_parts / NULLIF(tp.n_parts_total, 0), 2)
+             AS breadth_pct
+    FROM b JOIN supplier s ON s.s_suppkey = b.l_suppkey, tp
+    ORDER BY b.n_parts DESC, s.s_suppkey LIMIT 25
+    """,
+    tags=("extension", "agg", "join", "topk"),
+)
+def supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog breadth per supplier: distinct parts shipped vs the whole
+    part catalog, top-25 by breadth — the concentration view of the
+    supply graph (a supplier shipping 60% of the catalog is a systemic
+    dependency; q16 counts the inverse direction). count_distinct
+    runs as a partial-aggregated two-phase plan on (suppkey, partkey);
+    the supplier name join is broadcast (dimension-sized), the catalog
+    total a 1-row broadcast, and the top-25 is TakeOrderedAndProject
+    with the (n_parts DESC, suppkey) deterministic tiebreak — no
+    global sort at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    tp = _t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_total")
+    )
+    b = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    return (
+        b.join(F.broadcast(s), b.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(tp))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            "n_parts",
+            pct_rate(F.col("n_parts"), F.col("n_parts_total")).alias("breadth_pct"),
+        )
+        .orderBy(F.desc("n_parts"), "s_suppkey")
+        .limit(25)
+    )
+
+
+@register(
+    "discount_lift_by_year",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE)
+             AS gross_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS discount_amt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS net_revenue,
+           ROUND(100.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                                  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)))
+                               AS DOUBLE), 0), 2) AS discount_pct
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "decimal"),
+)
+def discount_lift_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount give-back by ship year: gross revenue, the absolute
+    discount amount, net revenue, and discount as a share of gross —
+    the q6 what-if generalized to an unconditional yearly report. All
+    money flows through the house exact-decimal discipline
+    (functions/numeric.dec_money): DECIMAL(8,2)·DECIMAL(4,2) products
+    stay on Spark's primitive-Long fast path, sums are exact and
+    order-independent, and each output casts to DOUBLE exactly once —
+    so both engines agree bitwise with zero float accumulation.
+    Scale: one scan, one |years|-keyed partial+final agg; reads two
+    money columns plus the date (column pruning does the rest)."""
+    li = _t(spark, sf_dir, "lineitem")
+    gross = F.sum(dec_money("l_extendedprice"))
+    disc = F.sum(
+        dec_money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")
+    )
+    net = F.sum(
+        dec_money("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        li.groupBy(F.year("l_shipdate").cast("int").alias("year"))
+        .agg(
+            gross.cast("double").alias("gross_revenue"),
+            disc.cast("double").alias("discount_amt"),
+            net.cast("double").alias("net_revenue"),
+            pct_rate(disc.cast("double"), gross.cast("double")).alias(
+                "discount_pct"
+            ),
+        )
+        .orderBy("year")
+    )
+
+
+@register(
+    "fixed_size_sample_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR) || 'rsvr'), event_id
+    LIMIT 100
+    """,
+    tags=("extension", "sampling", "topk"),
+)
+def fixed_size_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k deterministic global sample (k=100): order by the md5
+    of the key and take the first k — the distributed reservoir: every
+    row's hash is a pure key function, so the sample is uniform over
+    any corpus, reproducible across runs/appends-with-reshuffles, and
+    the plan is TakeOrderedAndProject (per-partition top-k, then one
+    k-row merge on the driver — NO global sort, no single reducer),
+    which is how you take a fixed-size sample of 100 TB. Complements
+    sample_orders_deterministic (fixed RATE, size drifts with the
+    corpus) — evals and debugging dashboards want fixed SIZE. The
+    md5-string order is engine-identical (hex is lexicographic in
+    ASCII in both), tie-broken by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type")
+        .orderBy(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit("rsvr"))),
+            "event_id",
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation (r12).
 #
 # The driver's correctness harness checks exactly the FIRST 50 entries of

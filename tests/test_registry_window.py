@@ -24,7 +24,17 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # schema + canonical value multiset); they rotate into the r13 window.
 # Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r11)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = set()  # no r12 registrations yet
+NEW_AWAITING_WINDOW: set[str] = {
+    # -- registered r12 --
+    "repeat_purchase_curve",
+    "priority_mix_shift_monthly",
+    "user_event_degree_histogram",
+    "weekday_adjusted_daily_volume",
+    "median_order_gap_by_priority",
+    "supplier_part_breadth",
+    "discount_lift_by_year",
+    "fixed_size_sample_events",
+}
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- r11 window first-timers (the 14 r10 registrations), all green
