@@ -34,6 +34,13 @@ NEW_AWAITING_WINDOW: set[str] = {
     "supplier_part_breadth",
     "discount_lift_by_year",
     "fixed_size_sample_events",
+    "ngram_novelty_by_source",
+    "char_class_profile_by_source",
+    "split_source_mix_parity",
+    "shard_balance_report",
+    "neardup_cluster_length_spread",
+    "source_curation_scorecard",
+    "containment_groupkfold",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
