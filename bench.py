@@ -253,6 +253,35 @@ EXTENDED = [
     "interarrival_dispersion_events",
     "trigram_diversity_by_source",
     "containment_prune_report",
+    # new in r12
+    "repeat_purchase_curve",
+    "priority_mix_shift_monthly",
+    "user_event_degree_histogram",
+    "weekday_adjusted_daily_volume",
+    "median_order_gap_by_priority",
+    "supplier_part_breadth",
+    "discount_lift_by_year",
+    "fixed_size_sample_events",
+    "ngram_novelty_by_source",
+    "char_class_profile_by_source",
+    "split_source_mix_parity",
+    "shard_balance_report",
+    "neardup_cluster_length_spread",
+    "source_curation_scorecard",
+    "containment_groupkfold",
+    # new in r12 (second push)
+    "orders_open_backlog_daily",
+    "max_drawdown_daily_revenue",
+    "triangle_census_part_graph",
+    "weighted_median_price_by_flag",
+    "spend_quartile_migration_customers",
+    "new_vs_returning_users_weekly",
+    "purchase_burst_islands",
+    "catalog_entry_curve",
+    "quantile_store_monthly_read",
+    "shingle_df_cap_loss_curve",
+    "dedup_survivorship_shift",
+    "sentence_stats_by_lang",
 ]
 
 

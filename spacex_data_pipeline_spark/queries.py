@@ -18272,6 +18272,983 @@ def containment_groupkfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(MAX(l.l_shipdate) AS DATE) + 1 AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    deltas AS (
+      SELECT start_day AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT end_day, -1 FROM spans),
+    byday AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta_open
+      FROM deltas GROUP BY 1)
+    SELECT day, delta_open,
+           CAST(SUM(delta_open) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM byday ORDER BY day
+    """,
+    tags=("extension", "window", "interval", "analytics"),
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG timeline by interval sweep-line: an order is
+    open from its order date until its last lineitem ships (half-open
+    [start, last_ship+1)), and the open count per day is the running
+    sum of +1/-1 boundary deltas — the classic concurrent-intervals
+    reduction that never materializes order×day rows (an order open
+    200 days is two delta rows, not 200 fact rows; the naive
+    day-spine join is O(orders·duration) and dies first at 100 TB).
+    Exact integers end to end. Scale: one order-grain groupBy over
+    lineitem (map-side combinable MAX), one order-grain join, one
+    |distinct boundary days|-keyed groupBy; the running sum is an
+    unpartitioned window over the DAY-GRAIN delta table (|days|+1
+    rows, sanctioned bounded frame in tests/test_plans.py) — the
+    piecewise-constant timeline between boundary days is implicit."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"))
+        .join(
+            o.select("o_orderkey", F.to_date("o_orderdate").alias("start_day")),
+            "o_orderkey",
+        )
+    )
+    deltas = spans.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select(F.date_add("last_ship", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    byday = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("delta_open"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        "day",
+        "delta_open",
+        F.sum("delta_open").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")
+
+
+@register(
+    "max_drawdown_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS rev
+      FROM orders GROUP BY 1),
+    dd AS (
+      SELECT day, rev,
+             MAX(rev) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily)
+    SELECT day,
+           CAST(rev AS DOUBLE)          AS revenue,
+           CAST(peak AS DOUBLE)         AS peak_to_date,
+           CAST(peak - rev AS DOUBLE)   AS drawdown,
+           ROUND(100.0 * CAST(peak - rev AS DOUBLE)
+                 / NULLIF(CAST(peak AS DOUBLE), 0), 2) AS drawdown_pct
+    FROM dd ORDER BY day
+    """,
+    tags=("extension", "window", "timeseries", "analytics"),
+)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-current DRAWDOWN of the daily revenue series — the
+    risk/health metric (how far below the best day to date is today?)
+    that powers revenue-regression alerting; max(drawdown) over the
+    result is the classic maximum-drawdown scalar, returned per-day
+    here so the whole path is observable. All money arithmetic is
+    exact DECIMAL(8,2) (house dec_money discipline): the running MAX
+    and the peak−rev subtraction are exact, each output casts to
+    DOUBLE exactly once, and the pct is the audited pct_rate shape.
+    Scale: one fact-sized |days|-keyed groupBy, then an unpartitioned
+    running-max window over the DAY-GRAIN rollup (|days| rows,
+    sanctioned bounded frame in tests/test_plans.py)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec_money("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select("day", "rev", F.max("rev").over(w).alias("peak"))
+    return dd.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("peak").cast("double").alias("peak_to_date"),
+        (F.col("peak") - F.col("rev")).cast("double").alias("drawdown"),
+        pct_rate(
+            (F.col("peak") - F.col("rev")).cast("double"),
+            F.col("peak").cast("double"),
+        ).alias("drawdown_pct"),
+    ).orderBy("day")
+
+
+@register(
+    "triangle_census_part_graph",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT)        AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT)            AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           tri.t                                               AS n_triangles,
+           ROUND(100.0 * 3 * tri.t
+                 / NULLIF(CAST((SELECT SUM(d * (d - 1) // 2) FROM deg)
+                          AS BIGINT), 0), 2)                   AS closure_pct
+    FROM tri
+    """,
+    tags=("extension", "graph", "analytics"),
+)
+def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT triangle census of the part co-purchase graph (edge = two
+    parts sharing an order), plus the global clustering coefficient
+    3·triangles/wedges — the graph-analytics one-number summary of how
+    clique-ish co-purchase behavior is (random-mix baskets ≈ 0;
+    category-driven baskets cluster). Triangle counting is the ordered
+    adjacency join: with every edge stored a<b, a triangle a<b<c is
+    counted exactly once by e1(a,b)⋈e2(b,c)⋈e3(a,c) — never an
+    unordered 6× overcount and never an all-pairs node. Exact
+    integers; the coefficient is the audited pct_rate. Scale: edge
+    generation fans out C(lines_per_order, 2) ≤ 21 pairs per order
+    (TPC-H orders cap at 7 lines) then collapses by DISTINCT; the
+    wedge join is keyed on the shared middle vertex, so hub parts are
+    the skew risk — bounded here by the DISTINCT edge reduction, and
+    AQE skew-split handles residual hot vertices (same posture as the
+    dedup hot-shingle caps); the census output is ONE row."""
+    from .operators.dedup import materialize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lt = li.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("bp")
+    )
+    e = materialize(
+        li.join(lt, (F.col("l_orderkey") == F.col("bo")) & (F.col("l_partkey") < F.col("bp")))
+        .select(F.col("l_partkey").alias("a"), F.col("bp").alias("b"))
+        .distinct()
+    )
+    nodes = e.select(F.col("a").alias("v")).union(e.select("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_nodes.join(F.broadcast(n_edges))
+        .join(F.broadcast(wedges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            pct_rate(F.lit(3) * F.col("n_triangles"), F.col("n_wedges")).alias(
+                "closure_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, l_extendedprice, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cw
+      FROM g),
+    t AS (
+      SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS totw FROM g GROUP BY 1)
+    SELECT c.l_returnflag,
+           MAX(t.totw) AS total_weight,
+           MIN(CASE WHEN 4 * c.cw >= t.totw THEN c.l_extendedprice END) AS wq25,
+           MIN(CASE WHEN 2 * c.cw >= t.totw THEN c.l_extendedprice END) AS w_median,
+           MIN(CASE WHEN 4 * c.cw >= 3 * t.totw THEN c.l_extendedprice END) AS wq75
+    FROM c JOIN t USING (l_returnflag)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "window", "percentile", "order-statistics"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED exact quartiles of line price per return flag —
+    the weighted order statistic (each price counts `quantity` times)
+    that unweighted percentile entries cannot express: a unit-price
+    median treats a 1-unit and a 50-unit line equally, while mixture
+    and procurement dashboards want the per-UNIT distribution. Lower
+    weighted quantile q = the smallest price whose cumulative weight
+    reaches q·W, tested with exact integer cross-products (4·cw ≥ totw
+    etc. — no float rank, TPC-H quantities are whole numbers so the
+    BIGINT cast is lossless) and the returned values are original
+    price doubles (picked, never averaged ⇒ engine-identical). Scale:
+    the fact table collapses to (flag, price) VALUE GRAIN first (the
+    gini/two-phase discipline), so the per-flag cumulative window
+    orders distinct-price rows, never raw lines; everything after is
+    |flags|-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w")
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wspec).cast("long").alias("cw"),
+    )
+    t = g.groupBy("l_returnflag").agg(F.sum("w").cast("long").alias("totw"))
+    return (
+        c.join(F.broadcast(t), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("totw").alias("total_weight"),
+            F.min(
+                F.when(4 * F.col("cw") >= F.col("totw"), F.col("l_extendedprice"))
+            ).alias("wq25"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("totw"), F.col("l_extendedprice"))
+            ).alias("w_median"),
+            F.min(
+                F.when(4 * F.col("cw") >= 3 * F.col("totw"), F.col("l_extendedprice"))
+            ).alias("wq75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "spend_quartile_migration_customers",
+    oracle="""
+    WITH sp AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT yr, o_custkey, cents,
+             row_number() OVER (PARTITION BY yr ORDER BY cents, o_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY yr) AS n
+      FROM sp),
+    b AS (
+      SELECT yr,
+             MIN(CASE WHEN rn = greatest(1, (25 * n + 99) // 100) THEN cents END) AS q25,
+             MIN(CASE WHEN rn = greatest(1, (50 * n + 99) // 100) THEN cents END) AS q50,
+             MIN(CASE WHEN rn = greatest(1, (75 * n + 99) // 100) THEN cents END) AS q75
+      FROM r GROUP BY 1),
+    s AS (
+      SELECT sp.yr, sp.o_custkey,
+             1 + CAST(sp.cents > b.q25 AS INT) + CAST(sp.cents > b.q50 AS INT)
+               + CAST(sp.cents > b.q75 AS INT) AS seg
+      FROM sp JOIN b USING (yr)),
+    m AS (
+      SELECT a.seg AS seg_from, COALESCE(nx.seg, 0) AS seg_to
+      FROM s a LEFT JOIN s nx
+        ON nx.o_custkey = a.o_custkey AND nx.yr = a.yr + 1
+      WHERE a.yr < (SELECT MAX(yr) FROM sp)),
+    cnt AS (
+      SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM m GROUP BY 1, 2),
+    tot AS (
+      SELECT seg_from, CAST(SUM(n_customers) AS BIGINT) AS t
+      FROM cnt GROUP BY 1)
+    SELECT c.seg_from, c.seg_to, c.n_customers,
+           ROUND(100.0 * c.n_customers / NULLIF(t.t, 0), 2) AS row_pct
+    FROM cnt c JOIN tot t USING (seg_from)
+    ORDER BY 1, 2
+    """,
+    tags=("extension", "window", "analytics", "segmentation"),
+)
+def spend_quartile_migration_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-QUARTILE migration matrix: customers are
+    segmented 1–4 by exact within-year spend quartile BOUNDARIES
+    (threshold semantics — ties share a segment, so the assignment is
+    deterministic without per-row ntile order), then each consecutive
+    year pair contributes a (seg_from → seg_to) transition, with
+    seg_to = 0 the CHURN state (no orders next year) — the
+    segment-dynamics table behind retention/upsell planning, and the
+    customer-grain sibling of markov_stationary_event_mix's type-grain
+    chain. Spend is exact integer CENTS (dec_money · 100); boundaries
+    come from the shared two-phase order-statistic machinery
+    (relational.grouped_exact_percentiles — per-year rank windows run
+    at (cents-bucket) grain, never a year-sized reducer), broadcast
+    back (|years|·3 rows); the migration join is a customer-grain
+    equi-join on (custkey, yr+1). Output is ≤ 4·5 cells + the audited
+    pct_rate row share. The final year is excluded from the FROM side
+    (its next year is unobserved, not churned)."""
+    from .operators.dedup import materialize
+    from .operators.relational import grouped_exact_percentiles
+
+    o = _t(spark, sf_dir, "orders")
+    # customer-year grain feeds FOUR consumers (boundary scan, segment
+    # join, max-year scalar, next-year side) — checkpoint once
+    sp = materialize(
+        o.groupBy(F.year("o_orderdate").cast("int").alias("yr"), "o_custkey").agg(
+            (F.sum(dec_money("o_totalprice")) * 100).cast("long").alias("cents")
+        )
+    )
+    qs = grouped_exact_percentiles(
+        sp, ["yr"], "cents", ["o_custkey"], [25, 50, 75],
+        F.floor(F.col("cents") / F.lit(10_000_000)),
+    )
+    b = qs.groupBy("yr").agg(
+        F.min(F.when(F.col("q_pct") == 25, F.col("cents"))).alias("q25"),
+        F.min(F.when(F.col("q_pct") == 50, F.col("cents"))).alias("q50"),
+        F.min(F.when(F.col("q_pct") == 75, F.col("cents"))).alias("q75"),
+    )
+    s = sp.join(F.broadcast(b), "yr").select(
+        "yr",
+        "o_custkey",
+        (
+            F.lit(1)
+            + (F.col("cents") > F.col("q25")).cast("int")
+            + (F.col("cents") > F.col("q50")).cast("int")
+            + (F.col("cents") > F.col("q75")).cast("int")
+        ).alias("seg"),
+    )
+    max_yr = sp.agg(F.max("yr").alias("max_yr"))
+    nx = s.select(
+        "o_custkey", (F.col("yr") - 1).alias("yr"), F.col("seg").alias("seg_to")
+    )
+    m = (
+        s.join(F.broadcast(max_yr))
+        .filter(F.col("yr") < F.col("max_yr"))
+        .join(nx, ["o_custkey", "yr"], "left")
+        .select(
+            F.col("seg").alias("seg_from"),
+            F.coalesce("seg_to", F.lit(0)).alias("seg_to"),
+        )
+    )
+    cnt = m.groupBy("seg_from", "seg_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    tot = cnt.groupBy("seg_from").agg(F.sum("n_customers").cast("long").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "seg_from")
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            pct_rate(F.col("n_customers"), F.col("t")).alias("row_pct"),
+        )
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+@register(
+    "new_vs_returning_users_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      FROM events),
+    fw AS (SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY 1)
+    SELECT uw.week,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN uw.week = fw.first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN uw.week = fw.first_week THEN 0 ELSE 1 END)
+                AS BIGINT) AS returning_users,
+           ROUND(100.0 * CAST(SUM(CASE WHEN uw.week = fw.first_week THEN 1
+                                       ELSE 0 END) AS BIGINT)
+                 / NULLIF(COUNT(*), 0), 2) AS new_pct
+    FROM uw JOIN fw USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "agg", "growth", "analytics"),
+)
+def new_vs_returning_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly NEW vs RETURNING user split — the growth-accounting
+    companion of dau_wau_stickiness and user_retention_cohorts: a
+    user is NEW in their first active ISO week (Monday-truncated,
+    engine-identical) and RETURNING in every later active week; the
+    new_pct share is the acquisition-vs-retention mix dial. Exact
+    integers + one audited pct_rate. Scale: distinct (user, week)
+    first (fact-sized map-side combine), the user-grain MIN is the
+    second combine, and the classifier join is user-keyed — no
+    window, no data-sized frame; output is |weeks| rows."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    is_new = (F.col("week") == F.col("first_week")).cast("int")
+    return (
+        uw.join(fw, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(is_new).cast("long").alias("new_users"),
+            F.sum(1 - is_new).cast("long").alias("returning_users"),
+            pct_rate(F.sum(is_new).cast("long"), F.count(F.lit(1))).alias(
+                "new_pct"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "purchase_burst_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+    l AS (
+      SELECT o_custkey, day,
+             lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS pd
+      FROM d),
+    f AS (
+      SELECT o_custkey, day,
+             CASE WHEN pd IS NULL OR day - pd > 7 THEN 1 ELSE 0 END AS brk
+      FROM l),
+    i AS (
+      SELECT o_custkey, day,
+             SUM(brk) OVER (PARTITION BY o_custkey ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f),
+    isl AS (
+      SELECT o_custkey, island,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span
+      FROM i GROUP BY 1, 2)
+    SELECT n_days AS burst_days,
+           CAST(COUNT(*) AS BIGINT) AS n_bursts,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(MAX(span) AS BIGINT) AS max_span_days
+    FROM isl GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "window", "gaps-islands", "analytics"),
+)
+def purchase_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase BURSTS via tolerance gaps-and-islands: consecutive order
+    days of a customer belong to one burst while the gap is ≤ 7 days
+    (activity_streaks_users is the strict gap=1 special case on the
+    events stream; real purchase cadences need the tolerance form),
+    reported as a burst-size histogram (distinct order days per burst
+    → burst count, customers, max calendar span). The island id is
+    the running sum of break flags (lag-gap > 7), the standard
+    O(n log n) windowed reduction — no self-join, no recursion. Exact
+    integers throughout (datediff is integer days). Scale: windows
+    are PARTITIONED by customer (per-partition frames bounded by a
+    customer's order days, ≤ dozens), islands collapse to
+    (customer, island) grain before the histogram, and the output is
+    bounded by the longest burst."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select("o_custkey", F.to_date("o_orderdate").alias("day")).distinct()
+    wl = Window.partitionBy("o_custkey").orderBy("day")
+    f = d.select(
+        "o_custkey",
+        "day",
+        F.when(
+            F.lag("day").over(wl).isNull()
+            | (F.datediff("day", F.lag("day").over(wl)) > 7),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wi = wl.rowsBetween(Window.unboundedPreceding, 0)
+    i = f.select(
+        "o_custkey", "day", F.sum("brk").over(wi).alias("island")
+    )
+    isl = i.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("long").alias("span"),
+    )
+    return (
+        isl.groupBy(F.col("n_days").alias("burst_days"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bursts"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.max("span").cast("long").alias("max_span_days"),
+        )
+        .orderBy("burst_days")
+    )
+
+
+@register(
+    "catalog_entry_curve",
+    oracle="""
+    WITH pf AS (
+      SELECT l_partkey,
+             MIN(CAST(date_trunc('month', l_shipdate) AS DATE)) AS m
+      FROM lineitem GROUP BY 1),
+    sf AS (
+      SELECT l_suppkey,
+             MIN(CAST(date_trunc('month', l_shipdate) AS DATE)) AS m
+      FROM lineitem GROUP BY 1),
+    pm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS new_parts FROM pf GROUP BY 1),
+    sm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS new_suppliers FROM sf GROUP BY 1),
+    mm AS (
+      SELECT COALESCE(pm.m, sm.m) AS month,
+             COALESCE(pm.new_parts, 0) AS new_parts,
+             COALESCE(sm.new_suppliers, 0) AS new_suppliers
+      FROM pm FULL JOIN sm ON sm.m = pm.m)
+    SELECT month, new_parts,
+           CAST(SUM(new_parts) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_parts,
+           new_suppliers,
+           CAST(SUM(new_suppliers) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_suppliers
+    FROM mm ORDER BY month
+    """,
+    tags=("extension", "agg", "growth", "analytics"),
+)
+def catalog_entry_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog COLD-START curve: parts and suppliers by the month their
+    FIRST line ships, with cumulative catalog size — the
+    entity-first-seen rollup that sizes cold-start exposure (how much
+    of any month's traffic involves never-before-shipped entities)
+    and the dimension-side twin of new_vs_returning_users_weekly.
+    Exact integers. Scale: two fact-sized first-seen groupBys
+    (map-side MIN at part/supplier grain), a |months|-sized full
+    outer join, then cumulative sums over the MONTH-GRAIN table
+    (unpartitioned but |months|-bounded — sanctioned in
+    tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_trunc("month", "l_shipdate").cast("date")
+    pf = li.groupBy("l_partkey").agg(F.min(month).alias("m"))
+    sfm = li.groupBy("l_suppkey").agg(F.min(month).alias("m"))
+    pm = pf.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("new_parts"))
+    sm = sfm.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("new_suppliers")
+    )
+    mm = (
+        pm.join(sm, "m", "full")
+        .select(
+            F.col("m").alias("month"),
+            F.coalesce("new_parts", F.lit(0).cast("long")).alias("new_parts"),
+            F.coalesce("new_suppliers", F.lit(0).cast("long")).alias(
+                "new_suppliers"
+            ),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return mm.select(
+        "month",
+        "new_parts",
+        F.sum("new_parts").over(w).cast("long").alias("cum_parts"),
+        "new_suppliers",
+        F.sum("new_suppliers").over(w).cast("long").alias("cum_suppliers"),
+    ).orderBy("month")
+
+
+@register(
+    "quantile_store_monthly_read",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    mc AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month, bin,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2),
+    cum AS (
+      SELECT month, bin, n,
+             CAST(SUM(n) OVER (PARTITION BY month ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM mc),
+    tot AS (SELECT month, CAST(SUM(n) AS BIGINT) AS n_total FROM mc GROUP BY 1),
+    rk AS (
+      SELECT month, n_total,
+             CAST(greatest(1, (50 * n_total + 99) // 100) AS BIGINT)
+               AS rank_needed
+      FROM tot),
+    hit AS (
+      SELECT r.month, r.n_total, r.rank_needed, MIN(c.bin) AS bin
+      FROM rk r JOIN cum c ON c.month = r.month AND c.cum_n >= r.rank_needed
+      GROUP BY 1, 2, 3),
+    rr AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_totalprice,
+             row_number() OVER (
+               PARTITION BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders),
+    ex AS (
+      SELECT rr.month,
+             MIN(CASE WHEN rr.rn = r.rank_needed THEN rr.o_totalprice END)
+               AS exact_median
+      FROM rr JOIN rk r ON r.month = rr.month GROUP BY 1)
+    SELECT h.month, h.n_total, h.rank_needed, h.bin,
+           h.bin * CAST(1000.0 AS DOUBLE)       AS est_lo,
+           (h.bin + 1) * CAST(1000.0 AS DOUBLE) AS est_hi,
+           ex.exact_median,
+           (ex.exact_median >= h.bin * CAST(1000.0 AS DOUBLE)
+            AND ex.exact_median < (h.bin + 1) * CAST(1000.0 AS DOUBLE))
+             AS in_bin
+    FROM hit h JOIN ex ON ex.month = h.month
+    ORDER BY 1
+    """,
+    tags=("extension", "agg", "approx", "sketch"),
+)
+def quantile_store_monthly_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain RANGE READS of the mergeable histogram store — the
+    read-path symmetry check the HLL register store already has
+    (VERDICT r11 candidate): quantile_sketch_store_orders proves the
+    ALL-range merge; this entry folds the SAME per-day (day, bin,
+    count) cells into every month's histogram BY ADDITION and answers
+    each month's median with no fact rescan, alongside the exact
+    per-month median (shared two-phase machinery,
+    relational.grouped_exact_percentiles, same (50n+99) DIV 100
+    integer rank) and the provable containment fact est_lo ≤ exact <
+    est_hi per month — the bound the store contract promises for ANY
+    date range. Exact integers except the two est bounds (one integer
+    × 1000.0 product each, engine-identical). Scale: day-cell build
+    is the store's one map-side-combined fact pass; the month merge
+    touches |days|·bins cells; cumulative windows run PARTITIONED by
+    month over ≤500 bins; exact medians ride the bucketed two-phase
+    rank, never a month-sized reducer."""
+    from .operators.relational import grouped_exact_percentiles
+
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mc = cells.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"), "bin"
+    ).agg(F.sum("n").cast("long").alias("n"))
+    wm = (
+        Window.partitionBy("month")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = mc.select(
+        "month", "bin", "n", F.sum("n").over(wm).cast("long").alias("cum_n")
+    )
+    tot = mc.groupBy("month").agg(F.sum("n").cast("long").alias("n_total"))
+    rk = tot.select(
+        "month",
+        "n_total",
+        F.greatest(
+            F.lit(1).cast("long"), F.expr("(50 * n_total + 99) div 100")
+        ).alias("rank_needed"),
+    )
+    hit = (
+        cum.join(F.broadcast(rk), "month")
+        .filter(F.col("cum_n") >= F.col("rank_needed"))
+        .groupBy("month", "n_total", "rank_needed")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ex = grouped_exact_percentiles(
+        o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        ["month"],
+        "o_totalprice",
+        ["o_orderkey"],
+        [50],
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)),
+    ).select("month", F.col("o_totalprice").alias("exact_median"))
+    est_lo = F.col("bin") * F.lit(1000.0)
+    est_hi = (F.col("bin") + 1) * F.lit(1000.0)
+    return (
+        hit.join(ex, "month")
+        .select(
+            "month",
+            "n_total",
+            "rank_needed",
+            "bin",
+            est_lo.alias("est_lo"),
+            est_hi.alias("est_hi"),
+            "exact_median",
+            ((F.col("exact_median") >= est_lo) & (F.col("exact_median") < est_hi)).alias(
+                "in_bin"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "shingle_df_cap_loss_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    dfh AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter,
+             MIN(d.df) AS mindf
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                JOIN dfh d ON d.s = a.s
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT da, db, mindf
+      FROM p JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
+      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2),
+    caps AS (SELECT unnest([4, 8, 16, 32, 64]) AS cap)
+    SELECT CAST(cap AS INT) AS cap,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN mindf <= cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_pairs,
+           CAST(SUM(CASE WHEN mindf > cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS lost_pairs,
+           ROUND(100.0 * CAST(SUM(CASE WHEN mindf > cap THEN 1 ELSE 0 END)
+                              AS BIGINT)
+                 / NULLIF(COUNT(*), 0), 2) AS lost_pct
+    FROM caps, jp GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "dedup", "skew", "audit"),
+)
+def shingle_df_cap_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL COST of the hot-shingle df-cap, measured exactly: a true
+    Jaccard≥0.2 pair survives candidate generation under cap c iff
+    its rarest SHARED shingle has document frequency ≤ c (the cap
+    drops whole posting lists, so a pair is lost only when EVERY
+    shared shingle is hot) — so ONE uncapped pair-generation pass
+    annotated with min(shared df) yields the entire loss curve, no
+    per-cap re-join. This is the measurement behind choosing
+    --jaccard-df-cap/--containment-df-cap (the skew bench shows the
+    SPEED side — 2.2s vs 6.5s under adversarial skew; this shows the
+    RECALL side), turning the cap from a guess into a dial with
+    known loss. Exact integers + audited pct_rate. Scale: the audit
+    itself runs the uncapped join, so at 100 TB you run it on a
+    corpus SAMPLE to pick the cap, then apply the cap corpus-wide —
+    the curve's min-df annotation adds one broadcast-sized df join
+    to the pair pass it already shares (_doc_shingle_postings, zero
+    extra text scans in a sweep)."""
+    sh = _doc_shingle_postings(spark, sf_dir)
+    dfh = sh.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    shd = sh.join(dfh, "h")
+    rhs = shd.select(
+        F.col("h").alias("h2"), F.col("doc_id").alias("db")
+    )
+    p = (
+        shd.join(rhs, (F.col("h") == F.col("h2")) & (F.col("doc_id") < F.col("db")))
+        .groupBy(F.col("doc_id").alias("da"), "db")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("df").alias("mindf"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jp = (
+        p.join(na, "da")
+        .join(nb, "db")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= 0.2
+        )
+        .select("da", "db", "mindf")
+    )
+    caps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in (4, 8, 16, 32, 64)])).alias("cap")
+    )
+    lost = F.sum((F.col("mindf") > F.col("cap")).cast("int")).cast("long")
+    return (
+        jp.join(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("mindf") <= F.col("cap")).cast("int"))
+            .cast("long")
+            .alias("kept_pairs"),
+            lost.alias("lost_pairs"),
+            pct_rate(lost, F.count(F.lit(1))).alias("lost_pct"),
+        )
+        .orderBy("cap")
+    )
+
+
+@register(
+    "dedup_survivorship_shift",
+    oracle=_JACCARD_PAIRS_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    .replace("__T__", "0.8")
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component
+             FROM reach GROUP BY node),
+    keep AS (SELECT component, MIN(doc_id) AS keeper FROM comp GROUP BY 1),
+    d AS (
+      SELECT dd.lang, dd.n_chars // 256 AS len_bucket, dd.doc_id,
+             CASE WHEN k.keeper = dd.doc_id THEN 1 ELSE 0 END AS kept
+      FROM documents dd
+      JOIN comp c ON c.doc_id = dd.doc_id
+      JOIN keep k ON k.component = c.component),
+    g AS (
+      SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(kept) AS BIGINT) AS n_after
+      FROM d GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+                 CAST(SUM(n_after) AS BIGINT) AS ta FROM g)
+    SELECT g.lang, g.len_bucket, g.n_before, g.n_after,
+           ROUND(100.0 * g.n_before / NULLIF(t.tb, 0), 2) AS before_pct,
+           ROUND(100.0 * g.n_after / NULLIF(t.ta, 0), 2)  AS after_pct,
+           ROUND(ROUND(100.0 * g.n_after / NULLIF(t.ta, 0), 2)
+                 - ROUND(100.0 * g.n_before / NULLIF(t.tb, 0), 2), 2)
+             AS shift_pp
+    FROM g, t ORDER BY 1, 2
+    """,
+    tags=("extension", "dedup", "curation", "audit"),
+)
+def dedup_survivorship_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP BIAS of near-dup dedup, measured as the (lang ×
+    length-bucket) composition shift between the full corpus and the
+    one-keeper-per-component survivor set (min-doc_id keeper over the
+    J≥0.8 components — the deterministic rule, stated; the
+    quality-keeper variant is dedup_cluster_representatives' job):
+    dedup is supposed to remove REDUNDANCY, not tilt the corpus, and
+    this is the audit that catches the tilt — if boilerplate clusters
+    concentrate in one language or length band, removal shifts every
+    other cell's share (shift_pp = after − before, in percentage
+    points). Exact integers; the shares are audited pct_rates and the
+    shift is one subtract of two already-rounded doubles. Scale:
+    rides the SHARED component assignment (_doc_cc_components — the
+    CC fixpoint runs once per sweep); everything after is a doc-grain
+    join plus a |langs × buckets| rollup. The oracle re-derives
+    components by recursive CTE — cross-checked, not transliterated."""
+    comp = _doc_cc_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    keep = comp.groupBy("component").agg(F.min("doc_id").alias("keeper"))
+    d = (
+        docs.select("doc_id", "lang", F.expr("n_chars div 256").alias("len_bucket"))
+        .join(comp, "doc_id")
+        .join(keep, "component")
+        .select(
+            "lang",
+            F.col("len_bucket").cast("long").alias("len_bucket"),
+            (F.col("keeper") == F.col("doc_id")).cast("int").alias("kept"),
+        )
+    )
+    g = d.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum("kept").cast("long").alias("n_after"),
+    )
+    t = g.agg(
+        F.sum("n_before").cast("long").alias("tb"),
+        F.sum("n_after").cast("long").alias("ta"),
+    )
+    before_pct = pct_rate(F.col("n_before"), F.col("tb"))
+    after_pct = pct_rate(F.col("n_after"), F.col("ta"))
+    return (
+        g.join(F.broadcast(t))
+        .select(
+            "lang",
+            "len_bucket",
+            "n_before",
+            "n_after",
+            before_pct.alias("before_pct"),
+            after_pct.alias("after_pct"),
+            F.round(after_pct - before_pct, 2).alias("shift_pp"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+@register(
+    "sentence_stats_by_lang",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                 x -> length(trim(x)) > 0)) AS n_sent,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_words
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_sent) AS BIGINT)   AS n_sentences,
+           CAST(SUM(n_words) AS BIGINT)  AS n_words,
+           CAST(MAX(n_sent) AS BIGINT)   AS max_sentences_per_doc,
+           ROUND(CAST(SUM(n_words) AS DOUBLE)
+                 / NULLIF(CAST(SUM(n_sent) AS BIGINT), 0), 2)
+             AS avg_words_per_sentence
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "text", "analytics"),
+)
+def sentence_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE segmentation statistics per language — the
+    sentence-grain sibling of text_stats_docs' token-grain stats:
+    sentences are maximal non-blank runs between [.!?]+ terminators
+    (the same regex class both engines' RE2-compatible engines treat
+    identically), and avg words-per-sentence is the readability
+    signal length/token stats can't see (two corpora with identical
+    token counts read very differently at 8 vs 40 words a sentence).
+    Counts are exact integers; the average is ONE double divide of
+    two exact sums, rounded once. Scale: one text pass, two
+    per-row splits (JVM regexp, no Python), |langs|-sized rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    n_sent = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+"),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+    )
+    n_words = F.size(
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    )
+    s = docs.select("lang", n_sent.alias("n_sent"), n_words.alias("n_words"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sent").cast("long").alias("n_sentences"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.max("n_sent").cast("long").alias("max_sentences_per_doc"),
+            F.round(
+                F.sum("n_words").cast("double")
+                / nullif(F.sum("n_sent").cast("long"), F.lit(0)),
+                2,
+            ).alias("avg_words_per_sentence"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r12).
 #

@@ -135,6 +135,9 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     # token_rank_frequency_share: rank/cumulative window over the top-20
     # table (TakeOrderedAndProject output, <=20 rows by construction)
     "token_rank_frequency_share",
+    # catalog_entry_curve: cumulative sums over the MONTH-GRAIN
+    # first-seen table (|months| rows, never fact rows) — audited r12
+    "catalog_entry_curve",
     "classifier_decile_lift",
     "cluster_quality_profile",
     "conversion_latency_stats",
@@ -150,7 +153,13 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     "ks_drift_order_prices",
     "lorenz_curve_customer_spend",
     "mann_whitney_spend_by_arm",
+    # max_drawdown_daily_revenue: running-max window over the DAY-GRAIN
+    # revenue rollup (|days| rows, never fact rows) — audited r12
+    "max_drawdown_daily_revenue",
     "order_gap_percentiles",  # constant group folds away; frame = bucket table
+    # orders_open_backlog_daily: running-sum window over the DAY-GRAIN
+    # boundary-delta table (≤ |days|+1 rows, never fact rows) — audited r12
+    "orders_open_backlog_daily",
     "orders_global_running_total",
     "pq_encode_codes",
     "pq_recall_report",

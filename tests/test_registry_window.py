@@ -41,6 +41,19 @@ NEW_AWAITING_WINDOW: set[str] = {
     "neardup_cluster_length_spread",
     "source_curation_scorecard",
     "containment_groupkfold",
+    # -- registered r12, second push --
+    "orders_open_backlog_daily",
+    "max_drawdown_daily_revenue",
+    "triangle_census_part_graph",
+    "weighted_median_price_by_flag",
+    "spend_quartile_migration_customers",
+    "new_vs_returning_users_weekly",
+    "purchase_burst_islands",
+    "catalog_entry_curve",
+    "quantile_store_monthly_read",
+    "shingle_df_cap_loss_curve",
+    "dedup_survivorship_shift",
+    "sentence_stats_by_lang",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
