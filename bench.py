@@ -282,6 +282,10 @@ EXTENDED = [
     "shingle_df_cap_loss_curve",
     "dedup_survivorship_shift",
     "sentence_stats_by_lang",
+    # new in r12 (third push)
+    "containment_chain_depth",
+    "source_minhash_overlap",
+    "similarity_margin_report",
 ]
 
 

@@ -19249,6 +19249,340 @@ def sentence_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "containment_chain_depth",
+    oracle=_JACCARD_PAIRS_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    .replace("__T__", "2.0")  # jp unused; threshold 2.0 keeps it empty
+    + """,
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2),
+    ow AS (
+      SELECT p.doc_a AS a, p.doc_b AS b
+      FROM cpairs p JOIN sizes na ON na.doc_id = p.doc_a
+                    JOIN sizes nb ON nb.doc_id = p.doc_b
+      WHERE na.n >= 5 AND p.inter * 100 >= 80 * na.n AND na.n < nb.n),
+    chains(node, d) AS (
+      SELECT a, 1 FROM ow
+      UNION
+      SELECT o.a, c.d + 1 FROM ow o JOIN chains c ON c.node = o.b
+      WHERE c.d < 8),
+    dep AS (
+      SELECT dd.doc_id, COALESCE(MAX(c.d), 0) AS depth
+      FROM documents dd LEFT JOIN chains c ON c.node = dd.doc_id
+      GROUP BY 1)
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dep GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "dedup", "iterative", "audit"),
+)
+def containment_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment NESTING depth histogram: hierarchy edges are
+    containment(a→b) ≥ 80% with |A| STRICTLY smaller than |B| (the
+    strict size order makes the relation provably acyclic — a chain
+    is a fragment inside a bigger doc inside a bigger one still; the
+    walk cap of 8 is a bound, not a correctness crutch), and
+    depth(d) = the longest such chain starting at d. This is the
+    observable behind ADVICE r11 #3's keeper-rule caveat: the
+    keep-host prune's content-preservation argument is transitive
+    through exactly these chains, so depth ≥ 2 mass measures how much
+    of the corpus relies on transitive survival rather than a direct
+    host (equal-size mutual twins carry no hierarchy and are excluded
+    by the strict inequality). Exact integers. Scale: edges ride the
+    SHARED posting list (zero extra text passes); each of the ≤7
+    extension joins is pair-table-sized and keyed on the chain head —
+    the frontier shrinks geometrically (deep nesting is rare); the
+    loop exits early on an empty frontier and the histogram is ≤9
+    rows. The oracle walks the same closure by recursive CTE —
+    cross-checked, not transliterated."""
+    from .operators.dedup import containment_pairs, materialize
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _doc_shingle_postings(spark, sf_dir)
+    cp = containment_pairs(
+        docs, "doc_id", "text", k=3, threshold_pct=80, min_shingles=5,
+        postings=sh,
+    ).select("doc_a", "doc_b", "a_size")
+    nb = sh.groupBy(F.col("doc_id").alias("doc_b")).agg(
+        F.count(F.lit(1)).alias("b_size")
+    )
+    ow = materialize(
+        cp.join(nb, "doc_b")
+        .filter(F.col("a_size") < F.col("b_size"))
+        .select("doc_a", "doc_b")
+    )
+    edges = ow.select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+    cur = ow.select(F.col("doc_a").alias("head"), F.col("doc_b").alias("tail"))
+    levels = [cur.select("head", F.lit(1).alias("d"))]
+    for k in range(2, 9):
+        cur = materialize(
+            cur.join(edges, F.col("tail") == F.col("pa"))
+            .select("head", F.col("pb").alias("tail"))
+            .distinct()
+        )
+        if not cur.take(1):
+            break
+        levels.append(cur.select("head", F.lit(k).alias("d")))
+    reach = levels[0]
+    for lv in levels[1:]:
+        reach = reach.unionByName(lv)
+    dep = (
+        docs.select("doc_id")
+        .join(
+            reach.groupBy(F.col("head").alias("doc_id")).agg(
+                F.max("d").alias("dmax")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(F.coalesce("dmax", F.lit(0)).cast("int").alias("depth"))
+    )
+    return (
+        dep.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("depth")
+    )
+
+
+def _minhash_source_overlap_oracle(n_perms: int = 16) -> str:
+    """DuckDB twin of the per-source MinHash signature + exact Jaccard
+    calibration; the perm terms are generated so both engines hash the
+    identical 'mh{i}:'-seeded strings (functions/hashing.md5_int60)."""
+    mins = ",\n             ".join(
+        f"MIN(('0x' || substr(md5('mh{i}:' || s), 1, 15))::UBIGINT::BIGINT) AS m{i}"
+        for i in range(n_perms)
+    )
+    matches = "\n               + ".join(
+        f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(n_perms)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    shs AS (
+      SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    dss AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS hs
+      FROM shs),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dss GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM dss a JOIN dss b ON a.hs = b.hs AND a.source < b.source
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT source,
+             {mins}
+      FROM shs GROUP BY 1),
+    mp AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST({matches} AS BIGINT) AS matches
+      FROM sig a JOIN sig b ON a.source < b.source)
+    SELECT mp.source_a, mp.source_b, na.n AS n_a, nb.n AS n_b,
+           COALESCE(i.inter, 0) AS inter,
+           ROUND(100.0 * COALESCE(i.inter, 0)
+                 / NULLIF(na.n + nb.n - COALESCE(i.inter, 0), 0), 2)
+             AS jaccard_pct,
+           mp.matches,
+           ROUND(100.0 * mp.matches / {n_perms}, 2) AS est_pct,
+           ROUND(abs(ROUND(100.0 * mp.matches / {n_perms}, 2)
+                 - ROUND(100.0 * COALESCE(i.inter, 0)
+                         / NULLIF(na.n + nb.n - COALESCE(i.inter, 0), 0), 2)), 2)
+             AS err_pp
+    FROM mp
+    JOIN sizes na ON na.source = mp.source_a
+    JOIN sizes nb ON nb.source = mp.source_b
+    LEFT JOIN inter i ON i.source_a = mp.source_a AND i.source_b = mp.source_b
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "source_minhash_overlap",
+    oracle=_minhash_source_overlap_oracle(),
+    tags=("extension", "dedup", "approx", "sketch", "curation"),
+)
+def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level MinHash overlap estimation, calibrated against the
+    exact pairwise Jaccard in the same table: each source's shingle
+    SET folds to a 16-permutation MinHash signature in ONE pass (16
+    MIN aggregates over md5-seeded engine-identical hashes — min is
+    idempotent, so no per-source distinct is even needed), and
+    estimated Jaccard = matching mins / 16. source_overlap_matrix is
+    the exact answer at audit scale; THIS is the 100 TB path — at a
+    thousand sources the exact shingle-set pair join moves the whole
+    posting list, while signatures are |sources|·16 ints that merge
+    by MIN under any partitioning (a mergeable sketch, same contract
+    as the HLL/CMS/bitmap stores) — and err_pp reports, per pair,
+    exactly what the 16-perm estimate costs in accuracy. The exact
+    side joins on md5_int60 hashes (engine-identical), the estimate
+    side replays the identical 'mh{i}:'-seeded mins in both engines,
+    so every column hash-compares bit-for-bit. Scale: one text pass
+    feeds both sides; the signature agg is map-side combinable; the
+    exact pair join is the audit's cost, not the estimator's."""
+    from .functions.hashing import md5_int60, normalize_text, shingles_from_words
+
+    docs = _t(spark, sf_dir, "documents")
+    shs = docs.select(
+        "source", F.split(normalize_text(F.col("text")), " ").alias("__words")
+    ).select(
+        "source",
+        F.explode(shingles_from_words(F.col("__words"), 3)).alias("s"),
+    )
+    dss = shs.select("source", md5_int60(F.col("s")).alias("hs")).distinct()
+    sizes = dss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rhs = dss.select(F.col("source").alias("source_b"), F.col("hs").alias("hs2"))
+    inter = (
+        dss.join(
+            rhs, (F.col("hs") == F.col("hs2")) & (F.col("source") < F.col("source_b"))
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    n_perms = 16
+    sig = shs.groupBy("source").agg(
+        *[
+            F.min(md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(f"m{i}")
+            for i in range(n_perms)
+        ]
+    )
+    sig_b = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perms)],
+    )
+    matches = F.lit(0)
+    for i in range(n_perms):
+        matches = matches + (F.col(f"m{i}") == F.col(f"b{i}")).cast("int")
+    mp = (
+        sig.join(sig_b, F.col("source") < F.col("source_b"))
+        .select(
+            F.col("source").alias("source_a"),
+            "source_b",
+            matches.cast("long").alias("matches"),
+        )
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    j = (
+        mp.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0).cast("long")))
+    )
+    jacc = pct_rate(
+        F.col("inter"), F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    est = F.round(F.lit(100.0) * F.col("matches") / F.lit(n_perms), 2)
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "inter",
+        jacc.alias("jaccard_pct"),
+        "matches",
+        est.alias("est_pct"),
+        F.round(F.abs(est - jacc), 2).alias("err_pp"),
+    ).orderBy("source_a", "source_b")
+
+
+@register(
+    "similarity_margin_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, q.qlabel, c.vec_id AS nid, c.label AS nlabel,
+             {_COS_SQL.format(a="q.qv", b="c.embedding")} AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nid) AS rn
+      FROM scored)
+    SELECT query_id,
+           MIN(CASE WHEN rn = 1 THEN nid END)    AS top1_id,
+           MIN(CASE WHEN rn = 1 THEN cosine END) AS top1_cos,
+           MIN(CASE WHEN rn = 2 THEN nid END)    AS top2_id,
+           MIN(CASE WHEN rn = 2 THEN cosine END) AS top2_cos,
+           MIN(CASE WHEN rn = 1 THEN cosine END)
+             - MIN(CASE WHEN rn = 2 THEN cosine END) AS margin,
+           CAST(MAX(CASE WHEN rn = 1 THEN CAST(nlabel = qlabel AS INT) END)
+                AS BOOLEAN) AS same_label
+    FROM r WHERE rn <= 2
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "similarity", "curation"),
+)
+def similarity_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor CONFIDENCE MARGIN per sampled query vector
+    (vec_id ≡ 0 mod 25): top-1 minus top-2 cosine — the label-noise /
+    retrieval-confidence signal (a tiny margin means the nearest
+    neighbor is barely distinguished from the runner-up, the regime
+    where kNN labels flip and near-dup thresholds misfire), plus
+    whether the nearest neighbor agrees with the query's label.
+    Rides cosine_topk's audited BLAS machinery (_batch_topk_candidates
+    → exact left-to-right rescore), so every returned cosine is the
+    LTR fold both engines compute bit-identically, and the margin is
+    ONE subtract of two such doubles. Scale: the corpus is never
+    shuffled for scoring (per-Arrow-batch tile against the broadcast
+    query set); the only shuffle is the candidate-set window, and the
+    output is |corpus|/25 rows. The deterministic modular sample is
+    the audit-scale knob — at 100 TB you widen the modulus, not the
+    plan."""
+    from .operators.similarity import _batch_topk_candidates, _exact_rescore_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    pairs = c.crossJoin(F.broadcast(q.select("query_id", "qv"))).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    top2 = _exact_rescore_topk(_batch_topk_candidates(pairs, 2), 2)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    ql = q.select("query_id", "qlabel")
+    piv = (
+        top2.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(ql), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias("top1_id"),
+            F.min(F.when(F.col("rank") == 1, F.col("cosine"))).alias("top1_cos"),
+            F.min(F.when(F.col("rank") == 2, F.col("neighbor_id"))).alias("top2_id"),
+            F.min(F.when(F.col("rank") == 2, F.col("cosine"))).alias("top2_cos"),
+            F.max(
+                F.when(F.col("rank") == 1, (F.col("nlabel") == F.col("qlabel")).cast("int"))
+            ).alias("__same"),
+        )
+    )
+    return (
+        piv.select(
+            "query_id",
+            "top1_id",
+            "top1_cos",
+            "top2_id",
+            "top2_cos",
+            (F.col("top1_cos") - F.col("top2_cos")).alias("margin"),
+            (F.col("__same") == 1).alias("same_label"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r12).
 #

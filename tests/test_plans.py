@@ -105,6 +105,7 @@ SANCTIONED_PYTHON = {
     "embedding_covariance_matrix",  # rides the Gram pass (r8)
     "multimodal_byte_features",  # Arrow-batched frombuffer+bincount (r8)
     "ivf_nprobe_recall_sweep",  # ground truth rides cosine_topk's BLAS tile; probes ride ivf_assign_cells (r8)
+    "similarity_margin_report",  # rides cosine_topk's BLAS tile (r12)
 }
 
 

@@ -54,6 +54,10 @@ NEW_AWAITING_WINDOW: set[str] = {
     "shingle_df_cap_loss_curve",
     "dedup_survivorship_shift",
     "sentence_stats_by_lang",
+    # -- registered r12, third push --
+    "containment_chain_depth",
+    "source_minhash_overlap",
+    "similarity_margin_report",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
