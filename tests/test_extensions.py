@@ -3330,3 +3330,336 @@ def test_containment_dropped_ids_keeper_rule(spark):
     )
     got = {r.doc_id for r in containment_dropped_ids(cont).collect()}
     assert got == {1, 11}
+
+
+# ---------------------------------------------------------------------------
+# r12 second/third-push entries: hand cases + cross-method invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_backlog_sweep_line_hand_case(spark, tmp_path):
+    """Order 1 spans days 1..3 (last ship day 3 -> open through day 3),
+    order 2 is placed and fully ships on day 2: the sweep-line must
+    read open = 1, 2, 1, 0 at the four boundary days."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 11, "O", 100.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 2)),
+        (1, 2, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 3)),
+        (2, 3, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 2)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    rows = REGISTRY["orders_open_backlog_daily"].fn(spark, d).collect()
+    got = [(r.day.isoformat(), r.delta_open, r.open_orders) for r in rows]
+    assert got == [
+        ("2024-01-01", 1, 1),
+        ("2024-01-02", 1, 2),
+        ("2024-01-03", -1, 1),
+        ("2024-01-04", -1, 0),
+    ]
+
+
+def test_backlog_conservation_at_smoke(spark, sf_smoke):
+    """Every order that opens must close: deltas sum to zero, the
+    running count never dips negative, and the final row reads 0."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["orders_open_backlog_daily"].fn(spark, sf_smoke).collect()
+    assert sum(r.delta_open for r in rows) == 0
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0
+
+
+def test_drawdown_hand_case(spark, tmp_path):
+    """Daily revenue 10, 8, 12, 5 -> peaks 10, 10, 12, 12 and drawdowns
+    0, 2, 0, 7 (peak-to-current, exact decimal)."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (i + 1, 1, "O", rev, dt.datetime(2024, 1, i + 1), "1-URGENT")
+            for i, rev in enumerate([10.0, 8.0, 12.0, 5.0])
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    rows = REGISTRY["max_drawdown_daily_revenue"].fn(spark, d).collect()
+    assert [r.peak_to_date for r in rows] == [10.0, 10.0, 12.0, 12.0]
+    assert [r.drawdown for r in rows] == [0.0, 2.0, 0.0, 7.0]
+
+
+def test_triangle_census_hand_graph(spark, tmp_path):
+    """Order {1,2,3} makes a triangle, order {3,4} hangs an edge off it:
+    4 nodes, 4 edges, wedges 1+1+3+0 = 5, 1 triangle, closure 60%."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    li = []
+    for ln, pk in enumerate([1, 2, 3], start=1):
+        li.append((1, pk, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)))
+    for ln, pk in enumerate([3, 4], start=1):
+        li.append((2, pk, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    r = REGISTRY["triangle_census_part_graph"].fn(spark, d).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.closure_pct == 60.0
+
+
+def test_weighted_median_hand_case(spark, tmp_path):
+    """Flag A holds price 10 at weight 1 and price 20 at weight 3
+    (W=4): lower weighted quartiles must read q25=10 (cum 1 reaches
+    W/4) and median=q75=20."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "A", "O", dt.datetime(2024, 1, 1)),
+        (1, 2, 1, 2, 3.0, 20.0, 0.0, 0.0, "A", "O", dt.datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    r = REGISTRY["weighted_median_price_by_flag"].fn(spark, d).collect()[0]
+    assert (r.total_weight, r.wq25, r.w_median, r.wq75) == (4, 10.0, 20.0, 20.0)
+
+
+def test_quartile_migration_shares_and_domains(spark, sf_smoke):
+    """Segments stay in 1..4 (from) / 0..4 (to), every from-segment's
+    row_pct mass sums to ~100, and the matrix covers exactly the
+    customer-years that have an observable next year."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["spend_quartile_migration_customers"].fn(spark, sf_smoke).collect()
+    assert rows, "matrix must not be empty at smoke"
+    froms = {r.seg_from for r in rows}
+    assert froms <= {1, 2, 3, 4}
+    assert {r.seg_to for r in rows} <= {0, 1, 2, 3, 4}
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in rows:
+        mass[r.seg_from] += r.row_pct
+    for sf_, m in mass.items():
+        assert abs(m - 100.0) < 0.1, (sf_, m)
+
+
+def test_new_vs_returning_accounting(spark, sf_smoke):
+    """new + returning = active per week; total new across weeks equals
+    the distinct-user count; the first week is all-new."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["new_vs_returning_users_weekly"].fn(spark, sf_smoke).collect()
+    assert all(r.new_users + r.returning_users == r.active_users for r in rows)
+    ev = catalog.table(spark, sf_smoke, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users
+    assert rows[0].returning_users == 0
+
+
+def test_burst_islands_hand_case(spark, tmp_path):
+    """Order days 1, 3 | 20, 25 for one customer (gap tolerance 7):
+    two bursts of 2 days; max span 6 (20..25)."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (k, 1, "O", 10.0, dt.datetime(2024, 1, day), "1-URGENT")
+            for k, day in enumerate([1, 3, 20, 25], start=1)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    rows = REGISTRY["purchase_burst_islands"].fn(spark, d).collect()
+    assert [(r.burst_days, r.n_bursts, r.n_customers, r.max_span_days) for r in rows] == [
+        (2, 2, 1, 6)
+    ]
+
+
+def test_catalog_entry_curve_totals(spark, sf_smoke):
+    """Cumulative curves are monotone and end at the distinct part /
+    supplier counts seen in lineitem."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["catalog_entry_curve"].fn(spark, sf_smoke).collect()
+    li = catalog.table(spark, sf_smoke, "lineitem")
+    assert rows[-1].cum_parts == li.select("l_partkey").distinct().count()
+    assert rows[-1].cum_suppliers == li.select("l_suppkey").distinct().count()
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_parts >= a.cum_parts
+        assert b.cum_suppliers >= a.cum_suppliers
+
+
+def test_quantile_store_monthly_bound_holds(spark, sf_smoke):
+    """The store's contract: the exact median lies inside the claimed
+    bin for EVERY month, and the bin is exactly one width wide."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["quantile_store_monthly_read"].fn(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.in_bin, r
+        assert r.est_hi - r.est_lo == 1000.0
+        assert r.est_lo <= r.exact_median < r.est_hi
+
+
+def test_df_cap_loss_curve_monotone(spark, sf_smoke):
+    """Raising the cap can only recover pairs: kept_pairs is
+    non-decreasing in cap, kept + lost = n_pairs, and n_pairs (the
+    uncapped truth) is constant across the sweep."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["shingle_df_cap_loss_curve"].fn(spark, sf_smoke).collect()
+    assert rows
+    totals = {r.n_pairs for r in rows}
+    assert len(totals) == 1
+    for r in rows:
+        assert r.kept_pairs + r.lost_pairs == r.n_pairs
+    kept = [r.kept_pairs for r in sorted(rows, key=lambda r: r.cap)]
+    assert kept == sorted(kept)
+
+
+def test_survivorship_shift_totals(spark, sf_smoke):
+    """Survivors = one keeper per component; shares on each side sum
+    to ~100; no cell gains docs."""
+    from spacex_data_pipeline_spark.queries import (
+        REGISTRY,
+        _doc_cc_components,
+    )
+
+    rows = REGISTRY["dedup_survivorship_shift"].fn(spark, sf_smoke).collect()
+    n_comp = (
+        _doc_cc_components(spark, sf_smoke).select("component").distinct().count()
+    )
+    assert sum(r.n_after for r in rows) == n_comp
+    assert all(r.n_after <= r.n_before for r in rows)
+    assert abs(sum(r.before_pct for r in rows) - 100.0) < 0.5
+    assert abs(sum(r.after_pct for r in rows) - 100.0) < 0.5
+
+
+def test_sentence_stats_hand_case(spark, tmp_path):
+    """'Hi there. How are you? Fine!' = 3 sentences, 6 words,
+    avg 2.0 words per sentence."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "Hi there. How are you? Fine!", "en", "web", 28)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    r = REGISTRY["sentence_stats_by_lang"].fn(spark, d).collect()[0]
+    assert (r.n_docs, r.n_sentences, r.n_words) == (1, 3, 6)
+    assert r.max_sentences_per_doc == 3
+    assert r.avg_words_per_sentence == 2.0
+
+
+def test_containment_chain_depth_hand_case(spark, tmp_path):
+    """A (7 words) inside B (12 words) inside C (20 words): strict
+    size-ordered containment chains give depths A=2, B=1, C=0."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    words = [f"w{i}" for i in range(20)]
+    c_text = " ".join(words)
+    b_text = " ".join(words[:12])
+    a_text = " ".join(words[:7])
+    spark.createDataFrame(
+        [
+            (1, a_text, "en", "web", len(a_text)),
+            (2, b_text, "en", "web", len(b_text)),
+            (3, c_text, "en", "web", len(c_text)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.depth: r.n_docs
+        for r in REGISTRY["containment_chain_depth"].fn(spark, d).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_source_minhash_identical_sources_agree_exactly(spark, tmp_path):
+    """Two sources with the same text agree on all 16 mins (est 100%)
+    and the exact Jaccard is 100%, so err_pp = 0; a third disjoint
+    source shows exact Jaccard 0 against both."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    t1 = " ".join(f"a{i}" for i in range(12))
+    t2 = " ".join(f"z{i}" for i in range(12))
+    spark.createDataFrame(
+        [
+            (1, t1, "en", "s1", len(t1)),
+            (2, t1, "en", "s2", len(t1)),
+            (3, t2, "en", "s3", len(t2)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["source_minhash_overlap"].fn(spark, d).collect()
+    }
+    twin = rows[("s1", "s2")]
+    assert (twin.matches, twin.est_pct, twin.jaccard_pct, twin.err_pp) == (
+        16,
+        100.0,
+        100.0,
+        0.0,
+    )
+    assert rows[("s1", "s3")].jaccard_pct == 0.0
+    assert rows[("s2", "s3")].inter == 0
+
+
+def test_similarity_margin_hand_case(spark, tmp_path):
+    """Query vec 0 equals vec 1 (cosine 1) and is orthogonal to vec 2
+    (cosine 0): margin 1.0, and the top-1 label agrees with the
+    query's."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    spark.createDataFrame(
+        [(0, e1, 7), (1, e1, 7), (2, e2, 9)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    r = REGISTRY["similarity_margin_report"].fn(spark, d).collect()[0]
+    assert (r.query_id, r.top1_id, r.top2_id) == (0, 1, 2)
+    assert r.top1_cos == 1.0 and r.top2_cos == 0.0 and r.margin == 1.0
+    assert r.same_label is True
