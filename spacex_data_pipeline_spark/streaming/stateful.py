@@ -615,3 +615,76 @@ def _gap_fold(
     if last_us is not None:
         state.update((last_us, last_eid))
     yield pd.DataFrame(out, columns=[f.name for f in GAP_OUTPUT_SCHEMA.fields])
+
+
+WEEKLY_FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("week", T.DateType()),
+        T.StructField("is_new", T.BooleanType()),
+    ]
+)
+WEEKLY_STATE_SCHEMA = T.StructType(
+    [T.StructField("weeks", T.ArrayType(T.LongType()))]
+)
+
+
+def weekly_first_seen_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``new_vs_returning_users_weekly``
+    entry: one append-mode row per NEW (user, ISO week) observation,
+    flagged is_new on the user's FIRST observed week — the weekly
+    growth-accounting rollup (active / new / returning per week) is a
+    stateless downstream aggregation of these rows with the batch
+    entry's own expressions (the gap_dispersion_stream philosophy:
+    stream the grain, fold the rollup anywhere).
+
+    State per user is the set of already-emitted week keys
+    (epoch-days of the week's Monday — the same Monday truncation as
+    the batch entry's date_trunc('week')), bounded by |weeks|, so the
+    state store stays O(users × weeks-active) regardless of stream
+    length. Replay idempotence: a re-delivered (user, week) is in the
+    set and emits nothing. Late-data contract (append mode): is_new
+    reflects ARRIVAL order — a user's first week to ARRIVE is their
+    new week; an earlier calendar week arriving later emits
+    is_new = false because the already-emitted row cannot be
+    retracted (same policy as the gap twin; size the source watermark
+    by event_disorder_report). With time-ordered arrival — the
+    fixture drain and any watermarked production source — the folded
+    rollup hash-matches the oracle-checked batch entry."""
+    out_cols = [f.name for f in WEEKLY_FIRST_SEEN_SCHEMA.fields]
+
+    def weekly_fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        epoch = dt.date(1970, 1, 1)
+        weeks: set[int] = set(state.get[0]) if state.exists else set()
+        out: list[dict[str, Any]] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                monday = (row.ts - pd.Timedelta(days=int(row.ts.dayofweek))).date()
+                wd = (monday - epoch).days
+                if wd in weeks:
+                    continue
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "week": monday,
+                        "is_new": not weeks,
+                    }
+                )
+                weeks.add(wd)
+        state.update((sorted(weeks),))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        weekly_fold,
+        outputStructType=WEEKLY_FIRST_SEEN_SCHEMA,
+        stateStructType=WEEKLY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1656,3 +1656,93 @@ def test_gap_fold_chunk_order_and_replay_guards():
     (out2,) = list(_gap_fold((7, "view"), iter([chunk([(2, "09:10")])]), state))
     assert len(out2) == 0
     assert state.get[1] == 3
+
+
+def test_stream_weekly_first_seen_matches_batch_entry(
+    spark, sf_oracle, landed_events, tmp_path
+):
+    """Stateful streaming weekly first-seen == the oracle-checked batch
+    growth-accounting entry: folding the streamed (user, week, is_new)
+    rows with the batch entry's own expressions reproduces its per-week
+    (active, new, returning, new_pct) rows exactly."""
+    from spacex_data_pipeline_spark.functions.numeric import pct_rate
+    from spacex_data_pipeline_spark.queries import REGISTRY
+    from spacex_data_pipeline_spark.streaming.stateful import weekly_first_seen_stream
+
+    stream = stream_events_from_files(spark, landed_events)
+    run_available_now(
+        weekly_first_seen_stream(stream),
+        str(tmp_path / "ckpt_wfs"),
+        "wfs_out",
+        output_mode="append",
+    )
+    folded = (
+        spark.table("wfs_out")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(F.col("is_new").cast("int")).cast("long").alias("new_users"),
+            F.sum((~F.col("is_new")).cast("int")).cast("long").alias(
+                "returning_users"
+            ),
+            pct_rate(
+                F.sum(F.col("is_new").cast("int")).cast("long"),
+                F.count(F.lit(1)),
+            ).alias("new_pct"),
+        )
+    )
+    got = {tuple(r) for r in folded.collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["new_vs_returning_users_weekly"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want and len(want) >= 3
+
+
+def test_stream_weekly_first_seen_state_across_restarts(spark, tmp_path):
+    """The seen-weeks register survives a stop/restart: a second drain's
+    same-week event emits nothing (replay-idempotent), the next week
+    emits returning, and a brand-new user emits new."""
+    import datetime as dt
+    import os
+
+    from spacex_data_pipeline_spark.streaming.ingest import (
+        run_available_now_to_parquet,
+    )
+    from spacex_data_pipeline_spark.streaming.stateful import weekly_first_seen_stream
+
+    landed = str(tmp_path / "wfs_events")
+    os.makedirs(landed)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, day, 12, 0), uid, "view", 0.0, "{}")
+                for eid, (uid, day) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    out = str(tmp_path / "wfs_out_pq")
+    ck = str(tmp_path / "ck_wfs")
+    # 2024-01-01 is a Monday: week keys are Jan 1 / Jan 8
+    mk([(1, 1)]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        weekly_first_seen_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    # run 2: user 1 again in week 1 (silent), user 1 in week 2
+    # (returning), user 2 first time (new)
+    mk([(1, 3), (1, 8), (2, 9)]).coalesce(1).write.mode("append").parquet(landed)
+    run_available_now_to_parquet(
+        weekly_first_seen_stream(stream_events_from_files(spark, landed)), ck, out
+    )
+    got = sorted(
+        (r.user_id, r.week.isoformat(), r.is_new)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "2024-01-01", True),
+        (1, "2024-01-08", False),
+        (2, "2024-01-08", True),
+    ]
