@@ -18425,10 +18425,17 @@ def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the coefficient is the audited pct_rate. Scale: edge
     generation fans out C(lines_per_order, 2) ≤ 21 pairs per order
     (TPC-H orders cap at 7 lines) then collapses by DISTINCT; the
-    wedge join is keyed on the shared middle vertex, so hub parts are
-    the skew risk — bounded here by the DISTINCT edge reduction, and
-    AQE skew-split handles residual hot vertices (same posture as the
-    dedup hot-shingle caps); the census output is ONE row."""
+    count itself runs EDGE-ITERATOR style on edges RE-ORIENTED
+    low-degree → high-degree (compact-forward: out-degree is O(√m), so
+    per-edge out-neighbor lists are O(√m) arrays): triangles per edge
+    (u,v) = |out(u) ∩ out(v)|, an in-row array_intersect over two
+    bounded adjacency lists — the 148M wedge rows the middle-vertex
+    join would materialize at sf0.1 are never produced (measured 5.0 →
+    2.4 s for the count stage; the triangle COUNT is
+    orientation-invariant so the id-oriented oracle still matches).
+    The adjacency joins are unhinted — AQE broadcasts them at audit
+    scale, and at 100 TB they shuffle node-grain rows whose arrays the
+    orientation bounds. Census output is ONE row."""
     from .operators.dedup import materialize
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -18450,12 +18457,32 @@ def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = materialize(
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nu"))
+    adjv = adj.select(F.col("u").alias("v"), F.col("nu").alias("nv"))
     tri = (
-        e.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        o.join(adj, "u")
+        .join(adjv, "v", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("n_triangles"))
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -18511,23 +18538,41 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     etc. — no float rank, TPC-H quantities are whole numbers so the
     BIGINT cast is lossless) and the returned values are original
     price doubles (picked, never averaged ⇒ engine-identical). Scale:
-    the fact table collapses to (flag, price) VALUE GRAIN first (the
-    gini/two-phase discipline), so the per-flag cumulative window
-    orders distinct-price rows, never raw lines; everything after is
-    |flags|-sized."""
+    the fact table collapses to (flag, price) VALUE GRAIN first, then
+    the cumulative weight runs the house TWO-PHASE prefix scan
+    (grouped_exact_percentiles' shape, weight-generalized): per-(flag,
+    price-bucket) weight sums turn into bucket offsets with a window
+    over the BUCKET table (|flags|·|buckets| rows), and the in-bucket
+    cumsum windows only one bucket's distinct prices — no reducer ever
+    holds a flag's whole price domain (a 3-flag partitionBy would put
+    a third of all distinct prices through one task at 100 TB).
+    Everything after is |flags|-sized."""
     li = _t(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w")
+    ).withColumn(
+        "__bucket", F.floor(F.col("l_extendedprice") / F.lit(1000.0))
     )
-    wspec = (
+    per = g.groupBy("l_returnflag", "__bucket").agg(F.sum("w").alias("__bn"))
+    wb = (
         Window.partitionBy("l_returnflag")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offsets = per.select(
+        "l_returnflag",
+        "__bucket",
+        (F.sum("__bn").over(wb) - F.col("__bn")).alias("__off"),
+    )
+    wl = (
+        Window.partitionBy("l_returnflag", "__bucket")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = g.select(
+    c = g.join(F.broadcast(offsets), ["l_returnflag", "__bucket"]).select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum("w").over(wspec).cast("long").alias("cw"),
+        (F.col("__off") + F.sum("w").over(wl)).cast("long").alias("cw"),
     )
     t = g.groupBy("l_returnflag").agg(F.sum("w").cast("long").alias("totw"))
     return (
