@@ -169,6 +169,26 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
         "trainer can consume short-first; shard layout is unchanged",
     )
 
+    pc = sub.add_parser(
+        "cap-audit",
+        help="print the hot-shingle df-cap loss curve (exact recall "
+        "cost per cap) so --containment-df-cap / the Jaccard cap is "
+        "chosen from measured loss, not guessed; at production scale "
+        "run it on a corpus sample",
+    )
+    pc.add_argument("--sf-dir", default=None, help="fixture table directory")
+    pc.add_argument(
+        "--caps",
+        default="4,8,16,32,64",
+        help="comma-separated df caps to sweep (default 4,8,16,32,64)",
+    )
+    pc.add_argument(
+        "--threshold",
+        type=float,
+        default=0.2,
+        help="Jaccard threshold defining the true pairs (default 0.2)",
+    )
+
     px = sub.add_parser(
         "index-build",
         help="materialize the BM25 serving index (bucket-partitioned "
@@ -300,6 +320,21 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 return 2
             sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
             REGISTRY[args.name].fn(spark, sf_dir).show(args.limit, truncate=False)
+        elif args.cmd == "cap-audit":
+            from . import catalog
+            from .operators.dedup import df_cap_loss_curve
+
+            caps = tuple(int(c) for c in args.caps.split(",") if c.strip())
+            if not caps or any(c <= 0 for c in caps):
+                print(f"invalid --caps {args.caps!r}", file=sys.stderr)
+                return 2
+            sf_dir = args.sf_dir or catalog.DEFAULT_SF_DIR
+            curve = df_cap_loss_curve(
+                catalog.table(spark, sf_dir, "documents"),
+                threshold=args.threshold,
+                caps=caps,
+            )
+            curve.show(len(caps), truncate=False)
         elif args.cmd == "prep-training":
             from pyspark.sql import functions as F
 

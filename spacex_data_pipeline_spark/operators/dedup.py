@@ -654,6 +654,77 @@ def containment_pairs(
     )
 
 
+def df_cap_loss_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    caps: tuple[int, ...] = (4, 8, 16, 32, 64),
+    checkpoint: str = "local",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT recall cost of the hot-shingle df-cap, per cap: a true
+    Jaccard≥threshold pair survives capped candidate generation under
+    cap c iff its rarest SHARED shingle has document frequency ≤ c
+    (the cap drops whole posting lists, so a pair is lost only when
+    EVERY shared shingle is hot) — so ONE uncapped pair-generation
+    pass annotated with min(shared df) yields the whole loss curve,
+    no per-cap re-join. Returns (cap, n_pairs, kept_pairs,
+    lost_pairs, lost_pct), one row per cap. This is the RECALL side
+    of the cap dial (the skew bench measures the SPEED side); the CLI
+    exposes it as ``cap-audit`` so --containment-df-cap and the
+    Jaccard cap are chosen from measured loss, not guessed. Scale:
+    the audit itself runs the uncapped join — at 100 TB run it on a
+    corpus SAMPLE to pick the cap, then apply the cap corpus-wide;
+    the min-df annotation adds one df join to the pair pass."""
+    from ..functions.numeric import pct_rate
+
+    sh = (
+        postings
+        if postings is not None
+        else shingle_postings(docs, id_col, text_col, k, checkpoint)
+    )
+    dfh = sh.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    shd = sh.join(dfh, "h")
+    rhs = shd.select(F.col("h").alias("h2"), F.col(id_col).alias("db"))
+    p = (
+        shd.join(rhs, (F.col("h") == F.col("h2")) & (F.col(id_col) < F.col("db")))
+        .groupBy(F.col(id_col).alias("da"), "db")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("df").alias("mindf"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    jp = (
+        p.join(na, "da")
+        .join(nb, "db")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= threshold
+        )
+        .select("da", "db", "mindf")
+    )
+    cap_grid = docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(c)) for c in caps])).alias("cap")
+    )
+    lost = F.sum((F.col("mindf") > F.col("cap")).cast("int")).cast("long")
+    return (
+        jp.join(F.broadcast(cap_grid))
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("mindf") <= F.col("cap")).cast("int"))
+            .cast("long")
+            .alias("kept_pairs"),
+            lost.alias("lost_pairs"),
+            pct_rate(lost, F.count(F.lit(1))).alias("lost_pct"),
+        )
+        .orderBy("cap")
+    )
+
+
 def containment_dropped_ids(cont: DataFrame) -> DataFrame:
     """Resolve directional containment pairs (``doc_a`` contained in
     ``doc_b``) into the set of doc ids a keep-host/drop-fragment prune

@@ -19097,47 +19097,14 @@ def shingle_df_cap_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus SAMPLE to pick the cap, then apply the cap corpus-wide —
     the curve's min-df annotation adds one broadcast-sized df join
     to the pair pass it already shares (_doc_shingle_postings, zero
-    extra text scans in a sweep)."""
-    sh = _doc_shingle_postings(spark, sf_dir)
-    dfh = sh.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    shd = sh.join(dfh, "h")
-    rhs = shd.select(
-        F.col("h").alias("h2"), F.col("doc_id").alias("db")
-    )
-    p = (
-        shd.join(rhs, (F.col("h") == F.col("h2")) & (F.col("doc_id") < F.col("db")))
-        .groupBy(F.col("doc_id").alias("da"), "db")
-        .agg(F.count(F.lit(1)).alias("inter"), F.min("df").alias("mindf"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    jp = (
-        p.join(na, "da")
-        .join(nb, "db")
-        .filter(
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter"))
-            >= 0.2
-        )
-        .select("da", "db", "mindf")
-    )
-    caps = spark.range(1).select(
-        F.explode(F.array(*[F.lit(c) for c in (4, 8, 16, 32, 64)])).alias("cap")
-    )
-    lost = F.sum((F.col("mindf") > F.col("cap")).cast("int")).cast("long")
-    return (
-        jp.join(F.broadcast(caps))
-        .groupBy("cap")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum((F.col("mindf") <= F.col("cap")).cast("int"))
-            .cast("long")
-            .alias("kept_pairs"),
-            lost.alias("lost_pairs"),
-            pct_rate(lost, F.count(F.lit(1))).alias("lost_pct"),
-        )
-        .orderBy("cap")
+    extra text scans in a sweep). Implementation:
+    operators/dedup.df_cap_loss_curve — also the CLI's ``cap-audit``
+    verb, so the same audited code picks production caps."""
+    from .operators.dedup import df_cap_loss_curve
+
+    return df_cap_loss_curve(
+        _t(spark, sf_dir, "documents"),
+        postings=_doc_shingle_postings(spark, sf_dir),
     )
 
 

