@@ -1038,3 +1038,223 @@ def test_gap_fold_matches_consecutive_difference_reference(offsets, n_cuts, data
         (out,) = list(_gap_fold((7, "view"), iter(reversed(chunks)), state))
         got.extend((int(r.event_id), int(r.gap_sec)) for r in out.itertuples(index=False))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r12 entries vs pure-Python references (any corpus, not just the fixture).
+# ---------------------------------------------------------------------------
+
+
+def _fixture_dir(spark, tables: dict) -> str:
+    """Write in-memory tables as a throwaway sf-dir for registry entries."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_sf_")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    return d
+
+
+_ORDER_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_LINE_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp"
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=1, max_value=40).map(float),  # price
+            st.integers(min_value=1, max_value=9),  # qty
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_quartiles_match_python_reference(lines):
+    """The two-phase weighted prefix scan = the one-list Python cumsum,
+    for any (flag, price, qty) multiset."""
+    spark = _get_spark()
+    rows = [
+        (i + 1, i + 1, 1, 1, float(q), p, 0.0, 0.0, fl, "O", dt.datetime(2024, 1, 1))
+        for i, (fl, p, q) in enumerate(lines)
+    ]
+    d = _fixture_dir(spark, {"lineitem": (rows, _LINE_SCHEMA)})
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    got = {
+        r.l_returnflag: (r.total_weight, r.wq25, r.w_median, r.wq75)
+        for r in REGISTRY["weighted_median_price_by_flag"].fn(spark, d).collect()
+    }
+    by_flag: dict = {}
+    for fl, p, q in lines:
+        by_flag.setdefault(fl, {}).setdefault(p, 0)
+        by_flag[fl][p] += q
+    for fl, g in by_flag.items():
+        items = sorted(g.items())
+        W = sum(w for _, w in items)
+
+        def pick(num, den):
+            cum = 0
+            for p, w in items:
+                cum += w
+                if den * cum >= num * W:
+                    return p
+            raise AssertionError("unreachable")
+
+        assert got[fl] == (W, pick(1, 4), pick(1, 2), pick(3, 4)), (fl, items)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    orders=st.lists(
+        st.sets(st.integers(min_value=1, max_value=8), min_size=2, max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_triangle_census_matches_python_reference(orders):
+    """Census counts = brute-force triple enumeration on the derived
+    co-purchase graph, for any basket multiset."""
+    from itertools import combinations
+
+    spark = _get_spark()
+    rows = []
+    for ok, parts in enumerate(orders, start=1):
+        for ln, pk in enumerate(sorted(parts), start=1):
+            rows.append(
+                (ok, pk, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+            )
+    d = _fixture_dir(spark, {"lineitem": (rows, _LINE_SCHEMA)})
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    r = REGISTRY["triangle_census_part_graph"].fn(spark, d).collect()[0]
+    edges = set()
+    for parts in orders:
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    nodes = sorted({v for e in edges for v in e})
+    deg = {v: 0 for v in nodes}
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(v * (v - 1) // 2 for v in deg.values())
+    tris = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(nodes),
+        len(edges),
+        wedges,
+        tris,
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),  # order day-of-jan
+            st.lists(
+                st.integers(min_value=1, max_value=25), min_size=1, max_size=3
+            ),  # ship days
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_backlog_sweep_line_matches_python_reference(spans):
+    """The +1/−1 sweep-line = the brute-force per-day open-interval scan,
+    for any (orderdate, shipdates) multiset — including ship-before-
+    order degenerates (the arithmetic is mirrored, not sanitized)."""
+    spark = _get_spark()
+    orows, lrows, ln = [], [], 0
+    for ok, (od, ships) in enumerate(spans, start=1):
+        orows.append((ok, 1, "O", 10.0, dt.datetime(2024, 1, od), "1-URGENT"))
+        for s in ships:
+            ln += 1
+            lrows.append(
+                (ok, ln, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, s))
+            )
+    d = _fixture_dir(
+        spark, {"orders": (orows, _ORDER_SCHEMA), "lineitem": (lrows, _LINE_SCHEMA)}
+    )
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    got = [
+        (r.day.isoformat(), r.delta_open, r.open_orders)
+        for r in REGISTRY["orders_open_backlog_daily"].fn(spark, d).collect()
+    ]
+    deltas: dict = {}
+    for od, ships in spans:
+        deltas[od] = deltas.get(od, 0) + 1
+        end = max(ships) + 1
+        deltas[end] = deltas.get(end, 0) - 1
+    run, want = 0, []
+    for day in sorted(deltas):
+        run += deltas[day]
+        want.append(
+            (dt.date(2024, 1, 1) + dt.timedelta(days=day - 1), deltas[day], run)
+        )
+    assert got == [(w[0].isoformat(), w[1], w[2]) for w in want]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    custdays=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # custkey
+            st.integers(min_value=1, max_value=28),  # order day
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_burst_islands_match_python_reference(custdays):
+    """Tolerance islands = the one-list Python gap splitter, for any
+    (customer, day) multiset (duplicate days collapse first)."""
+    spark = _get_spark()
+    rows = [
+        (i + 1, ck, "O", 10.0, dt.datetime(2024, 1, day), "1-URGENT")
+        for i, (ck, day) in enumerate(custdays)
+    ]
+    d = _fixture_dir(spark, {"orders": (rows, _ORDER_SCHEMA)})
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    got = {
+        r.burst_days: (r.n_bursts, r.n_customers, r.max_span_days)
+        for r in REGISTRY["purchase_burst_islands"].fn(spark, d).collect()
+    }
+    isl: dict = {}
+    by_c: dict = {}
+    for ck, day in custdays:
+        by_c.setdefault(ck, set()).add(day)
+    for ck, days in by_c.items():
+        cur = []
+        for day in sorted(days):
+            if cur and day - cur[-1] > 7:
+                isl.setdefault(len(cur), []).append((ck, cur[-1] - cur[0] + 1))
+                cur = []
+            cur.append(day)
+        isl.setdefault(len(cur), []).append((ck, cur[-1] - cur[0] + 1))
+    want = {
+        size: (
+            len(entries),
+            len({ck for ck, _ in entries}),
+            max(sp for _, sp in entries),
+        )
+        for size, entries in isl.items()
+    }
+    assert got == want
