@@ -1258,3 +1258,95 @@ def test_burst_islands_match_python_reference(custdays):
         for size, entries in isl.items()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lengths=st.sets(st.integers(min_value=7, max_value=40), min_size=1, max_size=12)
+)
+def test_containment_chain_depth_matches_prefix_rank(lengths):
+    """Prefix corpora have an analytic depth law: doc i (i-th smallest
+    prefix of a common word list) sits below every longer prefix, so
+    depth = min(#strictly-longer docs, walk cap 8) — exercising the
+    iterative extension loop AND the cap on chains longer than 8."""
+    spark = _get_spark()
+    words = [f"w{i}" for i in range(40)]
+    docs = [
+        (i + 1, " ".join(words[:ln]), "en", "web", 3 * ln)
+        for i, ln in enumerate(sorted(lengths))
+    ]
+    d = _fixture_dir(
+        spark,
+        {
+            "documents": (
+                docs,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        },
+    )
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    got = {
+        r.depth: r.n_docs
+        for r in REGISTRY["containment_chain_depth"].fn(spark, d).collect()
+    }
+    n = len(lengths)
+    want: dict = {}
+    for rank in range(1, n + 1):  # rank n = the longest prefix
+        dep = min(n - rank, 8)
+        want[dep] = want.get(dep, 0) + 1
+    assert got == want, (sorted(lengths), got, want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # month
+            st.integers(min_value=1, max_value=4999),  # price
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_quantile_store_monthly_read_matches_python_reference(orders):
+    """The month-merged histogram read = the Python cumulative-bin scan,
+    and the exact median (two-phase rank) = the sorted-list pick, for
+    any (month, price) multiset."""
+    spark = _get_spark()
+    rows = [
+        (i + 1, 1, "O", float(p), dt.datetime(2024, m, 1 + (i % 27)), "1-URGENT")
+        for i, (m, p) in enumerate(orders)
+    ]
+    d = _fixture_dir(spark, {"orders": (rows, _ORDER_SCHEMA)})
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    got = {
+        r.month.isoformat(): (
+            r.n_total,
+            r.rank_needed,
+            r.bin,
+            r.exact_median,
+            r.in_bin,
+        )
+        for r in REGISTRY["quantile_store_monthly_read"].fn(spark, d).collect()
+    }
+    by_m: dict = {}
+    for m, p in orders:
+        by_m.setdefault(m, []).append(float(p))
+    for m, ps in by_m.items():
+        key = dt.date(2024, m, 1).isoformat()
+        n = len(ps)
+        rank = max(1, (50 * n + 99) // 100)
+        exact = sorted(ps)[rank - 1]
+        bins: dict = {}
+        for p in ps:
+            bins[int(p // 1000)] = bins.get(int(p // 1000), 0) + 1
+        cum = 0
+        hit = None
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum >= rank:
+                hit = b
+                break
+        assert got[key] == (n, rank, hit, exact, True), (m, ps, got[key])
