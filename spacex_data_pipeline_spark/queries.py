@@ -18418,10 +18418,11 @@ def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts sharing an order), plus the global clustering coefficient
     3·triangles/wedges — the graph-analytics one-number summary of how
     clique-ish co-purchase behavior is (random-mix baskets ≈ 0;
-    category-driven baskets cluster). Triangle counting is the ordered
-    adjacency join: with every edge stored a<b, a triangle a<b<c is
-    counted exactly once by e1(a,b)⋈e2(b,c)⋈e3(a,c) — never an
-    unordered 6× overcount and never an all-pairs node. Exact
+    category-driven baskets cluster). Every triangle is counted
+    exactly once: with edges ORIENTED along a total order of the
+    nodes, each triangle x<y<z contributes |out(x) ∩ out(y)| ∋ z at
+    exactly its (x,y) edge — never an unordered 6× overcount and
+    never an all-pairs node. Exact
     integers; the coefficient is the audited pct_rate. Scale: edge
     generation fans out C(lines_per_order, 2) ≤ 21 pairs per order
     (TPC-H orders cap at 7 lines) then collapses by DISTINCT; the
@@ -19088,8 +19089,9 @@ def shingle_df_cap_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops whole posting lists, so a pair is lost only when EVERY
     shared shingle is hot) — so ONE uncapped pair-generation pass
     annotated with min(shared df) yields the entire loss curve, no
-    per-cap re-join. This is the measurement behind choosing
-    --jaccard-df-cap/--containment-df-cap (the skew bench shows the
+    per-cap re-join. This is the measurement behind choosing the
+    operators' max_shingle_df / the CLI's --containment-df-cap (the
+    skew bench shows the
     SPEED side — 2.2s vs 6.5s under adversarial skew; this shows the
     RECALL side), turning the cap from a guess into a dial with
     known loss. Exact integers + audited pct_rate. Scale: the audit
