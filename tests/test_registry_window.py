@@ -12,55 +12,53 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r12 window: the steady-state cadence (VERDICT r11 "next round" #1) —
-# the 30 r11 registrations (their first driver rows) plus 20
-# RE-VERIFICATION slots: the oldest remaining green rows by (last-green
-# round, registry order), all dating to CORRECTNESS_r06 — see the
-# DRIVER_WINDOW comment in queries.py for the selection audit. A green
-# r12 pass closes the ledger at 298-entry full driver coverage.
-# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r12)
+# r13 window: the steady-state cadence (VERDICT r11 "next round" #1,
+# re-prescribed r12 #1) — the 30 r12 registrations (their first driver
+# rows) plus 20 RE-VERIFICATION slots: the oldest remaining green rows
+# by (last-green round, registry order), all dating to CORRECTNESS_r07
+# (r12 closed out the r6 cohort) — see the DRIVER_WINDOW comment in
+# queries.py for the selection audit.
+# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r13)
 # that missed the window; their gate is the local replica
 # (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
-# schema + canonical value multiset); they rotate into the r13 window.
-# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r11)
+# schema + canonical value multiset); they rotate into the r14 window.
+# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r12)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = {
-    # -- registered r12 --
-    "repeat_purchase_curve",
-    "priority_mix_shift_monthly",
-    "user_event_degree_histogram",
-    "weekday_adjusted_daily_volume",
-    "median_order_gap_by_priority",
-    "supplier_part_breadth",
-    "discount_lift_by_year",
-    "fixed_size_sample_events",
-    "ngram_novelty_by_source",
-    "char_class_profile_by_source",
-    "split_source_mix_parity",
-    "shard_balance_report",
-    "neardup_cluster_length_spread",
-    "source_curation_scorecard",
-    "containment_groupkfold",
-    # -- registered r12, second push --
-    "orders_open_backlog_daily",
-    "max_drawdown_daily_revenue",
-    "triangle_census_part_graph",
-    "weighted_median_price_by_flag",
-    "spend_quartile_migration_customers",
-    "new_vs_returning_users_weekly",
-    "purchase_burst_islands",
-    "catalog_entry_curve",
-    "quantile_store_monthly_read",
-    "shingle_df_cap_loss_curve",
-    "dedup_survivorship_shift",
-    "sentence_stats_by_lang",
-    # -- registered r12, third push --
-    "containment_chain_depth",
-    "source_minhash_overlap",
-    "similarity_margin_report",
-}
+NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
+    # -- r12 window first-timers (the 30 r11 registrations), all green
+    #    (CORRECTNESS_r12: 50/50, zero err) --
+    "pca_second_direction_embeddings",
+    "pca_projection_map_by_label",
+    "hll_register_store_users",
+    "bitmap_rolling_active_users",
+    "bitmap_audience_overlap_types",
+    "customer_spend_percentiles_by_nation",
+    "pca_explained_energy",
+    "k_anonymity_customers",
+    "vocab_overlap_langs",
+    "hapax_legomena_by_lang",
+    "token_rank_frequency_share",
+    "yoy_nation_revenue_growth",
+    "scd2_priority_version_durations",
+    "lines_per_order_histogram",
+    "attribution_first_touch",
+    "systematic_sample_orders",
+    "daily_count_trend_ols",
+    "time_decayed_customer_value",
+    "rolling_moments_zscore_daily",
+    "langid_confusion_docs",
+    "symspell_neighbor_pairs_customers",
+    "mann_kendall_trend_daily",
+    "theil_sen_daily_slope",
+    "markov_stationary_event_mix",
+    "dup_ngram_coverage_by_source",
+    "containment_neardup_docs",
+    "activity_streaks_users",
+    "interarrival_dispersion_events",
+    "trigram_diversity_by_source",
+    "containment_prune_report",
     # -- r11 window first-timers (the 14 r10 registrations), all green
     #    (CORRECTNESS_r11: 50/50, zero err) --
     "pca_top_direction_embeddings",
