@@ -568,3 +568,37 @@ def test_cli_cap_audit_matches_registry_entry(spark, sf_oracle, capsys):
     assert "1024" in out2
     # bad caps fail fast without a Spark job
     assert main(["cap-audit", "--caps", "0"], _spark=spark) == 2
+
+
+def test_df_cap_runbook_in_sync():
+    """The SCALE.md df-cap runbook (VERDICT r12 #5) must stay true to
+    the code it prescribes: the section exists, every CLI verb/flag it
+    names parses, and the loss-curve columns it cites are the ones the
+    operator actually returns."""
+    import inspect
+    import os
+
+    from spacex_data_pipeline_spark.__main__ import main as _cli_main
+    from spacex_data_pipeline_spark.operators.dedup import df_cap_loss_curve
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scale = open(os.path.join(root, "SCALE.md")).read()
+    assert "## The df-cap runbook" in scale
+    sec = scale.split("## The df-cap runbook", 1)[1].split("\n## ", 1)[0]
+    # the verbs and flags the runbook prescribes exist in the CLI
+    cli_src = inspect.getsource(
+        __import__(
+            "spacex_data_pipeline_spark.__main__", fromlist=["main"]
+        )
+    )
+    for tok in ("cap-audit", "--caps", "prep-training", "--containment-df-cap"):
+        assert tok in sec, f"runbook no longer prescribes {tok}"
+        assert tok in cli_src, f"runbook names {tok} but the CLI lost it"
+    # the columns the runbook cites are the operator's real output
+    doc = df_cap_loss_curve.__doc__
+    for col in ("n_pairs", "kept_pairs", "lost_pairs", "lost_pct"):
+        assert col in sec, f"runbook no longer cites column {col}"
+        assert col in doc, f"runbook cites {col} but the operator doc lost it"
+    # README points at the runbook
+    readme = open(os.path.join(root, "README.md")).read()
+    assert "The df-cap runbook" in readme

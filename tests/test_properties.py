@@ -1350,3 +1350,95 @@ def test_quantile_store_monthly_read_matches_python_reference(orders):
                 hit = b
                 break
         assert got[key] == (n, rank, hit, exact, True), (m, ps, got[key])
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    stream=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # month
+            st.integers(min_value=1, max_value=27),  # day of month
+            st.integers(min_value=1, max_value=499),  # price bin seedling
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_store_range_reads_agree_per_month(stream):
+    """Cross-family store contract (VERDICT r12 #7): on ONE synthetic
+    stream whose row ids are unique (so distinct == count), the HLL
+    register store and the histogram store must tell the same story at
+    month grain — (a) each store's month read off MERGED day cells is
+    identical to cells built directly at month grain (max-merge /
+    sum-merge laws), and (b) the histogram store's n_total per month
+    equals the exact distinct count the HLL read audits against."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark.functions.hashing import hll_register
+
+    spark = _get_spark()
+    rows = [
+        (i + 1, _dt.datetime(2024, m, d), float(p * 1000 + 1))
+        for i, (m, d, p) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, price double")
+    reg, rho = hll_register(F.col("user_id"))
+    day_hll = (
+        df.select(F.to_date("ts").alias("day"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    month = F.date_trunc("month", "day").cast("date").alias("month")
+    merged_hll = sorted(
+        (r.month, r.reg, r.rho)
+        for r in day_hll.groupBy(month, "reg").agg(F.max("rho").alias("rho")).collect()
+    )
+    direct_hll = sorted(
+        (r.month, r.reg, r.rho)
+        for r in df.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            reg.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("month", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    assert merged_hll == direct_hll  # max-merge law
+    day_hist = (
+        df.select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("price") / F.lit(1000.0)).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged_hist = sorted(
+        (r.month, r.bin, r.n)
+        for r in day_hist.groupBy(month, "bin").agg(F.sum("n").alias("n")).collect()
+    )
+    direct_hist = sorted(
+        (r.month, r.bin, r.n)
+        for r in df.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.floor(F.col("price") / F.lit(1000.0)).alias("bin"),
+        )
+        .groupBy("month", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert merged_hist == direct_hist  # sum-merge law
+    hist_totals = {}
+    for m, _b, n in merged_hist:
+        hist_totals[m] = hist_totals.get(m, 0) + n
+    exact = {
+        r.month: r.n
+        for r in df.groupBy(
+            F.date_trunc("month", "ts").cast("date").alias("month")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert hist_totals == exact  # cross-family n_total law
