@@ -286,6 +286,9 @@ EXTENDED = [
     "containment_chain_depth",
     "source_minhash_overlap",
     "similarity_margin_report",
+    # new in r13
+    "cms_store_monthly_read",
+    "ivfpq_nprobe_recall_curve",
 ]
 
 

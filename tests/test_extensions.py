@@ -3663,3 +3663,97 @@ def test_similarity_margin_hand_case(spark, tmp_path):
     assert (r.query_id, r.top1_id, r.top2_id) == (0, 1, 2)
     assert r.top1_cos == 1.0 and r.top2_cos == 0.0 and r.margin == 1.0
     assert r.same_label is True
+
+
+def test_cms_store_monthly_read_invariants(spark, sf_oracle):
+    """The month-grain CMS read keeps the one-sided guarantee on every
+    (month, key) probe, covers every order month for all 5 audited
+    keys, and its exact side re-derives from the raw table."""
+    from spacex_data_pipeline_spark.catalog import table
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["cms_store_monthly_read"].fn(spark, sf_oracle).collect()
+    assert rows and all(r.est_ok for r in rows)
+    assert all(r.overcount == r.cms_est - r.exact_n >= 0 for r in rows)
+    keys = {r.c_custkey for r in rows}
+    assert len(keys) == 5
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_oracle, "orders")
+    n_months = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date")
+    ).distinct().count()
+    assert len(rows) == 5 * n_months
+    exact = {
+        (r.month, r.o_custkey): r.n
+        for r in o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            "o_custkey",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_n == exact.get((r.month, r.c_custkey), 0)
+
+
+def test_ivfpq_nprobe_recall_curve_shape(spark, sf_oracle):
+    """Recall is bounded by 1 and at full probe width (16 of 16 cells)
+    equals the PQ ceiling — the recall of the UNPRUNED ADC top-10
+    against the exact ground truth (pruning loss is zero when every
+    cell is probed, so only quantization loss remains). NOT asserted:
+    monotonicity in n_probe — unlike the exact-scoring IVF sweep,
+    widening the probe set under ADC scoring can DISPLACE a true
+    neighbor from the top-10 with a quantization-overrated impostor
+    (observed at sf0.01: 0.38 → 0.34 from p=1 to p=16), which is
+    exactly why the dial is measured, not assumed."""
+    from spacex_data_pipeline_spark.catalog import table
+    from spacex_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+    )
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["ivfpq_nprobe_recall_curve"].fn(spark, sf_oracle).collect()
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8, 16]
+    rec = [r.recall_at_10 for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in rec)
+    emb = table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qids, k=10).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(emb, qids, k=10).collect()
+    }
+    ceiling = len(exact & adc)
+    assert rows[-1].hits == ceiling
+    assert rows[-1].recall_at_10 == ceiling / 50.0
+
+
+def test_scorecard_deep_nest_consistent_with_chain_histogram(spark, sf_oracle):
+    """The scorecard's deep_docs mass (deep_nest_pct · n_docs, re-derived
+    exactly from the shared walk) must equal the chain-depth histogram's
+    depth ≥ 2 total — the two views of _doc_chain_depths agree."""
+    from spacex_data_pipeline_spark.queries import (
+        REGISTRY,
+        _doc_chain_depths,
+    )
+
+    hist = {
+        r.depth: r.n_docs
+        for r in REGISTRY["containment_chain_depth"].fn(spark, sf_oracle).collect()
+    }
+    deep_total = sum(n for d, n in hist.items() if d >= 2)
+    dep = _doc_chain_depths(spark, sf_oracle)
+    from pyspark.sql import functions as F
+
+    got = dep.filter(F.col("depth") >= 2).count()
+    assert got == deep_total
+    # and every scorecard row's pct is the pct_rate of a real doc count
+    sc = REGISTRY["source_curation_scorecard"].fn(spark, sf_oracle).collect()
+    assert all(0.0 <= r.deep_nest_pct <= 100.0 for r in sc)

@@ -24,7 +24,11 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # schema + canonical value multiset); they rotate into the r14 window.
 # Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r12)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = set()
+NEW_AWAITING_WINDOW: set[str] = {
+    # -- registered r13 --
+    "cms_store_monthly_read",
+    "ivfpq_nprobe_recall_curve",
+}
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- r12 window first-timers (the 30 r11 registrations), all green
