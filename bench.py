@@ -289,6 +289,10 @@ EXTENDED = [
     # new in r13
     "cms_store_monthly_read",
     "ivfpq_nprobe_recall_curve",
+    "degree_assortativity_part_graph",
+    "lsh_band_collision_curve",
+    "cross_source_copy_matrix",
+    "bootstrap_poisson_revenue_ci",
 ]
 
 

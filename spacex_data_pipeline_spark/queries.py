@@ -18566,19 +18566,13 @@ def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every node-grain join (degree annotation AND adjacency) is
     unhinted — AQE broadcasts them at audit scale, and at 100 TB they
     shuffle node-grain rows whose arrays the orientation bounds; the
-    only explicit broadcasts are the four 1-row census scalars.
-    Census output is ONE row."""
+    only explicit broadcasts are the four 1-row census scalars. The
+    edge list is the SHARED materialized co-purchase pass
+    (_part_copurchase_edges), paid once per sweep across the graph
+    family. Census output is ONE row."""
     from .operators.dedup import materialize
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    lt = li.select(
-        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("bp")
-    )
-    e = materialize(
-        li.join(lt, (F.col("l_orderkey") == F.col("bo")) & (F.col("l_partkey") < F.col("bp")))
-        .select(F.col("l_partkey").alias("a"), F.col("bp").alias("b"))
-        .distinct()
-    )
+    e = _part_copurchase_edges(spark, sf_dir)
     nodes = e.select(F.col("a").alias("v")).union(e.select("b")).distinct()
     deg = (
         e.select(F.col("a").alias("v"))
@@ -19696,6 +19690,441 @@ def similarity_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__same") == 1).alias("same_label"),
         )
         .orderBy("query_id")
+    )
+
+
+# The part co-purchase edge list (distinct part pairs sharing an order,
+# a < b canonical), shared by the graph-census family (r13): triangle
+# census and degree assortativity both pay the C(lines_per_order, 2)
+# fan-out + DISTINCT once per (context, sf_dir). Deterministic —
+# wall-clock only.
+_PART_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    e = _PART_EDGES_CACHE.get(key)
+    if e is None:
+        from .operators.dedup import materialize
+
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        lt = li.select(
+            F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("bp")
+        )
+        e = materialize(
+            li.join(
+                lt,
+                (F.col("l_orderkey") == F.col("bo"))
+                & (F.col("l_partkey") < F.col("bp")),
+            )
+            .select(F.col("l_partkey").alias("a"), F.col("bp").alias("b"))
+            .distinct()
+        )
+        _PART_EDGES_CACHE[key] = e
+    return e
+
+
+@register(
+    "degree_assortativity_part_graph",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1),
+    de AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM (SELECT a AS u, b AS v FROM e
+            UNION ALL SELECT b, a FROM e) x
+      JOIN deg da ON da.v = x.u JOIN deg db ON db.v = x.v),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+      FROM de),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, s.n AS n_edge_ends,
+           (s.sxy - (s.sx * s.sy) / s.n)
+             / (sqrt(s.sxx - (s.sx * s.sx) / s.n)
+                * sqrt(s.syy - (s.sy * s.sy) / s.n)) AS assortativity
+    FROM s, nn
+    """,
+    tags=("extension", "graph", "analytics", "stats"),
+)
+def degree_assortativity_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the part co-purchase graph — the Newman
+    coefficient: Pearson correlation of (deg(u), deg(v)) over directed
+    edge ends. Positive = hubs buy with hubs (assortative, social-
+    network-like); negative = hubs connect to leaves (disassortative,
+    dependency-like) — with the triangle census's clustering
+    coefficient, the two standard one-number structure summaries.
+    Exactness: degrees are exact integers; the five moment sums
+    accumulate as DECIMAL(38,0) (order-independent; BIGINT products
+    would already hold at fixture scale, the decimal is the 100 TB
+    headroom), and the correlation is then the FIXED IEEE sequence of
+    corr_exact_by_flag — never the engine's native corr(). Scale: the
+    edge list is the SHARED materialized co-purchase pass
+    (_part_copurchase_edges — one C(lines,2) fan-out serves census +
+    assortativity in a sweep); degree annotation is two node-grain
+    equi-joins (unhinted, AQE decides); everything after is one
+    map-side-combined moment aggregate."""
+    e = _part_copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ends = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    da = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    db = deg.select("v", F.col("d").alias("dv"))
+    de = ends.join(da, "u").join(db, "v")
+    s = de.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("du").cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(F.col("dv").cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum((F.col("du") * F.col("du")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sxx"),
+        F.sum((F.col("dv") * F.col("dv")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("syy"),
+        F.sum((F.col("du") * F.col("dv")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    sx, sy, sxx, syy, sxy, n = (
+        F.col(c) for c in ("sx", "sy", "sxx", "syy", "sxy", "n")
+    )
+    r = (sxy - (sx * sy) / n) / (
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n)
+    )
+    return nn.join(F.broadcast(s)).select(
+        "n_nodes", F.col("n").alias("n_edge_ends"), r.alias("assortativity")
+    )
+
+
+def _lsh_band_curve_oracle(n_perms: int = 16, n_bands: int = 8) -> str:
+    """DuckDB twin of the md5-seeded doc MinHash banding curve."""
+    mins = ",\n             ".join(
+        f"MIN(('0x' || substr(md5('mh{i}:' || s), 1, 15))::UBIGINT::BIGINT) AS m{i}"
+        for i in range(n_perms)
+    )
+    ms = ", ".join(f"m{i}" for i in range(n_perms))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    shs AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM shs GROUP BY 1),
+    banded AS (
+      SELECT doc_id, CAST(b.b AS INT) AS band,
+             list_value({ms})[2 * b.b + 1] AS k1,
+             list_value({ms})[2 * b.b + 2] AS k2
+      FROM sig, unnest(range(0, {n_bands})) AS b(b)),
+    buckets AS (
+      SELECT band, k1, k2, COUNT(*) AS sz
+      FROM banded GROUP BY 1, 2, 3),
+    bb AS (
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS colliding_buckets,
+             CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pairs_in_band
+      FROM buckets GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS da, b2.doc_id AS db, MIN(a.band) AS first_band
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2
+       AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2),
+    np AS (SELECT first_band AS band, CAST(COUNT(*) AS BIGINT) AS new_pairs
+           FROM pairs GROUP BY 1)
+    SELECT bb.band, bb.n_buckets, bb.colliding_buckets, bb.pairs_in_band,
+           COALESCE(np.new_pairs, 0) AS new_pairs,
+           CAST((SELECT COUNT(*) FROM pairs p WHERE p.first_band <= bb.band)
+                AS BIGINT) AS cum_pairs
+    FROM bb LEFT JOIN np ON np.band = bb.band
+    ORDER BY bb.band
+    """
+
+
+@register(
+    "lsh_band_collision_curve",
+    oracle=_lsh_band_curve_oracle(),
+    tags=("extension", "dedup", "report", "tuning"),
+)
+def lsh_band_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band COLLISION observability of MinHash-LSH banding — the
+    S-curve calibration table: for each of 8 bands over a 16-perm
+    md5-seeded doc signature (2 rows per band), the bucket count, the
+    buckets that actually collide, the candidate pairs the band alone
+    would emit (Σ C(sz,2)), each pair's FIRST colliding band
+    (new_pairs) and the cumulative distinct candidate set (cum_pairs)
+    — so band count / rows-per-band tuning reads off measured marginal
+    yield per band instead of the theoretical 1−(1−J^r)^b curve (the
+    production xxhash64 path keeps its cheaper hashes; this audit
+    variant replays md5 mins bit-identically in both engines, the
+    source_minhash_overlap discipline at doc grain). All columns exact
+    integers. Scale: signatures are ONE map-side-combinable 16-min
+    aggregate over the shingle explode (never a distinct); band rows
+    are |docs|·8; the pair self-join is per-(band, key) bucket-bounded
+    — exactly the production LSH join shape, whose hot-bucket cap this
+    table is the tuning input for."""
+    from .functions.hashing import md5_int60, normalize_text, shingles_from_words
+
+    n_perms, n_bands = 16, 8
+    docs = _t(spark, sf_dir, "documents")
+    shs = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__words")
+    ).select(
+        "doc_id",
+        F.explode(shingles_from_words(F.col("__words"), 3)).alias("s"),
+    )
+    sig = shs.groupBy("doc_id").agg(
+        *[
+            F.min(md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(
+                f"m{i}"
+            )
+            for i in range(n_perms)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.col(f"m{2 * b}").alias("k1"),
+                        F.col(f"m{2 * b + 1}").alias("k2"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("doc_id", "__bk.band", "__bk.k1", "__bk.k2")
+    from .operators.dedup import materialize
+
+    banded = materialize(banded)
+    buckets = banded.groupBy("band", "k1", "k2").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bb = buckets.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("sz") >= 2).cast("int")).cast("long").alias(
+            "colliding_buckets"
+        ),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias(
+            "pairs_in_band"
+        ),
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("db"),
+        F.col("band").alias("band2"),
+        F.col("k1").alias("j1"),
+        F.col("k2").alias("j2"),
+    )
+    pairs = (
+        banded.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("k1") == F.col("j1"))
+            & (F.col("k2") == F.col("j2"))
+            & (F.col("doc_id") < F.col("db")),
+        )
+        .groupBy(F.col("doc_id").alias("da"), "db")
+        .agg(F.min("band").alias("first_band"))
+    )
+    pairs = materialize(pairs)
+    np_ = pairs.groupBy(F.col("first_band").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_pairs")
+    )
+    cum = (
+        bb.select("band")
+        .join(pairs, F.col("first_band") <= F.col("band"), "left")
+        .groupBy("band")
+        .agg(F.count("da").cast("long").alias("cum_pairs"))
+    )
+    return (
+        bb.join(np_, "band", "left")
+        .join(cum, "band")
+        .select(
+            "band",
+            "n_buckets",
+            "colliding_buckets",
+            "pairs_in_band",
+            F.coalesce("new_pairs", F.lit(0).cast("long")).alias("new_pairs"),
+            "cum_pairs",
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "cross_source_copy_matrix",
+    oracle="""
+    WITH k AS (SELECT doc_id, source, md5(text) AS ck FROM documents),
+    p AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             a.ck
+      FROM k a JOIN k b ON a.ck = b.ck AND a.doc_id < b.doc_id)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_groups
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("extension", "dedup", "curation", "report"),
+)
+def cross_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies WHOM: exact-duplicate pairs (byte-identical text, md5
+    content key) cross-tabbed by unordered source pair — the provenance
+    view the per-source dup rate can't give (dedup_rates_by_source says
+    source X is 30% duplicated; this says whether that mass is internal
+    boilerplate [diagonal] or mirrored from source Y [off-diagonal] —
+    at curation time the first wants a dedup pass, the second wants a
+    source-priority keeper rule). n_groups counts distinct duplicated
+    contents per cell, separating one viral page copied 500× from 500
+    independently-mirrored pages. Exact integers off the engine-shared
+    md5 key. Scale: ONE content-hash equi-join (the exact-dedup
+    shuffle, 16-byte keys, never text); a corpus-hot content key (blank
+    page) quadratics the cell like any exact dedup — at 100 TB ride
+    the same group-size cap exact_dedup uses before pairing."""
+    docs = _t(spark, sf_dir, "documents")
+    k = docs.select("doc_id", "source", F.md5("text").alias("ck"))
+    k2 = k.select(
+        F.col("doc_id").alias("d2"),
+        F.col("source").alias("s2"),
+        F.col("ck").alias("ck2"),
+    )
+    p = k.join(
+        k2, (F.col("ck") == F.col("ck2")) & (F.col("doc_id") < F.col("d2"))
+    ).select(
+        F.least("source", "s2").alias("source_a"),
+        F.greatest("source", "s2").alias("source_b"),
+        "ck",
+    )
+    return (
+        p.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("ck").cast("long").alias("n_groups"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _poisson1_cdf_thresholds(kmax: int = 8) -> tuple[int, ...]:
+    """floor(CDF_Poisson(1)(k) · 2⁶⁰) for k = 0..kmax−1 — integer
+    thresholds both engines compare the 60-bit md5 uniform against, so
+    no float ever sits on a draw boundary."""
+    import math
+
+    cdf, out = 0.0, []
+    for k in range(kmax):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        out.append(int(cdf * (1 << 60)))
+    return tuple(out)
+
+
+_P1_TH = _poisson1_cdf_thresholds()
+
+
+@register(
+    "bootstrap_poisson_revenue_ci",
+    oracle=f"""
+    WITH w AS (
+      SELECT b.b AS b, o.o_totalprice,
+             CASE
+               {" ".join(f"WHEN ('0x' || substr(md5(b.b::VARCHAR || ':' || o.o_orderkey::VARCHAR || ':boot'), 1, 15))::UBIGINT::BIGINT < {t} THEN {k}" for k, t in enumerate(_P1_TH))}
+               ELSE {len(_P1_TH)} END AS wt
+      FROM orders o, unnest(range(0, 32)) AS b(b)),
+    reps AS (
+      SELECT b, SUM(wt * CAST(o_totalprice AS DECIMAL(18,4))) AS tot
+      FROM w GROUP BY 1),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b_replicates,
+             CAST(ROUND(SUM(tot), 0) AS DOUBLE) / 32.0 AS boot_mean,
+             (list(CAST(tot AS DOUBLE) ORDER BY tot))[2] AS boot_lo,
+             (list(CAST(tot AS DOUBLE) ORDER BY tot))[31] AS boot_hi
+      FROM reps),
+    pt AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS point_total
+      FROM orders)
+    SELECT st.b_replicates, pt.point_total, st.boot_mean,
+           st.boot_lo, st.boot_hi
+    FROM st, pt
+    """,
+    tags=("extension", "stats", "sampling"),
+)
+def bootstrap_poisson_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence band for total order revenue — the
+    bootstrap that actually runs at 100 TB: instead of materializing B
+    resamples (each a corpus-sized shuffle), every row draws B=32
+    INDEPENDENT Poisson(1) replicate weights in one map pass and the
+    replicate totals fall out of one map-side-combined aggregate — the
+    classic streaming-bootstrap identity (multinomial(n, 1/n) →
+    Poisson(1) as n→∞). Determinism: the draw is the 60-bit md5
+    uniform of (replicate, orderkey) compared against PRECOMPUTED
+    integer CDF thresholds (floor(CDF·2⁶⁰)) — pure integer compares,
+    so both engines draw identical weights and the replicate totals
+    are exact decimal sums that hash-compare bit-for-bit. Reported:
+    the point estimate, the replicate mean (integer-snapped decimal
+    over 32, one IEEE divide), and the 2nd/31st order statistics of
+    the 32 replicate totals (a ~94% percentile band; exact order
+    stats over a 32-element array, no distribution assumption).
+    Scale: 32× map-side fan-out, zero extra shuffles, output ONE row;
+    widen B by widening the sequence, the plan is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    from .functions.hashing import md5_int60
+
+    h = md5_int60(
+        F.concat_ws(
+            ":",
+            F.col("b").cast("string"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("boot"),
+        )
+    )
+    wt = F.lit(len(_P1_TH))
+    for k in range(len(_P1_TH) - 1, -1, -1):
+        wt = F.when(h < F.lit(_P1_TH[k]), F.lit(k)).otherwise(wt)
+    w = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "o_orderkey",
+        "o_totalprice",
+    ).select("b", wt.alias("wt"), "o_totalprice")
+    reps = w.groupBy("b").agg(
+        F.sum(F.col("wt") * dec("o_totalprice")).alias("tot")
+    )
+    st = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("b_replicates"),
+        (
+            F.round(F.sum("tot"), 0).cast("double") / F.lit(32.0)
+        ).alias("boot_mean"),
+        F.sort_array(F.collect_list(F.col("tot").cast("double"))).alias(
+            "__sorted"
+        ),
+    )
+    pt = o.agg(F.sum(dec("o_totalprice")).cast("double").alias("point_total"))
+    return st.join(F.broadcast(pt)).select(
+        "b_replicates",
+        "point_total",
+        "boot_mean",
+        F.element_at("__sorted", 2).alias("boot_lo"),
+        F.element_at("__sorted", 31).alias("boot_hi"),
     )
 
 

@@ -3757,3 +3757,116 @@ def test_scorecard_deep_nest_consistent_with_chain_histogram(spark, sf_oracle):
     # and every scorecard row's pct is the pct_rate of a real doc count
     sc = REGISTRY["source_curation_scorecard"].fn(spark, sf_oracle).collect()
     assert all(0.0 <= r.deep_nest_pct <= 100.0 for r in sc)
+
+
+def test_degree_assortativity_star_graph(spark, tmp_path):
+    """A star (hub part co-purchased with each leaf, leaves never
+    together) is perfectly disassortative: r = -1."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = []
+    for o, leaf in [(1, 2), (2, 3), (3, 4)]:
+        rows.append((o, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+        rows.append((o, leaf, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    r = REGISTRY["degree_assortativity_part_graph"].fn(spark, d).collect()[0]
+    assert (r.n_nodes, r.n_edge_ends) == (4, 6)
+    assert abs(r.assortativity - (-1.0)) < 1e-12
+
+
+def test_lsh_band_curve_twin_docs(spark, tmp_path):
+    """Two byte-identical docs share every band (first_band 0, one
+    cumulative pair throughout); an unrelated doc adds no collisions."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words about spark engines and parquet files here"
+    spark.createDataFrame(
+        [(1, t1, "en", "s1", len(t1)), (2, t1, "en", "s2", len(t1)),
+         (3, t2, "en", "s1", len(t2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = REGISTRY["lsh_band_collision_curve"].fn(spark, d).collect()
+    assert [r.band for r in rows] == list(range(8))
+    for r in rows:
+        assert r.n_buckets == 2  # twin bucket + the loner's
+        assert r.colliding_buckets == 1
+        assert r.pairs_in_band == 1
+        assert r.new_pairs == (1 if r.band == 0 else 0)
+        assert r.cum_pairs == 1
+
+
+def test_cross_source_copy_matrix_hand_case(spark, tmp_path):
+    """One page mirrored across s1/s2 (off-diagonal) and duplicated
+    inside s1 (diagonal): the matrix separates the two."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = [
+        (1, "mirrored page", "en", "s1", 13),
+        (2, "mirrored page", "en", "s2", 13),
+        (3, "mirrored page", "en", "s1", 13),
+        (4, "unique page", "en", "s2", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.source_a, r.source_b): (r.n_pairs, r.n_groups)
+        for r in REGISTRY["cross_source_copy_matrix"].fn(spark, d).collect()
+    }
+    assert got == {("s1", "s1"): (1, 1), ("s1", "s2"): (2, 1)}
+
+
+def test_bootstrap_poisson_draws_match_python(spark, sf_oracle):
+    """The replicate-0 total re-derives exactly from Python hashlib md5
+    draws against the same integer CDF thresholds — pinning that the
+    'random' weights are deterministic, engine-independent facts."""
+    import hashlib
+    from decimal import Decimal
+
+    from spacex_data_pipeline_spark.catalog import table
+    from spacex_data_pipeline_spark.queries import REGISTRY, _P1_TH
+
+    r = REGISTRY["bootstrap_poisson_revenue_ci"].fn(spark, sf_oracle).collect()[0]
+    assert r.b_replicates == 32
+    assert r.boot_lo <= r.boot_hi
+    orders = table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    assert r.point_total == float(
+        sum(Decimal(str(o.o_totalprice)).quantize(Decimal("0.0001")) for o in orders)
+    )
+
+    def wt(b, key):
+        h = int(hashlib.md5(f"{b}:{key}:boot".encode()).hexdigest()[:15], 16)
+        for k, t in enumerate(_P1_TH):
+            if h < t:
+                return k
+        return len(_P1_TH)
+
+    tots = sorted(
+        float(
+            sum(
+                wt(b, o.o_orderkey)
+                * Decimal(str(o.o_totalprice)).quantize(Decimal("0.0001"))
+                for o in orders
+            )
+        )
+        for b in range(32)
+    )
+    # the reported band IS the 2nd/31st order statistic of the Python
+    # re-derived replicate totals — the draws are deterministic facts
+    assert r.boot_lo == tots[1]
+    assert r.boot_hi == tots[30]
+    # mean weight ~ Poisson(1): replicate totals straddle the point
+    # estimate within a loose band
+    assert 0.5 * r.point_total < r.boot_mean < 1.5 * r.point_total

@@ -28,6 +28,11 @@ NEW_AWAITING_WINDOW: set[str] = {
     # -- registered r13 --
     "cms_store_monthly_read",
     "ivfpq_nprobe_recall_curve",
+    # -- registered r13, second push --
+    "degree_assortativity_part_graph",
+    "lsh_band_collision_curve",
+    "cross_source_copy_matrix",
+    "bootstrap_poisson_revenue_ci",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
