@@ -293,6 +293,9 @@ EXTENDED = [
     "lsh_band_collision_curve",
     "cross_source_copy_matrix",
     "bootstrap_poisson_revenue_ci",
+    "bitmap_store_monthly_read",
+    "event_type_diversity_users",
+    "ship_lag_interaction_effects",
 ]
 
 

@@ -20481,6 +20481,231 @@ def ivfpq_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitmap_store_monthly_read",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             (o_custkey - ((o_custkey % 62) + 62) % 62) // 62 AS word,
+             bit_or(1::BIGINT << CAST(((o_custkey % 62) + 62) % 62 AS INT)) AS bm
+      FROM orders GROUP BY 1, 2),
+    mc AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month, word,
+             bit_or(bm) AS bm
+      FROM w GROUP BY 1, 2),
+    act AS (
+      SELECT month, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(bit_count(bm)) AS BIGINT) AS active_customers
+      FROM mc GROUP BY 1),
+    ex AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+      FROM orders GROUP BY 1)
+    SELECT a.month, a.n_words, a.active_customers, e.exact_customers,
+           a.active_customers = e.exact_customers AS merge_ok
+    FROM act a JOIN ex e USING (month) ORDER BY 1
+    """,
+    tags=("extension", "bitmap", "agg", "scale"),
+)
+def bitmap_store_monthly_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain RANGE READS of the bitmap word store — the fourth
+    and last store family gains the read-path symmetry (HLL r11,
+    histogram r12, CMS r13): per-day (day, word)→bitmap cells of
+    ordering customers MERGE BY OR into any month's word set, and the
+    month's EXACT distinct active customers is one popcount sum over
+    merged words — no fact rescan, and unlike the HLL/CMS reads this
+    store's answer is exact, verified cell-for-cell against
+    count_distinct on the raw table (merge_ok per month). Scale: the
+    day-cell build is ONE map-side-combined fact pass (word-wise OR
+    partials); month merges touch |days|·|words| cells; dense-id
+    words pack 62 customers per long — at 100 TB the same cells back
+    ANY calendar range (the rolling-7 entry reads the identical
+    store at day grain)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        o.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.expr("(o_custkey - pmod(o_custkey, 62)) div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(o_custkey, 62) as int))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("__m").alias("bm"))
+    )
+    mc = w.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"), "word"
+    ).agg(F.bit_or("bm").alias("bm"))
+    act = mc.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.bit_count("bm")).cast("long").alias("active_customers"),
+    )
+    ex = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count_distinct("o_custkey").cast("long").alias("exact_customers"))
+    return (
+        act.join(ex, "month")
+        .select(
+            "month",
+            "n_words",
+            "active_customers",
+            "exact_customers",
+            (F.col("active_customers") == F.col("exact_customers")).alias(
+                "merge_ok"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "event_type_diversity_users",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM c GROUP BY 1),
+    d AS (
+      SELECT user_id, n_events,
+             CAST(((n_events * n_events - ss) * 10)
+                  // (n_events * n_events) AS INT) AS decile
+      FROM u)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS events_total
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    tags=("extension", "analytics", "stats"),
+)
+def event_type_diversity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: each user's event-type mix
+    scored by the GINI-SIMPSON index 1 − Σpᵢ² (the probability two of
+    the user's events differ in type — 0 = monomaniac, →1 = uniform
+    across many types), bucketed into deciles. Shannon entropy is the
+    textbook choice but needs ln(), which is libm- not IEEE-specified
+    and could never hash-compare (the HLL entry's documented rule);
+    Gini-Simpson carries the same diversity signal as an EXACT
+    RATIONAL — decile = ((n² − Σnᵢ²)·10) div n², pure integer
+    arithmetic end-to-end, no float on any bucket boundary. Scale:
+    one (user, type) count pass (map-side combined, type cardinality
+    ~5), one user-grain fold, |deciles|-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    decile = (
+        (
+            (F.col("n_events") * F.col("n_events") - F.col("ss")) * 10
+        )
+        / (F.col("n_events") * F.col("n_events"))
+    )
+    d = u.select(
+        "n_events", F.floor(decile).cast("int").alias("decile")
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("events_total"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "ship_lag_interaction_effects",
+    oracle="""
+    WITH l AS (
+      SELECT l.l_returnflag AS flag, o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    cell AS (
+      SELECT flag, priority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lag) AS BIGINT) AS s
+      FROM l GROUP BY 1, 2),
+    rw AS (SELECT flag, CAST(SUM(s) AS DOUBLE) / SUM(n) AS row_mean
+           FROM cell GROUP BY 1),
+    cl AS (SELECT priority, CAST(SUM(s) AS DOUBLE) / SUM(n) AS col_mean
+           FROM cell GROUP BY 1),
+    g AS (SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS grand_mean FROM cell)
+    SELECT c.flag, c.priority, c.n,
+           CAST(c.s AS DOUBLE) / c.n AS cell_mean,
+           rw.row_mean + cl.col_mean - g.grand_mean AS additive_pred,
+           CAST(c.s AS DOUBLE) / c.n
+             - (rw.row_mean + cl.col_mean - g.grand_mean) AS interaction
+    FROM cell c JOIN rw USING (flag) JOIN cl USING (priority), g
+    ORDER BY 1, 2
+    """,
+    tags=("extension", "analytics", "stats"),
+)
+def ship_lag_interaction_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ADDITIVE-MODEL decomposition of shipping lag over
+    (returnflag × order priority) — the ANOVA-style interaction audit:
+    each cell's mean lag vs the additive prediction row-effect +
+    column-effect − grand-mean; the interaction residual is the part
+    neither margin explains (a large |interaction| cell is exactly
+    where a per-flag OR per-priority SLA model silently mispredicts —
+    the two-margin generalization of weekday_adjusted_daily_volume's
+    one-margin adjustment). Exactness: all four means are single IEEE
+    divides of exact BIGINT (sum, n) pairs, and additive_pred /
+    interaction are FIXED sequences over those four deterministic
+    doubles — no windowed or order-dependent float accumulation
+    anywhere. Scale: one fact join (orders dimension broadcast by
+    AQE), one map-side-combined cell aggregate; margins and output
+    are |flags|·|priorities| ≤ 15 rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lag"),
+    )
+    cell = l.groupBy("flag", "priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lag").cast("long").alias("s"),
+    )
+    rw = cell.groupBy("flag").agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("row_mean")
+    )
+    cl = cell.groupBy("priority").agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("col_mean")
+    )
+    g = cell.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("grand_mean")
+    )
+    cm = F.col("s").cast("double") / F.col("n")
+    pred = F.col("row_mean") + F.col("col_mean") - F.col("grand_mean")
+    return (
+        cell.join(F.broadcast(rw), "flag")
+        .join(F.broadcast(cl), "priority")
+        .join(F.broadcast(g))
+        .select(
+            "flag",
+            "priority",
+            "n",
+            cm.alias("cell_mean"),
+            pred.alias("additive_pred"),
+            (cm - pred).alias("interaction"),
+        )
+        .orderBy("flag", "priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r13).
 #

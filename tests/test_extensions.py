@@ -3870,3 +3870,101 @@ def test_bootstrap_poisson_draws_match_python(spark, sf_oracle):
     # mean weight ~ Poisson(1): replicate totals straddle the point
     # estimate within a loose band
     assert 0.5 * r.point_total < r.boot_mean < 1.5 * r.point_total
+
+
+def test_bitmap_store_monthly_read_hand_case(spark, tmp_path):
+    """Customers straddling word boundaries across two months: the
+    OR-merged month read equals exact distincts (merge_ok everywhere),
+    including a customer active in both months counted once per month."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = []
+    ok = 1
+    for ck in [0, 1, 61, 62, 124]:  # words 0, 0, 0, 1, 2
+        rows.append((ok, ck, "O", 10.0, dt.datetime(2024, 1, 1 + ok), "1-URGENT"))
+        ok += 1
+    rows.append((ok, 0, "O", 10.0, dt.datetime(2024, 2, 1), "1-URGENT"))  # repeat in feb
+    rows.append((ok + 1, 200, "O", 10.0, dt.datetime(2024, 2, 2), "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    got = {
+        r.month.isoformat(): (r.active_customers, r.exact_customers, r.merge_ok)
+        for r in REGISTRY["bitmap_store_monthly_read"].fn(spark, d).collect()
+    }
+    assert got == {
+        "2024-01-01": (5, 5, True),
+        "2024-02-01": (2, 2, True),
+    }
+
+
+def test_event_type_diversity_deciles(spark, tmp_path):
+    """Monomaniac → decile 0; 50/50 two-type → decile 5 (1 − 1/2);
+    five singleton types → decile 8 (1 − 1/5)."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rows = []
+    ts = dt.datetime(2024, 1, 1)
+    for i in range(4):
+        rows.append((1, "view", ts))
+    for t in ["view", "view", "click", "click"]:
+        rows.append((2, t, ts))
+    for t in ["view", "click", "purchase", "cart", "search"]:
+        rows.append((3, t, ts))
+    spark.createDataFrame(
+        [(i, u, t, w) for i, (u, t, w) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        r.decile: (r.n_users, r.events_total)
+        for r in REGISTRY["event_type_diversity_users"].fn(spark, d).collect()
+    }
+    assert got == {0: (1, 4), 5: (1, 4), 8: (1, 5)}
+
+
+def test_ship_lag_interaction_zero_when_additive(spark, tmp_path):
+    """Lags built exactly additive (lag = flag_effect + priority_effect)
+    must decompose with interaction == 0.0 in every cell."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    flag_eff = {"N": 2, "R": 5}
+    pri_eff = {"1-URGENT": 1, "3-MEDIUM": 4}
+    orows, lrows, ok = [], [], 1
+    base = dt.datetime(2024, 1, 1)
+    for pri, pe in pri_eff.items():
+        for fl, fe in flag_eff.items():
+            for rep in range(3):
+                orows.append((ok, 1, "O", 10.0, base, pri))
+                lrows.append(
+                    (ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, fl, "O",
+                     base + dt.timedelta(days=fe + pe))
+                )
+                ok += 1
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    rows = REGISTRY["ship_lag_interaction_effects"].fn(spark, d).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.cell_mean == flag_eff[r.flag] + pri_eff[r.priority]
+        assert abs(r.interaction) < 1e-12

@@ -1442,3 +1442,21 @@ def test_store_range_reads_agree_per_month(stream):
         .collect()
     }
     assert hist_totals == exact  # cross-family n_total law
+    # bitmap store: OR-merge law + exactness (ids unique per row, so
+    # month popcount == row count == the other stores' n_total)
+    word = F.expr("(user_id - pmod(user_id, 62)) div 62").alias("word")
+    bit = F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("__m")
+    day_bm = (
+        df.select(F.to_date("ts").alias("day"), word, bit)
+        .groupBy("day", "word")
+        .agg(F.bit_or("__m").alias("bm"))
+    )
+    merged_bm = {
+        r.month: r.n
+        for r in day_bm.groupBy(month, "word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .groupBy("month")
+        .agg(F.sum(F.bit_count("bm")).alias("n"))
+        .collect()
+    }
+    assert merged_bm == exact  # or-merge law, all four stores agree

@@ -33,6 +33,10 @@ NEW_AWAITING_WINDOW: set[str] = {
     "lsh_band_collision_curve",
     "cross_source_copy_matrix",
     "bootstrap_poisson_revenue_ci",
+    # -- registered r13, third push --
+    "bitmap_store_monthly_read",
+    "event_type_diversity_users",
+    "ship_lag_interaction_effects",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
