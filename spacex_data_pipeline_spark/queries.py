@@ -19751,8 +19751,8 @@ def _part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
     SELECT nn.n_nodes, s.n AS n_edge_ends,
            (s.sxy - (s.sx * s.sy) / s.n)
-             / (sqrt(s.sxx - (s.sx * s.sx) / s.n)
-                * sqrt(s.syy - (s.sy * s.sy) / s.n)) AS assortativity
+             / NULLIF(sqrt(s.sxx - (s.sx * s.sx) / s.n)
+                      * sqrt(s.syy - (s.sy * s.sy) / s.n), 0.0) AS assortativity
     FROM s, nn
     """,
     tags=("extension", "graph", "analytics", "stats"),
@@ -19799,8 +19799,12 @@ def degree_assortativity_part_graph(spark: SparkSession, sf_dir: str) -> DataFra
     sx, sy, sxx, syy, sxy, n = (
         F.col(c) for c in ("sx", "sy", "sxx", "syy", "sxy", "n")
     )
-    r = (sxy - (sx * sy) / n) / (
-        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n)
+    # nullif guard: a degree-REGULAR graph (every basket identical → one
+    # clique) has zero degree variance, and ANSI mode would throw on the
+    # 0-denominator instead of reporting the undefined coefficient as
+    # NULL (found by the hypothesis reference test, not the fixture)
+    r = (sxy - (sx * sy) / n) / nullif(
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n), F.lit(0.0)
     )
     return nn.join(F.broadcast(s)).select(
         "n_nodes", F.col("n").alias("n_edge_ends"), r.alias("assortativity")

@@ -1460,3 +1460,102 @@ def test_store_range_reads_agree_per_month(stream):
         .collect()
     }
     assert merged_bm == exact  # or-merge law, all four stores agree
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # user
+            st.sampled_from(["view", "click", "cart", "purchase", "search"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_event_type_diversity_matches_python_reference(events):
+    """decile = floor(10 · (1 − Σpᵢ²)) for any event multiset — the
+    exact-rational Gini-Simpson bucket re-derived in pure Python."""
+    import datetime as dt
+
+    spark = _get_spark()
+    rows = [
+        (i, u, t, dt.datetime(2024, 1, 1, 0, 0, i % 60))
+        for i, (u, t) in enumerate(events)
+    ]
+    d = _fixture_dir(
+        spark,
+        {"events": (rows, "event_id long, user_id long, event_type string, ts timestamp")},
+    )
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    got = {
+        r.decile: (r.n_users, r.events_total)
+        for r in REGISTRY["event_type_diversity_users"].fn(spark, d).collect()
+    }
+    per_user: dict = {}
+    for u, t in events:
+        per_user.setdefault(u, []).append(t)
+    want: dict = {}
+    for u, ts in per_user.items():
+        n = len(ts)
+        ss = sum(ts.count(x) ** 2 for x in set(ts))
+        decile = ((n * n - ss) * 10) // (n * n)
+        nu, ev = want.get(decile, (0, 0))
+        want[decile] = (nu + 1, ev + n)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    baskets=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=8), min_size=2, max_size=4, unique=True
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_assortativity_matches_python_reference(baskets):
+    """Newman's r over the co-purchase graph equals the pure-Python
+    Pearson correlation of edge-end degree pairs (skipped when the
+    graph is degree-regular — r is 0/0 there, NaN both ways)."""
+    import datetime as dt
+    import math
+
+    spark = _get_spark()
+    rows = []
+    for o, parts in enumerate(baskets, start=1):
+        for p in parts:
+            rows.append(
+                (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+            )
+    d = _fixture_dir(spark, {"lineitem": (rows, _LINE_SCHEMA)})
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    edges = set()
+    for parts in baskets:
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ends = [(deg[a], deg[b]) for a, b in edges] + [(deg[b], deg[a]) for a, b in edges]
+    n = len(ends)
+    sx = sum(x for x, _ in ends)
+    sy = sum(y for _, y in ends)
+    sxx = sum(x * x for x, _ in ends)
+    syy = sum(y * y for _, y in ends)
+    sxy = sum(x * y for x, y in ends)
+    denom = math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n)
+    r = REGISTRY["degree_assortativity_part_graph"].fn(spark, d).collect()[0]
+    assert r.n_nodes == len(deg)
+    assert r.n_edge_ends == n
+    if denom == 0.0:
+        assert r.assortativity is None or math.isnan(r.assortativity)
+    else:
+        want = (sxy - sx * sy / n) / denom
+        assert abs(r.assortativity - want) < 1e-12
