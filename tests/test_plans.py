@@ -106,6 +106,7 @@ SANCTIONED_PYTHON = {
     "multimodal_byte_features",  # Arrow-batched frombuffer+bincount (r8)
     "ivf_nprobe_recall_sweep",  # ground truth rides cosine_topk's BLAS tile; probes ride ivf_assign_cells (r8)
     "similarity_margin_report",  # rides cosine_topk's BLAS tile (r12)
+    "ivfpq_nprobe_recall_curve",  # ground truth + cell assignment ride the same BLAS tiles as the r8 sweep (r13)
 }
 
 
@@ -151,6 +152,10 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     "funnel_conversion_rates",
     "gini_customer_spend",
     "ivf_nprobe_recall_sweep",
+    # ivfpq_nprobe_recall_curve: same audited frames as the r8 sweep —
+    # the limit(16) centroid rank and the 5-query cellrank/ret windows
+    # (query-sample-sized, never the raw corpus) — audited r13
+    "ivfpq_nprobe_recall_curve",
     "ks_drift_order_prices",
     "lorenz_curve_customer_spend",
     "mann_whitney_spend_by_arm",
@@ -632,8 +637,17 @@ def test_er_fuzzy_blocking_plan_shape(spark, sf):
     hot-gram cap is a BROADCAST anti-join (the aggregated hot-key list
     never shuffles the gram table), verification uses the THRESHOLD
     form of levenshtein (banded DP, early abandon), and no cartesian
-    appears (candidate generation is the gram-key equi-join)."""
-    plan = plan_of(REGISTRY["er_fuzzy_pairs_customers"].fn(spark, sf), "extended")
+    appears (candidate generation is the gram-key equi-join). Asserted
+    on the OPERATOR build — the registry entries now read the shared
+    materialized pair table (r13), whose checkpoint scan hides the
+    blocking plan the production pass still executes."""
+    from spacex_data_pipeline_spark.catalog import table
+    from spacex_data_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    plan = plan_of(
+        blocked_fuzzy_pairs(table(spark, sf, "customer"), "c_custkey", "c_name"),
+        "extended",
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "levenshtein" in plan and "Some(2)" in plan  # threshold-bounded form
