@@ -20102,14 +20102,32 @@ def bootstrap_poisson_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("boot"),
         )
     )
+    # Two plan notes (measured 11.1 s → 3.6 s at sf0.1, the latter under
+    # full 32-core neighbor load): (1) the hash is
+    # projected to a COLUMN before the 9-reference CDF compare chain so
+    # it is evaluated once per row regardless of codegen subexpression
+    # elimination; (2) the pre-fan-out REPARTITION(32) spreads the 32×
+    # md5 work across cores — the fixture's single parquet file
+    # otherwise rides one narrow task through explode+hash, and the
+    # explicit partition count matters: AQE coalesces a size-based
+    # repartition of the 3 MB input back to ONE partition because the
+    # fan-out multiplier is invisible to its advisory sizing (at real
+    # scale the scan has many splits and this moves |orders| narrow
+    # rows once, never the fan-out).
     wt = F.lit(len(_P1_TH))
     for k in range(len(_P1_TH) - 1, -1, -1):
-        wt = F.when(h < F.lit(_P1_TH[k]), F.lit(k)).otherwise(wt)
-    w = o.select(
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-        "o_orderkey",
-        "o_totalprice",
-    ).select("b", wt.alias("wt"), "o_totalprice")
+        wt = F.when(F.col("__h") < F.lit(_P1_TH[k]), F.lit(k)).otherwise(wt)
+    w = (
+        o.select("o_orderkey", "o_totalprice")
+        .repartition(32, F.col("o_orderkey"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .select("b", h.alias("__h"), "o_totalprice")
+        .select("b", wt.alias("wt"), "o_totalprice")
+    )
     reps = w.groupBy("b").agg(
         F.sum(F.col("wt") * dec("o_totalprice")).alias("tot")
     )
