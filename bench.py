@@ -296,6 +296,7 @@ EXTENDED = [
     "bitmap_store_monthly_read",
     "event_type_diversity_users",
     "ship_lag_interaction_effects",
+    "neyman_allocation_orders",
 ]
 
 

@@ -20728,6 +20728,170 @@ def ship_lag_interaction_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neyman_allocation_orders",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(ROUND(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))), 0)
+                  AS DOUBLE) AS s2
+      FROM orders GROUP BY 1),
+    sd AS (
+      SELECT priority, n, s1, s2,
+             CASE WHEN n > 1
+                  THEN sqrt((s2 - (s1 * s1) / n) / (n - 1))
+                  ELSE 0.0 END AS sdev,
+             CAST(n AS DOUBLE)
+               * CASE WHEN n > 1
+                      THEN sqrt((s2 - (s1 * s1) / n) / (n - 1))
+                      ELSE 0.0 END AS w
+      FROM s),
+    z AS (
+      SELECT list_reduce(list_prepend(0.0, list(w ORDER BY priority)),
+                         (a, b) -> a + b) AS z
+      FROM sd),
+    b AS (SELECT CAST(COUNT(*) // 10 AS BIGINT) AS budget,
+                 CAST(COUNT(*) AS BIGINT) AS n_total FROM orders),
+    plan AS (
+      SELECT sd.priority, sd.n, sd.sdev,
+             COALESCE(
+               CAST(floor(CAST(b.budget AS DOUBLE)
+                          * (sd.w / NULLIF(z.z, 0.0))) AS BIGINT),
+               CAST(b.budget * sd.n // b.n_total AS BIGINT)) AS target_n,
+             CAST(b.budget * sd.n // b.n_total AS BIGINT) AS prop_n
+      FROM sd, z, b),
+    thr AS (
+      SELECT priority, n, sdev, target_n, prop_n,
+             least(10000, 10000 * target_n // n) AS threshold
+      FROM plan),
+    smp AS (
+      SELECT o.o_orderpriority AS priority, COUNT(*) AS n_sampled
+      FROM orders o JOIN thr ON thr.priority = o.o_orderpriority
+      WHERE ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':ney'), 1, 15))
+              ::UBIGINT::BIGINT % 10000 < thr.threshold
+      GROUP BY 1)
+    SELECT t.priority, t.n AS n_rows, t.sdev AS stddev_price,
+           t.target_n, t.prop_n, CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(COALESCE(s2.n_sampled, 0) AS BIGINT) AS n_sampled,
+           ROUND(100.0 * COALESCE(s2.n_sampled, 0) / NULLIF(t.n, 0), 2)
+             AS sample_pct
+    FROM thr t LEFT JOIN smp s2 ON s2.priority = t.priority
+    ORDER BY 1
+    """,
+    tags=("extension", "sampling", "stats"),
+)
+def neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) stratified-sampling allocation, planned AND
+    executed: a 10%-of-corpus budget is split across priority strata
+    ∝ N_h·S_h (high-variance strata earn more samples — the design
+    that minimizes estimator variance under a fixed budget, vs the
+    prop_n column's naive proportional split shown for contrast),
+    integerized into per-stratum md5 acceptance thresholds and
+    EXECUTED deterministically, with realized counts — the
+    temperature-sampler's plan+execute pattern applied to survey
+    design. Exactness: S_h comes from exact decimal moments (the
+    stddev_exact fixed IEEE sequence, squares integer-snapped before
+    the double cast per the 2⁵³ rule); the normalizer Σ N_h·S_h folds
+    LEFT-TO-RIGHT over the ≤5 priority-ordered strata (never an
+    order-dependent float shuffle sum); target_n is one floor of one
+    product; thresholds and acceptance are pure integers. Scale: one
+    fact pass for moments, one for the sampling join (threshold table
+    broadcast); the fold runs on 5 rows. At 100 TB the plan half runs
+    on a sample and only the execute half touches the corpus —
+    split the two at the thr frame."""
+    from .functions.hashing import md5_int60
+
+    o = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(p)).cast("double").alias("s1"),
+        F.sum((p * p).cast("decimal(28,4)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("s2"),
+    )
+    # singleton-stratum guard (the assortativity lesson applied ahead of
+    # time): n = 1 would divide by zero under ANSI; one observation
+    # carries zero variance information, so its Neyman weight is 0
+    sdev = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    sd = s.select(
+        "priority", "n", sdev.alias("sdev"),
+        (F.col("n").cast("double") * sdev).alias("w"),
+    )
+    z = sd.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("priority", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("z")
+    )
+    b = o.agg(
+        F.expr("CAST(count(1) div 10 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    # Z = 0 (every stratum constant) leaves the Neyman split undefined —
+    # degrade to the proportional allocation instead of dividing by zero
+    prop = F.expr("CAST(budget * n div n_total AS BIGINT)")
+    plan = sd.join(F.broadcast(z)).join(F.broadcast(b)).select(
+        "priority",
+        "n",
+        "sdev",
+        F.coalesce(
+            F.floor(
+                F.col("budget").cast("double")
+                * (F.col("w") / nullif(F.col("z"), F.lit(0.0)))
+            ).cast("long"),
+            prop,
+        ).alias("target_n"),
+        prop.alias("prop_n"),
+    )
+    thr = plan.select(
+        "priority", "n", "sdev", "target_n", "prop_n",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr("10000 * target_n div n"),
+        ).alias("threshold"),
+    )
+    accept = (
+        md5_int60(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(":ney"))
+        )
+        % 10000
+    )
+    smp = (
+        o.select(F.col("o_orderpriority").alias("priority"), accept.alias("__a"))
+        .join(F.broadcast(thr.select("priority", "threshold")), "priority")
+        .filter(F.col("__a") < F.col("threshold"))
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        thr.join(smp, "priority", "left")
+        .select(
+            "priority",
+            F.col("n").alias("n_rows"),
+            F.col("sdev").alias("stddev_price"),
+            "target_n",
+            "prop_n",
+            F.col("threshold").cast("long").alias("threshold"),
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+            pct_rate(
+                F.coalesce("n_sampled", F.lit(0).cast("long")), F.col("n")
+            ).alias("sample_pct"),
+        )
+        .orderBy("priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r13).
 #

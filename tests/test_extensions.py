@@ -3968,3 +3968,52 @@ def test_ship_lag_interaction_zero_when_additive(spark, tmp_path):
     for r in rows:
         assert r.cell_mean == flag_eff[r.flag] + pri_eff[r.priority]
         assert abs(r.interaction) < 1e-12
+
+
+def test_neyman_allocation_invariants(spark, sf_oracle, tmp_path):
+    """Plan sanity on the fixture (budget respected, thresholds bounded,
+    realized counts near targets) plus the design property on a hand
+    case: the high-variance stratum takes nearly the whole budget, a
+    constant stratum takes none, and an all-constant corpus degrades to
+    the proportional split instead of dividing by zero."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["neyman_allocation_orders"].fn(spark, sf_oracle).collect()
+    total_n = sum(r.n_rows for r in rows)
+    budget = total_n // 10
+    assert sum(r.target_n for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r.threshold <= 10000
+        assert 0 <= r.n_sampled <= r.n_rows
+
+    def orders_dir(prices_by_pri):
+        d = str(tmp_path / str(abs(hash(str(prices_by_pri)))))
+        rows, ok = [], 1
+        for pri, prices in prices_by_pri.items():
+            for p in prices:
+                rows.append((ok, 1, "O", float(p), dt.datetime(2024, 1, 1), pri))
+                ok += 1
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+        return d
+
+    d1 = orders_dir(
+        {"1-URGENT": [100.0] * 50, "2-HIGH": [i * 997.0 + 13 for i in range(50)]}
+    )
+    got = {
+        r.priority: r
+        for r in REGISTRY["neyman_allocation_orders"].fn(spark, d1).collect()
+    }
+    assert got["1-URGENT"].target_n == 0  # zero variance -> zero allocation
+    assert got["2-HIGH"].target_n == 10  # the whole 10% budget
+    d2 = orders_dir({"1-URGENT": [100.0] * 40, "2-HIGH": [100.0] * 60})
+    got2 = {
+        r.priority: (r.target_n, r.prop_n)
+        for r in REGISTRY["neyman_allocation_orders"].fn(spark, d2).collect()
+    }
+    assert got2 == {"1-URGENT": (4, 4), "2-HIGH": (6, 6)}  # proportional fallback

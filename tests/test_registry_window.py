@@ -37,6 +37,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "bitmap_store_monthly_read",
     "event_type_diversity_users",
     "ship_lag_interaction_effects",
+    "neyman_allocation_orders",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
