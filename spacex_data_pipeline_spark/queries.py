@@ -19549,12 +19549,13 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("source").alias("source_a"), "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
+    # per-source signatures MIN-MERGE the shared per-doc signature table
+    # (min is associative and duplicate-insensitive, so this equals the
+    # direct per-source aggregate the oracle states — and the
+    # shingle+16×md5 pass is paid once per sweep, not once per entry)
     n_perms = 16
-    sig = shs.groupBy("source").agg(
-        *[
-            F.min(md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(f"m{i}")
-            for i in range(n_perms)
-        ]
+    sig = _doc_md5_minhash_sigs(spark, sf_dir).groupBy("source").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(n_perms)]
     )
     sig_b = sig.select(
         F.col("source").alias("source_b"),
@@ -19691,6 +19692,49 @@ def similarity_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# Per-doc md5-seeded 16-perm MinHash signatures (doc_id, source,
+# m0..m15), shared by the md5-replayable sketch audits (r13): the LSH
+# band-collision curve consumes them at doc grain, and the per-source
+# overlap signatures are a MIN-MERGE of the per-doc mins (min is
+# associative and duplicate-insensitive, so min over a source's docs'
+# mins == min over the source's shingle multiset == the per-source
+# aggregate both engines replay) — one shingle-explode + 16-min pass
+# instead of one per entry. Deterministic — wall-clock only.
+_DOC_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PERMS = 16
+
+
+def _doc_md5_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sig = _DOC_MINHASH_CACHE.get(key)
+    if sig is None:
+        from .functions.hashing import md5_int60, normalize_text, shingles_from_words
+        from .operators.dedup import materialize
+
+        docs = _t(spark, sf_dir, "documents")
+        shs = docs.select(
+            "doc_id",
+            "source",
+            F.split(normalize_text(F.col("text")), " ").alias("__words"),
+        ).select(
+            "doc_id",
+            "source",
+            F.explode(shingles_from_words(F.col("__words"), 3)).alias("s"),
+        )
+        sig = materialize(
+            shs.groupBy("doc_id", "source").agg(
+                *[
+                    F.min(
+                        md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("s")))
+                    ).alias(f"m{i}")
+                    for i in range(_MINHASH_PERMS)
+                ]
+            )
+        )
+        _DOC_MINHASH_CACHE[key] = sig
+    return sig
 
 
 # The part co-purchase edge list (distinct part pairs sharing an order,
@@ -19881,28 +19925,15 @@ def lsh_band_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant replays md5 mins bit-identically in both engines, the
     source_minhash_overlap discipline at doc grain). All columns exact
     integers. Scale: signatures are ONE map-side-combinable 16-min
-    aggregate over the shingle explode (never a distinct); band rows
+    aggregate over the shingle explode (never a distinct), read from
+    the SHARED materialized per-doc signature table
+    (_doc_md5_minhash_sigs — the source-overlap entry min-merges the
+    same rows); band rows
     are |docs|·8; the pair self-join is per-(band, key) bucket-bounded
     — exactly the production LSH join shape, whose hot-bucket cap this
     table is the tuning input for."""
-    from .functions.hashing import md5_int60, normalize_text, shingles_from_words
-
-    n_perms, n_bands = 16, 8
-    docs = _t(spark, sf_dir, "documents")
-    shs = docs.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__words")
-    ).select(
-        "doc_id",
-        F.explode(shingles_from_words(F.col("__words"), 3)).alias("s"),
-    )
-    sig = shs.groupBy("doc_id").agg(
-        *[
-            F.min(md5_int60(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(
-                f"m{i}"
-            )
-            for i in range(n_perms)
-        ]
-    )
+    n_bands = 8
+    sig = _doc_md5_minhash_sigs(spark, sf_dir)
     banded = sig.select(
         "doc_id",
         F.explode(
