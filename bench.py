@@ -297,6 +297,7 @@ EXTENDED = [
     "event_type_diversity_users",
     "ship_lag_interaction_effects",
     "neyman_allocation_orders",
+    "chao1_vocab_estimate",
 ]
 
 

@@ -20923,6 +20923,108 @@ def neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chao1_vocab_estimate",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':chao'), 1, 15))
+               ::UBIGINT::BIGINT % 2 = 0 AS in_sample
+      FROM documents),
+    st AS (
+      SELECT unnest(__TOKS__) AS term FROM sel WHERE in_sample),
+    sc AS (SELECT term, COUNT(*) AS c FROM st GROUP BY 1),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sample_vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM sc),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_sampled
+           FROM sel WHERE in_sample),
+    ev AS (
+      SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_vocab
+      FROM (SELECT unnest(__TOKS__) AS term FROM sel))
+    SELECT nd.n_docs_sampled, f.sample_vocab, f.f1, f.f2,
+           CAST(f.sample_vocab AS DOUBLE)
+             + CAST(f.f1 * (f.f1 - 1) AS DOUBLE)
+               / CAST(2 * (f.f2 + 1) AS DOUBLE) AS chao1_est,
+           ev.exact_vocab,
+           ROUND(100.0 * f.sample_vocab / NULLIF(ev.exact_vocab, 0), 2)
+             AS seen_pct
+    FROM f, nd, ev
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "stats", "approx"),
+)
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESTIMATE WHAT YOU CAN'T AFFORD TO COUNT: total vocabulary size
+    extrapolated from a deterministic half-sample of docs via the
+    bias-corrected Chao1 richness estimator — D + f1(f1−1)/(2(f2+1)),
+    where f1/f2 are the sample's singleton/doubleton term counts (the
+    unseen-species mass is estimable from how many species were seen
+    barely once) — calibrated in-table against the EXACT full-corpus
+    vocabulary, the same measure-the-estimator pattern as
+    source_minhash_overlap's err_pp. At 100 TB the exact distinct over
+    terms is a corpus-wide shuffle you run once as the audit; the
+    Chao1 side needs only the SAMPLE's term counts, and the estimator
+    reads off two integers. Exactness: membership is the engine-
+    identical md5 parity bit; D/f1/f2 are exact integers and the
+    estimate is ONE fixed arithmetic sequence over them (the
+    bias-corrected form is defined at f2 = 0, so no divide guard is
+    even needed); seen_pct is the house pct_rate. Scale: one
+    tokenize pass over the sample + one over the corpus (audit);
+    both term aggregates map-side combine; output is ONE row."""
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.hashing import md5_int60
+
+    sel = docs.select(
+        "text",
+        (
+            md5_int60(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":chao"))
+            )
+            % 2
+            == 0
+        ).alias("in_sample"),
+    )
+    st = sel.filter("in_sample").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    sc = st.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    f = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("sample_vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    nd = sel.filter("in_sample").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_sampled")
+    )
+    ev = (
+        sel.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .agg(F.count_distinct("term").cast("long").alias("exact_vocab"))
+    )
+    chao1 = F.col("sample_vocab").cast("double") + (
+        (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (2 * (F.col("f2") + 1)).cast("double")
+    )
+    return (
+        f.join(F.broadcast(nd))
+        .join(F.broadcast(ev))
+        .select(
+            "n_docs_sampled",
+            "sample_vocab",
+            "f1",
+            "f2",
+            chao1.alias("chao1_est"),
+            "exact_vocab",
+            pct_rate(F.col("sample_vocab"), F.col("exact_vocab")).alias(
+                "seen_pct"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r13).
 #

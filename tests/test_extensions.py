@@ -4017,3 +4017,34 @@ def test_neyman_allocation_invariants(spark, sf_oracle, tmp_path):
         for r in REGISTRY["neyman_allocation_orders"].fn(spark, d2).collect()
     }
     assert got2 == {"1-URGENT": (4, 4), "2-HIGH": (6, 6)}  # proportional fallback
+
+
+def test_chao1_estimator_hand_case(spark, tmp_path):
+    """Chao1 on a constructed sample: known singleton/doubleton counts
+    re-derive the closed-form estimate, and seen_pct reflects the terms
+    the held-out half hides."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    # find doc ids landing in / out of the deterministic half-sample
+    import hashlib
+
+    def in_sample(doc_id):
+        return int(hashlib.md5(f"{doc_id}:chao".encode()).hexdigest()[:15], 16) % 2 == 0
+
+    ins = [i for i in range(40) if in_sample(i)][:2]
+    outs = [i for i in range(40) if not in_sample(i)][:1]
+    rows = [
+        (ins[0], "alpha beta beta", "en", "s1", 15),
+        (ins[1], "gamma gamma delta", "en", "s1", 17),
+        (outs[0], "omega psi chi", "en", "s1", 13),  # unseen-by-sample terms
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    r = REGISTRY["chao1_vocab_estimate"].fn(spark, d).collect()[0]
+    # sample terms: alpha(1) beta(2) gamma(2) delta(1) -> D=4, f1=2, f2=2
+    assert (r.n_docs_sampled, r.sample_vocab, r.f1, r.f2) == (2, 4, 2, 2)
+    assert r.chao1_est == 4 + (2 * 1) / (2 * 3)
+    assert r.exact_vocab == 7
+    assert r.seen_pct == round(100.0 * 4 / 7, 2)

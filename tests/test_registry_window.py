@@ -38,6 +38,7 @@ NEW_AWAITING_WINDOW: set[str] = {
     "event_type_diversity_users",
     "ship_lag_interaction_effects",
     "neyman_allocation_orders",
+    "chao1_vocab_estimate",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
