@@ -21026,79 +21026,79 @@ def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (r13).
+# Driver-window rotation (r14).
 #
 # The driver's correctness harness checks exactly the FIRST 50 entries of
-# ``queries()`` insertion order (verified r1→r2: the checked set is
+# ``queries()`` insertion order (verified r1->r2: the checked set is
 # registry[0:50]). Steady-state cadence (VERDICT r11 "next round" #1,
-# re-prescribed r12 #1): the window is the 30 r12 registrations (never
-# driver-verified; local-replica green at three scale factors, gated in
-# tests/test_oracle_parity.py which is exactly the driver's strictness)
-# plus 20 RE-VERIFICATION slots — the OLDEST remaining green rows ranked
-# by (last-green round, registry order) from the CORRECTNESS_r* artifacts:
-# all twenty are r7 rows (the staging/setop/window/scalar cohort whose
-# last green driver row dates to CORRECTNESS_r07; r12 closed out the r6
-# cohort). A green pass keeps the ledger at full coverage — every entry
-# registered through r12 driver-verified, the 30 r11 first-timers green
-# in CORRECTNESS_r12. Entries registered in r13 go to
-# NEW_AWAITING_WINDOW (tests/test_registry_window.py) and rotate into
-# the r14 window.
+# re-prescribed r12 #1 and r13 #1): the window is the 11 r13
+# registrations (never driver-verified; local-replica green at three
+# scale factors, gated in tests/test_oracle_parity.py which is exactly
+# the driver's strictness) plus 39 RE-VERIFICATION slots — the OLDEST
+# remaining green rows ranked by (last-green round, registry order)
+# from the CORRECTNESS_r* artifacts: the 30 remaining r7 rows (closing
+# out the r7 cohort entirely) plus the 9 oldest r8 rows. A green pass
+# makes the ledger fully current: after r14 every one of the 339
+# registered entries has a driver row, none older than CORRECTNESS_r08.
+# Entries registered in r14 go to NEW_AWAITING_WINDOW
+# (tests/test_registry_window.py) and rotate into the r15 window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the 30 r12 registrations, never driver-verified, registry order --
-    "repeat_purchase_curve",
-    "priority_mix_shift_monthly",
-    "user_event_degree_histogram",
-    "weekday_adjusted_daily_volume",
-    "median_order_gap_by_priority",
-    "supplier_part_breadth",
-    "discount_lift_by_year",
-    "fixed_size_sample_events",
-    "ngram_novelty_by_source",
-    "char_class_profile_by_source",
-    "split_source_mix_parity",
-    "shard_balance_report",
-    "neardup_cluster_length_spread",
-    "source_curation_scorecard",
-    "containment_groupkfold",
-    "orders_open_backlog_daily",
-    "max_drawdown_daily_revenue",
-    "triangle_census_part_graph",
-    "weighted_median_price_by_flag",
-    "spend_quartile_migration_customers",
-    "new_vs_returning_users_weekly",
-    "purchase_burst_islands",
-    "catalog_entry_curve",
-    "quantile_store_monthly_read",
-    "shingle_df_cap_loss_curve",
-    "dedup_survivorship_shift",
-    "sentence_stats_by_lang",
-    "containment_chain_depth",
-    "source_minhash_overlap",
-    "similarity_margin_report",
-    # -- 20 re-verification slots: the oldest remaining green rows by
-    #    (last-green round, registry order) — all r7 rows --
-    "fct_events_by_day",
-    "stg_events_typed",
-    "q3_unshipped_revenue",
-    "semi_customers_with_open_orders",
-    "anti_customers_without_orders",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
-    "setop_intersect_customers",
-    "rollup_orders",
-    "cube_lineitem_flags",
-    "pivot_priority_by_status",
-    "scalar_functions_part",
-    "scalar_dates_orders",
-    "filter_pushdown_lineitem",
-    "count_distinct_customers_by_status",
-    "median_quantity_by_flag",
-    "approx_distinct_parts",
-    "approx_quantiles_lineitem",
-    "dedup_latest_order_per_customer",
-    "text_langid_docs",
+    # -- the 11 r13 registrations, never driver-verified, registry order --
+    "degree_assortativity_part_graph",
+    "lsh_band_collision_curve",
+    "cross_source_copy_matrix",
+    "bootstrap_poisson_revenue_ci",
+    "cms_store_monthly_read",
+    "ivfpq_nprobe_recall_curve",
+    "bitmap_store_monthly_read",
+    "event_type_diversity_users",
+    "ship_lag_interaction_effects",
+    "neyman_allocation_orders",
+    "chao1_vocab_estimate",
+    # -- 39 re-verification slots: the oldest remaining green rows by
+    #    (last-green round, registry order) — the 30 remaining r7 rows …
+    "text_fingerprints_docs",
+    "left_join_customer_order_stats",
+    "full_outer_year_activity",
+    "cross_join_region_status",
+    "subquery_above_nation_avg",
+    "having_active_customers",
+    "string_predicates_part",
+    "array_agg_nations_per_region",
+    "pack_documents_token_bins",
+    "length_bucketed_batches_docs",
+    "embeddings_unit_norm",
+    "embeddings_random_projection",
+    "token_mass_models_by_source",
+    "funnel_conversion_rates",
+    "contrastive_pairs_embeddings",
+    "dedup_reports",
+    "dedup_lines_docs",
+    "dedup_lines_report",
+    "dedup_lines_by_source",
+    "url_canonicalize_docs",
+    "dedup_rates_by_domain",
+    "dedup_neardup_rates_by_domain",
+    "text_bm25_topk",
+    "dedup_ngram_span_stats",
+    "text_trigram_typicality",
+    "source_typicality_report",
+    "pq_encode_codes",
+    "similarity_topk_pq",
+    "mixture_temperature_sampling",
+    "scd2_customer_priority",
+    # -- … plus the 9 oldest r8 rows --
+    "quality_percentile_by_source",
+    "exact_order_statistics_orders",
+    "window_distribution_stats",
+    "window_running_distinct_users",
+    "customer_spend_deciles",
+    "similarity_ivfpq_topk",
+    "hybrid_retrieval_rrf",
+    "pq_recall_report",
+    "dedup_span_savings",
 )
 
 

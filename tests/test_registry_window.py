@@ -12,36 +12,53 @@ from __future__ import annotations
 
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
-# r13 window: the steady-state cadence (VERDICT r11 "next round" #1,
-# re-prescribed r12 #1) — the 30 r12 registrations (their first driver
-# rows) plus 20 RE-VERIFICATION slots: the oldest remaining green rows
-# by (last-green round, registry order), all dating to CORRECTNESS_r07
-# (r12 closed out the r6 cohort) — see the DRIVER_WINDOW comment in
-# queries.py for the selection audit.
-# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r13)
+# r14 window: the steady-state cadence (VERDICT r11 "next round" #1,
+# re-prescribed r12 #1 and r13 #1) — the 11 r13 registrations (their
+# first driver rows) plus 39 RE-VERIFICATION slots: the oldest
+# remaining green rows by (last-green round, registry order), the 30
+# remaining r7 rows plus the 9 oldest r8 rows — see the DRIVER_WINDOW
+# comment in queries.py for the selection audit.
+# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r14)
 # that missed the window; their gate is the local replica
 # (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
-# schema + canonical value multiset); they rotate into the r14 window.
-# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r12)
+# schema + canonical value multiset); they rotate into the r15 window.
+# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r13)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = {
-    # -- registered r13 --
-    "cms_store_monthly_read",
-    "ivfpq_nprobe_recall_curve",
-    # -- registered r13, second push --
-    "degree_assortativity_part_graph",
-    "lsh_band_collision_curve",
-    "cross_source_copy_matrix",
-    "bootstrap_poisson_revenue_ci",
-    # -- registered r13, third push --
-    "bitmap_store_monthly_read",
-    "event_type_diversity_users",
-    "ship_lag_interaction_effects",
-    "neyman_allocation_orders",
-    "chao1_vocab_estimate",
-}
+NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
+    # -- r13 window first-timers (the 30 r12 registrations), all green
+    #    (CORRECTNESS_r13: 50/50, zero err) --
+    "repeat_purchase_curve",
+    "priority_mix_shift_monthly",
+    "user_event_degree_histogram",
+    "weekday_adjusted_daily_volume",
+    "median_order_gap_by_priority",
+    "supplier_part_breadth",
+    "discount_lift_by_year",
+    "fixed_size_sample_events",
+    "ngram_novelty_by_source",
+    "char_class_profile_by_source",
+    "split_source_mix_parity",
+    "shard_balance_report",
+    "neardup_cluster_length_spread",
+    "source_curation_scorecard",
+    "containment_groupkfold",
+    "orders_open_backlog_daily",
+    "max_drawdown_daily_revenue",
+    "triangle_census_part_graph",
+    "weighted_median_price_by_flag",
+    "spend_quartile_migration_customers",
+    "new_vs_returning_users_weekly",
+    "purchase_burst_islands",
+    "catalog_entry_curve",
+    "quantile_store_monthly_read",
+    "shingle_df_cap_loss_curve",
+    "dedup_survivorship_shift",
+    "sentence_stats_by_lang",
+    "containment_chain_depth",
+    "source_minhash_overlap",
+    "similarity_margin_report",
     # -- r12 window first-timers (the 30 r11 registrations), all green
     #    (CORRECTNESS_r12: 50/50, zero err) --
     "pca_second_direction_embeddings",
