@@ -19788,9 +19788,9 @@ def _part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
              CAST(CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
-             CAST(CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(du AS DECIMAL(19,0)) * CAST(du AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(du AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
       FROM de),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
     SELECT nn.n_nodes, s.n AS n_edge_ends,
@@ -19808,10 +19808,13 @@ def degree_assortativity_part_graph(spark: SparkSession, sf_dir: str) -> DataFra
     network-like); negative = hubs connect to leaves (disassortative,
     dependency-like) — with the triangle census's clustering
     coefficient, the two standard one-number structure summaries.
-    Exactness: degrees are exact integers; the five moment sums
-    accumulate as DECIMAL(38,0) (order-independent; BIGINT products
-    would already hold at fixture scale, the decimal is the 100 TB
-    headroom), and the correlation is then the FIXED IEEE sequence of
+    Exactness: degrees are exact integers; the moment PRODUCTS
+    multiply as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) on both
+    engines (a BIGINT product would overflow at hub degree ~3e9 —
+    ADVICE r13; decimal-first multiplication carries the headroom to
+    degree ~1e19) and the five moment sums accumulate as
+    DECIMAL(38,0) (order-independent), and the correlation is then
+    the FIXED IEEE sequence of
     corr_exact_by_flag — never the engine's native corr(). Scale: the
     edge list is the SHARED materialized co-purchase pass
     (_part_copurchase_edges — one C(lines,2) fan-out serves census +
@@ -19835,9 +19838,9 @@ def degree_assortativity_part_graph(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("du").cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sx"),
         F.sum(F.col("dv").cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sy"),
-        F.sum((F.col("du") * F.col("du")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sxx"),
-        F.sum((F.col("dv") * F.col("dv")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("syy"),
-        F.sum((F.col("du") * F.col("dv")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sxy"),
+        F.sum(F.col("du").cast("decimal(19,0)") * F.col("du").cast("decimal(19,0)")).cast("decimal(38,0)").cast("double").alias("sxx"),
+        F.sum(F.col("dv").cast("decimal(19,0)") * F.col("dv").cast("decimal(19,0)")).cast("decimal(38,0)").cast("double").alias("syy"),
+        F.sum(F.col("du").cast("decimal(19,0)") * F.col("dv").cast("decimal(19,0)")).cast("decimal(38,0)").cast("double").alias("sxy"),
     )
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     sx, sy, sxx, syy, sxy, n = (
@@ -20137,20 +20140,24 @@ def bootstrap_poisson_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full 32-core neighbor load): (1) the hash is
     # projected to a COLUMN before the 9-reference CDF compare chain so
     # it is evaluated once per row regardless of codegen subexpression
-    # elimination; (2) the pre-fan-out REPARTITION(32) spreads the 32×
+    # elimination; (2) the pre-fan-out REPARTITION spreads the 32×
     # md5 work across cores — the fixture's single parquet file
     # otherwise rides one narrow task through explode+hash, and the
     # explicit partition count matters: AQE coalesces a size-based
     # repartition of the 3 MB input back to ONE partition because the
     # fan-out multiplier is invisible to its advisory sizing (at real
     # scale the scan has many splits and this moves |orders| narrow
-    # rows once, never the fan-out).
+    # rows once, never the fan-out). The width follows the session's
+    # defaultParallelism — a literal core count here would cap the
+    # entire fan-out at that many tasks on a 1000-executor cluster,
+    # the inverse of the bug it fixes (VERDICT r13 #2).
+    fanout_width = spark.sparkContext.defaultParallelism
     wt = F.lit(len(_P1_TH))
     for k in range(len(_P1_TH) - 1, -1, -1):
         wt = F.when(F.col("__h") < F.lit(_P1_TH[k]), F.lit(k)).otherwise(wt)
     w = (
         o.select("o_orderkey", "o_totalprice")
-        .repartition(32, F.col("o_orderkey"))
+        .repartition(fanout_width, F.col("o_orderkey"))
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
             "o_orderkey",
@@ -20654,15 +20661,15 @@ def event_type_diversity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
     )
-    decile = (
-        (
-            (F.col("n_events") * F.col("n_events") - F.col("ss")) * 10
-        )
-        / (F.col("n_events") * F.col("n_events"))
+    # BIGINT `div`, matching the oracle's `//` — a double divide +
+    # floor() misrounds once (n²·10) exceeds 2^53 (~3e7 events for one
+    # user): unreachable in the fixtures, reachable at 100 TB, and the
+    # exact float-on-bucket-boundary class the house parity discipline
+    # forbids (ADVICE r13).
+    decile = F.expr(
+        "((n_events * n_events - ss) * 10) div (n_events * n_events)"
     )
-    d = u.select(
-        "n_events", F.floor(decile).cast("int").alias("decile")
-    )
+    d = u.select("n_events", decile.cast("int").alias("decile"))
     return (
         d.groupBy("decile")
         .agg(

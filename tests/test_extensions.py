@@ -4048,3 +4048,42 @@ def test_chao1_estimator_hand_case(spark, tmp_path):
     assert r.chao1_est == 4 + (2 * 1) / (2 * 3)
     assert r.exact_vocab == 7
     assert r.seen_pct == round(100.0 * 4 / 7, 2)
+
+
+def test_event_type_diversity_decile_is_integer_division(spark):
+    """The decile boundary is BIGINT `div`, not a double divide +
+    floor (ADVICE r13): at n_events = 2^27 + 1 the two paths disagree
+    — (n² − ss)·10 exceeds 2^53 and the double quotient rounds up
+    across the bucket boundary. Pin the expression used by the entry
+    against Python's exact // on that adversarial point plus exact
+    boundaries and small cases."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (n_events, ss): the r13-ADVICE misround point — // says 1,
+        # float floor says 2
+        (134217729, 14411519022333953),
+        # exact boundary: (n²−ss)·10 divisible by n² (50/50 two-type)
+        (4, 8),
+        # monomaniac and five singletons (the existing hand cases)
+        (4, 16),
+        (5, 5),
+    ]
+    df = spark.createDataFrame(cases, "n_events long, ss long").select(
+        "n_events",
+        "ss",
+        # the same expression queries.py's event_type_diversity_users uses
+        F.expr("((n_events * n_events - ss) * 10) div (n_events * n_events)")
+        .cast("int")
+        .alias("decile"),
+    )
+    got = {(r.n_events, r.ss): r.decile for r in df.collect()}
+    want = {
+        (n, ss): ((n * n - ss) * 10) // (n * n) for n, ss in cases
+    }
+    assert got == want
+    # and the adversarial point really is a misround for the old path
+    import math
+
+    n, ss = cases[0]
+    assert math.floor(float((n * n - ss) * 10) / float(n * n)) != want[(n, ss)]

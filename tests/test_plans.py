@@ -1117,3 +1117,20 @@ def test_pca_power_iteration_shape(spark, sf):
     plan = plan_of(REGISTRY["pca_top_direction_embeddings"].fn(spark, sf), "extended")
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_fanout_width_tracks_session_parallelism(spark, sf):
+    """The pre-fan-out repartition in bootstrap_poisson_revenue_ci must
+    derive its width from the session's defaultParallelism, never a
+    literal core count (VERDICT r13 #2: a hard-coded 32 caps the whole
+    32x|orders| md5 fan-out at 32 tasks on a 1000-executor cluster —
+    the inverse of the AQE-coalesce bug the repartition fixes)."""
+    import re
+
+    plan = plan_of(
+        REGISTRY["bootstrap_poisson_revenue_ci"].fn(spark, sf), "extended"
+    )
+    widths = re.findall(r"hashpartitioning\(o_orderkey#\d+L?, (\d+)\)", plan)
+    assert widths, f"expected an explicit hashpartitioning exchange:\n{plan}"
+    dp = spark.sparkContext.defaultParallelism
+    assert all(int(w) == dp for w in widths), (widths, dp)
