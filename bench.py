@@ -298,6 +298,13 @@ EXTENDED = [
     "ship_lag_interaction_effects",
     "neyman_allocation_orders",
     "chao1_vocab_estimate",
+    # new in r14
+    "good_turing_coverage_estimate",
+    "horvitz_thompson_strata_estimate",
+    "source_epoch_plan",
+    "lsh_recall_vs_bands",
+    "minhash_jaccard_calibration",
+    "ivfpq_append_recall_drift",
 ]
 
 

@@ -19737,6 +19737,69 @@ def _doc_md5_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
+# One level further down the same sharing rule: the 8×2 BANDING of the
+# md5 signatures and the per-(band, key) candidate self-join (each
+# pair's FIRST colliding band) are consumed by the band-collision curve
+# (cost side), the recall-vs-bands curve (yield side), and the
+# signature-agreement calibration (r14) — the banded explode is cheap
+# but the bucket-bounded pair join is the expensive stage, paid once per
+# (context, sf_dir). Deterministic (md5 mins, min-band) — wall-clock
+# only, never an answer.
+_LSH_BANDED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_LSH_BANDS = 8
+
+
+def _doc_lsh_banded_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, pairs): per-doc band keys (doc_id, band, k1, k2) and the
+    distinct candidate pairs (da < db) with their first colliding band —
+    both materialized, from the shared md5 MinHash signatures."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_BANDED_CACHE.get(key)
+    if cached is None:
+        from .operators.dedup import materialize
+
+        sig = _doc_md5_minhash_sigs(spark, sf_dir)
+        banded = materialize(
+            sig.select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).cast("int").alias("band"),
+                                F.col(f"m{2 * b}").alias("k1"),
+                                F.col(f"m{2 * b + 1}").alias("k2"),
+                            )
+                            for b in range(_LSH_BANDS)
+                        ]
+                    )
+                ).alias("__bk"),
+            ).select("doc_id", "__bk.band", "__bk.k1", "__bk.k2")
+        )
+        b2 = banded.select(
+            F.col("doc_id").alias("db"),
+            F.col("band").alias("band2"),
+            F.col("k1").alias("j1"),
+            F.col("k2").alias("j2"),
+        )
+        pairs = materialize(
+            banded.join(
+                b2,
+                (F.col("band") == F.col("band2"))
+                & (F.col("k1") == F.col("j1"))
+                & (F.col("k2") == F.col("j2"))
+                & (F.col("doc_id") < F.col("db")),
+            )
+            .groupBy(F.col("doc_id").alias("da"), "db")
+            .agg(F.min("band").alias("first_band"))
+        )
+        cached = (banded, pairs)
+        _LSH_BANDED_CACHE[key] = cached
+    return cached
+
+
 # The part co-purchase edge list (distinct part pairs sharing an order,
 # a < b canonical), shared by the graph-census family (r13): triangle
 # census and degree assortativity both pay the C(lines_per_order, 2)
@@ -19934,27 +19997,12 @@ def lsh_band_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rows); band rows
     are |docs|·8; the pair self-join is per-(band, key) bucket-bounded
     — exactly the production LSH join shape, whose hot-bucket cap this
-    table is the tuning input for."""
-    n_bands = 8
-    sig = _doc_md5_minhash_sigs(spark, sf_dir)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("int").alias("band"),
-                        F.col(f"m{2 * b}").alias("k1"),
-                        F.col(f"m{2 * b + 1}").alias("k2"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("__bk"),
-    ).select("doc_id", "__bk.band", "__bk.k1", "__bk.k2")
-    from .operators.dedup import materialize
-
-    banded = materialize(banded)
+    table is the tuning input for. The banding and the first-band pair
+    set are themselves the shared materialized pass
+    _doc_lsh_banded_pairs (r14): lsh_recall_vs_bands reads the same
+    pairs for the yield side of the tuning decision and
+    minhash_jaccard_calibration for the estimator audit."""
+    banded, pairs = _doc_lsh_banded_pairs(spark, sf_dir)
     buckets = banded.groupBy("band", "k1", "k2").agg(
         F.count(F.lit(1)).alias("sz")
     )
@@ -19967,24 +20015,6 @@ def lsh_band_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pairs_in_band"
         ),
     )
-    b2 = banded.select(
-        F.col("doc_id").alias("db"),
-        F.col("band").alias("band2"),
-        F.col("k1").alias("j1"),
-        F.col("k2").alias("j2"),
-    )
-    pairs = (
-        banded.join(
-            b2,
-            (F.col("band") == F.col("band2"))
-            & (F.col("k1") == F.col("j1"))
-            & (F.col("k2") == F.col("j2"))
-            & (F.col("doc_id") < F.col("db")),
-        )
-        .groupBy(F.col("doc_id").alias("da"), "db")
-        .agg(F.min("band").alias("first_band"))
-    )
-    pairs = materialize(pairs)
     np_ = pairs.groupBy(F.col("first_band").alias("band")).agg(
         F.count(F.lit(1)).cast("long").alias("new_pairs")
     )
@@ -21029,6 +21059,946 @@ def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seen_pct"
             ),
         )
+    )
+
+
+@register(
+    "good_turing_coverage_estimate",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gt'), 1, 15))
+               ::UBIGINT::BIGINT % 2 = 0 AS in_sample
+      FROM documents),
+    tw AS (SELECT in_sample, __TOKS__ AS w FROM sel),
+    tok AS (
+      SELECT in_sample, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+      FROM tw, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sc AS (SELECT term, COUNT(*) AS c FROM tok WHERE in_sample GROUP BY 1),
+    f AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_sample_shingles,
+             CAST(COUNT(*) AS BIGINT) AS sample_vocab,
+             CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f1
+      FROM sc),
+    h AS (SELECT CAST(COUNT(*) AS BIGINT) AS holdout_shingles
+          FROM tok WHERE NOT in_sample),
+    u AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS holdout_unseen_shingles
+      FROM tok t
+      WHERE NOT t.in_sample
+        AND NOT EXISTS (SELECT 1 FROM sc WHERE sc.term = t.term))
+    SELECT f.n_sample_shingles, f.sample_vocab, f.f1,
+           ROUND(100.0 * f.f1 / NULLIF(f.n_sample_shingles, 0), 2)
+             AS gt_unseen_pct,
+           h.holdout_shingles, u.holdout_unseen_shingles,
+           ROUND(100.0 * u.holdout_unseen_shingles
+                 / NULLIF(h.holdout_shingles, 0), 2) AS holdout_unseen_pct,
+           ROUND(100.0 * f.f1 / NULLIF(f.n_sample_shingles, 0), 2)
+             - ROUND(100.0 * u.holdout_unseen_shingles
+                     / NULLIF(h.holdout_shingles, 0), 2) AS err_pp
+    FROM f, h, u
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "stats", "approx", "mixture"),
+)
+def good_turing_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING missing-mass estimate, VALIDATED against a real
+    holdout: from a deterministic half-sample of docs, the estimated
+    probability mass of UNSEEN types is f1/N (singleton share of
+    sample occurrences — Good's 1953 estimator), which is the number a
+    data-mixture planner actually wants (Chao1 next door estimates
+    unseen TYPE COUNT; this estimates how much of the next shard's
+    stream will be out-of-vocabulary). The unit is the word-3-SHINGLE
+    occurrence, not the unigram: the fixture generator draws unigrams
+    from a ~31-type pool (f1 = 0 — the estimator would be vacuously
+    exact), while shingle types are combinatorially diverse — and
+    shingle novelty is the dedup-relevant notion of "new mass" anyway
+    (the ngram_novelty_by_source axis). The other half of the corpus
+    IS the next shard here, so the estimator is calibrated in-table:
+    holdout_unseen_pct is the realized OOV shingle mass of the
+    held-out docs against the sample shingle vocabulary, and err_pp
+    is estimate − realized (the same measure-the-estimator pattern as
+    chao1_vocab_estimate's seen_pct and source_minhash_overlap's
+    err_pp; measured at sf0.01: 59.72 estimated vs 57.67 realized).
+    Exactness: membership is the engine-identical md5 parity bit;
+    N/f1/vocab/holdout counts are exact integers; both percentages
+    are the house pct_rate and err_pp is ONE IEEE subtract of the two
+    rounded values. Scale: one tokenize+shingle pass over the corpus
+    feeding both halves; the sample term counts map-side combine; the
+    OOV check is one (term)-key LEFT ANTI join of holdout occurrences
+    against the sample vocabulary — at 100 TB that is the standard
+    build-vocab-then-score shape, and the estimator itself reads off
+    two integers from the sample only."""
+    from .functions.hashing import md5_int60
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = docs.select(
+        # project the token array ONCE before shingling (the
+        # shingles_from_words codegen contract: an inline split would
+        # re-run the regex chain per element_at lookup)
+        tokens(F.col("text")).alias("__words"),
+        (
+            md5_int60(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":gt"))
+            )
+            % 2
+            == 0
+        ).alias("in_sample"),
+    )
+    # word-3-shingle OCCURRENCES (multiset — no array_distinct: Good-
+    # Turing mass is over event occurrences, not per-doc incidences),
+    # mirroring shingles_from_words' window construction.
+    n = F.size(F.col("__words"))
+    sh = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("__words"), i + j + 1) for j in range(3)]
+    )
+    shingles = F.when(
+        n >= 3, F.transform(F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))), sh)
+    ).otherwise(F.array().cast("array<string>"))
+    tok = sel.select("in_sample", F.explode(shingles).alias("term"))
+    sc = (
+        tok.filter("in_sample")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f = sc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_sample_shingles"),
+        F.count(F.lit(1)).cast("long").alias("sample_vocab"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+    )
+    hold = tok.filter(~F.col("in_sample"))
+    h = hold.agg(F.count(F.lit(1)).cast("long").alias("holdout_shingles"))
+    u = hold.join(sc.select("term"), "term", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("holdout_unseen_shingles")
+    )
+    gt = pct_rate(F.col("f1"), F.col("n_sample_shingles"))
+    realized = pct_rate(
+        F.col("holdout_unseen_shingles"), F.col("holdout_shingles")
+    )
+    return (
+        f.join(F.broadcast(h))
+        .join(F.broadcast(u))
+        .select(
+            "n_sample_shingles",
+            "sample_vocab",
+            "f1",
+            gt.alias("gt_unseen_pct"),
+            "holdout_shingles",
+            "holdout_unseen_shingles",
+            realized.alias("holdout_unseen_pct"),
+            (gt - realized).alias("err_pp"),
+        )
+    )
+
+
+# Per-stratum inclusion rates for the Horvitz-Thompson entry, in basis
+# points of the md5 % 10000 acceptance space: urgent strata sampled
+# densest. CASE-mapped identically in both engines.
+_HT_BP = {
+    "1-URGENT": 3200,
+    "2-HIGH": 1600,
+    "3-MEDIUM": 800,
+    "4-NOT SPECIFIED": 400,
+    "5-LOW": 200,
+}
+
+
+def _ht_oracle() -> str:
+    bp_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _HT_BP.items()
+    )
+    return f"""
+    WITH o AS (
+      SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+             CASE o_orderpriority {bp_case} ELSE 0 END AS pi_bp,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':ht'), 1, 15))
+               ::UBIGINT::BIGINT % 10000 AS acc
+      FROM orders),
+    st AS (
+      SELECT priority, CAST(MIN(pi_bp) AS INT) AS pi_bp,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS exact_total
+      FROM o GROUP BY 1),
+    smp AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sampled_total
+      FROM o WHERE acc < pi_bp GROUP BY 1)
+    SELECT st.priority, st.n_rows, st.pi_bp,
+           COALESCE(smp.n_sampled, 0) AS n_sampled,
+           COALESCE(smp.sampled_total, 0.0) AS sampled_total,
+           COALESCE(smp.sampled_total, 0.0) * 10000 / st.pi_bp AS ht_total,
+           st.exact_total,
+           ROUND(100.0 * abs(COALESCE(smp.sampled_total, 0.0) * 10000
+                             / st.pi_bp - st.exact_total)
+                 / NULLIF(st.exact_total, 0), 2) AS err_pct
+    FROM st LEFT JOIN smp USING (priority)
+    ORDER BY st.priority
+    """
+
+
+@register(
+    "horvitz_thompson_strata_estimate",
+    oracle=_ht_oracle(),
+    tags=("extension", "stats", "sampling"),
+)
+def horvitz_thompson_strata_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORVITZ-THOMPSON total estimation from an unequal-probability
+    stratified sample — the estimator half of the design problem
+    neyman_allocation_orders plans: each priority stratum is sampled at
+    its own fixed rate (urgent orders densest — the strata you care
+    about most get the most sample), membership decided by the
+    engine-identical md5 acceptance threshold, and the stratum total is
+    estimated as sampled_sum / π (the HT inverse-inclusion-probability
+    identity), audited in-table against the exact stratum total. At
+    100 TB the exact side is the one-off audit; the estimator needs
+    only the sample. Exactness: π is an exact basis-point integer
+    (CASE-mapped identically in both engines); both sums accumulate as
+    DECIMAL(18,4) and cast to double once; ht_total is the FIXED
+    two-op IEEE sequence double(sum) × 10000 / pi_bp, and err_pct the
+    house round(100·|Δ|/exact, 2) sequence. Scale: one map pass
+    tags membership (no sample materialization), both aggregates
+    map-side combine on the 5-row stratum dimension."""
+    from .functions.hashing import md5_int60
+
+    o = _t(spark, sf_dir, "orders")
+    bp = F.lit(0)
+    for k, v in _HT_BP.items():
+        bp = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(bp)
+    tagged = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        bp.cast("int").alias("pi_bp"),
+        (
+            md5_int60(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(":ht"))
+            )
+            % 10000
+        ).alias("acc"),
+    )
+    st = tagged.groupBy("priority").agg(
+        F.min("pi_bp").cast("int").alias("pi_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum("o_totalprice", "exact_total"),
+    )
+    smp = (
+        tagged.filter(F.col("acc") < F.col("pi_bp"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            dsum("o_totalprice", "sampled_total"),
+        )
+    )
+    sampled = F.coalesce("sampled_total", F.lit(0.0))
+    ht = sampled * 10000 / F.col("pi_bp")
+    return (
+        st.join(smp, "priority", "left")
+        .select(
+            "priority",
+            "n_rows",
+            "pi_bp",
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+            sampled.alias("sampled_total"),
+            ht.alias("ht_total"),
+            "exact_total",
+            F.round(
+                F.lit(100.0)
+                * F.abs(ht - F.col("exact_total"))
+                / nullif(F.col("exact_total"), F.lit(0.0)),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "source_epoch_plan",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(__TOKS__)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    t AS (
+      SELECT per.*,
+             SUM(n_tokens) OVER () AS total,
+             COUNT(*) OVER () AS k
+      FROM per),
+    p AS (
+      SELECT source, n_tokens,
+             CAST(total // k AS BIGINT) AS target_tokens,
+             CAST(CASE WHEN n_tokens >= total // k THEN 1
+                  ELSE least(4, (total // k + n_tokens - 1) // n_tokens)
+                  END AS BIGINT) AS epochs,
+             CAST(total AS BIGINT) AS total,
+             k
+      FROM t),
+    a AS (
+      SELECT p.*, n_tokens * epochs AS tokens_after,
+             SUM(n_tokens * epochs) OVER () AS total_after
+      FROM p)
+    SELECT source, n_tokens, target_tokens, epochs,
+           CAST(tokens_after AS BIGINT) AS tokens_after,
+           ROUND(100.0 * n_tokens / NULLIF(total, 0), 2) AS share_before_pct,
+           ROUND(100.0 * tokens_after / NULLIF(total_after, 0), 2)
+             AS share_after_pct,
+           ROUND(100.0 / k, 2) AS target_share_pct
+    FROM a ORDER BY source
+    """.replace("__TOKS__", _TOKS_SQL),
+    tags=("extension", "text", "mixture", "curation"),
+)
+def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSAMPLING epoch plan toward a uniform source mixture — the
+    complement of mixture_rebalance_plan (which DOWNSAMPLES oversized
+    sources and explicitly never upsamples): undersized sources get an
+    integer repeat count epochs = ceil(target / tokens) capped at 4
+    (the standard small-source repeat budget — repeating a tiny source
+    more buys diminishing mixture correction at growing memorization
+    cost), oversized sources keep epochs = 1, and the plan reports the
+    mixture BEFORE and AFTER against the uniform target share. The
+    consumer materializes each source epochs× (a literal union of
+    repeats — deterministic, unlike fractional upsampling). Exactness:
+    token counts are exact integers, target and epochs are pure
+    integer div/ceil ((a + b − 1) div b), shares are the house
+    pct_rate, and target_share_pct is ONE IEEE divide of 100 by the
+    source count. Scale: one groupBy(source) token pass; both windows
+    run over the |sources|-row dimension frame."""
+    from .operators.text import token_count
+
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    k = F.count(F.lit(1)).over(w)
+    p = per.select(
+        "source",
+        "n_tokens",
+        total.alias("total"),
+        k.alias("k"),
+    ).select(
+        "source",
+        "n_tokens",
+        "total",
+        "k",
+        F.expr("CAST(total div k AS BIGINT)").alias("target_tokens"),
+        F.when(
+            F.col("n_tokens") >= F.expr("total div k"), F.lit(1).cast("long")
+        )
+        .otherwise(
+            F.least(
+                F.lit(4).cast("long"),
+                F.expr(
+                    "CAST((total div k + n_tokens - 1) div n_tokens AS BIGINT)"
+                ),
+            )
+        )
+        .alias("epochs"),
+    )
+    a = p.select(
+        "*", (F.col("n_tokens") * F.col("epochs")).alias("tokens_after")
+    ).select("*", F.sum("tokens_after").over(w).alias("total_after"))
+    return a.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        "epochs",
+        F.col("tokens_after").cast("long").alias("tokens_after"),
+        pct_rate(F.col("n_tokens"), F.col("total")).alias("share_before_pct"),
+        pct_rate(F.col("tokens_after"), F.col("total_after")).alias(
+            "share_after_pct"
+        ),
+        F.round(F.lit(100.0) / F.col("k"), 2).alias("target_share_pct"),
+    ).orderBy("source")
+
+
+def _lsh_banded_pairs_sql(n_perms: int = 16, n_bands: int = 8) -> str:
+    """Shared oracle CTE chain ending in ``bp`` (da, db, first_band) —
+    the DuckDB twin of _doc_lsh_banded_pairs, kept verbatim in sync with
+    _lsh_band_curve_oracle's pair construction. Also defines ``sh``
+    (DISTINCT doc_id, shingle) and ``sizes`` for consumers that need the
+    exact set view."""
+    mins = ",\n             ".join(
+        f"MIN(('0x' || substr(md5('mh{i}:' || s), 1, 15))::UBIGINT::BIGINT) AS m{i}"
+        for i in range(n_perms)
+    )
+    ms = ", ".join(f"m{i}" for i in range(n_perms))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY 1),
+    banded AS (
+      SELECT doc_id, CAST(b.b AS INT) AS band,
+             list_value({ms})[2 * b.b + 1] AS k1,
+             list_value({ms})[2 * b.b + 2] AS k2
+      FROM sig, unnest(range(0, {n_bands})) AS b(b)),
+    bp AS (
+      SELECT a.doc_id AS da, b2.doc_id AS db, MIN(a.band) AS first_band
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.k1 = b2.k1 AND a.k2 = b2.k2
+       AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2)"""
+
+
+def _lsh_recall_vs_bands_oracle(threshold: float = 0.5, n_bands: int = 8) -> str:
+    return (
+        _lsh_banded_pairs_sql()
+        + f""",
+    ip AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT doc_a, doc_b
+      FROM ip JOIN sizes na ON na.doc_id = doc_a
+              JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {threshold}),
+    tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM jp),
+    dims AS (SELECT unnest(range(1, {n_bands} + 1)) AS b),
+    cand AS (
+      SELECT d.b, CAST(COUNT(bp.da) AS BIGINT) AS candidate_pairs
+      FROM dims d LEFT JOIN bp ON bp.first_band < d.b
+      GROUP BY 1),
+    ht AS (
+      SELECT d.b, CAST(COUNT(j.doc_a) AS BIGINT) AS hits
+      FROM dims d
+      LEFT JOIN (SELECT jp.doc_a, jp.doc_b, bp.first_band
+                 FROM jp JOIN bp ON bp.da = jp.doc_a AND bp.db = jp.doc_b) j
+        ON j.first_band < d.b
+      GROUP BY 1)
+    SELECT CAST(d.b AS INT) AS n_bands, c.candidate_pairs, tp.truth_pairs,
+           h.hits,
+           ROUND(100.0 * h.hits / NULLIF(tp.truth_pairs, 0), 2) AS recall_pct,
+           ROUND(100.0 * h.hits / NULLIF(c.candidate_pairs, 0), 2)
+             AS precision_pct
+    FROM dims d JOIN cand c ON c.b = d.b JOIN ht h ON h.b = d.b, tp
+    ORDER BY 1
+    """
+    )
+
+
+@register(
+    "lsh_recall_vs_bands",
+    oracle=_lsh_recall_vs_bands_oracle(),
+    tags=("extension", "dedup", "report", "tuning"),
+)
+def lsh_recall_vs_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YIELD side of the LSH banding decision —
+    lsh_band_collision_curve measures what each band COSTS (buckets,
+    candidate pairs); this measures what it BUYS: against the exact
+    word-3-gram Jaccard ≥ 0.5 truth set, the recall of the candidate
+    pairs emitted by the FIRST b bands for every b ≤ 8, plus the
+    precision of that candidate set — together the measured S-curve
+    that replaces the theoretical 1−(1−J^r)^b when choosing band
+    count. Reads the SHARED banded pair set (_doc_lsh_banded_pairs —
+    same materialized rows the collision curve aggregates) and the
+    shared shingle postings for truth, so the whole tuning table costs
+    one banding pass + one truth join per sweep. Exactness: truth
+    membership is the audited exact-Jaccard predicate (one IEEE divide
+    against the literal threshold, the dedup_ngram_jaccard parity
+    story); all counts are integers; both rates are the house
+    pct_rate. Scale: the truth side is the shared-shingle equi-join
+    (df-capped in production); the per-b fan-out is 8× over the
+    candidate PAIR set, never the corpus."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, postings=_doc_shingle_postings(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    _, bp = _doc_lsh_banded_pairs(spark, sf_dir)
+    tj = truth.join(
+        bp,
+        (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")),
+    ).select("doc_a", "first_band")
+    tp = truth.agg(F.count(F.lit(1)).cast("long").alias("truth_pairs"))
+    dims = spark.range(1, _LSH_BANDS + 1).select(
+        F.col("id").cast("int").alias("n_bands")
+    )
+    cand = (
+        dims.join(bp, F.col("first_band") < F.col("n_bands"), "left")
+        .groupBy("n_bands")
+        .agg(F.count("da").cast("long").alias("candidate_pairs"))
+    )
+    ht = (
+        dims.join(tj, F.col("first_band") < F.col("n_bands"), "left")
+        .groupBy("n_bands")
+        .agg(F.count("doc_a").cast("long").alias("hits"))
+    )
+    return (
+        cand.join(ht, "n_bands")
+        .join(F.broadcast(tp))
+        .select(
+            "n_bands",
+            "candidate_pairs",
+            "truth_pairs",
+            "hits",
+            pct_rate(F.col("hits"), F.col("truth_pairs")).alias("recall_pct"),
+            pct_rate(F.col("hits"), F.col("candidate_pairs")).alias(
+                "precision_pct"
+            ),
+        )
+        .orderBy("n_bands")
+    )
+
+
+def _minhash_calibration_oracle(n_perms: int = 16) -> str:
+    eqs = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(n_perms)
+    )
+    return (
+        _lsh_banded_pairs_sql()
+        + f""",
+    ip AS (
+      SELECT bp.da, bp.db, COUNT(*) AS inter
+      FROM bp JOIN sh a ON a.doc_id = bp.da
+              JOIN sh b ON b.doc_id = bp.db AND b.s = a.s
+      GROUP BY 1, 2),
+    mj AS (
+      SELECT bp.da, bp.db,
+             CAST({eqs} AS INT) AS sig_matches,
+             CAST(COALESCE(ip.inter, 0) AS DOUBLE)
+               / (na.n + nb.n - COALESCE(ip.inter, 0)) AS jacc
+      FROM bp JOIN sig sa ON sa.doc_id = bp.da
+              JOIN sig sb ON sb.doc_id = bp.db
+              JOIN sizes na ON na.doc_id = bp.da
+              JOIN sizes nb ON nb.doc_id = bp.db
+              LEFT JOIN ip ON ip.da = bp.da AND ip.db = bp.db)
+    SELECT sig_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN abs(jacc - CAST(sig_matches AS DOUBLE) / 16.0)
+                              <= 0.125 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_band,
+           ROUND(100.0 * SUM(CASE WHEN abs(jacc - CAST(sig_matches AS DOUBLE)
+                                            / 16.0) <= 0.125
+                                  THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS within_pct,
+           MIN(jacc) AS min_jaccard,
+           MAX(jacc) AS max_jaccard
+    FROM mj GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle=_minhash_calibration_oracle(),
+    tags=("extension", "dedup", "report", "tuning", "approx"),
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the MinHash Jaccard estimator on the pairs LSH
+    actually emits: for every banded candidate pair, the
+    signature-agreement estimate (matching mins / 16 — the unbiased
+    MinHash identity) vs the EXACT shingle-set Jaccard, aggregated by
+    agreement count: how many pairs per estimate bucket, how many fall
+    within the ±0.125 theoretical band (σ = √(J(1−J)/16) ≤ 0.125), and
+    the exact-Jaccard envelope (min/max) per bucket — the table that
+    says whether 16 permutations are enough for the dedup threshold in
+    use, measured on this corpus rather than assumed. Rides BOTH
+    shared passes: signatures/banding from _doc_lsh_banded_pairs, the
+    exact side from the shared shingle postings, with the inter join
+    restricted to CANDIDATE pairs (at 100 TB you never exact-join the
+    corpus; you audit the estimator exactly where it is used).
+    Exactness: matches/inter/sizes are integers; jacc and the
+    estimate are one IEEE divide each, the band test one sub + abs +
+    compare on engine-identical doubles; min/max of identical doubles
+    are order-independent. Scale: every join is candidate- or
+    doc-keyed; output ≤ 17 rows."""
+    sig = _doc_md5_minhash_sigs(spark, sf_dir)
+    post = _doc_shingle_postings(spark, sf_dir)
+    _, bp = _doc_lsh_banded_pairs(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MINHASH_PERMS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MINHASH_PERMS)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(_MINHASH_PERMS)
+    )
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pa = post.select(F.col("doc_id").alias("da"), "h")
+    pb = post.select(F.col("doc_id").alias("db2"), F.col("h").alias("h2"))
+    ip = (
+        bp.join(pa, "da")
+        .join(
+            pb,
+            (F.col("db") == F.col("db2")) & (F.col("h") == F.col("h2")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    inter0 = F.coalesce("inter", F.lit(0))
+    mj = (
+        bp.join(sa, "da")
+        .join(sb, "db")
+        .join(na, "da")
+        .join(nb, "db")
+        .join(ip, ["da", "db"], "left")
+        .select(
+            matches.cast("int").alias("sig_matches"),
+            (
+                inter0.cast("double")
+                / (F.col("na") + F.col("nb") - inter0)
+            ).alias("jacc"),
+        )
+    )
+    within = (
+        F.abs(
+            F.col("jacc") - F.col("sig_matches").cast("double") / F.lit(16.0)
+        )
+        <= 0.125
+    )
+    return (
+        mj.groupBy("sig_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(within.cast("int")).cast("long").alias("n_within_band"),
+            F.min("jacc").alias("min_jaccard"),
+            F.max("jacc").alias("max_jaccard"),
+        )
+        .select(
+            "sig_matches",
+            "n_pairs",
+            "n_within_band",
+            pct_rate(F.col("n_within_band"), F.col("n_pairs")).alias(
+                "within_pct"
+            ),
+            "min_jaccard",
+            "max_jaccard",
+        )
+        .orderBy("sig_matches")
+    )
+
+
+def _ivfpq_append_drift_oracle(
+    query_ids=(0, 1, 2, 3, 4), k=10, n_probe=4, n_centroids=16, n_stages=4
+) -> str:
+    """SQL replica of the frozen-quantizer append-drift recall audit:
+    cells/codebooks train on the STAGE-0 subset only (the
+    persist_ivfpq_index snapshot), every later stage is encoded with
+    them (the update_ivfpq_index contract), and recall@10 is measured
+    per cumulative corpus."""
+    ids = ",".join(str(i) for i in query_ids)
+    denom = k * len(query_ids)
+    return f"""
+    WITH mem AS (
+      SELECT vec_id, embedding,
+             CASE WHEN h % 2 = 0 THEN 0
+                  ELSE 1 + CAST((h // 2) % {n_stages} AS INT) END AS vstage
+      FROM (
+        SELECT vec_id, embedding,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':ivfstage'),
+                               1, 15))::UBIGINT::BIGINT AS h
+        FROM embeddings)),
+    init AS (SELECT vec_id, embedding FROM mem WHERE vstage = 0),
+    cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding AS ccv
+      FROM (SELECT * FROM init ORDER BY vec_id LIMIT {n_centroids})),
+    cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             embedding AS fv
+      FROM (SELECT * FROM init ORDER BY vec_id LIMIT 16)),
+    cbs AS (
+      SELECT CAST(j.j AS INT) AS subspace, cb.code,
+             list_slice(cb.fv, j.j * 16 + 1, j.j * 16 + 16) AS cv
+      FROM cb, (SELECT unnest(range(0, 4)) AS j) j),
+    vs AS (
+      SELECT e.vec_id, CAST(j.j AS INT) AS subspace,
+             list_slice(e.embedding, j.j * 16 + 1, j.j * 16 + 16) AS xv
+      FROM mem e, (SELECT unnest(range(0, 4)) AS j) j),
+    dists AS (
+      SELECT vs.vec_id, vs.subspace, cbs.code,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+               i -> (CAST(vs.xv[i] AS DOUBLE) - CAST(cbs.cv[i] AS DOUBLE))
+                  * (CAST(vs.xv[i] AS DOUBLE) - CAST(cbs.cv[i] AS DOUBLE)))),
+               (p, q) -> p + q) AS dist
+      FROM vs JOIN cbs ON cbs.subspace = vs.subspace),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist, code) AS rn
+        FROM dists) z WHERE rn = 1),
+    aff AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.ccv")} AS aff
+      FROM mem e, cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY aff DESC, cell) AS rn
+        FROM aff) t
+      WHERE rn = 1),
+    qaff AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             {_DOT_SQL.format(a="e.embedding", b="c.ccv")} AS aff
+      FROM embeddings e, cents c
+      WHERE e.vec_id IN ({ids})),
+    cellrank AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY aff DESC, cell) AS crk
+        FROM qaff) t
+      WHERE crk <= {n_probe}),
+    qs AS (
+      SELECT e.vec_id AS query_id, CAST(j.j AS INT) AS subspace,
+             list_slice(e.embedding, j.j * 16 + 1, j.j * 16 + 16) AS qsv
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS j) j
+      WHERE e.vec_id IN ({ids})),
+    lut AS (
+      SELECT qs.query_id, qs.subspace, cbs.code,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+               i -> CAST(qs.qsv[i] AS DOUBLE) * CAST(cbs.cv[i] AS DOUBLE))),
+               (x, y) -> x + y) AS part
+      FROM qs JOIN cbs ON cbs.subspace = qs.subspace),
+    sc AS (
+      SELECT l.query_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(l.part ORDER BY l.subspace)),
+                         (a, b) -> a + b) AS adc
+      FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT s.query_id, s.vec_id, s.adc, m.vstage
+      FROM sc s JOIN assigned a ON a.vec_id = s.vec_id
+                JOIN cellrank cr ON cr.query_id = s.query_id
+                                AND cr.cell = a.cell
+                JOIN mem m ON m.vec_id = s.vec_id),
+    dims AS (SELECT unnest(range(0, {n_stages} + 1)) AS s),
+    corp AS (
+      SELECT d.s, CAST(COUNT(*) AS BIGINT) AS corpus_size
+      FROM dims d JOIN mem ON mem.vstage <= d.s GROUP BY 1),
+    ret AS (
+      SELECT query_id, vec_id, s FROM (
+        SELECT c.query_id, c.vec_id, d.s,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id, d.s
+                                  ORDER BY c.adc DESC, c.vec_id) AS rk
+        FROM cand c JOIN dims d ON c.vstage <= d.s) z
+      WHERE rk <= {k}),
+    exact AS (
+      SELECT query_id, neighbor_id, s FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, d.s,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id, d.s
+                 ORDER BY {_COS_SQL.format(a="q.embedding", b="e.embedding")}
+                          DESC, e.vec_id) AS rk
+        FROM embeddings q
+        JOIN mem e ON e.vec_id <> q.vec_id
+        JOIN dims d ON e.vstage <= d.s
+        WHERE q.vec_id IN ({ids})) t
+      WHERE rk <= {k}),
+    h AS (
+      SELECT r.s, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM ret r JOIN exact ex
+        ON ex.query_id = r.query_id AND ex.neighbor_id = r.vec_id
+       AND ex.s = r.s
+      GROUP BY 1)
+    SELECT CAST(d.s AS INT) AS stage, corp.corpus_size,
+           COALESCE(h.hits, 0) AS hits,
+           CAST(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {denom} AS DOUBLE)
+             AS recall_at_{k}
+    FROM dims d JOIN corp ON corp.s = d.s LEFT JOIN h ON h.s = d.s
+    ORDER BY 1
+    """
+
+
+@register(
+    "ivfpq_append_recall_drift",
+    oracle=_ivfpq_append_drift_oracle(),
+    tags=("extension", "similarity", "report", "tuning", "quantization"),
+)
+def ivfpq_append_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL DRIFT of a frozen-quantizer IVF-PQ index across
+    incremental appends — the measured answer to the rebuild decision
+    update_ivfpq_index explicitly defers ("quantizer drift is a
+    rebuild decision, not an append-time one"): the corpus is split
+    into an initial snapshot (stage 0, an engine-identical md5 parity
+    bit) and four append batches (stages 1-4 from the same hash);
+    centroids AND PQ codebooks train on the stage-0 subset ONLY (the
+    persist_ivfpq_index build), every vector is assigned and encoded
+    against those FROZEN structures (the update_ivfpq_index contract —
+    appended codes are comparable to old ones exactly because the
+    quantizer never retrains), and recall@10 at the production
+    n_probe = 4 is measured after each cumulative append against the
+    exact cosine top-10 over the SAME grown corpus. A falling curve
+    means the appended mass has drifted away from the frozen cells —
+    the signal to rebuild; the measured-not-assumed discipline of
+    ivfpq_nprobe_recall_curve applied over the index LIFECYCLE axis.
+    (Like the n_probe curve, the drift need not be monotone: appends
+    both add quantization-overrated impostors and replace true
+    neighbors.) Exactness: stage membership is integer md5 algebra;
+    cells/codes are the audited argmin/argmax IVF-PQ algebra over LTR
+    doubles; hits are integers; recall is ONE IEEE divide by the
+    fixed 50 denominator. Scale: ONE code/LUT/assignment pass over
+    the corpus serves all five stages (the stage axis fans out only
+    the bounded candidate and query-sample frames); ground truth is
+    exact top-k over a query SAMPLE — the production recall-audit
+    shape, costed per audit, not per append."""
+    from .operators.similarity import (
+        assign_to_cells,
+        cosine_sim,
+        dot_ltr,
+        ivf_assign_cells,
+        pq_codebooks,
+        pq_encode_with,
+    )
+    from .functions.hashing import md5_int60
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    m, dim, n_probe, k = 4, 64, 4, 10
+    d = dim // m
+    n_stages = 4
+    h = md5_int60(
+        F.concat(F.col("vec_id").cast("string"), F.lit(":ivfstage"))
+    )
+    staged = emb.select("vec_id", "embedding", h.alias("__h")).select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("__h") % 2 == 0, F.lit(0))
+        .otherwise(
+            (F.expr(f"(__h div 2) % {n_stages}") + F.lit(1)).cast("int")
+        )
+        .cast("int")
+        .alias("vstage"),
+    )
+    init = staged.filter(F.col("vstage") == 0).select("vec_id", "embedding")
+    _, cents = ivf_assign_cells(init, 16)
+    assigned = assign_to_cells(staged.select("vec_id", "embedding"), cents)
+    cbs = pq_codebooks(init, m, 16, dim)
+    codes = pq_encode_with(staged.select("vec_id", "embedding"), cbs, m, dim)
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                F.slice(F.col("embedding"), j * d + 1, d).alias("qv"),
+            )
+            for j in range(m)
+        ]
+    )
+    q = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), F.explode(qsubs).alias("__s"))
+        .select(
+            "query_id",
+            F.col("__s.subspace").alias("subspace"),
+            F.col("__s.qv").alias("qv"),
+        )
+    )
+    lut = q.join(F.broadcast(cbs), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        dot_ltr(F.col("qv"), F.col("cv")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("subspace", "part"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["part"],
+            ).alias("adc")
+        )
+    )
+    qfull = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    probes = (
+        qfull.crossJoin(F.broadcast(cents))
+        .withColumn("aff", dot_ltr(F.col("qv"), F.col("cv")))
+        .withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        scored.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(probes, ["query_id", "cell"])
+        .join(staged.select("vec_id", "vstage"), "vec_id")
+        .select("query_id", "vec_id", "adc", "vstage")
+    )
+    dims = spark.range(0, n_stages + 1).select(
+        F.col("id").cast("int").alias("s")
+    )
+    w1 = Window.partitionBy(
+        "query_id", "s", F.pmod(F.col("vec_id"), F.lit(64))
+    ).orderBy(F.col("adc").desc(), "vec_id")
+    w2 = Window.partitionBy("query_id", "s").orderBy(
+        F.col("adc").desc(), "vec_id"
+    )
+    ret = (
+        cand.join(F.broadcast(dims), F.col("vstage") <= F.col("s"))
+        .withColumn("__brn", F.row_number().over(w1))
+        .filter(F.col("__brn") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "s")
+    )
+    we = Window.partitionBy("query_id", "s").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    exact = (
+        staged.select("vec_id", "embedding", "vstage")
+        .join(F.broadcast(qfull), F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dims), F.col("vstage") <= F.col("s"))
+        .withColumn("cos", cosine_sim(F.col("qv"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "s")
+    )
+    hits = ret.join(exact, ["query_id", "vec_id", "s"]).groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    corp = (
+        dims.join(
+            staged.select("vstage"), F.col("vstage") <= F.col("s"), "left"
+        )
+        .groupBy("s")
+        .agg(F.count("vstage").cast("long").alias("corpus_size"))
+    )
+    denom = float(k * len(qids))
+    return (
+        corp.join(hits, "s", "left")
+        .select(
+            F.col("s").alias("stage"),
+            "corpus_size",
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0).cast("long")).cast("double")
+                / F.lit(denom)
+            ).alias(f"recall_at_{k}"),
+        )
+        .orderBy("stage")
     )
 
 

@@ -4087,3 +4087,240 @@ def test_event_type_diversity_decile_is_integer_division(spark):
 
     n, ss = cases[0]
     assert math.floor(float((n * n - ss) * 10) / float(n * n)) != want[(n, ss)]
+
+
+def _md5_int60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_good_turing_matches_python_mini_oracle(spark, tmp_path):
+    """Independent Python re-derivation on a constructed corpus: sample
+    membership from the same md5 parity, shingle multisets by hand, the
+    estimator and the realized OOV mass recomputed exactly."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    texts = {
+        1: "a b c d e",          # shingles: abc bcd cde
+        2: "a b c x y",          # abx? no: abc bcx cxy
+        3: "p q r s",            # pqr qrs
+        4: "a b c d e",          # duplicate of 1
+        5: "u v w",              # uvw
+        6: "m n",                # too short -> no shingles
+    }
+    spark.createDataFrame(
+        [(i, t, "s1", "en") for i, t in texts.items()],
+        "doc_id long, text string, source string, lang string",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    def shingles(t):
+        w = t.split()
+        return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)] if len(w) >= 3 else []
+
+    in_sample = {i: _md5_int60(f"{i}:gt") % 2 == 0 for i in texts}
+    assert any(in_sample.values()) and not all(in_sample.values())
+    from collections import Counter
+
+    sc = Counter(s for i, t in texts.items() if in_sample[i] for s in shingles(t))
+    hold = [s for i, t in texts.items() if not in_sample[i] for s in shingles(t)]
+    n = sum(sc.values())
+    f1 = sum(1 for c in sc.values() if c == 1)
+    unseen = sum(1 for s in hold if s not in sc)
+    r = REGISTRY["good_turing_coverage_estimate"].fn(spark, d).collect()[0]
+    assert r.n_sample_shingles == n
+    assert r.sample_vocab == len(sc)
+    assert r.f1 == f1
+    assert r.holdout_shingles == len(hold)
+    assert r.holdout_unseen_shingles == unseen
+    assert r.gt_unseen_pct == round(100.0 * f1 / n, 2)
+
+
+def test_horvitz_thompson_matches_python_draws(spark, tmp_path):
+    """One constant-price stratum: the md5 acceptance set recomputed in
+    Python hashlib pins n_sampled, and the HT identity pins ht_total."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY, _HT_BP
+
+    d = str(tmp_path)
+    rows = [
+        (ok, 1, "O", 10.0, dt.datetime(2024, 1, 1), "2-HIGH")
+        for ok in range(1, 301)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    bp = _HT_BP["2-HIGH"]
+    n_sampled = sum(
+        1 for ok in range(1, 301) if _md5_int60(f"{ok}:ht") % 10000 < bp
+    )
+    r = REGISTRY["horvitz_thompson_strata_estimate"].fn(spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.priority == "2-HIGH" and row.pi_bp == bp
+    assert row.n_rows == 300 and row.n_sampled == n_sampled
+    assert row.exact_total == 3000.0
+    assert row.sampled_total == 10.0 * n_sampled
+    assert row.ht_total == (10.0 * n_sampled) * 10000 / bp
+    assert row.err_pct == round(
+        100.0 * abs(row.ht_total - 3000.0) / 3000.0, 2
+    )
+
+
+def test_source_epoch_plan_hand_case(spark, tmp_path):
+    """Big source keeps epochs = 1; tiny source is capped at 4 even when
+    ceil(target/tokens) asks for more; shares recompute exactly."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    big = " ".join(["w"] * 100)
+    small = " ".join(["v"] * 10)
+    spark.createDataFrame(
+        [(1, big, "big", "en"), (2, small, "small", "en")],
+        "doc_id long, text string, source string, lang string",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.source: r.asDict()
+        for r in REGISTRY["source_epoch_plan"].fn(spark, d).collect()
+    }
+    # total = 110, k = 2, target = 55
+    assert got["big"]["target_tokens"] == 55 and got["small"]["target_tokens"] == 55
+    assert got["big"]["epochs"] == 1          # oversized: never upsampled
+    assert got["small"]["epochs"] == 4        # ceil(55/10) = 6 -> cap 4
+    assert got["big"]["tokens_after"] == 100
+    assert got["small"]["tokens_after"] == 40
+    assert got["big"]["share_before_pct"] == round(100.0 * 100 / 110, 2)
+    assert got["small"]["share_after_pct"] == round(100.0 * 40 / 140, 2)
+    assert got["big"]["target_share_pct"] == 50.0
+
+
+def test_lsh_yield_and_calibration_agree_with_cost_curve(spark, sf_oracle):
+    """Cross-entry consistency over the shared banded-pair pass: the
+    recall curve's candidate count at b = 8 and the calibration's total
+    pair mass must both equal the cost curve's cumulative pair set at
+    band 7; recall/candidates are monotone in b; every calibration
+    bucket's envelope brackets its estimate band sanely."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    cost = {
+        r.band: r.cum_pairs
+        for r in REGISTRY["lsh_band_collision_curve"].fn(spark, sf_oracle).collect()
+    }
+    yield_rows = (
+        REGISTRY["lsh_recall_vs_bands"].fn(spark, sf_oracle).collect()
+    )
+    assert [r.n_bands for r in yield_rows] == list(range(1, 9))
+    assert yield_rows[-1].candidate_pairs == cost[7]
+    for a, b in zip(yield_rows, yield_rows[1:]):
+        assert b.candidate_pairs >= a.candidate_pairs
+        assert b.hits >= a.hits
+        assert b.recall_pct >= a.recall_pct
+    for r in yield_rows:
+        assert r.hits <= min(r.truth_pairs, r.candidate_pairs)
+    cal = REGISTRY["minhash_jaccard_calibration"].fn(spark, sf_oracle).collect()
+    assert sum(r.n_pairs for r in cal) == cost[7]
+    for r in cal:
+        assert 0 <= r.sig_matches <= 16
+        assert 0 <= r.n_within_band <= r.n_pairs
+        assert r.min_jaccard <= r.max_jaccard
+        assert 0.0 <= r.min_jaccard and r.max_jaccard <= 1.0
+
+
+def test_ivfpq_append_drift_matches_numpy_mirror(spark, tmp_path):
+    """Full independent mirror on a constructed corpus: integer-valued
+    embeddings make every dot/L2 sum exact in both float paths, so the
+    numpy re-derivation (same md5 staging, frozen first-16 quantizer,
+    ADC ranking, per-stage exact truth) must reproduce every row."""
+    import numpy as np
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    rng_vals = [-3, -1, 1, 2, 4, 5, 7]  # no 0: a zero VECTOR would make cosine 0/0
+    vecs = {
+        i: [float(rng_vals[(i * 31 + j * 7 + (i * j) % 5) % 7]) for j in range(64)]
+        for i in range(40)
+    }
+    spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    stage = {}
+    for i in vecs:
+        h = _md5_int60(f"{i}:ivfstage")
+        stage[i] = 0 if h % 2 == 0 else 1 + (h // 2) % 4
+    init_ids = sorted(i for i in vecs if stage[i] == 0)
+    cents = [np.array(vecs[i]) for i in init_ids[:16]]
+    cbs = {
+        (j, c): np.array(vecs[init_ids[c]][j * 16 : (j + 1) * 16])
+        for j in range(4)
+        for c in range(min(16, len(init_ids)))
+    }
+    n_codes = min(16, len(init_ids))
+
+    def assign(v):
+        affs = [(float(np.dot(v, c)), cell) for cell, c in enumerate(cents)]
+        return max(range(len(cents)), key=lambda cell: (affs[cell][0], -cell))
+
+    def encode(v):
+        out = {}
+        for j in range(4):
+            sub = np.array(v[j * 16 : (j + 1) * 16])
+            out[j] = min(
+                range(n_codes),
+                key=lambda c: (float(np.sum((sub - cbs[(j, c)]) ** 2)), c),
+            )
+        return out
+
+    qids = [0, 1, 2, 3, 4]
+    k, n_probe = 10, 4
+    hits_by_stage = {s: 0 for s in range(5)}
+    for q in qids:
+        qv = np.array(vecs[q])
+        affs = sorted(
+            ((float(np.dot(qv, c)), -cell) for cell, c in enumerate(cents)),
+            reverse=True,
+        )
+        probe_cells = {-c for _, c in affs[:n_probe]}
+        lut = {
+            (j, c): float(np.dot(qv[j * 16 : (j + 1) * 16], cbs[(j, c)]))
+            for j in range(4)
+            for c in range(n_codes)
+        }
+        cand = []
+        for i, v in vecs.items():
+            if i == q or assign(v) not in probe_cells:
+                continue
+            codes = encode(v)
+            adc = 0.0
+            for j in range(4):
+                adc += lut[(j, codes[j])]
+            cand.append((i, adc))
+        for s in range(5):
+            cs = [(adc, i) for i, adc in cand if stage[i] <= s]
+            ret = {i for adc, i in sorted(cs, key=lambda t: (-t[0], t[1]))[:k]}
+            ex = [
+                (
+                    float(np.dot(qv, np.array(v)))
+                    / (float(np.linalg.norm(qv)) * float(np.linalg.norm(np.array(v)))),
+                    i,
+                )
+                for i, v in vecs.items()
+                if i != q and stage[i] <= s
+            ]
+            truth = {i for c, i in sorted(ex, key=lambda t: (-t[0], t[1]))[:k]}
+            hits_by_stage[s] += len(ret & truth)
+
+    got = {
+        r.stage: r.asDict()
+        for r in REGISTRY["ivfpq_append_recall_drift"].fn(spark, d).collect()
+    }
+    for s in range(5):
+        n_corpus = sum(1 for i in vecs if stage[i] <= s)
+        assert got[s]["corpus_size"] == n_corpus
+        assert got[s]["hits"] == hits_by_stage[s], (s, got[s], hits_by_stage)
+        assert got[s]["recall_at_10"] == hits_by_stage[s] / 50.0

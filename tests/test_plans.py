@@ -107,6 +107,7 @@ SANCTIONED_PYTHON = {
     "ivf_nprobe_recall_sweep",  # ground truth rides cosine_topk's BLAS tile; probes ride ivf_assign_cells (r8)
     "similarity_margin_report",  # rides cosine_topk's BLAS tile (r12)
     "ivfpq_nprobe_recall_curve",  # ground truth + cell assignment ride the same BLAS tiles as the r8 sweep (r13)
+    "ivfpq_append_recall_drift",  # frozen-quantizer cell assignment rides the same BLAS tile (r14)
 }
 
 
@@ -156,6 +157,11 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     # the limit(16) centroid rank and the 5-query cellrank/ret windows
     # (query-sample-sized, never the raw corpus) — audited r13
     "ivfpq_nprobe_recall_curve",
+    # ivfpq_append_recall_drift: the same audited frames over the
+    # lifecycle axis — limit(16) centroid/codebook ranks on the stage-0
+    # subset; the per-(query, stage) ret/exact windows are partitioned
+    # (only the bounded 16-row rank windows are unpartitioned) — r14
+    "ivfpq_append_recall_drift",
     "ks_drift_order_prices",
     "lorenz_curve_customer_spend",
     "mann_whitney_spend_by_arm",

@@ -24,7 +24,15 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # schema + canonical value multiset); they rotate into the r15 window.
 # Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r13)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = set()
+NEW_AWAITING_WINDOW: set[str] = {
+    # -- registered r14 --
+    "good_turing_coverage_estimate",
+    "horvitz_thompson_strata_estimate",
+    "source_epoch_plan",
+    "lsh_recall_vs_bands",
+    "minhash_jaccard_calibration",
+    "ivfpq_append_recall_drift",
+}
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- r13 window first-timers (the 30 r12 registrations), all green
