@@ -339,7 +339,10 @@ METHODOLOGY = {
         "at sf0.01 (see _er); the r8 skew_globalrank pair times the "
         "unpartitioned-window NTILE vs the two-phase prefix scan on orders — "
         "at bench sf both fit one task, so the delta is the two-phase form's "
-        "constant overhead, not its scale behavior"
+        "constant overhead, not its scale behavior; the r14 "
+        "skew_lshband_viral pair runs the banded join on the FOOTER corpus "
+        "(shared footer on distinct bodies — viral buckets from partial "
+        "overlap, not exact duplication)"
     ),
     "r7_late": (
         "extended set grew by the TPC-H breadth entries (q4/q6/q7/q9/q14/"
@@ -631,6 +634,22 @@ def skew_guard_bench(spark, sf_dir) -> dict[str, float]:
         "skew_minhash_uncapped": lambda: minhash_lsh_candidates(docs, threshold=0.2),
         "skew_minhash_capped": lambda: minhash_lsh_candidates(
             docs, threshold=0.2, max_bucket_size=50
+        ),
+        # r14 (VERDICT r13 #5): the VIRAL-BUCKET shape for the banded
+        # join itself — the footer corpus plants a shared legal footer on
+        # 20% of otherwise-DISTINCT documents, so hot band buckets form
+        # from partial overlap (footer-dominated minhash rows) rather
+        # than exact duplication; together with the replaced-page pair
+        # above this measures both ways an LSH bucket goes viral, and
+        # the CAP LEVEL for this pair is what lsh_band_collision_curve
+        # (cost) + lsh_recall_vs_bands (yield) calibrate — the full
+        # sample → audit → choose → run loop for the banded-join family
+        # (runbook: SCALE.md "Hot-bucket caps").
+        "skew_lshband_viral_uncapped": lambda: minhash_lsh_candidates(
+            _footer_docs(spark, sf_dir), threshold=0.2
+        ),
+        "skew_lshband_viral_capped": lambda: minhash_lsh_candidates(
+            _footer_docs(spark, sf_dir), threshold=0.2, max_bucket_size=50
         ),
         "skew_winnow_uncapped": lambda: winnowing_near_pairs(docs),
         "skew_winnow_capped": lambda: winnowing_near_pairs(docs, max_fp_df=50),

@@ -21862,8 +21862,9 @@ def ivfpq_append_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k over a query SAMPLE — the production recall-audit
     shape, costed per audit, not per append."""
     from .operators.similarity import (
+        _batch_topk_candidates,
+        _exact_rescore_topk,
         assign_to_cells,
-        cosine_sim,
         dot_ltr,
         ivf_assign_cells,
         pq_codebooks,
@@ -21964,17 +21965,27 @@ def ivfpq_append_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "s")
     )
-    we = Window.partitionBy("query_id", "s").orderBy(
-        F.col("cos").desc(), "vec_id"
-    )
-    exact = (
-        staged.select("vec_id", "embedding", "vstage")
-        .join(F.broadcast(qfull), F.col("vec_id") != F.col("query_id"))
+    # Exact per-stage ground truth through the SANCTIONED BLAS tile
+    # path (cosine_topk's machinery — per-batch matmul candidates, exact
+    # LTR re-score of survivors only; a direct per-row HOF cosine over
+    # corpus × queries × stages would be the interpreted full scan the
+    # call-site allowlist forbids). The (query, stage) pair rides as one
+    # composite key through the tile's per-query grouping.
+    composite = (F.col("query_id") * (n_stages + 1) + F.col("s")).cast("long")
+    pairs = (
+        staged.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            "vstage",
+        )
+        .join(F.broadcast(qfull), F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(dims), F.col("vstage") <= F.col("s"))
-        .withColumn("cos", cosine_sim(F.col("qv"), F.col("embedding")))
-        .withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "vec_id", "s")
+        .select(composite.alias("query_id"), "qv", "neighbor_id", "nv")
+    )
+    exact = _exact_rescore_topk(_batch_topk_candidates(pairs, k), k).select(
+        F.expr(f"query_id div {n_stages + 1}").alias("query_id"),
+        F.col("neighbor_id").alias("vec_id"),
+        F.pmod(F.col("query_id"), F.lit(n_stages + 1)).cast("int").alias("s"),
     )
     hits = ret.join(exact, ["query_id", "vec_id", "s"]).groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("hits")

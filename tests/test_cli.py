@@ -602,3 +602,30 @@ def test_df_cap_runbook_in_sync():
     # README points at the runbook
     readme = open(os.path.join(root, "README.md")).read()
     assert "The df-cap runbook" in readme
+
+
+def test_bench_history_within_anchor_band():
+    """The bench-anchor discipline as a GATE (VERDICT r13 #4): the
+    COMMITTED bench capture (bench_out.json, the artifact each round
+    ends on) must keep every query shared with BENCH_r01 within 2.0x
+    its r1 anchor — the driver's published bar — and the headline wall
+    within 2.0x of r1's. Compares committed artifacts only (never a
+    live run: wall times under arbitrary neighbor load would flake);
+    regressions therefore surface exactly when a round tries to commit
+    a capture that broke the band."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r1 = json.load(open(os.path.join(root, "BENCH_r01.json")))["parsed"]
+    cur = json.load(open(os.path.join(root, "bench_out.json")))
+    assert cur["sf"] == r1["sf"], "bench sf drifted from the anchor's"
+    over = {
+        name: (cur["queries"][name], r1_t)
+        for name, r1_t in r1["queries"].items()
+        if name in cur["queries"] and cur["queries"][name] > 2.0 * r1_t
+    }
+    assert over == {}, f"queries past 2.0x their r1 anchor: {over}"
+    assert cur["value"] <= 2.0 * r1["value"], (
+        f"headline wall {cur['value']} past 2.0x r1 anchor {r1['value']}"
+    )
