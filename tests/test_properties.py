@@ -1570,7 +1570,7 @@ def test_float_parity_survives_hostile_magnitudes(
     convention; this test turns it into a sweep. It rewrites the
     sf0.001 money columns to HOSTILE values (near the documented
     DECIMAL(8,2) bound, every cent value binary-unrepresentable, and
-    integer quantities scaled 37x) while honoring each column's
+    integer quantities scaled 17x) while honoring each column's
     decimal contract (money stays 2-dec, discount/tax stay 2-dec in
     range — values beyond the contract would test overflow, not
     parity), then re-runs registry entries that emit DOUBLE columns
@@ -1620,8 +1620,12 @@ def test_float_parity_survives_hostile_magnitudes(
             # binary-unrepresentable cent pattern
             pdf[c] = np.round(pdf[c] * 1.61 + (idx % 97) / 100.0, 2)
         if t == "lineitem":
-            # quantities are integral by contract: scale, keep integral
-            pdf["l_quantity"] = pdf["l_quantity"] * 37.0
+            # quantities are integral AND 3-digit by contract (TPC-H
+            # spec <=50; q9 casts DECIMAL(3,0)): x17 keeps both while
+            # pushing magnitudes 17x past anything the friendly
+            # fixture exercises (the first full sweep used x37 and the
+            # gate itself flagged the 4-digit contract breach)
+            pdf["l_quantity"] = pdf["l_quantity"] * 17.0
         pdf.to_parquet(dp, index=False)
 
     con = duckdb.connect()
@@ -1660,17 +1664,21 @@ def test_float_parity_survives_hostile_magnitudes(
     bad = []
     for name in chosen:
         q = REGISTRY[name]
-        sdf = q.fn(spark, dst)
-        scols = sorted(sdf.columns)
-        srows = sorted(
-            tuple(canon(r[c]) for c in scols) for r in sdf.collect()
-        )
-        cur = con.execute(q.oracle)
-        dcols = [d[0] for d in cur.description]
-        order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        drows = sorted(
-            tuple(canon(r[i]) for i in order) for r in cur.fetchall()
-        )
-        if scols != sorted(dcols) or srows != drows:
-            bad.append(name)
+        try:
+            sdf = q.fn(spark, dst)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(canon(r[c]) for c in scols) for r in sdf.collect()
+            )
+            cur = con.execute(q.oracle)
+            dcols = [d[0] for d in cur.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            drows = sorted(
+                tuple(canon(r[i]) for i in order) for r in cur.fetchall()
+            )
+            if scols != sorted(dcols) or srows != drows:
+                bad.append(name)
+        except Exception as e:  # collect, don't abort: one erroring
+            bad.append(f"{name} (err: {repr(e)[:120]})")  # entry must not
+            # mask parity results for the rest of the sweep
     assert bad == [], f"float-parity breaks on hostile magnitudes: {bad}"
