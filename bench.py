@@ -305,6 +305,9 @@ EXTENDED = [
     "lsh_recall_vs_bands",
     "minhash_jaccard_calibration",
     "ivfpq_append_recall_drift",
+    # new in r14, second push
+    "ratio_estimator_orders",
+    "neardup_transitivity_audit",
 ]
 
 

@@ -22013,6 +22013,200 @@ def ivfpq_append_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ratio_estimator_orders",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    o AS (
+      SELECT o_orderkey, o_totalprice,
+             COALESCE(lc.n_lines, 0) AS n_lines,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':ratio'),
+                             1, 15))::UBIGINT::BIGINT % 10000 < 1000
+               AS in_sample
+      FROM orders LEFT JOIN lc ON lc.l_orderkey = o_orderkey),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS exact_rev
+      FROM o),
+    smp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(n_lines) AS BIGINT) AS sampled_lines,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sampled_rev
+      FROM o WHERE in_sample)
+    SELECT tot.n_orders, smp.n_sampled, smp.sampled_rev, smp.sampled_lines,
+           tot.total_lines, tot.exact_rev,
+           smp.sampled_rev * 10.0 AS expansion_est,
+           smp.sampled_rev / smp.sampled_lines * tot.total_lines
+             AS ratio_est,
+           ROUND(100.0 * abs(smp.sampled_rev * 10.0 - tot.exact_rev)
+                 / NULLIF(tot.exact_rev, 0), 2) AS err_expansion_pct,
+           ROUND(100.0 * abs(smp.sampled_rev / smp.sampled_lines
+                             * tot.total_lines - tot.exact_rev)
+                 / NULLIF(tot.exact_rev, 0), 2) AS err_ratio_pct
+    FROM tot, smp
+    """,
+    tags=("extension", "stats", "sampling"),
+)
+def ratio_estimator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY RATIO ESTIMATION with an auxiliary total — the third
+    corner of the sampling-estimator family (neyman_allocation plans
+    the sample, horvitz_thompson inverts inclusion probabilities; this
+    one exploits SIDE INFORMATION): total revenue estimated as
+    X · (Σy_s / Σx_s), where the auxiliary x is the order's lineitem
+    count and X = |lineitem| is exactly known corpus-wide (at 100 TB a
+    row count is table metadata, while the revenue total needs the
+    scan the sample avoids). Because totalprice is roughly
+    proportional to lineitem count, the sample ratio y/x has far less
+    variance than the sample mean — the entry reports BOTH estimators'
+    realized errors on the SAME 10% md5 sample (err_expansion_pct vs
+    err_ratio_pct), so the variance-reduction claim is measured, not
+    assumed. Exactness: membership is integer md5 algebra; both
+    revenue sums accumulate as DECIMAL(18,4) and cast once; the
+    expansion estimate is ONE IEEE multiply, the ratio estimate the
+    FIXED two-op sequence divide-then-multiply, errors the house
+    round(100·|Δ|/exact) sequence. Scale: one lineitem-count
+    aggregate (map-side), one order pass tagging membership, two
+    1-row aggregates; output ONE row."""
+    from .functions.hashing import md5_int60
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    tagged = (
+        o.select("o_orderkey", "o_totalprice")
+        .join(lc, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_totalprice",
+            F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+            (
+                md5_int60(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":ratio")
+                    )
+                )
+                % 10000
+                < 1000
+            ).alias("in_sample"),
+        )
+    )
+    tot = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("total_lines"),
+        dsum("o_totalprice", "exact_rev"),
+    )
+    smp = tagged.filter("in_sample").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_lines").cast("long").alias("sampled_lines"),
+        dsum("o_totalprice", "sampled_rev"),
+    )
+    exp_est = F.col("sampled_rev") * F.lit(10.0)
+    ratio_est = (
+        F.col("sampled_rev") / F.col("sampled_lines") * F.col("total_lines")
+    )
+    err = lambda est: F.round(  # noqa: E731
+        F.lit(100.0)
+        * F.abs(est - F.col("exact_rev"))
+        / nullif(F.col("exact_rev"), F.lit(0.0)),
+        2,
+    )
+    return tot.join(F.broadcast(smp)).select(
+        "n_orders",
+        "n_sampled",
+        "sampled_rev",
+        "sampled_lines",
+        "total_lines",
+        "exact_rev",
+        exp_est.alias("expansion_est"),
+        ratio_est.alias("ratio_est"),
+        err(exp_est).alias("err_expansion_pct"),
+        err(ratio_est).alias("err_ratio_pct"),
+    )
+
+
+@register(
+    "neardup_transitivity_audit",
+    oracle=_JACCARD_PAIRS_SQL.replace("__T__", "0.8")
+    + """,
+    e AS (SELECT doc_a AS c, doc_b AS x FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+    w AS (
+      SELECT a.c, a.x AS wa, b.x AS wb
+      FROM e a JOIN e b ON a.c = b.c AND a.x < b.x),
+    cl AS (
+      SELECT w.c FROM w JOIN jp p ON p.doc_a = w.wa AND p.doc_b = w.wb)
+    SELECT CAST((SELECT COUNT(*) FROM jp) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT x) FROM e) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+           CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_closed_wedges,
+           ROUND(100.0 * (SELECT COUNT(*) FROM cl)
+                 / NULLIF((SELECT COUNT(*) FROM w), 0), 2)
+             AS transitivity_pct
+    """,
+    tags=("extension", "dedup", "report", "graph"),
+)
+def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW NON-TRANSITIVE is "near-duplicate"? — the measured
+    justification for clustering by connected components instead of
+    treating J ≥ 0.8 as an equivalence: over the exact-Jaccard truth
+    pairs, every wedge (a−c−b through a shared center) is checked for
+    its closing edge (a−b). transitivity_pct = 100 means the relation
+    happens to be transitive on this corpus (pairwise dedup and CC
+    dedup agree); every missing percentage point is a chain where
+    keep-one-per-pair logic would keep BOTH endpoints of an unlinked
+    wedge while CC collapses them — exactly the
+    dedup_components_docs-vs-pairs design decision, now with a number
+    attached. Exactness: all counts are integers over the audited
+    exact-Jaccard pair set (shared postings pass); the rate is the
+    house pct_rate. Scale: the wedge join is per-center bounded
+    (Σ deg(c)², the pair graph is sparse after dedup's own df caps);
+    the closing-edge probe is one equi-join back to the pair set;
+    output ONE row."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    jp = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.8,
+        postings=_doc_shingle_postings(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    e = jp.select(F.col("doc_a").alias("c"), F.col("doc_b").alias("x")).unionByName(
+        jp.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("x"))
+    )
+    e2 = e.select(F.col("c").alias("c2"), F.col("x").alias("x2"))
+    w = e.join(
+        e2, (F.col("c") == F.col("c2")) & (F.col("x") < F.col("x2"))
+    ).select("c", F.col("x").alias("wa"), F.col("x2").alias("wb"))
+    cl = w.join(
+        jp,
+        (F.col("wa") == F.col("doc_a")) & (F.col("wb") == F.col("doc_b")),
+    )
+    np_ = jp.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    nd = e.agg(F.count_distinct("x").cast("long").alias("n_docs"))
+    nw = w.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    nc = cl.agg(F.count(F.lit(1)).cast("long").alias("n_closed_wedges"))
+    return (
+        np_.join(F.broadcast(nd))
+        .join(F.broadcast(nw))
+        .join(F.broadcast(nc))
+        .select(
+            "n_pairs",
+            "n_docs",
+            "n_wedges",
+            "n_closed_wedges",
+            pct_rate(F.col("n_closed_wedges"), F.col("n_wedges")).alias(
+                "transitivity_pct"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (r14).
 #

@@ -4324,3 +4324,84 @@ def test_ivfpq_append_drift_matches_numpy_mirror(spark, tmp_path):
         assert got[s]["corpus_size"] == n_corpus
         assert got[s]["hits"] == hits_by_stage[s], (s, got[s], hits_by_stage)
         assert got[s]["recall_at_10"] == hits_by_stage[s] / 50.0
+
+
+def test_ratio_estimator_exact_when_proportional(spark, tmp_path):
+    """When totalprice is EXACTLY proportional to lineitem count, the
+    ratio estimator is exact for any sample (err_ratio_pct == 0) while
+    plain expansion errs whenever the realized sampling fraction is not
+    exactly 10% — the variance-reduction claim as a hand-case theorem.
+    The md5 acceptance set is re-derived in Python to pin n_sampled."""
+    import datetime as dt
+
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    orows, lrows = [], []
+    for ok in range(1, 201):
+        n_lines = (ok % 3) + 1
+        orows.append(
+            (ok, 1, "O", 100.0 * n_lines, dt.datetime(2024, 1, 1), "1-URGENT")
+        )
+        for ln in range(1, n_lines + 1):
+            lrows.append(
+                (ok, 1, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 2))
+            )
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    sampled = [
+        ok for ok in range(1, 201) if _md5_int60(f"{ok}:ratio") % 10000 < 1000
+    ]
+    r = REGISTRY["ratio_estimator_orders"].fn(spark, d).collect()[0]
+    assert r.n_orders == 200 and r.n_sampled == len(sampled)
+    assert r.err_ratio_pct == 0.0
+    assert r.ratio_est == r.exact_rev
+    # expansion is exact ONLY if the sample hit exactly 10% of revenue
+    assert r.expansion_est == r.sampled_rev * 10.0
+
+
+def test_neardup_transitivity_open_wedge(spark, tmp_path):
+    """A constructed A~B~C chain where A and C fall below the threshold:
+    one wedge, zero closed — transitivity 0%; the Python shingle-set
+    mini-oracle pins every count."""
+    from spacex_data_pipeline_spark.queries import REGISTRY
+
+    # mid-word edits kill 3 shingles each: one edit keeps J at
+    # 25/31 = 0.806 (just over the bar), two distinct edits drop the
+    # outer pair to 22/34 = 0.647
+    words = [f"w{i}" for i in range(30)]
+    a = list(words)
+    b = list(words); b[10] = "zz"
+    c = list(b); c[20] = "yy"
+
+    def shingleset(w):
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def jac(x, y):
+        sx, sy = shingleset(x), shingleset(y)
+        return len(sx & sy) / len(sx | sy)
+
+    assert jac(a, b) >= 0.8 and jac(b, c) >= 0.8 and jac(a, c) < 0.8
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, " ".join(a), "s", "en"), (2, " ".join(b), "s", "en"),
+         (3, " ".join(c), "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    r = REGISTRY["neardup_transitivity_audit"].fn(spark, d).collect()[0]
+    assert r.n_pairs == 2          # (1,2) and (2,3)
+    assert r.n_docs == 3
+    assert r.n_wedges == 1         # 1-2-3 through center 2
+    assert r.n_closed_wedges == 0  # (1,3) is below threshold
+    assert r.transitivity_pct == 0.0

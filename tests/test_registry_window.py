@@ -32,6 +32,9 @@ NEW_AWAITING_WINDOW: set[str] = {
     "lsh_recall_vs_bands",
     "minhash_jaccard_calibration",
     "ivfpq_append_recall_drift",
+    # -- registered r14, second push --
+    "ratio_estimator_orders",
+    "neardup_transitivity_audit",
 }
 
 PREVIOUSLY_DRIVER_GREEN = {
