@@ -95,19 +95,26 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     Returns ``array<struct<band:int, key:bigint>>`` — explode and group by
     (band, key) to get candidate buckets. Docs sharing any band bucket are
     candidate pairs (standard MinHash-LSH banding).
-    """
+
+    The band's signature values feed multi-arg ``xxhash64`` DIRECTLY
+    (longs + the band index) — bucket membership only needs "equal band
+    rows ⇒ equal key, unequal ⇒ unequal up to the 2⁻⁶⁴ hash-collision
+    floor", which long-hashing preserves identically. The original form
+    cast each value to string and ``concat_ws``-joined them before
+    hashing — two string materializations per band per doc (64 per doc at
+    32×2 banding) that existed only to feed a string hasher; the r14
+    optimization pass measured the band explode at 2× per query (each
+    self-join side re-generates it) and dropped the string path
+    (candidate pairs verified identical at sf0.001/0.01/0.1)."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(signature, b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    ),
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
                     F.lit(b),
                 ).alias("key"),
             )

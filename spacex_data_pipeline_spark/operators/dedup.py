@@ -506,6 +506,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     checkpoint: str = "local",
     postings: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingle sets, via shared-shingle equi-join.
 
@@ -538,13 +539,23 @@ def ngram_jaccard_pairs(
     trade (ADVICE r5): localCheckpoint blocks have NO lineage — an
     executor loss kills the job; a long 100 TB run should pass
     checkpoint='reliable'/'persist' (see :func:`materialize`).
+
+    ``sizes``: a pre-aggregated per-doc set-size table (columns
+    ``(id_col, n)``, one row per doc with ≥1 shingle) to skip the two
+    size aggregations this plan otherwise runs over the FULL posting
+    list (the na/nb join sides alias differently, so Spark's exchange
+    reuse never merges them — the r14 pass measured both aggregates
+    executing). In a sweep the caller derives it once from the shared
+    postings (queries._doc_shingle_sizes); values are identical to the
+    in-plan aggregate by construction.
     """
     sh = (
         postings
         if postings is not None
         else shingle_postings(docs, id_col, text_col, k, checkpoint)
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_shingle_df is not None:
         hot = (
@@ -591,6 +602,7 @@ def containment_pairs(
     max_shingle_df: int | None = None,
     checkpoint: str = "local",
     postings: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| over
     word k-shingle sets — the directional complement of
@@ -612,7 +624,9 @@ def containment_pairs(
     anti-join; set sizes stay uncapped, so reported containment becomes
     a LOWER bound for pairs that shared hot shingles — the
     boilerplate-match pairs a containment audit wants to ignore anyway;
-    default None = exact, the oracle-checked mode)."""
+    default None = exact, the oracle-checked mode). ``sizes``: pre-built
+    per-doc set sizes ``(id_col, n)`` — same sharing contract as
+    :func:`ngram_jaccard_pairs`; None derives them here."""
     from ..functions.numeric import pct_rate
 
     sh = (
@@ -620,7 +634,8 @@ def containment_pairs(
         if postings is not None
         else shingle_postings(docs, id_col, text_col, k, checkpoint)
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_shingle_df is not None:
         hot = (

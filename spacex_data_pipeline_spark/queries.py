@@ -86,6 +86,34 @@ def _doc_shingle_postings(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
     return sh
 
 
+# One more derived share (r14 optimization, guide §2.4 — don't recompute
+# what a sweep already aggregated): every Jaccard/containment consumer of
+# the shared posting list re-aggregates the per-doc set-size table, and
+# the Jaccard shape aggregates it TWICE (na/nb join sides alias
+# differently, defeating exchange reuse — verified in
+# plans/r14/dedup_ngram_jaccard_before.txt: two independent full-postings
+# HashAggregates). The sizes are a pure deterministic aggregate of the
+# already-materialized postings — identical values to each consumer's
+# in-plan aggregate — so caching the materialized handle changes
+# wall-clock only, never an answer.
+_SHINGLE_SIZES_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _doc_shingle_sizes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    sz = _SHINGLE_SIZES_CACHE.get(key)
+    if sz is None:
+        from .operators.dedup import materialize
+
+        sz = materialize(
+            _doc_shingle_postings(spark, sf_dir, k)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        _SHINGLE_SIZES_CACHE[key] = sz
+    return sz
+
+
 # Same sharing rule one level up: EIGHT entries (components, savings,
 # representatives, rates-by-source/domain, size histogram, the composed
 # reports) derive the identical (doc_id, component) assignment — CC
@@ -111,6 +139,7 @@ def _doc_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = ngram_jaccard_pairs(
             docs, k=3, threshold=0.8,
             postings=_doc_shingle_postings(spark, sf_dir),
+            sizes=_doc_shingle_sizes(spark, sf_dir),
         )
         comp = materialize(connected_components(docs.select("doc_id"), pairs))
         _DOC_CC_CACHE[key] = comp
@@ -167,13 +196,12 @@ def _doc_chain_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = _doc_shingle_postings(spark, sf_dir)
+    sz = _doc_shingle_sizes(spark, sf_dir)
     cp = containment_pairs(
         docs, "doc_id", "text", k=3, threshold_pct=80, min_shingles=5,
-        postings=sh,
+        postings=sh, sizes=sz,
     ).select("doc_a", "doc_b", "a_size")
-    nb = sh.groupBy(F.col("doc_id").alias("doc_b")).agg(
-        F.count(F.lit(1)).alias("b_size")
-    )
+    nb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("b_size"))
     ow = materialize(
         cp.join(nb, "doc_b")
         .filter(F.col("a_size") < F.col("b_size"))
@@ -990,6 +1018,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), k=3, threshold=0.2,
         postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     )
 
 
@@ -1024,7 +1053,8 @@ def dedup_minhash_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir)
+        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     )
     cand = minhash_lsh_candidates(docs, threshold=0.2).withColumnRenamed(
         "est_jaccard", "est"
@@ -1066,7 +1096,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir)
+        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     )
     # one fingerprint materialization shared by the two inspection sides
     # AND the banded search (which references it 8 more times) — see
@@ -2584,9 +2615,24 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor stats — one registry entry proving the operators COMPOSE
     (each stage is the same code as its standalone query). At 100 TB:
     the quality gate is a narrow map (pushes into the scan), dedup
-    shuffles an 8-byte hash, and the final join is survivor-sized."""
+    shuffles rows keyed on an 8-byte content hash, never the text.
+
+    r14 optimization (guide §2.4, remove shuffles/passes outright): the
+    dedup stage is composed from ``exact_dedup_rows`` (min-id survivor
+    per content hash via one row_number window) instead of
+    ``exact_dedup_first`` + a join back onto ``kept``. Same survivor
+    rule (lowest doc_id per exact text), bit-identical rows (oracle
+    re-verified at sf0.001/0.01/0.1), but the corpus is SCANNED ONCE and
+    shuffled once — the old shape read and tokenized the corpus twice
+    (agg side + join side; the pushed-down quality filter inlines the
+    tokenize regex 3× per evaluation, so the second scan was the
+    expensive one) and paid a survivor-id join that at 100 TB is
+    |survivors|-sized — NOT broadcastable. Plan: 2 scans + 2 exchanges →
+    1 scan + 1 exchange (plans/r14/pipeline_training_data_prep_*.txt);
+    measured 0.84 → 0.64 s at sf0.1. Column pruning drops the text from
+    the shuffle (only the hash key + the 4 output columns ride it)."""
     from .functions.hashing import normalize_text
-    from .operators.dedup import exact_dedup_first
+    from .operators.dedup import exact_dedup_rows
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -2602,8 +2648,7 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("diversity"),
     )
     kept = scored.filter((F.col("n_tokens") >= 30) & (F.col("diversity") >= 0.3))
-    survivors = exact_dedup_first(kept, "text", "doc_id")
-    return kept.join(survivors, "doc_id").select(
+    return exact_dedup_rows(kept, "text", "doc_id").select(
         "doc_id", "lang", "n_tokens", F.round("diversity", 6).alias("diversity")
     )
 
@@ -4173,7 +4218,8 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir)
+        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     )
     split_map = split_assign(
         docs.select("doc_id"), "doc_id", val_pct=0.05, test_pct=0.05
@@ -12781,6 +12827,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), k=3, threshold=0.2,
         postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     )
     dims = spark.createDataFrame([(k,) for k in range(2, 10)], "k10 long")
     sw = pairs.crossJoin(F.broadcast(dims)).filter(
@@ -17136,6 +17183,7 @@ def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         threshold_pct=80, min_shingles=5,
         postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -17389,6 +17437,7 @@ def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         threshold_pct=80, min_shingles=5,
         postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     ).select("doc_a", "doc_b")
     dropped = containment_dropped_ids(cont).withColumn("__dropped", F.lit(1))
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -18377,11 +18426,13 @@ def containment_groupkfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = _doc_shingle_postings(spark, sf_dir)
-    jp = ngram_jaccard_pairs(docs, k=3, threshold=0.8, postings=sh).select(
-        "doc_a", "doc_b"
-    )
+    sz = _doc_shingle_sizes(spark, sf_dir)
+    jp = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.8, postings=sh, sizes=sz
+    ).select("doc_a", "doc_b")
     ct = containment_pairs(
-        docs, "doc_id", "text", k=3, threshold_pct=80, min_shingles=5, postings=sh
+        docs, "doc_id", "text", k=3, threshold_pct=80, min_shingles=5,
+        postings=sh, sizes=sz,
     ).select("doc_a", "doc_b")
     comp = connected_components(docs.select("doc_id"), jp.unionByName(ct))
     folded = comp.select(
@@ -21522,7 +21573,8 @@ def lsh_recall_vs_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.5, postings=_doc_shingle_postings(spark, sf_dir)
+        docs, k=3, threshold=0.5, postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     ).select("doc_a", "doc_b")
     _, bp = _doc_lsh_banded_pairs(spark, sf_dir)
     tj = truth.join(
@@ -22175,6 +22227,7 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         threshold=0.8,
         postings=_doc_shingle_postings(spark, sf_dir),
+        sizes=_doc_shingle_sizes(spark, sf_dir),
     ).select("doc_a", "doc_b")
     e = jp.select(F.col("doc_a").alias("c"), F.col("doc_b").alias("x")).unionByName(
         jp.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("x"))
