@@ -313,12 +313,19 @@ def duplicate_ngram_spans(
     gram TEXT — identical modulo 64-bit collisions (the line-dedup
     argument, ~2^-64 at any real corpus). The gram table feeds both the
     count aggregate and the dup-flag join — single-materialization rule
-    (``checkpoint``: local | reliable | persist | none)."""
+    (``checkpoint``: local | reliable | persist | none). The token
+    table itself is materialized under the same rule (r14): the plan
+    references ``base`` from the gram fan-out AND the final per-doc
+    stats select, and column pruning cannot save the second reference —
+    ``n_tokens`` is size(tokens(text)), so each reference re-ran the
+    full tokenize regex over the corpus."""
     from ..functions.numeric import pct_rate
     from .text import tokens
 
     t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     base = t.select(id_col, F.size("__toks").alias("n_tokens"), "__toks")
+    if checkpoint != "none":
+        base = materialize(base, checkpoint)
     pos = base.filter(F.col("n_tokens") >= n).select(
         F.col(id_col),
         "__toks",
@@ -394,11 +401,17 @@ def duplicate_span_docs(
     hashes, map-side-combined count+owner in ONE aggregate, explode of
     only duplicated non-owner starts) plus one (doc, pos) anti-join and
     a per-doc sort_array reassembly — the same two doc-keyed shuffles
-    line_dedup_docs pays."""
+    line_dedup_docs pays. The token table is materialized once (r14):
+    the plan references ``base`` THREE times (gram fan-out, the
+    positional token explode, the final n_tokens select) and each
+    reference re-ran the tokenize regex corpus-wide — one pass now
+    serves all three (same trade as the gram checkpoint below)."""
     from .text import tokens
 
     t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     base = t.select(id_col, F.size("__toks").alias("n_tokens"), "__toks")
+    if checkpoint != "none":
+        base = materialize(base, checkpoint)
     pos = base.filter(F.col("n_tokens") >= n).select(
         F.col(id_col),
         "__toks",
@@ -776,6 +789,7 @@ def jaccard_pairs_prefix_filtered(
     k: int = 3,
     threshold: float = 0.2,
     checkpoint: str = "local",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PPJoin-style PREFIX FILTERING (Chaudhuri
     et al. SSJoin / Xiao et al. PPJoin, the classic VLDB set-similarity
@@ -801,17 +815,26 @@ def jaccard_pairs_prefix_filtered(
     by document length; candidate pairs shuffle once per side to pick up
     the ~KB set arrays. Verification work is |candidates|·O(|A|+|B|)
     hash-set probes — prefix filtering exists precisely to make
-    |candidates| small where the full equi-join explodes."""
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
-    )
-    sh = materialize(
-        toks.select(
+    |candidates| small where the full equi-join explodes.
+
+    ``postings``: a pre-built :func:`shingle_postings` table to share the
+    corpus tokenize+shingle pass with the equi-join generators in a sweep
+    (same contract as ngram_jaccard_pairs; contents identical to the
+    in-function build by construction). None builds it here."""
+    if postings is not None:
+        sh = postings
+    else:
+        toks = docs.select(
             F.col(id_col),
-            F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
-        ),
-        checkpoint,
-    )
+            F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+        )
+        sh = materialize(
+            toks.select(
+                F.col(id_col),
+                F.explode(shingle_hashes_from_words(F.col("__words"), k)).alias("h"),
+            ),
+            checkpoint,
+        )
     df_tbl = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy(id_col).orderBy("__df", "h")
     w_size = Window.partitionBy(id_col)

@@ -9682,7 +9682,11 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.dedup import jaccard_pairs_prefix_filtered
 
     return jaccard_pairs_prefix_filtered(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8,
+        # r14: ride the sweep-shared posting pass — the entry previously
+        # re-ran tokenize+shingle+materialize over the whole corpus that
+        # _doc_shingle_postings had already paid (guide §2.4).
+        postings=_doc_shingle_postings(spark, sf_dir),
     )
 
 
@@ -18624,8 +18628,16 @@ def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import materialize
 
     e = _part_copurchase_edges(spark, sf_dir)
-    nodes = e.select(F.col("a").alias("v")).union(e.select("b")).distinct()
-    deg = (
+    # r14: deg is referenced FOUR times (wedge census, the orientation
+    # joins' two sides, the node census below) and each reference re-ran
+    # the edge-list union+groupBy — an edge-sized pass per reference,
+    # alias projections defeating exchange reuse (the shared-pass rule
+    # one level down). Materialize the node-grain table once; the node
+    # census is then deg's row count (a node is in the graph iff its
+    # degree ≥ 1), so the old dedicated union+DISTINCT pass over the
+    # edges is gone too. Values identical by construction (oracle
+    # re-verified at all three SFs).
+    deg = materialize(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -18665,7 +18677,11 @@ def triangle_census_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("t").cast("long").alias("n_triangles"))
     )
-    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # r14: a node appears in the graph iff it has degree ≥ 1, so the node
+    # census is deg's row count — the dedicated union+DISTINCT pass over
+    # the full edge list (a second corpus-sized exchange) is redundant
+    # (guide §2.4; values identical by construction, oracle re-verified).
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
         n_nodes.join(F.broadcast(n_edges))
@@ -19935,8 +19951,14 @@ def degree_assortativity_part_graph(spark: SparkSession, sf_dir: str) -> DataFra
     assortativity in a sweep); degree annotation is two node-grain
     equi-joins (unhinted, AQE decides); everything after is one
     map-side-combined moment aggregate."""
+    from .operators.dedup import materialize
+
     e = _part_copurchase_edges(spark, sf_dir)
-    deg = (
+    # r14: deg is referenced three times (both degree-annotation join
+    # sides + the node census) and each reference re-ran the edge-list
+    # union+groupBy; materialize the node-grain table once — same
+    # shared-pass rule as triangle_census_part_graph's r14 change.
+    deg = materialize(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
