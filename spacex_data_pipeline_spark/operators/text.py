@@ -1732,12 +1732,19 @@ def model_scores(
     standard curation gate when BOTH scores are positive. Scale: one
     (id, bucket) shuffle for tf, one dims-sized model broadcast back,
     one id-keyed score aggregation; k models share the single pass."""
-    tf = hashed_features(
-        docs, dims=dims, id_col=id_col, text_col=text_col,
-        signed=False, extra=[lang_col, source_col],
-    ).select(
-        F.col(id_col), F.col(lang_col), F.col(source_col),
-        "bucket", F.col("weight").alias("w"),
+    from .dedup import materialize
+
+    # r14: tf feeds model_weights (which re-inlines it per model
+    # aggregate) AND the scoring join — the corpus feature pass executed
+    # 3x per call. Materialize the single pass the docstring promises.
+    tf = materialize(
+        hashed_features(
+            docs, dims=dims, id_col=id_col, text_col=text_col,
+            signed=False, extra=[lang_col, source_col],
+        ).select(
+            F.col(id_col), F.col(lang_col), F.col(source_col),
+            "bucket", F.col("weight").alias("w"),
+        )
     )
     wt = model_weights(
         docs, target_source, dims=dims, id_col=id_col, text_col=text_col,

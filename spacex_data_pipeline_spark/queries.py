@@ -9822,15 +9822,22 @@ def hashed_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2³¹ per class — beyond that, pre-scale the frequencies to
     DECIMAL(38) or normalize per 10⁹ tokens (documented trade, same
     plan)."""
+    from .operators.dedup import materialize
     from .operators.text import hashed_features
 
-    tf = hashed_features(
-        _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["lang"]
-    ).select(
-        "doc_id",
-        (F.col("lang") == "en").cast("int").alias("is_en"),
-        "bucket",
-        F.col("weight").alias("w"),
+    # r14: tf (the corpus tokenize+md5 pass) is referenced by the model
+    # aggregate AND the scoring join, and wt re-inlines the model — the
+    # feature pass executed 3x per query. Materialize it once (values
+    # identical; same cut as model_scores / classifier_decile_lift).
+    tf = materialize(
+        hashed_features(
+            _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["lang"]
+        ).select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            "bucket",
+            F.col("weight").alias("w"),
+        )
     )
     model = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_en") == 1, F.col("w")).otherwise(0)).alias("pos_b"),
@@ -9905,11 +9912,16 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     models are dims-sized map-side aggregates broadcast back; documents
     never pairwise-interact — ONE (doc_id, bucket) shuffle + one
     doc-keyed score aggregation, linear in corpus size."""
+    from .operators.dedup import materialize
     from .operators.text import hashed_features
 
-    tf = hashed_features(
-        _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["source"]
-    ).select("doc_id", "source", "bucket", F.col("weight").alias("w"))
+    # r14: same 3x-feature-pass duplication as hashed_nb_lang_classifier
+    # (model aggregate + wt re-inline + scoring join) — one pass now.
+    tf = materialize(
+        hashed_features(
+            _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["source"]
+        ).select("doc_id", "source", "bucket", F.col("weight").alias("w"))
+    )
     model = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("source") == "src0", F.col("w")).otherwise(0)).alias(
             "t_b"
@@ -14331,16 +14343,32 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic split, exactly matching the oracle's naive NTILE. The
     only unpartitioned window left runs over the 10-row decile table
     (the cumulative gain); shares are the house pct_rate on exact
-    integer counts."""
+    integer counts.
+
+    r14: this plan nests derived frames five levels deep (model ⊃ tf,
+    wt ⊃ model, sc ⊃ tf ⨝ wt, rn/per/te ⊃ sc …) and every reference
+    re-inlined its parent subtree — the before-plan re-ran the
+    corpus-wide tokenize+md5 hashed-features pass EIGHTEEN times
+    (18 parquet scans / 48 Exchanges,
+    plans/r14/classifier_decile_lift_before.txt). The two natural cut
+    points are now materialized: the token-feature table (the only
+    corpus pass) and the doc-grain score table everything above
+    derives from. After: the corpus is scanned once (0 scans in the
+    final plan — the eager tf job owns it) and 12 Exchanges remain;
+    interleaved min-of-4 A/B at sf0.1: 4.38 → 3.21 s on a contended
+    host, every paired run faster."""
+    from .operators.dedup import materialize
     from .operators.text import hashed_features
 
-    tf = hashed_features(
-        _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["lang"]
-    ).select(
-        "doc_id",
-        (F.col("lang") == "en").cast("int").alias("is_en"),
-        "bucket",
-        F.col("weight").alias("w"),
+    tf = materialize(
+        hashed_features(
+            _t(spark, sf_dir, "documents"), dims=32, signed=False, extra=["lang"]
+        ).select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            "bucket",
+            F.col("weight").alias("w"),
+        )
     )
     model = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_en") == 1, F.col("w")).otherwise(0)).alias("pos_b"),
@@ -14353,7 +14381,7 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w_b"),
     )
-    sc = (
+    sc = materialize(
         tf.join(F.broadcast(wt), "bucket")
         .groupBy("doc_id", "is_en")
         .agg(F.sum(F.col("w") * F.col("w_b")).cast("long").alias("score"))
