@@ -7586,10 +7586,20 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; frequency its own small-domain grain; monetary value-bucketed)
     + the arithmetic tile split, never an unpartitioned NTILE window.
     The oracle states the three naive NTILEs; all three decompositions
-    must match exactly."""
+    must match exactly.
+
+    r14: the three chained two-phase scans each referenced their input
+    2-3 times, compounding to TWENTY-FOUR orders scans / 41 Exchanges
+    in the before-plan (plans/r14/rfm_customer_segments_before.txt).
+    The customer-grain RFM base is now materialized once, so every
+    downstream reference reads checkpoint blocks instead of re-running
+    the fact scan+aggregate (after: 0 scans / 17 Exchanges); values
+    identical, oracle re-verified."""
+    from .operators.dedup import materialize
+
     ords = _t(spark, sf_dir, "orders")
     anchor = ords.agg(F.max("o_orderdate").alias("__ad"))
-    base = (
+    base = materialize(
         ords.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.max("o_orderdate").alias("__last"),
@@ -8085,8 +8095,9 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-free PMI argument applied to baskets. The self-join fans out
     per basket as items², naturally bounded by TPC-H's ≤7 lines per
     order; at unbounded basket sizes cap items per basket first (the
-    hot-key discipline). Top-50 by the heap top-k."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    hot-key discipline). Top-50 by the heap top-k. r14: reads the
+    sweep-shared materialized basket-items pass (_basket_items)."""
+    li = _basket_items(spark, sf_dir)
     nb = li.agg(F.count_distinct(F.col("l_orderkey")).alias("n_baskets"))
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = li.alias("a"), li.alias("b")
@@ -11243,13 +11254,23 @@ def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("period"),
     )
-    vals = b.groupBy("v").agg(
-        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
+    from .operators.dedup import materialize
+
+    # r14: the two chained prefix scans each reference their input twice
+    # and the KS max references the running table twice more — the
+    # before-plan ran the orders scan + distinct-cents aggregate EIGHT
+    # times (22 Exchanges). Materialize the two cut points (the
+    # distinct-value table and the finished running table); values
+    # identical, oracle re-verified.
+    vals = materialize(
+        b.groupBy("v").agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
     )
     grain = F.floor(F.col("v") / F.lit(1_000_000))
     r1 = relational.global_running_sum(
@@ -11268,6 +11289,7 @@ def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_alias="run_b",
         count_alias="__rn_b",
     ).select(F.col("run_a").cast("long").alias("run_a"), F.col("run_b").cast("long").alias("run_b"))
+    r2 = materialize(r2)
     totals = r2.agg(
         F.max("run_a").cast("long").alias("n"),
         F.max("run_b").cast("long").alias("m"),
@@ -13098,9 +13120,14 @@ def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import global_row_number
     from .operators.text import quality_score
 
+    from .operators.dedup import materialize
+
     docs = _t(spark, sf_dir, "documents")
     q = quality_score(docs).select("doc_id", "quality")
-    j = docs.select("doc_id", "source").join(q, "doc_id")
+    # r14: j (the regex-heavy quality pass) was referenced four times
+    # (total count, per-source ranks, both global-rank phases) — the
+    # before-plan scored the corpus 4x (8 scans). One pass now.
+    j = materialize(docs.select("doc_id", "source").join(q, "doc_id"))
     n_ = j.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     wsrc = Window.partitionBy("source").orderBy("quality", "doc_id")
     p = j.select(
@@ -13938,8 +13965,17 @@ def funnel_stage_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
             "event_id",
         )
 
-    lat = stage_lat("click", "view", "view_to_click").unionByName(
-        stage_lat("purchase", "click", "click_to_purchase")
+    # r14: lat (the two as-of joins — the expensive stage) was referenced
+    # by the grain table (twice via the rank join's two sides) AND the
+    # per-stage total, re-running both as-of passes 3x — 12 events scans
+    # / 12 Exchanges in the before-plan. Materialize the stage-latency
+    # rows once (values identical; oracle re-verified).
+    from .operators.dedup import materialize
+
+    lat = materialize(
+        stage_lat("click", "view", "view_to_click").unionByName(
+            stage_lat("purchase", "click", "click_to_purchase")
+        )
     )
     g = lat.withColumn("__grain", F.floor(F.col("lat") / F.lit(600)))
     per = g.groupBy("stage", "__grain").agg(F.count(F.lit(1)).alias("__gn"))
@@ -14658,7 +14694,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consequent) order — never a float sort key. Scale: identical to
     basket_part_pairs (per-basket items² fan-out bounded by basket
     size) plus two dimension-table joins of the part-count side."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = _basket_items(spark, sf_dir)  # r14: shared materialized pass
     nb = li.agg(F.count_distinct(F.col("l_orderkey")).alias("n_baskets"))
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = li.alias("a"), li.alias("b")
@@ -19903,6 +19939,30 @@ def _doc_lsh_banded_pairs(
 _PART_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# Distinct (order, part) basket items, shared the same way (r14): both
+# market-basket entries (pair mining + association rules) reference the
+# SAME distinct projection of lineitem 4-5 times each (basket count,
+# per-part counts, both self-join sides) and every reference re-ran the
+# scan+DISTINCT shuffle — zero ReusedExchange in the before-plans
+# (plans/r14/association_rules_parts_before.txt). One materialized pass
+# per (context, sf_dir) serves all references; deterministic, so
+# wall-clock only.
+_BASKET_ITEMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    li = _BASKET_ITEMS_CACHE.get(key)
+    if li is None:
+        from .operators.dedup import materialize
+
+        li = materialize(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        )
+        _BASKET_ITEMS_CACHE[key] = li
+    return li
+
+
 def _part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     e = _PART_EDGES_CACHE.get(key)
@@ -20866,9 +20926,17 @@ def ship_lag_interaction_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag"),
     )
-    cell = l.groupBy("flag", "priority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("lag").cast("long").alias("s"),
+    from .operators.dedup import materialize
+
+    # r14: cell (the fact join + aggregate) was referenced FOUR times
+    # (row margin, column margin, grand mean, output) and each reference
+    # re-ran the lineitem⋈orders join — 8 scans in the before-plan. The
+    # ≤15-row cell table is now materialized once.
+    cell = materialize(
+        l.groupBy("flag", "priority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("lag").cast("long").alias("s"),
+        )
     )
     rw = cell.groupBy("flag").agg(
         (F.sum("s").cast("double") / F.sum("n")).alias("row_mean")
