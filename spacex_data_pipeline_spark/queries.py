@@ -3134,7 +3134,12 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="v_ts",
         payload=["v_ts"],
     )
-    lat = (
+    from .operators.dedup import materialize
+
+    # r14: lat (the as-of join) was referenced by the mean aggregate AND
+    # both phases of the global rank — the attribution pass re-ran ~4x
+    # (6 events scans in the before-plan). One materialized pass now.
+    lat = materialize(
         m.filter(F.col("asof_v_ts").isNotNull())
         .select(
             (F.unix_timestamp("ts") - F.unix_timestamp("asof_v_ts"))
