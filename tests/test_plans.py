@@ -162,7 +162,10 @@ SANCTIONED_UNPARTITIONED_WINDOWS = {
     # subset; the per-(query, stage) ret/exact windows are partitioned
     # (only the bounded 16-row rank windows are unpartitioned) — r14
     "ivfpq_append_recall_drift",
-    "ks_drift_order_prices",
+    # ks_drift_order_prices left this list in r14: its audited bucket-
+    # offset windows (global_running_sum phase 1, bucket-table frames)
+    # still run, but inside the entry's eager cut-point materialization
+    # jobs — the FINAL plan this test scans no longer contains them.
     "lorenz_curve_customer_spend",
     "mann_whitney_spend_by_arm",
     # max_drawdown_daily_revenue: running-max window over the DAY-GRAIN
@@ -991,15 +994,59 @@ def test_rank_statistics_use_two_phase_prefix_scan(spark, sf):
     two-phase prefix scan: the data-sized cumulative window must be
     __grain-partitioned (the only unpartitioned window is the
     value-range-bounded bucket-offset scan), and the offsets must join
-    back as a broadcast."""
+    back as a broadcast.
+
+    r14: ks_drift_order_prices materializes its running table (the
+    cut-point fix for the 8x-re-inlined subtree), so the prefix-scan
+    windows execute inside the eager checkpoint job and no longer
+    appear in the FINAL plan — the shape is asserted on the
+    pre-materialization frame instead (same inputs, same helper call
+    the entry makes)."""
     import re
 
-    for name in ("mann_whitney_spend_by_arm", "ks_drift_order_prices"):
-        plan = plan_of(REGISTRY[name].fn(spark, sf))
+    from pyspark.sql import functions as F
+
+    from spacex_data_pipeline_spark import catalog
+    from spacex_data_pipeline_spark.functions.numeric import dec_money
+    from spacex_data_pipeline_spark.operators import relational
+
+    def assert_two_phase(plan: str, name: str) -> None:
         assert re.search(r"windowspecdefinition\(__grain#\d+", plan), (
             f"{name}: no __grain-partitioned window — two-phase scan missing"
         )
         assert "BroadcastHashJoin" in plan, f"{name}: offsets not broadcast"
+
+    assert_two_phase(
+        plan_of(REGISTRY["mann_whitney_spend_by_arm"].fn(spark, sf)),
+        "mann_whitney_spend_by_arm",
+    )
+    # ks_drift: the entry's running table, pre-materialization
+    b = catalog.table(spark, sf, "orders").select(
+        (dec_money("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        ).otherwise(1).alias("period"),
+    )
+    vals = b.groupBy("v").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    r1 = relational.global_running_sum(
+        vals,
+        grain=F.floor(F.col("v") / F.lit(1_000_000)),
+        order=[F.col("v")],
+        value=F.col("ca"),
+        value_alias="run_a",
+        count_alias="__rn_a",
+    )
+    assert_two_phase(plan_of(r1), "ks_drift_order_prices (running table)")
+    # and the entry's FINAL plan must read the materialized cut points,
+    # not re-inline the fact scan (0 parquet scans post-r14)
+    final = plan_of(REGISTRY["ks_drift_order_prices"].fn(spark, sf))
+    assert re.search(r"^\(\d+\) Scan parquet", final, flags=re.M) is None, (
+        "ks_drift_order_prices: fact scan re-inlined — cut-point "
+        "materialization regressed"
+    )
 
 
 def test_experiment_and_drift_scalars_are_window_free_folds(spark, sf):
