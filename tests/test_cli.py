@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from spacex_data_pipeline_spark.__main__ import main
@@ -486,6 +487,7 @@ def test_cli_prep_training_containment_df_cap_nests(spark, sf_smoke, tmp_path):
     assert outs["capped"] == outs["plain"]
 
 
+@pytest.mark.slow
 def test_cli_prep_training_stage_order_invariants(spark, sf_smoke, tmp_path):
     """End-to-end stage-order property (VERDICT r11 'next round' #6)
     with --containment-prune AND --line-dedup on together:

@@ -203,6 +203,7 @@ def test_ivf_recall_and_probe_monotonicity(spark, sf_oracle):
     assert len(exact & partial) / len(exact) >= 0.3
 
 
+@pytest.mark.slow
 def test_blocked_cosine_pairs_match_brute_force(spark, sf_oracle):
     """The balanced block-pair join is a pure execution-strategy change:
     its output must equal the crossJoin baseline exactly (same LTR cosine
@@ -250,6 +251,7 @@ def test_ivf_dedup_pairs_subset_of_brute_force(spark, sf_oracle):
         assert cos == brute[pair]  # bit-identical, not approx
 
 
+@pytest.mark.slow
 def test_text_oracles_handle_blank_docs(spark, tmp_path):
     """Regression for the empty-text guard (ADVICE r1): a blank / 
     whitespace-only document must not diverge Spark (tokens → []) from
@@ -332,6 +334,7 @@ def test_sampling_determinism_and_append_stability(spark, sf_oracle):
     assert counts.get("train", 0) > counts.get("val", 0)
 
 
+@pytest.mark.slow
 def test_zero_vector_cosine_edge(spark):
     """A zero-norm embedding must neither crash (ANSI divide-by-zero) nor
     leak into near-dup results via NaN's above-everything comparison
@@ -1473,6 +1476,7 @@ def test_ivfpq_index_persist_and_search(spark, sf_oracle, tmp_path):
     assert re.search(r"PartitionFilters: \[cell#\d+ IN", plan), plan[:2000]
 
 
+@pytest.mark.slow
 def test_ivfpq_index_incremental_update_equals_rebuild(spark, sf_oracle, tmp_path):
     """Appending a vector batch with update_ivfpq_index (frozen
     centroids + codebooks read back from the index) must serve
@@ -1516,6 +1520,7 @@ def test_ivfpq_index_incremental_update_equals_rebuild(spark, sf_oracle, tmp_pat
         update_ivfpq_index(spark, new.limit(2), inc)
 
 
+@pytest.mark.slow
 def test_ivfpq_index_tombstones_equal_rebuild(spark, sf_oracle, tmp_path):
     """Tombstoned vectors vanish from served top-k with ranks exactly
     matching an index rebuilt without them (ADC scores carry no corpus
@@ -1967,6 +1972,7 @@ def test_text_index_incremental_update_equals_rebuild(spark, sf_oracle, tmp_path
         update_text_index(spark, new.limit(3), inc_path)
 
 
+@pytest.mark.slow
 def test_text_index_tombstones_equal_rebuild(spark, sf_oracle, tmp_path):
     """Tombstoned docs must vanish from served results with df/n_docs/
     avgdl corrections EXACTLY matching an index rebuilt without them —

@@ -106,8 +106,7 @@ def test_oracle_dtype_canon(name, ducks):
     )
 
 
-@pytest.mark.parametrize("name", ORACLE_CASES)
-def test_oracle_parity(name, spark, sf_oracle, ducks):
+def _assert_parity(name, spark, sf_oracle, ducks):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_oracle)
     spark_cols = [c.lower() for c in sdf.columns]
@@ -128,6 +127,23 @@ def test_oracle_parity(name, spark, sf_oracle, ducks):
     if s != d:
         diff = [(a, b) for a, b in zip(s, d) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+# The full 347-entry sweep is `slow` (r15, VERDICT r14 #6: it alone is most
+# of the ~50-minute suite, which overflowed the round driver's pytest
+# budget and turned the verify gate red on a green tree). The default gate
+# keeps a deterministic every-9th sample (~39 entries spanning the
+# registry); the driver separately hash-checks its 50-entry window, and
+# the full sweep still runs by name or with -m "slow or not slow".
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(name, spark, sf_oracle, ducks):
+    _assert_parity(name, spark, sf_oracle, ducks)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES[::9])
+def test_oracle_parity_fast_sample(name, spark, sf_oracle, ducks):
+    _assert_parity(name, spark, sf_oracle, ducks)
 
 
 def test_every_entry_is_oracle_backed():

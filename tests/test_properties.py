@@ -4,6 +4,8 @@ the golden fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -272,6 +274,7 @@ _line = st.one_of(
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts=st.lists(st.lists(_line, min_size=1, max_size=6).map("\n".join),
                       min_size=1, max_size=5))
+@pytest.mark.slow
 def test_line_dedup_invariants_hold_for_any_corpus(texts):
     """For ANY corpus: (1) kept lines = one per distinct non-blank
     normalized line + every blank line; (2) each survivor is the
@@ -692,6 +695,7 @@ def test_hashed_features_match_python_reference(texts):
     ),
     shift=st.sampled_from([0, 3, 10]),
 )
+@pytest.mark.slow
 def test_skyline_2d_matches_quadratic_reference(pts, shift):
     """skyline_2d == the O(n²) dominance definition for ANY point set,
     at several bucket granularities (shift=0 → every x its own bucket;
@@ -934,6 +938,7 @@ def test_attribution_fold_matches_quadratic_reference(events, n_cuts, data):
     ),
     grain_div=st.sampled_from([1, 7, 1000]),
 )
+@pytest.mark.slow
 def test_grouped_exact_percentiles_matches_rank_definition(vals, grain_div):
     """relational.grouped_exact_percentiles == the per-group sorted-list
     rank definition value[ceil(q·n/100) − 1] for ANY data and any grain
@@ -1081,6 +1086,7 @@ _LINE_SCHEMA = (
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_weighted_quartiles_match_python_reference(lines):
     """The two-phase weighted prefix scan = the one-list Python cumsum,
     for any (flag, price, qty) multiset."""
@@ -1123,6 +1129,7 @@ def test_weighted_quartiles_match_python_reference(lines):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_triangle_census_matches_python_reference(orders):
     """Census counts = brute-force triple enumeration on the derived
     co-purchase graph, for any basket multiset."""
@@ -1175,6 +1182,7 @@ def test_triangle_census_matches_python_reference(orders):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_backlog_sweep_line_matches_python_reference(spans):
     """The +1/−1 sweep-line = the brute-force per-day open-interval scan,
     for any (orderdate, shipdates) multiset — including ship-before-
@@ -1222,6 +1230,7 @@ def test_backlog_sweep_line_matches_python_reference(spans):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_burst_islands_match_python_reference(custdays):
     """Tolerance islands = the one-list Python gap splitter, for any
     (customer, day) multiset (duplicate days collapse first)."""
@@ -1264,6 +1273,7 @@ def test_burst_islands_match_python_reference(custdays):
 @given(
     lengths=st.sets(st.integers(min_value=7, max_value=40), min_size=1, max_size=12)
 )
+@pytest.mark.slow
 def test_containment_chain_depth_matches_prefix_rank(lengths):
     """Prefix corpora have an analytic depth law: doc i (i-th smallest
     prefix of a common word list) sits below every longer prefix, so
@@ -1309,6 +1319,7 @@ def test_containment_chain_depth_matches_prefix_rank(lengths):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_quantile_store_monthly_read_matches_python_reference(orders):
     """The month-merged histogram read = the Python cumulative-bin scan,
     and the exact median (two-phase rank) = the sorted-list pick, for
@@ -1364,6 +1375,7 @@ def test_quantile_store_monthly_read_matches_python_reference(orders):
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_store_range_reads_agree_per_month(stream):
     """Cross-family store contract (VERDICT r12 #7): on ONE synthetic
     stream whose row ids are unique (so distinct == count), the HLL
@@ -1473,6 +1485,7 @@ def test_store_range_reads_agree_per_month(stream):
         max_size=50,
     )
 )
+@pytest.mark.slow
 def test_event_type_diversity_matches_python_reference(events):
     """decile = floor(10 · (1 − Σpᵢ²)) for any event multiset — the
     exact-rational Gini-Simpson bucket re-derived in pure Python."""
@@ -1516,6 +1529,7 @@ def test_event_type_diversity_matches_python_reference(events):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_assortativity_matches_python_reference(baskets):
     """Newman's r over the co-purchase graph equals the pure-Python
     Pearson correlation of edge-end degree pairs (skipped when the
@@ -1561,6 +1575,7 @@ def test_assortativity_matches_python_reference(baskets):
         assert abs(r.assortativity - want) < 1e-12
 
 
+@pytest.mark.slow
 def test_float_parity_survives_hostile_magnitudes(
     spark, sf_smoke, tmp_path_factory
 ):
