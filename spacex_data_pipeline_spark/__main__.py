@@ -372,6 +372,7 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 from .operators.dedup import (
                     containment_dropped_ids,
                     containment_pairs,
+                    materialize,
                 )
 
                 # --containment-df-cap N excludes shingles with df > N
@@ -379,12 +380,19 @@ def main(argv: Sequence[str] | None = None, _spark=None) -> int:
                 # a lower bound, so the capped run keeps a SUPERSET of
                 # the exact run's survivors — tests/test_cli.py pins the
                 # nesting invariant); None = exact, the oracle mode.
-                cont = containment_pairs(
-                    kept,
-                    "doc_id",
-                    "text",
-                    max_shingle_df=args.containment_df_cap,
-                ).select("doc_a", "doc_b")
+                # r15: containment_dropped_ids self-joins cont (pair set
+                # + reversed side), and exchange reuse never fires —
+                # materialize the output-sized pair table once instead
+                # of running the containment join twice (same fix as the
+                # containment_prune_report entry).
+                cont = materialize(
+                    containment_pairs(
+                        kept,
+                        "doc_id",
+                        "text",
+                        max_shingle_df=args.containment_df_cap,
+                    ).select("doc_a", "doc_b")
+                )
                 kept = kept.join(
                     containment_dropped_ids(cont), "doc_id", "left_anti"
                 )

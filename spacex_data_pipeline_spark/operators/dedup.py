@@ -318,7 +318,12 @@ def duplicate_ngram_spans(
     references ``base`` from the gram fan-out AND the final per-doc
     stats select, and column pruning cannot save the second reference —
     ``n_tokens`` is size(tokens(text)), so each reference re-ran the
-    full tokenize regex over the corpus."""
+    full tokenize regex over the corpus. Storage note (ADVICE r14 #4):
+    the base table carries the full ``__toks`` arrays, so under
+    ``checkpoint='reliable'`` this is a second durable corpus-sized
+    write per call (on top of the gram table); if that cost matters on
+    a cluster, checkpoint a pruned (id, n_tokens, __toks) projection or
+    use 'local'/'persist'."""
     from ..functions.numeric import pct_rate
     from .text import tokens
 
@@ -1144,6 +1149,7 @@ def connected_components(
     )
     labels = touched.select(F.col("src").alias("node"), F.col("src").alias("label"))
     changed = 0
+    prev_cached = None
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.node)
@@ -1152,7 +1158,7 @@ def connected_components(
         )
         # fold the convergence flag INTO the label update: one
         # materialization per round plus a cheap count over the already-
-        # checkpointed result, instead of a second old-vs-new join job
+        # materialized result, instead of a second old-vs-new join job
         upd = F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label")))
         new_labels = (
             labels.join(nbr, labels.node == nbr.src, "left")
@@ -1162,12 +1168,46 @@ def connected_components(
                 (upd < F.col("label")).alias("__chg"),
             )
         )
-        new_labels = materialize(new_labels, checkpoint)
-        changed = new_labels.filter(F.col("__chg")).count()
+        if checkpoint == "local":
+            # r15 (per-round job-count trim, VERDICT r14 #7): persist +
+            # count materializes the round AND returns the convergence
+            # scalar in ONE job (the count's full scan populates every
+            # cached partition), where eager localCheckpoint + count was
+            # two jobs per round — at ~0.25-0.3 s fixed cost per job
+            # that is the dominant per-round cost for the 2-3-round
+            # near-clique graphs this runs on. The next round's join
+            # reads the InMemoryRelation, so lineage stays bounded
+            # exactly as with the checkpoint; each round unpersists its
+            # predecessor (only the final round's labels stay resident —
+            # touched-node-sized, freed with the context). On executor
+            # loss, persist RECOMPUTES from lineage instead of failing
+            # the job — strictly safer than localCheckpoint at scale.
+            from pyspark import StorageLevel
+
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+            changed = new_labels.filter(F.col("__chg")).count()
+            if prev_cached is not None:
+                prev_cached.unpersist(False)
+            prev_cached = new_labels
+        else:
+            new_labels = materialize(new_labels, checkpoint)
+            changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    else:
+    if prev_cached is not None:
+        # Truncate lineage ONCE at convergence (one cheap job over the
+        # touched-node-sized cache) and release the cached blocks: the
+        # converged labels are consumed by arbitrary downstream plans
+        # (often referenced more than once), and leaving them as a
+        # persisted view would (a) print the whole fixpoint lineage into
+        # every consumer's explain output and (b) hold the last round's
+        # cache for the context lifetime. Net jobs per fixpoint:
+        # rounds + 1 instead of 2·rounds.
+        labels = materialize(labels, "local")
+        prev_cached.unpersist(False)
+        prev_cached = None
+    if changed != 0:
         # ADVICE r2: never return unconverged labels silently — a dup
         # chain with diameter > max_iter would yield non-minimal
         # components and hash-mismatch the transitive-closure oracle

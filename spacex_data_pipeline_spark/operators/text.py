@@ -410,6 +410,20 @@ def tfidf_top_terms(
     )
 
 
+def bm25_tf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The corpus inverted-index base behind :func:`bm25_topk` — per-doc
+    term frequencies ``(id, term, tf)``, LAZY. Split out (r15) so a
+    sweep-level share can materialize it once and hand the same table to
+    every BM25 consumer (df/dl/total-mass all derive from it); the
+    operator builds it itself when no ``tf=`` is passed."""
+    toks = _with_tokens(docs, id_col, text_col).select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "term")
+    )
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_doc_ids: list[int],
@@ -421,6 +435,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint: str = "local",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k retrieval over the corpus: each query is the first
     ``n_query_terms`` distinct terms (by first occurrence) of a query
@@ -457,7 +472,13 @@ def bm25_topk(
     checkpointed once via ``checkpoint`` ("local" default | "reliable"
     | "persist" | "none" to keep the plan fully lazy), so the corpus is
     tokenized once, not four times. In production the tf/df/dl tables
-    ARE the stored inverted index, built once per corpus snapshot.
+    ARE the stored inverted index, built once per corpus snapshot —
+    and ``tf=`` (r15) lets a sweep hand that shared materialized index
+    in so it is also built once per SWEEP, not once per consumer (the
+    dedup ``postings=`` pattern; the share builds through
+    :func:`bm25_tf`, the same code path, so values are identical). The
+    query-term probe still tokenizes only the ≤|q| query docs (the
+    ``isin`` filter pushes below the explode into the scan).
     """
     from pyspark.sql import Window
 
@@ -466,9 +487,10 @@ def bm25_topk(
     toks = _with_tokens(docs, id_col, text_col).select(
         F.col(id_col), F.posexplode("__toks").alias("pos", "term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    if checkpoint != "none":
-        tf = materialize(tf, checkpoint)
+    if tf is None:
+        tf = bm25_tf(docs, id_col, text_col)
+        if checkpoint != "none":
+            tf = materialize(tf, checkpoint)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N over ALL docs (incl. token-less ones); total token mass from tf —
     # both ride as a broadcast 1-row aggregate, no driver-side collect.
@@ -539,6 +561,21 @@ def char_trigrams(s: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def trigram_tf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The corpus trigram pass behind :func:`trigram_typicality` — per-doc
+    char-trigram term frequencies ``(id, tri, tf)``, LAZY. Split out (r15)
+    so a sweep-level share can materialize it once and hand the same table
+    to every typicality consumer; the operator builds it itself when no
+    ``tf=`` is passed."""
+    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__s"))
+    occ = norm.select(
+        F.col(id_col), F.explode(char_trigrams(F.col("__s"))).alias("tri")
+    )
+    return occ.groupBy(id_col, "tri").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def trigram_typicality(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -546,6 +583,8 @@ def trigram_typicality(
     keep: tuple[str, ...] = (),
     with_sums: bool = False,
     checkpoint: str = "local",
+    tf: DataFrame | None = None,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-LM quality proxy (the CCNet idea — score every document by
     a language model of the corpus and filter the tail): a character
@@ -580,21 +619,29 @@ def trigram_typicality(
     (≈100 TB of text) that allows per-doc trigram repeats up to ~9000;
     beyond that, pre-divide c by a power of two or switch the sum to
     DECIMAL(38,0).
+
+    ``tf=`` / ``model=`` (r15): a caller that already holds the
+    materialized per-doc tf table (and optionally the trigram model
+    aggregated from it) passes the handles in and the corpus pass is not
+    rebuilt — the ``postings=``/``sizes=`` sharing pattern from
+    operators/dedup. Values are identical by construction (the share
+    builds via :func:`trigram_tf`, the same code path).
     """
     norm = docs.select(
         F.col(id_col), *[F.col(c) for c in keep], normalize_text(F.col(text_col)).alias("__s")
     )
-    occ = norm.select(F.col(id_col), F.explode(char_trigrams(F.col("__s"))).alias("tri"))
-    tf = occ.groupBy(id_col, "tri").agg(F.count(F.lit(1)).alias("tf"))
-    # The model and total derive from tf (Σ tf per trigram == occurrence
-    # count), and tf feeds the scoring join too — so tf is the one
-    # corpus-pass product, materialized once (the single-materialization
-    # rule; "none" keeps the plan fully lazy).
-    if checkpoint != "none":
-        from .dedup import materialize
+    if tf is None:
+        tf = trigram_tf(docs, id_col, text_col)
+        # The model and total derive from tf (Σ tf per trigram ==
+        # occurrence count), and tf feeds the scoring join too — so tf is
+        # the one corpus-pass product, materialized once (the
+        # single-materialization rule; "none" keeps the plan fully lazy).
+        if checkpoint != "none":
+            from .dedup import materialize
 
-        tf = materialize(tf, checkpoint)
-    model = tf.groupBy("tri").agg(F.sum("tf").alias("c"))
+            tf = materialize(tf, checkpoint)
+    if model is None:
+        model = tf.groupBy("tri").agg(F.sum("tf").alias("c"))
     tot = model.agg(F.sum("c").alias("__tt"))
     per_doc = (
         tf.join(F.broadcast(model), "tri")

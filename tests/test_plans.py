@@ -65,6 +65,7 @@ def test_semi_anti_joins_stay_semi(spark, sf):
     assert "LeftAnti" in plan_of(REGISTRY["anti_customers_without_orders"].fn(spark, sf))
 
 
+@pytest.mark.slow
 def test_no_rowwise_python_udf_anywhere(spark, sf):
     """Global invariant: no operator may compile to BatchEvalPython
     (row-at-a-time Python UDF). Arrow-batched mapInPandas/pandas_udf nodes
@@ -111,6 +112,7 @@ SANCTIONED_PYTHON = {
 }
 
 
+@pytest.mark.slow
 def test_python_confined_to_sanctioned_ops(spark, sf):
     """Every query except the declared Arrow-batched ops must be pure JVM
     (no Python evaluation nodes of any kind)."""
@@ -236,6 +238,7 @@ def _unpartitioned_window_count(plan: str) -> int:
     return hits
 
 
+@pytest.mark.slow
 def test_unpartitioned_windows_are_whitelisted(spark, sf):
     """Registry-wide: any entry compiling to an unpartitioned Window
     must be individually sanctioned above (bounded post-aggregate
@@ -609,6 +612,7 @@ def test_contrastive_negative_rank_is_bucketed(spark, sf):
     )
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark, sf):
     """Global 100 TB invariant: no registry query may compile to a
     CartesianProduct — the unconditional all-pairs plan that cannot
@@ -1020,25 +1024,17 @@ def test_rank_statistics_use_two_phase_prefix_scan(spark, sf):
         plan_of(REGISTRY["mann_whitney_spend_by_arm"].fn(spark, sf)),
         "mann_whitney_spend_by_arm",
     )
-    # ks_drift: the entry's running table, pre-materialization
-    b = catalog.table(spark, sf, "orders").select(
-        (dec_money("o_totalprice") * 100).cast("long").alias("v"),
-        F.when(
-            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
-        ).otherwise(1).alias("period"),
+    # ks_drift: the entry's running table, pre-materialization — built by
+    # the entry's OWN split-out builders (queries._ks_drift_vals /
+    # _ks_drift_run_a), so this assertion tracks the real code path
+    # (ADVICE r14 #1: the old hand-copied reconstruction kept passing
+    # against its own copy if the entry drifted)
+    from spacex_data_pipeline_spark.queries import (
+        _ks_drift_run_a,
+        _ks_drift_vals,
     )
-    vals = b.groupBy("v").agg(
-        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("ca"),
-        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("cb"),
-    )
-    r1 = relational.global_running_sum(
-        vals,
-        grain=F.floor(F.col("v") / F.lit(1_000_000)),
-        order=[F.col("v")],
-        value=F.col("ca"),
-        value_alias="run_a",
-        count_alias="__rn_a",
-    )
+
+    r1 = _ks_drift_run_a(_ks_drift_vals(spark, sf))
     assert_two_phase(plan_of(r1), "ks_drift_order_prices (running table)")
     # and the entry's FINAL plan must read the materialized cut points,
     # not re-inline the fact scan (0 parquet scans post-r14)
