@@ -10,6 +10,8 @@ the local oracle replica in test_oracle_parity.py).
 
 from __future__ import annotations
 
+import pytest
+
 from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 
 # r14 window: the steady-state cadence (VERDICT r11 "next round" #1,
@@ -18,24 +20,15 @@ from spacex_data_pipeline_spark.queries import DRIVER_WINDOW, REGISTRY, queries
 # remaining green rows by (last-green round, registry order), the 30
 # remaining r7 rows plus the 9 oldest r8 rows — see the DRIVER_WINDOW
 # comment in queries.py for the selection audit.
-# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round (r14)
-# that missed the window; their gate is the local replica
+# NEW_AWAITING_WINDOW holds ONLY entries registered THIS round that
+# missed the window; their gate is the local replica
 # (tests/test_oracle_parity.py, exactly the driver's strictness: rows +
-# schema + canonical value multiset); they rotate into the r15 window.
-# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r13)
+# schema + canonical value multiset). r15 is an optimization round and
+# registers nothing; the 8 r14 registrations rotated INTO the r15
+# window, so the set is empty.
+# Everything in PREVIOUSLY_DRIVER_GREEN has a green driver row (r1-r14)
 # under behavior-identical code.
-NEW_AWAITING_WINDOW: set[str] = {
-    # -- registered r14 --
-    "good_turing_coverage_estimate",
-    "horvitz_thompson_strata_estimate",
-    "source_epoch_plan",
-    "lsh_recall_vs_bands",
-    "minhash_jaccard_calibration",
-    "ivfpq_append_recall_drift",
-    # -- registered r14, second push --
-    "ratio_estimator_orders",
-    "neardup_transitivity_audit",
-}
+NEW_AWAITING_WINDOW: set[str] = set()
 
 PREVIOUSLY_DRIVER_GREEN = {
     # -- r13 window first-timers (the 30 r12 registrations), all green
@@ -376,6 +369,19 @@ PREVIOUSLY_DRIVER_GREEN = {
     "window_top3_orders_per_customer",
     "winnowing_fingerprints_docs",
     "winnowing_near_pairs_docs",
+    # -- r14 window first-timers (the 11 r13 registrations), all green
+    #    (CORRECTNESS_r14: 50/50, zero err) --
+    "bitmap_store_monthly_read",
+    "bootstrap_poisson_revenue_ci",
+    "chao1_vocab_estimate",
+    "cms_store_monthly_read",
+    "cross_source_copy_matrix",
+    "degree_assortativity_part_graph",
+    "event_type_diversity_users",
+    "ivfpq_nprobe_recall_curve",
+    "lsh_band_collision_curve",
+    "neyman_allocation_orders",
+    "ship_lag_interaction_effects",
 }
 
 
@@ -412,6 +418,7 @@ def test_rotation_preserves_the_registry():
     assert not missing_oracle
 
 
+@pytest.mark.slow
 def test_no_registry_entry_emits_nested_output(spark, sf_oracle, capfd):
     """The driver's canonicalizer pandas-sorts every output column and
     crashes on unhashable cells (r3: 3 driver-err rows from array-typed
