@@ -16916,22 +16916,40 @@ def symspell_neighbor_pairs_customers(spark: SparkSession, sf_dir: str) -> DataF
     v = materialize(
         c.select("c_custkey", "c_name", F.explode(variants).alias("key"))
     )
+    # r15 (guide §2.3 shuffle fewer bytes; VERDICT r14 #8): the DISTINCT
+    # over candidates is the entry's dominant stage (stage-isolated
+    # profile, plans/r15/symspell_profile.json: join 0.75 s ->
+    # join+distinct 2.24 s of a 3.19 s entry), and it used to shuffle
+    # (a_key, a_name, b_key, b_name) — two ~25-char names riding along
+    # per row purely to be re-read after the dedup. Names are
+    # functionally dependent on the unique c_custkey, so dedup the
+    # 2-long key pair and re-attach names afterwards (auto-broadcast:
+    # the dimension is statistics-small; candidate pruning itself is
+    # ILLEGAL here — n_candidate_pairs is a declared output, so any
+    # length/first-char band on the join would change results). Join
+    # sides prune the name column too. Values identical; oracle
+    # re-verified at three SFs; interleaved A/B in
+    # plans/r15/ab_r15_changes.json.
     a = v.select(
         F.col("c_custkey").alias("a_key"),
-        F.col("c_name").alias("a_name"),
         F.col("key").alias("a_k"),
     )
     b = v.select(
         F.col("c_custkey").alias("b_key"),
-        F.col("c_name").alias("b_name"),
         F.col("key").alias("b_k"),
     )
     p = (
         a.join(b, (F.col("a_k") == F.col("b_k")) & (F.col("a_key") < F.col("b_key")))
-        .select("a_key", "a_name", "b_key", "b_name")
+        .select("a_key", "b_key")
         .distinct()
     )
-    ver = p.select(F.levenshtein("a_name", "b_name").alias("dist"))
+    an = c.select(F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"))
+    bn = c.select(F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"))
+    ver = (
+        p.join(an, "a_key")
+        .join(bn, "b_key")
+        .select(F.levenshtein("a_name", "b_name").alias("dist"))
+    )
     n_names = c.agg(F.count(F.lit(1)).cast("long").alias("n_names"))
     n_keys = v.agg(F.count_distinct("key").cast("long").alias("n_variant_keys"))
     return (
