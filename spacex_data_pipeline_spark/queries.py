@@ -129,18 +129,12 @@ def _doc_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     comp = _DOC_CC_CACHE.get(key)
     if comp is None:
-        from .operators.dedup import (
-            connected_components,
-            materialize,
-            ngram_jaccard_pairs,
-        )
+        from .operators.dedup import connected_components, materialize
 
         docs = _t(spark, sf_dir, "documents")
-        pairs = ngram_jaccard_pairs(
-            docs, k=3, threshold=0.8,
-            postings=_doc_shingle_postings(spark, sf_dir),
-            sizes=_doc_shingle_sizes(spark, sf_dir),
-        )
+        # r15: the edge list is the shared verified pair table — built
+        # once per context for ALL its consumers, not once more here
+        pairs = _doc_jaccard_pairs80(spark, sf_dir)
         comp = materialize(connected_components(docs.select("doc_id"), pairs))
         _DOC_CC_CACHE[key] = comp
     return comp
@@ -263,6 +257,69 @@ def _doc_bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf
 
 
+# Verified near-dup pair tables, shared the same way (r15, second push —
+# the scan audit's residual worklist): the postings self-join behind
+# ngram_jaccard_pairs(k=3, threshold=0.8) is the single most duplicated
+# expensive subtree left in the registry — SIX call sites build the
+# byte-identical table (the _doc_cc_components fixpoint's edge list,
+# dedup_minhash_lsh_verify's truth side, dedup_simhash's truth side,
+# dedup_cross_split_leakage, containment_groupkfold, and
+# neardup_transitivity_audit), and containment_pairs(k=3,
+# threshold_pct=80, min_shingles=5) likewise has FOUR
+# (_doc_chain_depths' walk edges, containment_neardup_docs,
+# containment_prune_report, containment_groupkfold). Cache the
+# MATERIALIZED full operator outputs per (context, sf_dir); consumers
+# project the columns they used before. Built through the operators'
+# own code paths over the shared postings/sizes handles — identical
+# values to each consumer's in-plan build, wall-clock only, never an
+# answer. (The threshold=0.2 table is NOT shared: its only repeat
+# consumer besides dedup_threshold_sweep is the HEADLINE entry
+# dedup_ngram_jaccard, whose bench number must stay the standalone cost
+# of producing the pair list.)
+_JACCARD_PAIRS80_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CONTAINMENT_PAIRS80_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_jaccard_pairs80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact verified Jaccard pairs, k=3,
+    threshold 0.8, materialized once per (context, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    jp = _JACCARD_PAIRS80_CACHE.get(key)
+    if jp is None:
+        from .operators.dedup import materialize, ngram_jaccard_pairs
+
+        jp = materialize(
+            ngram_jaccard_pairs(
+                _t(spark, sf_dir, "documents"), k=3, threshold=0.8,
+                postings=_doc_shingle_postings(spark, sf_dir),
+                sizes=_doc_shingle_sizes(spark, sf_dir),
+            )
+        )
+        _JACCARD_PAIRS80_CACHE[key] = jp
+    return jp
+
+
+def _doc_containment_pairs80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, a_size, inter, containment_pct) — exact containment
+    pairs, k=3, threshold 80 pct, min_shingles=5, materialized once per
+    (context, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cp = _CONTAINMENT_PAIRS80_CACHE.get(key)
+    if cp is None:
+        from .operators.dedup import containment_pairs, materialize
+
+        cp = materialize(
+            containment_pairs(
+                _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+                threshold_pct=80, min_shingles=5,
+                postings=_doc_shingle_postings(spark, sf_dir),
+                sizes=_doc_shingle_sizes(spark, sf_dir),
+            )
+        )
+        _CONTAINMENT_PAIRS80_CACHE[key] = cp
+    return cp
+
+
 # Containment chain depths, shared the same way (r13): the acyclic
 # strict-size containment walk (see containment_chain_depth's docstring
 # for the algebra) is the expensive stage behind both the depth
@@ -280,15 +337,15 @@ def _doc_chain_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     dep = _CHAIN_DEPTH_CACHE.get(key)
     if dep is not None:
         return dep
-    from .operators.dedup import containment_pairs, materialize
+    from .operators.dedup import materialize
 
     docs = _t(spark, sf_dir, "documents")
-    sh = _doc_shingle_postings(spark, sf_dir)
     sz = _doc_shingle_sizes(spark, sf_dir)
-    cp = containment_pairs(
-        docs, "doc_id", "text", k=3, threshold_pct=80, min_shingles=5,
-        postings=sh, sizes=sz,
-    ).select("doc_a", "doc_b", "a_size")
+    # r15: the walk edges come from the shared containment pair table
+    # (_doc_containment_pairs80) — one postings self-join per sweep
+    cp = _doc_containment_pairs80(spark, sf_dir).select(
+        "doc_a", "doc_b", "a_size"
+    )
     nb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("b_size"))
     ow = materialize(
         cp.join(nb, "doc_b")
@@ -1137,13 +1194,12 @@ def dedup_minhash_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the candidate threshold are additionally locked by
     tests/test_extensions.py. The production operator remains
     minhash_lsh_candidates (benched standalone in bench.py)."""
-    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    from .operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir),
-        sizes=_doc_shingle_sizes(spark, sf_dir),
-    )
+    # r15: the truth side is the shared verified pair table
+    # (_doc_jaccard_pairs80) — one postings self-join per sweep
+    truth = _doc_jaccard_pairs80(spark, sf_dir)
     cand = minhash_lsh_candidates(docs, threshold=0.2).withColumnRenamed(
         "est_jaccard", "est"
     )
@@ -1176,17 +1232,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×16-bit block banding recovered the pair (mathematically certain;
     asserting banded recovery beyond distance 3 would be probabilistic).
     The production operator remains simhash_near_pairs."""
-    from .operators.dedup import (
-        ngram_jaccard_pairs,
-        simhash_fingerprints,
-        simhash_near_pairs,
-    )
+    from .operators.dedup import simhash_fingerprints, simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir),
-        sizes=_doc_shingle_sizes(spark, sf_dir),
-    )
+    # r15: the truth side is the shared verified pair table
+    # (_doc_jaccard_pairs80) — one postings self-join per sweep
+    truth = _doc_jaccard_pairs80(spark, sf_dir)
     # one fingerprint materialization shared by the two inspection sides
     # AND the banded search (which references it 8 more times) — see
     # simhash_near_pairs' fingerprints parameter
@@ -4306,14 +4357,12 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude fewer than docs, so each split join broadcasts
     the pair side and streams the doc_id scan — no extra shuffle beyond
     the pair generation itself."""
-    from .operators.dedup import ngram_jaccard_pairs
     from .operators.sampling import split_assign
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=_doc_shingle_postings(spark, sf_dir),
-        sizes=_doc_shingle_sizes(spark, sf_dir),
-    )
+    # r15: the pair list is the shared verified pair table
+    # (_doc_jaccard_pairs80) — one postings self-join per sweep
+    pairs = _doc_jaccard_pairs80(spark, sf_dir)
     split_map = split_assign(
         docs.select("doc_id"), "doc_id", val_pct=0.05, test_pct=0.05
     )
@@ -17388,15 +17437,12 @@ def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and the same accepted hash-vs-string oracle caveat) as
     dedup_ngram_jaccard; see operators/dedup.containment_pairs for the
     100 TB skew story. min_shingles=5 drops fragments whose
-    containment is trivially total."""
-    from .operators.dedup import containment_pairs
-
-    return containment_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        threshold_pct=80, min_shingles=5,
-        postings=_doc_shingle_postings(spark, sf_dir),
-        sizes=_doc_shingle_sizes(spark, sf_dir),
-    ).orderBy("doc_a", "doc_b")
+    containment is trivially total. Rides the SHARED materialized
+    containment pair table (_doc_containment_pairs80) — one postings
+    self-join per sweep across the containment family (r15)."""
+    return _doc_containment_pairs80(spark, sf_dir).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register(
@@ -17643,24 +17689,15 @@ def containment_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of dropped ids against the documents scan — unhinted, since
     the dropped set is not provably small (AQE promotes to broadcast
     when it is)."""
-    from .operators.dedup import (
-        containment_dropped_ids,
-        containment_pairs,
-        materialize,
-    )
+    from .operators.dedup import containment_dropped_ids
 
     # r15: containment_dropped_ids self-joins its input (cont + reversed
     # cont), and exchange reuse never fires here — the containment join
-    # over the postings ran twice per invocation. Materialize the pair
-    # table once (output-sized); values identical, oracle re-verified.
-    cont = materialize(
-        containment_pairs(
-            _t(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-            threshold_pct=80, min_shingles=5,
-            postings=_doc_shingle_postings(spark, sf_dir),
-            sizes=_doc_shingle_sizes(spark, sf_dir),
-        ).select("doc_a", "doc_b")
-    )
+    # over the postings ran twice per invocation. The pair table is now
+    # the SHARED materialized _doc_containment_pairs80 handle (one
+    # postings self-join per sweep across the containment family);
+    # values identical, oracle re-verified.
+    cont = _doc_containment_pairs80(spark, sf_dir).select("doc_a", "doc_b")
     dropped = containment_dropped_ids(cont).withColumn("__dropped", F.lit(1))
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     joined = d.join(dropped, "doc_id", "left")
@@ -18641,21 +18678,15 @@ def containment_groupkfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is cross-checked, not transliterated."""
     from .operators.dedup import (
         connected_components,
-        containment_pairs,
-        ngram_jaccard_pairs,
     )
     from .operators.sampling import hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    sh = _doc_shingle_postings(spark, sf_dir)
-    sz = _doc_shingle_sizes(spark, sf_dir)
-    jp = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.8, postings=sh, sizes=sz
-    ).select("doc_a", "doc_b")
-    ct = containment_pairs(
-        docs, "doc_id", "text", k=3, threshold_pct=80, min_shingles=5,
-        postings=sh, sizes=sz,
-    ).select("doc_a", "doc_b")
+    # r15: both edge sets are the SHARED materialized pair tables
+    # (_doc_jaccard_pairs80 / _doc_containment_pairs80) — the two
+    # postings self-joins build once per sweep, not once per invocation
+    jp = _doc_jaccard_pairs80(spark, sf_dir).select("doc_a", "doc_b")
+    ct = _doc_containment_pairs80(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(docs.select("doc_id"), jp.unionByName(ct))
     folded = comp.select(
         "doc_id",
@@ -22505,24 +22536,18 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σ deg(c)², the pair graph is sparse after dedup's own df caps);
     the closing-edge probe is one equi-join back to the pair set;
     output ONE row."""
-    from .operators.dedup import materialize, ngram_jaccard_pairs
+    from .operators.dedup import materialize
 
     # r15 (scan audit: 22 Exchanges, the pair-generator subtree re-ran
     # ~8x): jp feeds the directed-edge union TWICE, the closing-edge
     # probe, and the pair count; the edge table feeds the wedge join
     # twice more and the doc count — and alias projections defeat
     # exchange reuse, so each reference re-executed the full postings
-    # self-join. Materialize the two cut points (pair set, wedge table);
-    # values identical, oracle re-verified.
-    jp = materialize(
-        ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"),
-            k=3,
-            threshold=0.8,
-            postings=_doc_shingle_postings(spark, sf_dir),
-            sizes=_doc_shingle_sizes(spark, sf_dir),
-        ).select("doc_a", "doc_b")
-    )
+    # self-join. jp is now the SHARED materialized verified pair table
+    # (_doc_jaccard_pairs80 — one postings self-join per sweep); the
+    # wedge table stays materialized in-entry (its fan-out is this
+    # entry's own). Values identical, oracle re-verified.
+    jp = _doc_jaccard_pairs80(spark, sf_dir).select("doc_a", "doc_b")
     e = jp.select(F.col("doc_a").alias("c"), F.col("doc_b").alias("x")).unionByName(
         jp.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("x"))
     )
