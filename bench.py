@@ -364,7 +364,8 @@ METHODOLOGY = {
         "r14 #3, pre-existing since r11): entries that ride a shared "
         "per-context pass (_doc_shingle_postings/_sizes, _basket_items, "
         "_doc_cc_components, _cust_fuzzy_pairs, _doc_md5_minhash_sigs, "
-        "and r15's _cust_cc_components/_trigram_model) pay the build in "
+        "and r15's _cust_cc_components, _doc_trigram_model, _doc_bm25_tf, "
+        "_doc_jaccard_pairs80, _doc_containment_pairs80) pay the build in "
         "the FIRST consumer's first timed pass; min-of-3 therefore "
         "reports the ridden cost for those entries — the sweep-amortized "
         "number, not the standalone cost. The shares model a real sweep "
